@@ -1,13 +1,96 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.RelationalQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps operator names (SURVEY.md §2 inventory) to Spark
+  * implementations; `oracleSql` carries the DuckDB-equivalent SQL for
+  * every SQL-expressible entry. Column names are aligned pairwise (the
+  * driver sorts columns by name before hashing).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RelationalQueries.q2RevenueByNation(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (RelationalQueries.q1PricingSummary _),
+    "q2_revenue_by_nation" -> (RelationalQueries.q2RevenueByNation _),
+    "q3_top_orders" -> (RelationalQueries.q3TopOrders _),
+    "q4_latest_event_per_user" -> (RelationalQueries.q4LatestEventPerUser _),
+    "q5_semi_anti_join" -> (RelationalQueries.q5SemiAnti _),
+    "q6_cooccurrence" -> (RelationalQueries.q6CoOccurrence _),
+    "q7_rollup" -> (RelationalQueries.q7Rollup _),
+    "q8_events_hourly" -> (RelationalQueries.q8EventsHourly _),
+    "q9_union_distinct" -> (RelationalQueries.q9UnionDistinct _),
+    "q10_avg_qty_filter" -> (RelationalQueries.q10AvgQtyFilter _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_revenue_by_nation" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT l_orderkey, o_orderdate,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_latest_event_per_user" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+        |FROM (SELECT user_id, event_id, event_type,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q5_semi_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q6_cooccurrence" ->
+      """SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS cnt
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 ORDER BY cnt DESC, p1, p2 LIMIT 100""".stripMargin,
+    "q7_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(SUM(l_quantity) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q8_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q9_union_distinct" ->
+      """SELECT okey FROM (
+        |  SELECT o_orderkey AS okey FROM orders WHERE o_totalprice > 400000.0
+        |  UNION
+        |  SELECT l_orderkey AS okey FROM lineitem WHERE l_shipdate >= '1998-06-01'
+        |) ORDER BY okey""".stripMargin,
+    "q10_avg_qty_filter" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+        | COUNT(*) AS n
+        |FROM lineitem l JOIN (
+        |  SELECT l_partkey AS ap, AVG(l_quantity) * 0.2 AS thresh
+        |  FROM lineitem GROUP BY 1) a
+        |ON l.l_partkey = a.ap WHERE l.l_quantity < a.thresh""".stripMargin,
+  )
 }

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.Tables
+
+/** Generic relational query surface (SURVEY.md §2.3-§2.6, §3.3).
+  *
+  * The reference's query side is Elasticsearch (filter/agg/co-occurrence
+  * over enriched collections); here the same shapes are Spark SQL over
+  * parquet tables. Every query is paired with a DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Hash-compare discipline: money sums go through DECIMAL casts (exact,
+  * order-insensitive) and back to DOUBLE; ratios are emitted as integer
+  * numerator/denominator; every query ends in a deterministic total
+  * ORDER BY.
+  *
+  * Scale notes (100 TB): filters precede joins so pushdown reaches the
+  * scan; dimension tables (nation/region/customer-at-SF1) are broadcast;
+  * the only wide shuffles are the groupBy keys themselves. AQE handles
+  * skew/partition coalescing at the real scale.
+  */
+object RelationalQueries {
+
+  /** Exact decimal sum of a money expression, surfaced as double.
+    * Per-row double arithmetic is IEEE-identical across engines; the
+    * decimal cast makes the *sum* order-insensitive so hashes match.
+    */
+  private def moneySum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** TPC-H Q1 shape: scan-heavy filtered aggregation (A5). */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Multi-way join + agg: revenue per nation; dims broadcast (J1 analog). */
+  def q2RevenueByNation(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    val n = Tables.nation(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Top-k by aggregated measure (TPC-H Q3 shape; W-family). */
+  def q3TopOrders(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") =!= lit("F"))
+    val l = Tables.lineitem(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Latest-record-per-key window — the reference's GetLatestVersion
+    * pattern (SURVEY §2.4 A2 / §2.5 W1) on the events table. */
+  def q4LatestEventPerUser(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Semi + anti join — the tombstone pattern (SURVEY §2.3 J2):
+    * customers that ordered but never with status 'F'. */
+  def q5SemiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .join(o.filter(col("o_orderstatus") === "F"),
+        c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Self-join co-occurrence — the LINK adjacency-matrix aggregation
+    * (SURVEY §2.3 J4): part pairs appearing in the same order. */
+  def q6CoOccurrence(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val a = l.as("a")
+    val b = l.as("b")
+    a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("p1"), col("p2"))
+      .limit(100)
+  }
+
+  /** Rollup aggregation (grouping sets family, SURVEY §2.4 note). */
+  def q7Rollup(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).cast("double").as("qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
+  /** Tumbling-window event aggregation (streaming-shaped, run as batch). */
+  def q8EventsHourly(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Union + distinct (SURVEY §2.6 U1/U2): order keys seen in either
+    * high-value orders or recent lineitems. */
+  def q9UnionDistinct(s: SparkSession, d: String): DataFrame = {
+    val highOrders = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey").as("okey"))
+    val recent = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1998-06-01"))
+      .select(col("l_orderkey").as("okey"))
+    highOrders.unionByName(recent).distinct().orderBy(col("okey"))
+  }
+
+  /** Correlated-scalar shape (TPC-H Q17-like): lineitems below 20% of
+    * the part's average quantity. */
+  def q10AvgQtyFilter(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val avgQ = l.groupBy(col("l_partkey").as("ap"))
+      .agg((avg(col("l_quantity")) * 0.2).as("thresh"))
+    l.join(avgQ, col("l_partkey") === col("ap"))
+      .filter(col("l_quantity") < col("thresh"))
+      .agg(moneySum(col("l_extendedprice")).as("total_price"),
+        count(lit(1)).as("n"))
+  }
+}
