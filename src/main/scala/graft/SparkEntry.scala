@@ -27,6 +27,7 @@ object SparkEntry {
     "q8_events_hourly" -> (RelationalQueries.q8EventsHourly _),
     "q9_union_distinct" -> (RelationalQueries.q9UnionDistinct _),
     "q10_avg_qty_filter" -> (RelationalQueries.q10AvgQtyFilter _),
+    "q11_doc_token_stats" -> (graft.functions.TextFunctions.docTokenStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -92,5 +93,10 @@ object SparkEntry {
         |  SELECT l_partkey AS ap, AVG(l_quantity) * 0.2 AS thresh
         |  FROM lineitem GROUP BY 1) a
         |ON l.l_partkey = a.ap WHERE l.l_quantity < a.thresh""".stripMargin,
+    "q11_doc_token_stats" ->
+      """SELECT doc_id,
+        | len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        | length(text) AS text_len, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
