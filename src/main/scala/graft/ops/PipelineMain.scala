@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CLI mirroring the reference pipeline entry (reference main.py:729-816):
+  *
+  * {{{
+  * runMain graft.ops.PipelineMain
+  *   --input-baseline <glob> [--input-updates <glob>]
+  *   --output <dir> [--enrich]
+  * }}}
+  *
+  * Graph: read XML(.gz) → parse fragments → union baseline+updates →
+  * latest-per-PMID dedup + tombstones → write `publication` parquet
+  * (and, with --enrich once the NLP stage lands, the enriched
+  * collections).
+  */
+object PipelineMain {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val baseline = opts.getOrElse("input-baseline",
+      sys.error("--input-baseline required"))
+    val updates = opts.get("input-updates")
+    val output = opts.getOrElse("output", sys.error("--output required"))
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-medline-pipeline")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val baseDs = MedlineParser.parse(spark, MedlineSource.fragments(spark, baseline))
+    val allDs = updates match {
+      case Some(u) =>
+        baseDs.unionByName(MedlineParser.parse(spark, MedlineSource.fragments(spark, u)))
+      case None => baseDs
+    }
+    val latest = Dedup.latestNonDeleted(spark, allDs)
+      // reference JSON field name is `abstract`; restore it at the sink
+      .withColumnRenamed("abstractText", "abstract")
+
+    latest.write.mode(SaveMode.Overwrite).parquet(s"$output/publication")
+    val n = spark.read.parquet(s"$output/publication").count()
+    println(s"""{"publications": $n, "output": "$output/publication"}""")
+    spark.stop()
+  }
+}
