@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.RelationalQueries
+import graft.queries.{DataPipeQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,6 +28,15 @@ object SparkEntry {
     "q9_union_distinct" -> (RelationalQueries.q9UnionDistinct _),
     "q10_avg_qty_filter" -> (RelationalQueries.q10AvgQtyFilter _),
     "q11_doc_token_stats" -> (graft.functions.TextFunctions.docTokenStats _),
+    "q12_dedup_exact" -> (DataPipeQueries.dedupExact _),
+    "q13_dedup_minhash" -> (DataPipeQueries.dedupMinhash _),
+    "q14_dedup_simhash" -> (DataPipeQueries.dedupSimhash _),
+    "q15_knn_cosine" -> (DataPipeQueries.knnCosine _),
+    "q16_knn_ivf" -> (DataPipeQueries.knnIvf _),
+    "q17_lang_id" -> (DataPipeQueries.langId _),
+    "q18_text_quality" -> (DataPipeQueries.textQuality _),
+    "q19_fingerprint" -> (DataPipeQueries.fingerprints _),
+    "q20_cosine_neardup" -> (DataPipeQueries.cosineNearDup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -98,5 +107,19 @@ object SparkEntry {
         | len(string_split_regex(trim(text), '\s+')) AS n_tokens,
         | length(text) AS text_len, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q12_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, MIN(doc_id) AS canonical_id,
+        | COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_knn_cosine" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q18_text_quality" -> DataPipeQueries.textQualityOracle,
   )
 }

@@ -1,0 +1,159 @@
+package graft.datapipe
+
+/** Deterministic hashing primitives for the dedup/similarity family.
+  * Pure functions, fixed constants — results are reproducible across
+  * runs, executors, and engines (a requirement for the driver's
+  * hash-compared outputs and for incremental dedup at scale).
+  */
+object Hashing {
+
+  /** splitmix64 finalizer — strong 64-bit avalanche. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64-bit over a string's UTF-16 chars (no allocation). */
+  def fnv64(s: CharSequence): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Hash of a word n-gram (shingle) given pre-hashed tokens. */
+  def shingleHash(tokenHashes: Array[Long], start: Int, n: Int): Long = {
+    var h = 0x2545f4914f6cdd1dL
+    var i = 0
+    while (i < n) {
+      h = mix64(h ^ tokenHashes(start + i))
+      i += 1
+    }
+    h
+  }
+
+  /** Lowercased whitespace tokens hashed to longs. */
+  def tokenHashes(text: String): Array[Long] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = fnv64(toks(i)); i += 1 }
+    out
+  }
+
+  /** Distinct word-shingle hashes of size n (n-gram set of the doc). */
+  def shingleSet(text: String, n: Int): Array[Long] = {
+    val th = tokenHashes(text)
+    if (th.length < n) {
+      if (th.isEmpty) Array.empty else Array(shingleHash(th, 0, th.length))
+    } else {
+      val set = new java.util.TreeSet[java.lang.Long]()
+      var i = 0
+      while (i + n <= th.length) { set.add(shingleHash(th, i, n)); i += 1 }
+      val out = new Array[Long](set.size)
+      val it = set.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      out
+    }
+  }
+
+  /** MinHash signature: numPerm independent min-hash values over the
+    * shingle set (perm i = mix64(shingle ^ seed_i)). */
+  def minhash(shingles: Array[Long], numPerm: Int): Array[Long] = {
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    var si = 0
+    while (si < shingles.length) {
+      val s = shingles(si)
+      var i = 0
+      while (i < numPerm) {
+        val h = mix64(s ^ (0x9e3779b97f4a7c15L * (i + 1)))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      si += 1
+    }
+    sig
+  }
+
+  /** LSH band keys: hash each of `bands` signature slices of length
+    * rows = numPerm/bands. Same band key ⇒ candidate pair. */
+  def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {
+    val rows = sig.length / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0x51_7c_c1_b7_27_22_0a_95L ^ b
+      var r = 0
+      while (r < rows) { h = mix64(h ^ sig(b * rows + r)); r += 1 }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
+  /** 64-bit SimHash over token unigram hashes (weight 1 each). */
+  def simhash(text: String): Long = {
+    val th = tokenHashes(text)
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < th.length) {
+      val h = th(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Exact Jaccard of two sorted distinct hash arrays. */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
+  /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003): min shingle hash per sliding window, deduped. */
+  def winnow(text: String, shingleSize: Int, window: Int): Array[Long] = {
+    val th = tokenHashes(text)
+    if (th.length < shingleSize) return shingleSet(text, shingleSize)
+    val n = th.length - shingleSize + 1
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) { hashes(i) = shingleHash(th, i, shingleSize); i += 1 }
+    if (n <= window) return Array(hashes.min)
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var w = 0
+    while (w + window <= n) {
+      var m = hashes(w)
+      var k = 1
+      while (k < window) { if (hashes(w + k) < m) m = hashes(w + k); k += 1 }
+      out.add(m)
+      w += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    arr
+  }
+}

@@ -1,0 +1,152 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (builder brief):
+  * brute-force cosine top-k baseline and an IVF (inverted-file) variant
+  * as the scale path.
+  *
+  * Scale design:
+  *  - brute force is a broadcast nested-loop of Q queries × N corpus —
+  *    correct baseline, O(Q·N·d); the corpus side streams (never
+  *    collected), queries broadcast, so it scales to any N with small Q;
+  *  - IVF: k-means-style centroids (deterministically seeded sample,
+  *    Lloyd refinement on a sample), corpus partitioned once by nearest
+  *    centroid; a query probes only `nProbe` nearest cells — the
+  *    classic Faiss IVF layout expressed relationally (cell id = join
+  *    key, so Catalyst turns the probe into a hash join on cell id).
+  */
+object Similarity {
+
+  @inline private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  @inline private def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val na = norm(a)
+    val nb = norm(b)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
+  }
+
+  private val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) =>
+    cosine(a.toArray, b.toArray))
+
+  /** Brute-force cosine top-k: for each query vector (rows of `queries`),
+    * the k nearest corpus rows. Output: (query_id, neighbor_id, rank, sim).
+    */
+  def knnBruteForce(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineUdf(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic centroid selection + one Lloyd iteration on the
+    * corpus sample. Returns centroid array (cellId = index). */
+  def trainCentroids(corpus: DataFrame, nCells: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Float]] = {
+    import corpus.sparkSession.implicits._
+    val seedRows = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol))) // deterministic pseudo-random order
+      .limit(nCells)
+      .select(col(vecCol)).as[Seq[Float]].collect()
+    seedRows.map(_.toArray)
+  }
+
+  private def nearestCell(centroids: Array[Array[Float]], v: Array[Float]): Int = {
+    var best = 0
+    var bestSim = Double.MinValue
+    var i = 0
+    while (i < centroids.length) {
+      val s = cosine(centroids(i), v)
+      if (s > bestSim) { bestSim = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  private def nearestCells(centroids: Array[Array[Float]], v: Array[Float], n: Int): Array[Int] =
+    centroids.indices.map(i => (cosine(centroids(i), v), i))
+      .sortBy(t => (-t._1, t._2)).take(n).map(_._2).toArray
+
+  /** IVF top-k: partition corpus by nearest centroid; queries probe the
+    * nProbe nearest cells only. Recall < 1.0 by design; centroids and
+    * assignments are broadcast/derived deterministically.
+    */
+  def knnIvf(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = trainCentroids(corpus, nCells, idCol, vecCol)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cellUdf = udf((v: Seq[Float]) => nearestCell(bc.value, v.toArray))
+    val probeUdf = udf((v: Seq[Float]) => nearestCells(bc.value, v.toArray, nProbe))
+
+    val indexed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("cell", cellUdf(col("cvec")))
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("cell", explode(probeUdf(col("qvec"))))
+    val scored = indexed.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineUdf(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all corpus pairs with
+    * cosine ≥ threshold, blocked through IVF cells (pairs within a cell
+    * only — the embedding analog of LSH bucketing). */
+  def cosineNearDupPairs(
+      corpus: DataFrame,
+      threshold: Double,
+      nCells: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = trainCentroids(corpus, nCells, idCol, vecCol)
+    val bc = spark.sparkContext.broadcast(centroids)
+    // assign each vector to its 2 nearest cells so cross-boundary
+    // near-dups are not missed (multi-probe assignment)
+    val assignUdf = udf((v: Seq[Float]) => nearestCells(bc.value, v.toArray, 2))
+    val a = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", explode(assignUdf(col("vec"))))
+    val b = a.select(col("cell"), col("id").as("id2"), col("vec").as("vec2"))
+    a.join(b, Seq("cell"))
+      .filter(col("id") < col("id2"))
+      .withColumn("sim", cosineUdf(col("vec"), col("vec2")))
+      .filter(col("sim") >= threshold)
+      .select(col("id").as("id_a"), col("id2").as("id_b"), round(col("sim"), 4).as("sim"))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.datapipe._
+import graft.text.StopWords
+import graft.util.Tables
+
+/** Training-data pipeline operators exposed on the driver's query
+  * surface (builder brief: dedup family, similarity search, text
+  * analysis), all over the synthetic documents/embeddings tables.
+  */
+object DataPipeQueries {
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    DedupOps.exactDedup(Tables.documents(s, d))
+
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    DedupOps.minhashNearDupPairs(Tables.documents(s, d), minJaccard = 0.5)
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    DedupOps.simhashNearDupPairs(Tables.documents(s, d), maxHamming = 3)
+
+  def knnCosine(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 5), k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  def knnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.knnIvf(emb, emb.filter(col("vec_id") < 5), k = 5, nCells = 8, nProbe = 4)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  def cosineNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.45, nCells = 8)
+
+  def langId(s: SparkSession, d: String): DataFrame =
+    LangId.predict(Tables.documents(s, d))
+
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    QualityScore.metrics(Tables.documents(s, d))
+
+  def fingerprints(s: SparkSession, d: String): DataFrame =
+    DedupOps.fingerprints(Tables.documents(s, d)).orderBy(col("id"))
+
+  /** DuckDB oracle for textQuality, generated so the stopword list is
+    * identical to the Spark side (StopWords.glasgow). */
+  def textQualityOracle: String = {
+    val stopList = StopWords.glasgow.toSeq.sorted
+      .map(w => s"'${w.replace("'", "''")}'").mkString("[", ",", "]")
+    s"""SELECT doc_id,
+       | CAST(length(text) AS BIGINT) AS n_chars_measured,
+       | CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       | CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |     t -> list_contains($stopList, lower(t)))) AS BIGINT) AS n_stopwords,
+       | CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
+       | CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+       | CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |     t -> length(t) > 15)) AS BIGINT) AS n_long_tokens
+       |FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,103 @@
+package graft.datapipe
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+
+/** Dedup/similarity operators against the planted near-duplicates in the
+  * driver's synthetic documents table (sf0.01: 500 docs, ~25 near-dup
+  * pairs at jaccard ≥ 0.98). */
+class DedupOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.01"
+  lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup: 500 distinct texts, all groups size 1") {
+    val d = DedupOps.exactDedup(docs)
+    assert(d.count() == 500)
+    assert(d.filter(col("n_copies") > 1).count() == 0)
+  }
+
+  test("minhash LSH finds the planted near-dup pairs") {
+    val pairs = DedupOps.minhashNearDupPairs(docs, 0.5).collect()
+    assert(pairs.length >= 20 && pairs.length <= 40, s"got ${pairs.length}")
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
+    // known planted pair from the seeded data
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 98L && r.getAs[Long]("id_b") == 290L))
+  }
+
+  test("minhash survivors drop one side of each pair") {
+    val nPairs = DedupOps.minhashNearDupPairs(docs, 0.5).count()
+    val survivors = DedupOps.minhashDedupSurvivors(docs, 0.5).count()
+    assert(survivors < 500)
+    assert(survivors >= 500 - nPairs)
+  }
+
+  test("simhash hamming<=3 finds the same planted dups") {
+    val pairs = DedupOps.simhashNearDupPairs(docs, maxHamming = 3).collect()
+    // coarser than minhash for word-level edits: catches 17 of 25 planted
+    assert(pairs.length >= 15 && pairs.length <= 40, s"got ${pairs.length}")
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 267L && r.getAs[Long]("id_b") == 413L))
+  }
+
+  test("jaccard is symmetric and bounded") {
+    val a = Hashing.shingleSet("the quick brown fox jumps over the lazy dog", 3)
+    val b = Hashing.shingleSet("the quick brown fox leaps over the lazy dog", 3)
+    val j = Hashing.jaccardSorted(a, b)
+    assert(j == Hashing.jaccardSorted(b, a))
+    assert(j > 0.0 && j < 1.0)
+    assert(Hashing.jaccardSorted(a, a) == 1.0)
+  }
+
+  test("knn brute force: k neighbors per query, deterministic") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val knn = Similarity.knnBruteForce(emb, queries, k = 5).collect()
+    assert(knn.length == 25)
+    val byQuery = knn.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.values.foreach(rows => assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+    // no self-matches
+    assert(knn.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+  }
+
+  test("ivf knn recalls most brute-force neighbors") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.knnBruteForce(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.knnIvf(emb, queries, k = 5, nCells = 8, nProbe = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall") // nProbe=4 of 8 cells
+  }
+
+  test("winnow fingerprints: near-dup docs share most fingerprints") {
+    val fp1 = Hashing.winnow("a b c d e f g h i j k l m n o p", 4, 4)
+    val fp2 = Hashing.winnow("a b c d e f g h i j k l m n o q", 4, 4)
+    val fp3 = Hashing.winnow("z y x w v u t s r q p o n m l k", 4, 4)
+    assert(fp1.intersect(fp2).length > 0)
+    assert(fp1.intersect(fp3).isEmpty)
+    assert(fp1.sameElements(Hashing.winnow("a b c d e f g h i j k l m n o p", 4, 4)))
+  }
+
+  test("langid detects real language samples") {
+    assert(LangId.detect("The quick brown fox jumps over the lazy dog and runs away into the forest") == "en")
+    assert(LangId.detect("Der schnelle braune Fuchs springt über den faulen Hund und läuft in den Wald") == "de")
+    assert(LangId.detect("Le renard brun rapide saute par dessus le chien paresseux dans la forêt") == "fr")
+    assert(LangId.detect("El rápido zorro marrón salta sobre el perro perezoso y corre por el bosque") == "es")
+    assert(LangId.detect("敏捷的棕色狐狸跳过了懒狗然后跑进了森林里面去了") == "zh")
+    assert(LangId.detect("Быстрая коричневая лиса перепрыгивает через ленивую собаку") == "ru")
+    assert(LangId.detect("") == "und")
+    assert(LangId.detect("12345 67890 !!!") == "und")
+  }
+
+  test("quality metrics are integer-exact and score bounded") {
+    val m = QualityScore.scored(docs).collect()
+    assert(m.length == 500)
+    m.foreach { r =>
+      val score = r.getAs[Double]("quality_score")
+      assert(score >= 0.0 && score <= 1.0)
+      assert(r.getAs[Long]("n_stopwords") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+}
