@@ -43,12 +43,29 @@ object PipelineMain {
       case None => baseDs
     }
     val latest = Dedup.latestNonDeleted(spark, allDs)
-      // reference JSON field name is `abstract`; restore it at the sink
-      .withColumnRenamed("abstractText", "abstract")
 
-    latest.write.mode(SaveMode.Overwrite).parquet(s"$output/publication")
-    val n = spark.read.parquet(s"$output/publication").count()
-    println(s"""{"publications": $n, "output": "$output/publication"}""")
+    opts.get("vocab") match {
+      case Some(vocabDir) =>
+        // full graph: enrich once, persist, fan out the 4 collections
+        // from cache (the reference re-reads files 4×; SURVEY §3.1)
+        val vocabs = VocabularySource.load(vocabDir)
+        val enriched = Enrich.enrichedDF(spark, latest, vocabs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        enriched.write.mode(SaveMode.Overwrite).parquet(s"$output/publication_enriched")
+        Splitters.concepts(enriched).write.mode(SaveMode.Overwrite).parquet(s"$output/concept")
+        Splitters.bioentities(enriched).write.mode(SaveMode.Overwrite).parquet(s"$output/bioentity")
+        Splitters.taggedText(enriched).write.mode(SaveMode.Overwrite).parquet(s"$output/taggedtext")
+        Splitters.smallPublication(enriched).write.mode(SaveMode.Overwrite).parquet(s"$output/publication")
+        val n = spark.read.parquet(s"$output/publication").count()
+        val nc = spark.read.parquet(s"$output/concept").count()
+        println(s"""{"publications": $n, "concepts": $nc, "output": "$output"}""")
+        enriched.unpersist()
+      case None =>
+        latest.withColumnRenamed("abstractText", "abstract")
+          .write.mode(SaveMode.Overwrite).parquet(s"$output/publication")
+        val n = spark.read.parquet(s"$output/publication").count()
+        println(s"""{"publications": $n, "output": "$output/publication"}""")
+    }
     spark.stop()
   }
 }
