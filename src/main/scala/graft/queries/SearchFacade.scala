@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.StopWords
+
+/** The reference's query surface, Spark-native (SURVEY §3.3): the ES
+  * mappings define full-text search (english analyzer), keyword/date
+  * filters, and the LINK adjacency-matrix co-occurrence aggregation
+  * (reference es-mapping/publication.json:5-808, README.md:96-104).
+  *
+  * Here: an `english analyzer` built from composable Spark built-ins
+  * (lowercase → ASCII-ish fold → tokenize → stopword removal → minimal
+  * stemming), searchable token arrays + `array_contains` predicates,
+  * and co-occurrence as explode + groupBy over the precomputed
+  * `relations` strings.
+  *
+  * Scale: analysis is per-row codegen; search predicates on token
+  * arrays are scans (at real scale, persist the tokenized column and
+  * Z-order/bucket by high-selectivity keys; an inverted-index table is
+  * the rule-based upgrade path noted in SURVEY §4).
+  */
+object SearchFacade {
+
+  /** english-analyzed token array for a text column: lowercase,
+    * tokenize on non-letters/digits, drop stopwords + possessives,
+    * minimal plural stemming (S-stemmer, approximating ES's
+    * `minimal_english`). Pure built-ins — fully codegen'd. */
+  def analyzeEnglish(text: Column): Column = {
+    val stopArr = array(StopWords.glasgow.toSeq.sorted.map(lit): _*)
+    val toks = split(regexp_replace(lower(text), "'s\\b", ""), "[^\\p{L}\\p{N}]+")
+    val filtered = filter(toks, t =>
+      length(t) > 0 && !array_contains(stopArr, t))
+    transform(filtered, t =>
+      when(t.rlike("ies$") && length(t) > 4, regexp_replace(t, "ies$", "y"))
+        .when(t.rlike("(sses|ches|shes|xes)$"), regexp_replace(t, "es$", ""))
+        .when(t.rlike("[^su]s$") && length(t) > 3, regexp_replace(t, "s$", ""))
+        .otherwise(t))
+  }
+
+  /** Add a `tokens` column with the analyzed text. */
+  def withSearchTokens(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("tokens", analyzeEnglish(col(textCol)))
+
+  /** Full-text term predicate: all query terms present (AND semantics). */
+  def matchAll(tokensCol: Column, query: String): Column = {
+    val qToks = query.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    qToks.map(t => array_contains(tokensCol, t)).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** Any-term predicate (OR semantics). */
+  def matchAny(tokensCol: Column, query: String): Column = {
+    val qToks = query.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    qToks.map(t => array_contains(tokensCol, t)).reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  /** LINK-style co-occurrence over the concepts collection (SURVEY §2.3
+    * J4): explode the precomputed `relations.undirected` pair strings,
+    * filter to the entities of interest (≤ `maxFilters`, mirroring ES's
+    * max_adjacency_matrix_filters=500), count per pair. */
+  def coOccurrence(concepts: DataFrame, entities: Seq[String],
+      maxFilters: Int = 500): DataFrame = {
+    require(entities.size <= maxFilters,
+      s"too many co-occurrence filters (${entities.size} > $maxFilters)")
+    val entArr = array(entities.map(lit): _*)
+    concepts
+      .select(col("pub_id"), explode(col("relations.undirected")).as("pair"))
+      .withColumn("a", substring_index(col("pair"), "|", 1))
+      .withColumn("b", substring_index(col("pair"), "|", -1))
+      .filter(array_contains(entArr, col("a")) && array_contains(entArr, col("b")))
+      .groupBy(col("a"), col("b"))
+      .agg(countDistinct(col("pub_id")).as("n_publications"), count(lit(1)).as("n_concepts"))
+      .orderBy(col("n_publications").desc, col("a"), col("b"))
+  }
+
+  /** Entity-level co-occurrence from the bioentities collection: tag
+    * pairs within the same publication (SURVEY §2.3 J4 alternative). */
+  def entityCoOccurrence(bioentities: DataFrame): DataFrame = {
+    val tags = bioentities
+      .select(col("pub_id"), explode(col("entities")).as("e"))
+      .select(col("pub_id"), col("e.reference").as("ref"))
+      .distinct()
+    val t2 = tags.withColumnRenamed("ref", "ref2")
+    tags.join(t2, Seq("pub_id"))
+      .filter(col("ref") < col("ref2"))
+      .groupBy(col("ref"), col("ref2"))
+      .agg(count(lit(1)).as("n_publications"))
+      .orderBy(col("n_publications").desc, col("ref"), col("ref2"))
+  }
+
+  /** Register the 4 collections as temp views for spark.sql queries. */
+  def registerTables(spark: SparkSession, outputDir: String): Unit = {
+    Seq("publication", "publication_enriched", "concept", "bioentity", "taggedtext")
+      .foreach { t =>
+        val p = s"$outputDir/$t"
+        if (new java.io.File(p).exists())
+          spark.read.parquet(p).createOrReplaceTempView(t)
+      }
+  }
+}

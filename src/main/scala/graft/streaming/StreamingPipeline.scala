@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.model.Publication
+
+/** Structured Streaming surface (SURVEY §2.10 / §7).
+  *
+  * The reference is pure batch; its baseline/updatefiles/DeleteCitation
+  * mechanism (reference main.py:31-32, 290-305, 761-771) is an
+  * *incremental batch* pattern. Here it maps to first-class streaming:
+  *
+  *  - `latestVersionStream`: `flatMapGroupsWithState` keyed by pub_id
+  *    holding the current (filename, is_deleted) winner — arriving
+  *    update files revise or tombstone articles continuously, emitting
+  *    the new latest version (or nothing while deleted);
+  *  - `eventsWindowed`: watermarked tumbling-window aggregation — the
+  *    generic streaming agg the events table models.
+  *
+  * Scale: state is partitioned by pub_id (same key as the batch
+  * shuffle); with RocksDB state store this holds the ~30M-article key
+  * space comfortably (~100 bytes/key).
+  */
+object StreamingPipeline {
+
+  /** Per-key state: the winning version so far. */
+  final case class VersionState(filename: String, isDeleted: Boolean)
+
+  /** Streaming latest-version-per-PMID with tombstones: emits the new
+    * latest publication whenever a newer file revises it; emits nothing
+    * when the current winner is a tombstone. */
+  def latestVersionStream(spark: SparkSession,
+      parsed: Dataset[Publication]): Dataset[Publication] = {
+    import spark.implicits._
+    parsed
+      .groupByKey(_.pub_id)
+      .flatMapGroupsWithState[VersionState, Publication](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, versions, state: GroupState[VersionState]) =>
+          val incoming = versions.toSeq
+          val currentBest = state.getOption
+          // latest by lexicographic filename (reference main.py:585)
+          val incomingBest = incoming.maxBy(_.filename)
+          if (currentBest.forall(_.filename <= incomingBest.filename)) {
+            state.update(VersionState(incomingBest.filename, incomingBest.is_deleted))
+            if (incomingBest.is_deleted) Iterator.empty
+            else Iterator.single(incomingBest)
+          } else Iterator.empty
+      }
+  }
+
+  /** Watermarked tumbling-window event aggregation (generic streaming
+    * agg; mirrors RelationalQueries.q8EventsHourly as a stream). */
+  def eventsWindowed(events: DataFrame,
+      watermark: String = "10 minutes",
+      window: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+}

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.model.Publication
+import graft.ops.{Enrich, Splitters, VocabularySource}
+import org.apache.spark.sql.functions._
+
+class SearchFacadeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("english analyzer: lowercase, stopwords, plural stemming, possessives") {
+    import spark.implicits._
+    val df = Seq(
+      ("1", "The Polo-like Kinases regulate the cell's cycles and diseases"),
+    ).toDF("id", "text")
+    val toks = SearchFacade.withSearchTokens(df, "text")
+      .select(col("tokens")).as[Seq[String]].head()
+    assert(toks.contains("kinase"), toks)  // plural stemmed
+    assert(toks.contains("cycle"), toks)
+    assert(toks.contains("disease"), toks) // ies -> y not applicable; diseases -> disease
+    assert(toks.contains("cell"), toks)    // possessive stripped
+    assert(!toks.contains("the"), toks)    // stopword
+    assert(toks.contains("regulate"), toks)
+  }
+
+  test("match predicates") {
+    import spark.implicits._
+    val df = SearchFacade.withSearchTokens(Seq(
+      ("1", "Asthma is a chronic airway disease"),
+      ("2", "Parkinson disease affects motor neurons"),
+      ("3", "Healthy subjects were enrolled"),
+    ).toDF("id", "text"), "text")
+    val all = df.filter(SearchFacade.matchAll(col("tokens"), "chronic asthma"))
+      .select("id").as[String].collect().toSet
+    assert(all == Set("1"))
+    val any = df.filter(SearchFacade.matchAny(col("tokens"), "disease"))
+      .select("id").as[String].collect().toSet
+    assert(any == Set("1", "2"))
+  }
+
+  test("co-occurrence over concept relations") {
+    import spark.implicits._
+    val vocabs = VocabularySource.load(getClass.getResource("/vocab").getPath)
+    val pubs = Seq(
+      Publication(pub_id = "1", title = Some("NRG1 regulates schizophrenia risk."), filename = "f"),
+      Publication(pub_id = "2", title = Some("NRG1 increases schizophrenia susceptibility."), filename = "f"),
+      Publication(pub_id = "3", title = Some("FGF17 mutation causes autism behavior."), filename = "f"),
+    )
+    val enriched = Enrich.enrichedDF(spark, spark.createDataset(pubs), vocabs)
+    val concepts = Splitters.concepts(enriched)
+    val entities = Seq("ENSG00000157168", "http://www.ebi.ac.uk/efo/EFO_0000692")
+    val co = SearchFacade.coOccurrence(concepts, entities)
+    val rows = co.collect()
+    // NRG1 ↔ schizophrenia co-occur in pubs 1 and 2
+    val pair = rows.find(r => r.getAs[String]("a") == "ENSG00000157168" &&
+      r.getAs[String]("b").contains("EFO_0000692"))
+    assert(pair.isDefined, rows.toSeq)
+    assert(pair.get.getAs[Long]("n_publications") == 2)
+  }
+
+  test("entity co-occurrence from bioentities") {
+    import spark.implicits._
+    val vocabs = VocabularySource.load(getClass.getResource("/vocab").getPath)
+    val pubs = Seq(
+      Publication(pub_id = "1", title = Some("NRG1 and schizophrenia in autism."), filename = "f"),
+      Publication(pub_id = "2", title = Some("NRG1 linked to schizophrenia."), filename = "f"),
+    )
+    val enriched = Enrich.enrichedDF(spark, spark.createDataset(pubs), vocabs)
+    val bio = Splitters.bioentities(enriched)
+    val co = SearchFacade.entityCoOccurrence(bio).collect()
+    assert(co.nonEmpty)
+    val top = co.head
+    assert(top.getAs[Long]("n_publications") == 2) // NRG1 x schizophrenia
+  }
+
+  test("max filters limit enforced like ES max_adjacency_matrix_filters") {
+    import spark.implicits._
+    val concepts = Seq.empty[(String, String)].toDF("pub_id", "x")
+    intercept[IllegalArgumentException] {
+      SearchFacade.coOccurrence(
+        concepts, (1 to 501).map(_.toString), maxFilters = 500)
+    }
+  }
+}

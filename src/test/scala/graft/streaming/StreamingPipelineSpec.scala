@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.model.Publication
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("streaming latest-version with tombstones via flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Publication]
+    val out = StreamingPipeline.latestVersionStream(spark, input.toDS())
+    val query = out.writeStream
+      .format("memory").queryName("latest_pubs")
+      .outputMode("append").start()
+
+    // batch 1: baseline versions
+    input.addData(
+      Publication(pub_id = "1", title = Some("v1"), filename = "pubmed19n0001.xml.gz"),
+      Publication(pub_id = "2", title = Some("x"), filename = "pubmed19n0001.xml.gz"))
+    query.processAllAvailable()
+    // batch 2: update revises pub 1, tombstones pub 2
+    input.addData(
+      Publication(pub_id = "1", title = Some("v2"), filename = "pubmed19n1201.xml.gz"),
+      Publication(pub_id = "2", filename = "pubmed19n1201.xml.gz", is_deleted = true))
+    query.processAllAvailable()
+    // batch 3: stale older file must NOT downgrade pub 1
+    input.addData(
+      Publication(pub_id = "1", title = Some("v0"), filename = "pubmed19n0000.xml.gz"))
+    query.processAllAvailable()
+
+    val rows = spark.table("latest_pubs")
+      .select("pub_id", "title", "filename").collect()
+    val byPub = rows.groupBy(_.getString(0))
+    // pub 1: emitted v1 then v2, never v0
+    assert(byPub("1").map(_.getString(1)).toSet == Set("v1", "v2"))
+    // pub 2: emitted once (x), tombstone emitted nothing after
+    assert(byPub("2").map(_.getString(1)).toSet == Set("x"))
+    query.stop()
+  }
+
+  test("watermarked windowed event aggregation") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val out = StreamingPipeline.eventsWindowed(events, "10 minutes", "1 hour")
+    val query = out.writeStream
+      .format("memory").queryName("windowed_events")
+      .outputMode("append").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:55:00"), "click", 2.0),
+      (ts("2024-01-01 11:10:00"), "view", 5.0))
+    query.processAllAvailable()
+    // advance watermark far enough to close the 10:00 window
+    input.addData((ts("2024-01-01 13:00:00"), "click", 1.0))
+    query.processAllAvailable()
+
+    val rows = spark.table("windowed_events").collect()
+    val clickHour10 = rows.find(r =>
+      r.getAs[java.sql.Timestamp]("window_start").toString.startsWith("2024-01-01 10:00") &&
+        r.getAs[String]("event_type") == "click")
+    assert(clickHour10.isDefined, rows.toSeq)
+    assert(clickHour10.get.getAs[Long]("n") == 2)
+    assert(clickHour10.get.getAs[Double]("total_value") == 3.0)
+    query.stop()
+  }
+}
