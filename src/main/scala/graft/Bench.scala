@@ -1,24 +1,89 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.model.Publication
+import graft.ops.Enrich
+import graft.text.{Vocabulary, VocabEntry}
+
+/** Per-round benchmark (driver contract): runs the SparkEntry queries
+  * plus a pipeline-shaped NLP-enrichment throughput measurement on
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line.
+  *
+  * The enrichment number is the one directly comparable to BASELINE.md:
+  * the reference does ~2,080 docs/s aggregate on 32× n1-highmem-32
+  * workers ≈ 65 docs/s per 32-vCPU worker; this bench runs on one
+  * local[32] JVM, so `enrich_docs_per_sec` compares against ~2,080
+  * (same total core count as one reference worker VM... the reference's
+  * 32 workers × 32 vCPU = 1024 cores; per-core reference throughput
+  * ≈ 2 docs/s/core).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warm up codegen + file listing so the first timed query isn't
+    // paying JVM/classloading costs
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    SparkEntry.queries.get("q1_pricing_summary")
+      .foreach(fn => fn(spark, sfDir).count())
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // pipeline-shaped enrichment throughput: documents table → NLP
+    // enrichment (normalizer, abbreviations, tagger, chunker, SVO,
+    // embedding projections) with a synthetic vocabulary drawn from the
+    // document token space so the tagger produces matches.
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val topWords = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().orderBy(desc("count"), asc("w"))
+      .limit(60).select("w").as[String].collect()
+    val vocab = Seq(
+      Vocabulary("GENE", "OPENTARGETS",
+        topWords.take(30).map(w => w -> VocabEntry(Seq(s"ENSG_$w"), w.toUpperCase)).toMap),
+      Vocabulary("DISEASE", "OPENTARGETS",
+        topWords.drop(30).map(w => w -> VocabEntry(Seq(s"EFO_$w"), w)).toMap))
+    // repartition: the sf table is one small parquet file = one input
+    // split; enrichment parallelism must not depend on file layout
+    val pubs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .repartition(cpus.toInt)
+      .map { case (id, text) =>
+        Publication(pub_id = id.toString, title = Some(s"Document $id"),
+          abstractText = Some(text), filename = "bench")
+      }
+    val nDocs = pubs.count()
+    // min of 2 runs: single-run wall time at this scale is dominated by
+    // scheduling noise
+    val enrichSec = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      Enrich.enrich(spark, pubs, vocab).write.mode("overwrite")
+        .format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    results("enrich_pipeline") = enrichSec
+    val docsPerSec = nDocs / enrichSec
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"enrich_docs_per_sec":$docsPerSec%.1f,"enrich_docs":$nDocs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,8 +33,13 @@ object DataPipeQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
-  def cosineNearDup(s: SparkSession, d: String): DataFrame =
-    Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.45, nCells = 8)
+  def cosineNearDup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // cells ∝ √N keeps per-cell pair counts ~constant as the corpus
+    // grows (candidate pairs scale linearly, not quadratically)
+    val nCells = math.max(8, math.sqrt(emb.count().toDouble).toInt)
+    Similarity.cosineNearDupPairs(emb, threshold = 0.45, nCells = nCells)
+  }
 
   def langId(s: SparkSession, d: String): DataFrame =
     LangId.predict(Tables.documents(s, d))
