@@ -79,11 +79,35 @@ object Bench {
     results("enrich_pipeline") = enrichSec
     val docsPerSec = nDocs / enrichSec
 
+    // full MEDLINE-shaped pipeline: synthetic gz XML corpus →
+    // source → parse → union-in-glob → dedup+tombstones → NLP enrich.
+    // This is the wall-clock shape behind BASELINE's "30M docs in 4h".
+    val synthDir = "/tmp/graft_bench_medline"
+    val nCitations = 32 * 700
+    if (!new java.io.File(s"$synthDir/pubmed20n0000.xml.gz").exists())
+      ops.MedlineGen.generate(synthDir, nFiles = 32, perFile = 700)
+    val medVocab = Seq(
+      Vocabulary("GENE", "OPENTARGETS", Seq("ADRA1A", "PPP3CC", "NRG1",
+        "FGF17", "FGFR1", "PLK1", "c-ABL", "SFRP1", "CHRNA2", "DKK4")
+        .map(g => g -> VocabEntry(Seq(s"ENSG_$g"), g)).toMap),
+      Vocabulary("DISEASE", "OPENTARGETS", Seq("asthma", "schizophrenia",
+        "autism", "cancer", "inflammation", "depression", "bipolar disorder")
+        .map(d => d -> VocabEntry(Seq(s"EFO_$d"), d)).toMap))
+    val tMed = System.nanoTime()
+    val parsed = ops.MedlineParser.parse(spark,
+      ops.MedlineSource.fragments(spark, s"$synthDir/*.xml.gz"))
+    val latest = ops.Dedup.latestNonDeleted(spark, parsed)
+    Enrich.enrich(spark, latest, medVocab).write.mode("overwrite")
+      .format("noop").save()
+    val medSec = (System.nanoTime() - tMed) / 1e9
+    results("medline_pipeline") = medSec
+    val medDocsPerSec = nCitations / medSec
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"enrich_docs_per_sec":$docsPerSec%.1f,"enrich_docs":$nDocs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"enrich_docs_per_sec":$docsPerSec%.1f,"enrich_docs":$nDocs,"medline_docs_per_sec":$medDocsPerSec%.1f,"medline_docs":$nCitations,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
