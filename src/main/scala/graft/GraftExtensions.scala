@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{BioTokenCountExpr, SimHashExpr}
+
+/** SparkSessionExtensions entry point: registers the native graft
+  * expressions as SQL functions so `spark.sql("SELECT simhash64(text)
+  * ...")` works in any session built with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("bio_token_count"),
+      info("bio_token_count", "bio_token_count(text) - biomedical token count"),
+      ((args: Seq[Expression]) => BioTokenCountExpr(args.head)): FunctionBuilder))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit SimHash of the token stream"),
+      ((args: Seq[Expression]) => SimHashExpr(args.head)): FunctionBuilder))
+  }
+}

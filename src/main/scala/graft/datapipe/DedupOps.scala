@@ -110,11 +110,10 @@ object DedupOps {
 
   // ---- simhash ----
 
-  private val simhashUdf = udf((text: String) => Hashing.simhash(if (text == null) "" else text))
-
-  /** doc_id → 64-bit simhash. */
+  /** doc_id → 64-bit simhash (native codegen expression, Expressions.scala). */
   def simhashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("id"), simhashUdf(col(textCol)).as("simhash"))
+    docs.select(col(idCol).as("id"),
+      graft.functions.Expressions.simhash64(col(textCol)).as("simhash"))
 
   /** Near-dup pairs with Hamming distance ≤ maxHamming, found by the
     * 4-block trick: split 64 bits into (maxHamming+1) blocks — any pair

@@ -39,7 +39,11 @@ object Similarity {
     cosine(a.toArray, b.toArray))
 
   /** Brute-force cosine top-k: for each query vector (rows of `queries`),
-    * the k nearest corpus rows. Output: (query_id, neighbor_id, rank, sim).
+    * the k nearest corpus rows. Output: (query_id, rank, neighbor_id).
+    *
+    * Top-k via [[graft.functions.TopK]] — a map-side-combining
+    * Aggregator, NOT a window: the exchange carries ≤ k rows per query
+    * per input partition instead of all N·Q scored candidates.
     */
   def knnBruteForce(
       corpus: DataFrame,
@@ -51,14 +55,18 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosineUdf(col("qvec"), col("cvec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
-      .orderBy(col("query_id"), col("rank"))
+    topKRanked(scored, k)
   }
+
+  /** groupBy + top-k aggregator + posexplode → (query_id, rank, neighbor_id). */
+  private[datapipe] def topKRanked(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topK(k)(col("sim"), col("neighbor_id")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("s.id").as("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
 
   /** Deterministic centroid selection + one Lloyd iteration on the
     * corpus sample. Returns centroid array (cellId = index). */
@@ -114,13 +122,9 @@ object Similarity {
     val scored = indexed.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosineUdf(col("qvec"), col("cvec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
-      .orderBy(col("query_id"), col("rank"))
+    // no dedup needed: each corpus vector lives in exactly one cell, so
+    // a (query, neighbor) pair can only arise from one probed cell
+    topKRanked(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all corpus pairs with

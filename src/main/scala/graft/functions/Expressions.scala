@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (brief: "a native Catalyst Expression
+  * (with doGenCode) beats a Scala UDF"). Unlike a ScalaUDF these stay
+  * inside whole-stage codegen: no encoder boundary, no closure
+  * serialization, null handling folded into the generated branchwork.
+  */
+
+/** Token count via the bio tokenizer, codegen'd as a static call. */
+case class BioTokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bio_token_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.text.BioTokenizer.tokenCount(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.text.BioTokenizer.tokenCount($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): BioTokenCountExpr =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a text column, codegen'd. */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.datapipe.Hashing.simhash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.datapipe.Hashing.simhash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+object Expressions {
+  import org.apache.spark.sql.graftbridge.Bridge
+  def bio_token_count(c: Column): Column =
+    Bridge.column(BioTokenCountExpr(Bridge.expression(c)))
+  def simhash64(c: Column): Column =
+    Bridge.column(SimHashExpr(Bridge.expression(c)))
+}

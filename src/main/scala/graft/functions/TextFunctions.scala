@@ -39,7 +39,8 @@ object TextFunctions {
   def docTokenStats(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
       .select(col("doc_id"),
-        bioTokenCount(col("text")).cast("long").as("n_tokens"),
+        // native codegen expression, not the UDF (Expressions.scala)
+        Expressions.bio_token_count(col("text")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("text_len"),
         col("n_chars"))
       .orderBy(col("doc_id"))

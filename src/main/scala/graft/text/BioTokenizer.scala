@@ -72,6 +72,25 @@ object BioTokenizer {
 
   def tokens(text: String): Vector[String] = tokenize(text).map(_.text)
 
+  /** Allocation-light token count (no Token objects) — called from
+    * generated code by [[graft.functions.BioTokenCountExpr]] via the
+    * static forwarder `graft.text.BioTokenizer.tokenCount`. */
+  def tokenCount(text: String): Int = {
+    if (text == null) return 0
+    var n = 0
+    var i = 0
+    val len = text.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(text(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !Character.isWhitespace(text(i))) i += 1
+        if (trim(text.substring(start, i))._2.nonEmpty) n += 1
+      }
+    }
+    n
+  }
+
   /** Sentence segmentation: boundary after runs of `.`/`!`/`?` followed by
     * whitespace (reference relies on spaCy sents; its own convention is the
     * `'. '` split at main.py:671-680 — tests pin that `x. y` splits even

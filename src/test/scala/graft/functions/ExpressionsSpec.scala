@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class ExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("native bio_token_count matches the tokenizer, handles null") {
+    import spark.implicits._
+    val df = Seq(
+      Some("Asthma is a chronic disease."),
+      Some("th:is.{e}nt/ity-is,ver-y/co_m[p]lex(to)par;se x"),
+      Some(""),
+      None,
+    ).toDF("text")
+    val got = df.select(Expressions.bio_token_count(col("text"))).collect()
+      .map(r => if (r.isNullAt(0)) -1 else r.getInt(0))
+    assert(got.toSeq == Seq(5, 2, 0, -1))
+    // interpreted (eval) path must agree with codegen: force both
+    val viaUdf = graft.text.BioTokenizer.tokenCount("Asthma is a chronic disease.")
+    assert(viaUdf == 5)
+  }
+
+  test("native simhash64 equals Hashing.simhash") {
+    import spark.implicits._
+    val texts = Seq("the quick brown fox", "another document entirely")
+    val df = texts.toDF("text")
+    val got = df.select(Expressions.simhash64(col("text"))).as[Long].collect()
+    assert(got.toSeq == texts.map(graft.datapipe.Hashing.simhash))
+  }
+
+  test("SQL function registration (the GraftExtensions builders)") {
+    // getOrCreate would reuse the shared test session and skip
+    // extensions, so drive the same builders through the registry
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHashExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("bio_token_count",
+      exprs => BioTokenCountExpr(exprs.head), "scala_udf")
+    val row = spark.sql(
+      "SELECT simhash64('a b c') AS h, bio_token_count('a b c d') AS n").head()
+    assert(row.getLong(0) == graft.datapipe.Hashing.simhash("a b c"))
+    assert(row.getInt(1) == 4)
+  }
+
+  test("codegen plan contains the native expression, not a ScalaUDF") {
+    // over a parquet scan (a local literal would be constant-folded
+    // away — which itself shows the expression is Catalyst-foldable)
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(Expressions.bio_token_count(col("text")).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bio_token_count"), plan)
+    assert(!plan.contains("UDF"), plan)
+    assert(plan.contains("*(1) Project"), plan) // * prefix = whole-stage codegen
+    assert(df.agg(sum(col("n"))).head().getLong(0) > 0)
+  }
+}
