@@ -37,6 +37,11 @@ object SparkEntry {
     "q18_text_quality" -> (DataPipeQueries.textQuality _),
     "q19_fingerprint" -> (DataPipeQueries.fingerprints _),
     "q20_cosine_neardup" -> (DataPipeQueries.cosineNearDup _),
+    "q21_outer_join" -> (RelationalQueries.q21OuterJoin _),
+    "q22_distinct_agg" -> (RelationalQueries.q22DistinctAgg _),
+    "q23_exists_subquery" -> (RelationalQueries.q23ExistsSubquery _),
+    "q24_cube" -> (RelationalQueries.q24Cube _),
+    "q25_case_agg" -> (RelationalQueries.q25CaseAgg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -121,5 +126,27 @@ object SparkEntry {
         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q18_text_quality" -> DataPipeQueries.textQualityOracle,
+    "q21_outer_join" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q22_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q23_exists_subquery" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q24_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q25_case_agg" ->
+      """SELECT o_orderpriority,
+        | SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS n_big,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -139,6 +139,52 @@ object RelationalQueries {
     highOrders.unionByName(recent).distinct().orderBy(col("okey"))
   }
 
+  /** Left outer join preserving customers with zero orders. */
+  def q21OuterJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Multiple distinct aggregations (expand-based plan). */
+  def q22DistinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Correlated EXISTS via the spark.sql surface (subquery decorrelation
+    * is Catalyst's job — SURVEY §4). */
+  def q23ExistsSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.supplier(s, d).createOrReplaceTempView("g_supplier")
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    s.sql("""
+      SELECT s_suppkey, s_name FROM g_supplier
+      WHERE EXISTS (SELECT 1 FROM g_lineitem
+                    WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+      ORDER BY s_suppkey""")
+  }
+
+  /** CUBE grouping sets. */
+  def q24Cube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Conditional aggregation (CASE WHEN inside SUM). */
+  def q25CaseAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(when(col("o_totalprice") > 200000.0, 1).otherwise(0)).as("n_big"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
   /** Correlated-scalar shape (TPC-H Q17-like): lineitems below 20% of
     * the part's average quantity. */
   def q10AvgQtyFilter(s: SparkSession, d: String): DataFrame = {
