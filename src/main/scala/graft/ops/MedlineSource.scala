@@ -80,4 +80,19 @@ object MedlineSource {
 
   def fragments(spark: SparkSession, path: String): Dataset[(String, String)] =
     fragments(spark, Seq(path))
+
+  /** Streaming variant: watch a directory for new MEDLINE files (the
+    * updatefiles drop-feed as a continuous source; pairs with
+    * [[graft.streaming.StreamingPipeline.latestVersionStream]]).
+    * Each arriving file is one unsplittable unit, so fragment assembly
+    * is per-file exactly as in batch. */
+  def fragmentsStream(spark: SparkSession, dir: String): Dataset[(String, String)] = {
+    import spark.implicits._
+    spark.readStream
+      .option("maxFilesPerTrigger", 16)
+      .text(dir)
+      .select(col("value"), input_file_name().as("file"))
+      .as[(String, String)]
+      .mapPartitions(assemble)
+  }
 }

@@ -25,6 +25,13 @@ object PipelineMain {
       sys.error("--input-baseline required"))
     val updates = opts.get("input-updates")
     val output = opts.getOrElse("output", sys.error("--output required"))
+    // "json" writes gzipped line-JSON like the reference's WriteToText
+    // sinks (main.py:786-787); default parquet (the query-side format)
+    val format = opts.getOrElse("format", "parquet")
+    def write(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+      if (format == "json")
+        df.write.mode(SaveMode.Overwrite).option("compression", "gzip").json(path)
+      else df.write.mode(SaveMode.Overwrite).parquet(path)
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
@@ -51,19 +58,22 @@ object PipelineMain {
         val vocabs = VocabularySource.load(vocabDir)
         val enriched = Enrich.enrichedDF(spark, latest, vocabs)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        enriched.write.mode(SaveMode.Overwrite).parquet(s"$output/publication_enriched")
-        Splitters.concepts(enriched).write.mode(SaveMode.Overwrite).parquet(s"$output/concept")
-        Splitters.bioentities(enriched).write.mode(SaveMode.Overwrite).parquet(s"$output/bioentity")
-        Splitters.taggedText(enriched).write.mode(SaveMode.Overwrite).parquet(s"$output/taggedtext")
-        Splitters.smallPublication(enriched).write.mode(SaveMode.Overwrite).parquet(s"$output/publication")
-        val n = spark.read.parquet(s"$output/publication").count()
-        val nc = spark.read.parquet(s"$output/concept").count()
+        write(enriched, s"$output/publication_enriched")
+        write(Splitters.concepts(enriched), s"$output/concept")
+        write(Splitters.bioentities(enriched), s"$output/bioentity")
+        write(Splitters.taggedText(enriched), s"$output/taggedtext")
+        write(Splitters.smallPublication(enriched), s"$output/publication")
+        def readBack(p: String) =
+          if (format == "json") spark.read.json(p) else spark.read.parquet(p)
+        val n = readBack(s"$output/publication").count()
+        val nc = readBack(s"$output/concept").count()
         println(s"""{"publications": $n, "concepts": $nc, "output": "$output"}""")
         enriched.unpersist()
       case None =>
-        latest.withColumnRenamed("abstractText", "abstract")
-          .write.mode(SaveMode.Overwrite).parquet(s"$output/publication")
-        val n = spark.read.parquet(s"$output/publication").count()
+        write(latest.withColumnRenamed("abstractText", "abstract"), s"$output/publication")
+        def readBack(p: String) =
+          if (format == "json") spark.read.json(p) else spark.read.parquet(p)
+        val n = readBack(s"$output/publication").count()
         println(s"""{"publications": $n, "output": "$output/publication"}""")
     }
     spark.stop()
