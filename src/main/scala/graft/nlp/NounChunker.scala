@@ -74,10 +74,12 @@ object NounChunker {
           cfg.get((t1.tag, t2.tag)) match {
             case Some(newTag) =>
               merged = true
-              val join = if (t2.text.headOption.exists(_.isLetterOrDigit)) " " else ""
+              // merged text = the actual span substring, so chunk text
+              // always equals sentence[start:end) — the invariant the
+              // reference pins at tests/text_nlp.py:451-464
               items = (items.take(x) :+
-                Item(s"${t1.text}$join${t2.text}", newTag, t1.start, t2.end,
-                  t2.blockMergeRight)) ++ items.drop(x + 2)
+                Item(sentenceText.substring(t1.start, t2.end), newTag,
+                  t1.start, t2.end, t2.blockMergeRight)) ++ items.drop(x + 2)
             case None =>
           }
         }
