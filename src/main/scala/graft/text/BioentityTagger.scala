@@ -74,15 +74,39 @@ final class BioentityTagger private (
       if (boundedLeft && boundedRight) {
         var j = 0
         while (j < payload.categories.length) {
-          matches += MatchedTag(
-            matchText = payload.matchForm,
-            start = start,
-            end = endEx,
-            category = payload.categories(j),
-            referenceDb = payload.referenceDbs(j),
-            reference = payload.ids(j),
-            originalValue = payload.originalValue,
-            label = payload.prefName)
+          val category = payload.categories(j)
+          if (category.endsWith("-TOKEN")) {
+            // partial match: single indexed token of a multi-token
+            // surface; accept only if the surrounding text fuzzily
+            // matches the full surface (reference BioentityTagger.py:
+            // 170-177, fuzz.token_sort_ratio > 90)
+            val original = if (ignoreCase) payload.originalValue.toLowerCase
+              else payload.originalValue
+            val post = original.split(java.util.regex.Pattern.quote(payload.matchForm), 2) match {
+              case Array(_, p) => p
+              case _ => ""
+            }
+            val window = t.substring(start, math.min(endEx + post.length, t.length))
+            if (BioentityTagger.tokenSortRatio(original, window) > 90) {
+              matches += MatchedTag(
+                matchText = payload.matchForm, start = start, end = endEx,
+                category = category.stripSuffix("-TOKEN"),
+                referenceDb = payload.referenceDbs(j),
+                reference = payload.ids(j),
+                originalValue = payload.originalValue,
+                label = payload.prefName)
+            }
+          } else {
+            matches += MatchedTag(
+              matchText = payload.matchForm,
+              start = start,
+              end = endEx,
+              category = category,
+              referenceDb = payload.referenceDbs(j),
+              reference = payload.ids(j),
+              originalValue = payload.originalValue,
+              label = payload.prefName)
+          }
           j += 1
         }
       }
@@ -105,10 +129,38 @@ object BioentityTagger {
   val separators: Set[Char] = Set(' ', '.', ',', ';', ':', ')', ']', '(', '[',
     '{', '}', '/', '\\', '"', '\'', '?', '!', '<', '>', '+', '-')
 
+  /** fuzzywuzzy-style token_sort_ratio: sort whitespace tokens, join,
+    * similarity ratio 0..100 = 2·LCS/(|a|+|b|)·100 (difflib's 2M/T with
+    * LCS as the match count — equal for the sorted-token strings this
+    * gate compares). */
+  def tokenSortRatio(a: String, b: String): Int = {
+    def sortTokens(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).sorted.mkString(" ")
+    val x = sortTokens(a)
+    val y = sortTokens(b)
+    if (x.isEmpty && y.isEmpty) return 100
+    // LCS length, O(|x|·|y|) with two rows
+    var prev = new Array[Int](y.length + 1)
+    var cur = new Array[Int](y.length + 1)
+    var i = 1
+    while (i <= x.length) {
+      var j = 1
+      while (j <= y.length) {
+        cur(j) = if (x(i - 1) == y(j - 1)) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      java.util.Arrays.fill(cur, 0)
+      i += 1
+    }
+    math.round(200.0 * prev(y.length) / (x.length + y.length)).toInt
+  }
+
   def build(
       vocabularies: Seq[Vocabulary],
       ignoreCase: Boolean = true,
       stopwords: Set[String] = null,
+      partialMatch: Boolean = false,
   ): BioentityTagger = {
     val stops = Option(stopwords).getOrElse(StopWords.domain)
     val b = AhoCorasick.builder[TagPayload]
@@ -140,6 +192,22 @@ object BioentityTagger {
           if (matchForm.contains('-')) {
             val noDash = matchForm.replace("-", "")
             if (noDash.length > 2) b.add(noDash, payload(noDash), merge)
+          }
+          // partial-match: index each long token of a multi-token
+          // surface as CATEGORY-TOKEN (reference BioentityTagger.py:89-101)
+          if (partialMatch) {
+            surface.split("\\s+").foreach { tok =>
+              if (tok != surface && tok.length > 5 && !stops.contains(tok.toLowerCase)) {
+                val tm = if (ignoreCase) tok.toLowerCase else tok
+                b.add(tm, TagPayload(
+                  categories = List(vocab.category + "-TOKEN"),
+                  referenceDbs = List(vocab.referenceDb),
+                  ids = List(firstId),
+                  originalValue = surface,
+                  matchForm = tm,
+                  prefName = entry.prefName), merge)
+              }
+            }
           }
         }
       }

@@ -101,6 +101,28 @@ class BioentityTaggerSpec extends AnyFunSuite {
       "Parkinsons disease PD type2")
   }
 
+  test("partial match: long token of multi-word surface with fuzzy gate") {
+    val v = Vocabulary("DISEASE", "MESH", Map(
+      "pulmonary hypertension" -> VocabEntry(Seq("D006976"), "Hypertension, Pulmonary")))
+    val pt = BioentityTagger.build(Seq(v), partialMatch = true)
+    // matched token + trailing window fuzzily completes the surface
+    // ("pulmonary hypertensive" ~ "pulmonary hypertension", ratio 91)
+    val hit = pt.tag("The pulmonary hypertensive group was studied.")
+    assert(hit.exists(t => t.category == "DISEASE" && t.matchText == "pulmonary"), hit)
+    // isolated token in unrelated context fails the gate
+    val miss = pt.tag("Systemic hypertension was treated with diet.")
+    assert(!miss.exists(_.matchText == "hypertension"), miss)
+    // exact full-surface match still tags normally
+    assert(pt.tag("Severe pulmonary hypertension worsened.")
+      .exists(_.matchText == "pulmonary hypertension"))
+  }
+
+  test("tokenSortRatio: order-insensitive similarity") {
+    assert(BioentityTagger.tokenSortRatio("pulmonary hypertension", "hypertension pulmonary") == 100)
+    assert(BioentityTagger.tokenSortRatio("abc", "abc") == 100)
+    assert(BioentityTagger.tokenSortRatio("abc def", "abc xyz") < 90)
+  }
+
   test("multi-category merge: same surface in two vocabularies tags both") {
     val v1 = Vocabulary("GENE", "OPENTARGETS", Map(
       "LDL" -> VocabEntry(Seq("ENSG_LDL"), "LDL")))
