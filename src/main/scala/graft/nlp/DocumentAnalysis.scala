@@ -97,12 +97,16 @@ object DocumentAnalysis {
     val rawTags = tagger.map(_.tag(document)).getOrElse(Nil)
 
     val sentences = BioTokenizer.sentences(document)
+    // tokenize+tag+chunk each sentence exactly once; chunker and SVO
+    // consume the shared results (this stage dominates enrichment CPU)
     val sentTokens = sentences.map(s => PosTagger.tag(BioTokenizer.tokenize(s.text)))
-    val sentChunks = sentences.map(s => NounChunker.chunk(s.text))
+    val sentChunks = sentences.indices.toVector.map(si =>
+      NounChunker.chunk(sentences(si).text, sentTokens(si)))
 
     // ---- concepts + noun phrases per sentence ----
-    val concepts0 = sentences.zipWithIndex.flatMap { case (s, si) =>
-      SvoExtractor.extract(s.text).map(_.copy(sentence = si))
+    val concepts0 = sentences.indices.toVector.flatMap { si =>
+      SvoExtractor.extract(sentences(si).text, sentTokens(si), sentChunks(si))
+        .map(_.copy(sentence = si))
     }
     val stops = StopWords.documentAnalysis
     val nounPhrases = sentChunks.flatten.map(_.text)

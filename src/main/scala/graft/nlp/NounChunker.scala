@@ -53,9 +53,14 @@ object NounChunker {
   }
 
   /** Noun phrases of one sentence (offsets relative to sentence text). */
-  def chunk(sentenceText: String): Vector[NPChunk] = {
-    val tokens = BioTokenizer.tokenize(sentenceText)
-    val tagged = PosTagger.tag(tokens)
+  def chunk(sentenceText: String): Vector[NPChunk] =
+    chunk(sentenceText, PosTagger.tag(BioTokenizer.tokenize(sentenceText)))
+
+  /** Chunk with precomputed tagged tokens (the enrichment hot path
+    * tokenizes/tags each sentence exactly once and threads the result
+    * through chunker + SVO). */
+  def chunk(sentenceText: String, tagged: Vector[Tagged]): Vector[NPChunk] = {
+    val tokens = tagged.map(_.token)
     var items = tagged.zipWithIndex.map { case (tg, i) =>
       val block = i + 1 < tokens.length &&
         separatedBy(sentenceText, tokens(i), tokens(i + 1))

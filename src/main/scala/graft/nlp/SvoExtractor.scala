@@ -66,12 +66,16 @@ object SvoExtractor {
 
   /** Extract concepts from one sentence. */
   def extract(sentenceText: String): List[Concept] = {
-    val tokens = BioTokenizer.tokenize(sentenceText)
-    if (tokens.isEmpty) return Nil
-    val tagged = PosTagger.tag(tokens)
+    val tagged = PosTagger.tag(BioTokenizer.tokenize(sentenceText))
+    extract(sentenceText, tagged, NounChunker.chunk(sentenceText, tagged))
+  }
+
+  /** Extract with precomputed tags + chunks (single-pass hot path). */
+  def extract(sentenceText: String, tagged: Vector[PosTagger.Tagged],
+      chunks: Vector[NPChunk]): List[Concept] = {
+    if (tagged.isEmpty) return Nil
     val toks = tagged.map(t => Tok(t.token.text, t.token.text.toLowerCase,
-      t.tag, t.token.start, t.token.end)).toVector
-    val chunks = NounChunker.chunk(sentenceText)
+      t.tag, t.token.start, t.token.end))
 
     /** Subject of a clause: the nearest NP chain before `pos` (bounded
       * below by `minPos`), walked left through of/and/or/comma links —
