@@ -21,8 +21,9 @@ object PipelineMain {
     val opts = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
+    val inputEnriched = opts.get("input-enriched")
     val baseline = opts.getOrElse("input-baseline",
-      sys.error("--input-baseline required"))
+      if (inputEnriched.isEmpty) sys.error("--input-baseline or --input-enriched required") else "")
     val updates = opts.get("input-updates")
     val output = opts.getOrElse("output", sys.error("--output required"))
     // "json" writes gzipped line-JSON like the reference's WriteToText
@@ -42,6 +43,23 @@ object PipelineMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // split-only graph shape (reference --input_enriched mode,
+    // main.py:789-812): re-read previously enriched output and fan out
+    inputEnriched.foreach { enrichedPath =>
+      val enriched =
+        (if (format == "json") spark.read.json(enrichedPath)
+         else spark.read.parquet(enrichedPath))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      write(Splitters.concepts(enriched), s"$output/concept")
+      write(Splitters.bioentities(enriched), s"$output/bioentity")
+      write(Splitters.taggedText(enriched), s"$output/taggedtext")
+      write(Splitters.smallPublication(enriched), s"$output/publication")
+      println(s"""{"mode": "split-only", "publications": ${enriched.count()}, "output": "$output"}""")
+      enriched.unpersist()
+      spark.stop()
+      return
+    }
 
     val baseDs = MedlineParser.parse(spark, MedlineSource.fragments(spark, baseline))
     val allDs = updates match {
