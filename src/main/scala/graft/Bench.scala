@@ -39,9 +39,12 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      results(name) = (System.nanoTime() - t0) / 1e9
+      // min of 2: first run pays codegen/JIT for this query's operators
+      results(name) = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.min
     }
 
     // pipeline-shaped enrichment throughput: documents table → NLP
