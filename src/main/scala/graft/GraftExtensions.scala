@@ -25,5 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(text) - 64-bit SimHash of the token stream"),
       ((args: Seq[Expression]) => SimHashExpr(args.head)): FunctionBuilder))
+    // rewrite contains(text, surface) inner joins into broadcast
+    // Aho-Corasick scans (SURVEY §4 candidate strategy)
+    e.injectPlannerStrategy(_ => graft.plans.DictionaryJoinStrategy)
   }
 }

@@ -1,0 +1,97 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Contains, Expression, JoinedRow}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.text.AhoCorasick
+
+/** Dictionary-join planner strategy (SURVEY §4's "candidate custom
+  * Strategy": rewrite `text LIKE/contains dictionary` joins into
+  * automaton scans).
+  *
+  * `docs JOIN vocab ON contains(docs.text, vocab.surface)` plans as a
+  * BroadcastNestedLoopJoin — O(|docs|·|vocab|) `contains` calls, each
+  * O(|text|·|surface|). This strategy plans the same logical join as
+  * ONE Aho-Corasick pass per document: collect the (small) vocabulary
+  * side, build the automaton on the driver, broadcast it, stream the
+  * document side through it — O(|docs|·|text| + matches). Semantics are
+  * identical to the nested-loop join (inner, duplicate surfaces yield
+  * duplicate output rows; a surface matching twice in one text still
+  * yields one row per (doc, surface) pair, exactly like `contains`).
+  *
+  * Registered via [[graft.GraftExtensions]]
+  * (`injectPlannerStrategy`).
+  */
+object DictionaryJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case Join(left, right, Inner, Some(Contains(textExpr, surfaceExpr)), _)
+        if textExpr.references.subsetOf(left.outputSet) &&
+          surfaceExpr.references.subsetOf(right.outputSet) =>
+      AutomatonJoinExec(planLater(left), planLater(right), textExpr, surfaceExpr) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical automaton join: builds the Aho-Corasick automaton from the
+  * collected build side, broadcasts it, and emits one joined row per
+  * (streamed row, matching build row). */
+case class AutomatonJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    textExpr: Expression,
+    surfaceExpr: Expression,
+) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val surfaceBound = BindReferences.bindReference(surfaceExpr, right.output)
+    // collect + index the dictionary side (small by contract — the same
+    // assumption BroadcastNestedLoopJoin's broadcast side makes)
+    val buildRows = right.executeCollect()
+    val builder = AhoCorasick.builder[List[InternalRow]]
+    buildRows.foreach { row =>
+      val s = surfaceBound.eval(row)
+      if (s != null) {
+        val surface = s.asInstanceOf[UTF8String].toString
+        if (surface.nonEmpty)
+          builder.add(surface, List(row.copy()), (old, add) => add.head :: old)
+      }
+    }
+    val automaton = builder.build()
+    val bc = sparkContext.broadcast(automaton)
+    val textBound = BindReferences.bindReference(textExpr, left.output)
+
+    left.execute().mapPartitions { iter =>
+      val auto = bc.value
+      iter.flatMap { leftRow =>
+        val t = textBound.eval(leftRow)
+        if (t == null) Iterator.empty
+        else {
+          val text = t.asInstanceOf[UTF8String].toString
+          // contains-semantics: one output row per matching build row,
+          // regardless of how many times the surface occurs
+          val seen = new java.util.HashSet[Int]()
+          val out = List.newBuilder[InternalRow]
+          auto.scan(text) { (_, _, rows) =>
+            if (seen.add(System.identityHashCode(rows))) {
+              rows.foreach { r =>
+                out += new JoinedRow(leftRow, r).copy()
+              }
+            }
+          }
+          out.result().iterator
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AutomatonJoinExec =
+    copy(left = newLeft, right = newRight)
+}
