@@ -229,6 +229,12 @@ object DocumentAnalysis {
     // ---- embedding projections (NLP.py:688-690, 742-799, 1130-1178) ----
     val embedding = buildEmbeddingText(document, sentences, sentTokens, sentChunks, finalTags, stops)
 
+    // NounChuncker-side analyzer (keyed "noun_phrases", reference
+    // NLP.py:347-348, main.py:473-523 runs BOTH analyzers per doc):
+    // same chunk stream, TextBlob-style counting semantics
+    val npDigest = NounChunker.digest(document, abbreviations, stops,
+      sentChunks.flatten.map(_.text))
+
     val abbrevRecs = abbreviations.map { case (s, l) => AbbrevRec(s, l) }.toSeq
     val nlp = NlpAnalysis(
       chunks = nounPhrases,
@@ -240,9 +246,8 @@ object DocumentAnalysis {
       tagged_text = BioentityTagger.markTagsInText(document, finalTags),
       embedding_text = embedding)
 
-    // NounChuncker side (keyed "noun_phrases", NLP.py:347-348):
-    // same chunk family computed by the CFG chunker path
-    val np = NounPhrases(nounPhrases, recurring, topChunks, abbrevRecs)
+    val np = NounPhrases(npDigest.chunks, npDigest.recurringChunks,
+      npDigest.topChunks, abbrevRecs)
 
     TextMinedEntities(nlp, np)
   }

@@ -108,27 +108,37 @@ object NounChunker {
   def digest(text: String, abbreviations: Map[String, String],
       stopwords: Set[String]): ChunkDigest = {
     val sents = BioTokenizer.sentences(text)
-    val nps = sents.flatMap(s => chunk(s.text).map(_.text))
+    digest(text, abbreviations, stopwords,
+      sents.flatMap(s => chunk(s.text).map(_.text)))
+  }
+
+  /** Digest with precomputed per-sentence noun phrases. Counting follows
+    * the reference's NounChuncker (NLP.py:306-345): frequency of each NP
+    * in the extraction stream (TextBlob lowercases), defined-acronym
+    * long forms guaranteed present, plural folding, abbreviation
+    * short→long count transfer, then substring co-counts (+1 for every
+    * other NP that contains this one). */
+  def digest(text: String, abbreviations: Map[String, String],
+      stopwords: Set[String], allNps: Seq[String]): ChunkDigest = {
+    val stream = allNps
       .filter(np => !stopwords.contains(np.toLowerCase))
-      .distinct
-    val loweredText = text.toLowerCase
-    var counter = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    nps.foreach { np =>
-      val lnp = np.toLowerCase
-      // occurrence count in text (non-overlapping, like str.count)
-      var c = 0
-      var idx = loweredText.indexOf(lnp)
-      while (idx >= 0) { c += 1; idx = loweredText.indexOf(lnp, idx + lnp.length) }
-      counter(lnp) = c
+      .map(_.toLowerCase)
+    val counter = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    stream.foreach(np => counter(np) = counter.getOrElse(np, 0) + 1)
+    // defined acronyms' long forms used as noun phrases (NLP.py:311-314)
+    abbreviations.values.foreach { long =>
+      val ll = long.toLowerCase
+      if (!counter.contains(ll)) counter(ll) = 1
     }
-    // fold plurals: np + "s" merges into np (NLP.py:567-571)
+    val base = counter.keys.toList // chunks = keys before folding (NLP.py:324)
+    // fold plurals: np + "s" merges into np (NLP.py:326-329)
     counter.keys.toSeq.foreach { np =>
       if (counter.contains(np + "s")) {
         counter(np) = counter(np) + counter(np + "s")
         counter.remove(np + "s")
       }
     }
-    // abbreviation short→long count transfer (NLP.py:572-576)
+    // abbreviation short→long count transfer (NLP.py:331-335)
     abbreviations.foreach { case (short, long) =>
       val ls = short.toLowerCase
       val ll = long.toLowerCase
@@ -137,9 +147,14 @@ object NounChunker {
         counter.remove(ls)
       }
     }
+    // substring co-counts (NLP.py:338-341)
+    val keys = counter.keys.toList
+    keys.foreach { k =>
+      keys.foreach { s => if (k != s && s.contains(k)) counter(k) += 1 }
+    }
     val top = counter.toSeq.sortBy { case (k, v) => (-v, k) }
       .filter(_._2 > 1).take(5).map(_._1)
     val recurring = counter.toSeq.filter(_._2 > 1).map(_._1)
-    ChunkDigest(nps, recurring, top)
+    ChunkDigest(base, recurring, top)
   }
 }
