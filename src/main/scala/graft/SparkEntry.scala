@@ -42,6 +42,7 @@ object SparkEntry {
     "q23_exists_subquery" -> (RelationalQueries.q23ExistsSubquery _),
     "q24_cube" -> (RelationalQueries.q24Cube _),
     "q25_case_agg" -> (RelationalQueries.q25CaseAgg _),
+    "q26_dictionary_join" -> (DataPipeQueries.dictionaryJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -148,5 +149,6 @@ object SparkEntry {
         | SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS n_big,
         | COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q26_dictionary_join" -> DataPipeQueries.dictionaryJoinOracle,
   )
 }

@@ -50,6 +50,35 @@ object DataPipeQueries {
   def fingerprints(s: SparkSession, d: String): DataFrame =
     DedupOps.fingerprints(Tables.documents(s, d)).orderBy(col("id"))
 
+  /** Dictionary surfaces for the q26 contains-join (words known to
+    * occur in the synthetic documents' vocabulary). */
+  val dictSurfaces: Seq[String] =
+    Seq("spark", "query", "window", "shuffle", "vector", "merge batch",
+      "hash join", "columnar", "stream", "sort table")
+
+  /** Substring-dictionary join planned through the custom
+    * [[graft.plans.DictionaryJoinStrategy]] (broadcast Aho-Corasick
+    * scan instead of BroadcastNestedLoop). Oracle-verified: DuckDB runs
+    * the same join with its own contains(). */
+  def dictionaryJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.experimental.extraStrategies =
+      Seq(graft.plans.DictionaryJoinStrategy)
+    val vocab = dictSurfaces.toDF("surface")
+    Tables.documents(s, d)
+      .join(vocab, expr("contains(text, surface)"))
+      .select(col("doc_id"), col("surface"))
+      .orderBy(col("doc_id"), col("surface"))
+  }
+
+  def dictionaryJoinOracle: String = {
+    val values = dictSurfaces.map(w => s"('$w')").mkString(", ")
+    s"""SELECT d.doc_id, v.surface
+       |FROM documents d JOIN (VALUES $values) v(surface)
+       |  ON contains(d.text, v.surface)
+       |ORDER BY d.doc_id, v.surface""".stripMargin
+  }
+
   /** DuckDB oracle for textQuality, generated so the stopword list is
     * identical to the Spark side (StopWords.glasgow). */
   def textQualityOracle: String = {
