@@ -43,6 +43,9 @@ object SparkEntry {
     "q24_cube" -> (RelationalQueries.q24Cube _),
     "q25_case_agg" -> (RelationalQueries.q25CaseAgg _),
     "q26_dictionary_join" -> (DataPipeQueries.dictionaryJoin _),
+    "q27_percentile" -> (RelationalQueries.q27Percentile _),
+    "q28_string_funcs" -> (RelationalQueries.q28StringFuncs _),
+    "q29_date_funcs" -> (RelationalQueries.q29DateFuncs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -150,5 +153,24 @@ object SparkEntry {
         | COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q26_dictionary_join" -> DataPipeQueries.dictionaryJoinOracle,
+    "q27_percentile" ->
+      """SELECT l_returnflag,
+        | percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_qty,
+        | percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q28_string_funcs" ->
+      """SELECT p_partkey,
+        | upper(p_brand) AS brand_upper,
+        | substring(p_type, 1, 5) AS type_prefix,
+        | concat_ws('/', p_brand, p_type) AS brand_type,
+        | CAST(length(replace(p_name, ' ', '')) AS BIGINT) AS name_len_nospace,
+        | reverse(p_brand) AS brand_rev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q29_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+        | CAST(quarter(o_orderdate) AS INT) AS q, COUNT(*) AS n,
+        | CAST(min(day(o_orderdate)) AS INT) AS min_dom,
+        | CAST(max(month(o_orderdate)) AS INT) AS max_month
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

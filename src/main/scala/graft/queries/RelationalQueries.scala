@@ -185,6 +185,36 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
+  /** Exact percentile aggregation (median of integer-valued doubles is
+    * engine-exact: sorted interpolation of exactly-representable values). */
+  def q27Percentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** String function family: case, substring, concat, trim, replace. */
+  def q28StringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        length(regexp_replace(col("p_name"), " ", "")).cast("long").as("name_len_nospace"),
+        reverse(col("p_brand")).as("brand_rev"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time function family over order dates. */
+  def q29DateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("y"), quarter(col("o_orderdate")).as("q"))
+      .agg(count(lit(1)).as("n"),
+        min(dayofmonth(col("o_orderdate"))).as("min_dom"),
+        max(month(col("o_orderdate"))).as("max_month"))
+      .orderBy(col("y"), col("q"))
+
   /** Correlated-scalar shape (TPC-H Q17-like): lineitems below 20% of
     * the part's average quantity. */
   def q10AvgQtyFilter(s: SparkSession, d: String): DataFrame = {
