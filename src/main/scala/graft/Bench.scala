@@ -96,13 +96,15 @@ object Bench {
       Vocabulary("DISEASE", "OPENTARGETS", Seq("asthma", "schizophrenia",
         "autism", "cancer", "inflammation", "depression", "bipolar disorder")
         .map(d => d -> VocabEntry(Seq(s"EFO_$d"), d)).toMap))
-    val tMed = System.nanoTime()
-    val parsed = ops.MedlineParser.parse(spark,
-      ops.MedlineSource.fragments(spark, s"$synthDir/*.xml.gz"))
-    val latest = ops.Dedup.latestNonDeleted(spark, parsed)
-    Enrich.enrich(spark, latest, medVocab).write.mode("overwrite")
-      .format("noop").save()
-    val medSec = (System.nanoTime() - tMed) / 1e9
+    val medSec = (1 to 2).map { _ =>
+      val tMed = System.nanoTime()
+      val parsed = ops.MedlineParser.parse(spark,
+        ops.MedlineSource.fragments(spark, s"$synthDir/*.xml.gz"))
+      val latest = ops.Dedup.latestNonDeleted(spark, parsed)
+      Enrich.enrich(spark, latest, medVocab).write.mode("overwrite")
+        .format("noop").save()
+      (System.nanoTime() - tMed) / 1e9
+    }.min
     results("medline_pipeline") = medSec
     val medDocsPerSec = nCitations / medSec
 
