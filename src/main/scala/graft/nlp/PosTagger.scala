@@ -156,6 +156,8 @@ object PosTagger {
         (w.drop(1).exists(_.isUpper) || w.exists(_.isDigit))) return NNP
     if (nounSuffixes.exists(sfx => lw.endsWith(sfx)) && lw.length > 4) return NN
     if (lw.endsWith("ing") && lw.length > 5) return VB // gerunds default verbal
+    // hyphenated -ed compounds are adjectives (brain-enriched, age-related)
+    if (lw.contains('-') && lw.endsWith("ed")) return JJ
     if (lw.endsWith("ed") && lw.length > 4 && !lw.endsWith("eed")) return VBN
     NN
   }
