@@ -38,11 +38,13 @@ object Bench {
       .foreach(fn => fn(spark, sfDir).count())
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // min of 2: first run pays codegen/JIT for this query's operators
       results(name) = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => if (!failed.contains(name)) failed += name }
         (System.nanoTime() - t0) / 1e9
       }.min
     }
@@ -111,8 +113,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"enrich_docs_per_sec":$docsPerSec%.1f,"enrich_docs":$nDocs,"medline_docs_per_sec":$medDocsPerSec%.1f,"medline_docs":$nCitations,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"enrich_docs_per_sec":$docsPerSec%.1f,"enrich_docs":$nDocs,"medline_docs_per_sec":$medDocsPerSec%.1f,"medline_docs":$nCitations,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

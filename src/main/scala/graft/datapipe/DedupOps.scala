@@ -42,7 +42,9 @@ object DedupOps {
     Hashing.bandKeys(sig.toArray, bands))
 
   private val jaccardUdf = udf((a: String, b: String, shingleN: Int) =>
-    Hashing.jaccardSorted(Hashing.shingleSet(a, shingleN), Hashing.shingleSet(b, shingleN)))
+    Hashing.jaccardSorted(
+      Hashing.shingleSet(if (a == null) "" else a, shingleN),
+      Hashing.shingleSet(if (b == null) "" else b, shingleN)))
 
   /** Candidate near-duplicate pairs via MinHash LSH banding.
     * Output: (id_a, id_b) with id_a < id_b, distinct. */
@@ -125,12 +127,15 @@ object DedupOps {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxBucket: Int = 256): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31, s"maxHamming out of range: $maxHamming")
     val blocks = maxHamming + 1
     val width = 64 / blocks
+    // 1L << 64 wraps to 1 in JVM shift semantics; width==64 needs -1L
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sh = simhashes(docs, idCol, textCol)
     val withBlocks = sh.select(col("id"), col("simhash"),
       explode(expr(
-        s"transform(sequence(0, ${blocks - 1}), b -> named_struct('block_idx', b, 'block_val', (simhash >> (b * $width)) & ${(1L << width) - 1}))"
+        s"transform(sequence(0, ${blocks - 1}), b -> named_struct('block_idx', b, 'block_val', (simhash >> (b * $width)) & $mask))"
       )).as("blk"))
     val buckets = withBlocks
       .groupBy(col("blk.block_idx"), col("blk.block_val"))

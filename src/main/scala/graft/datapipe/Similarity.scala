@@ -68,8 +68,10 @@ object Similarity {
         col("s.id").as("neighbor_id"))
       .orderBy(col("query_id"), col("rank"))
 
-  /** Deterministic centroid selection + one Lloyd iteration on the
-    * corpus sample. Returns centroid array (cellId = index). */
+  /** Deterministic centroid selection: a hash-ordered pseudo-random
+    * sample of corpus vectors used directly as cell centroids (no Lloyd
+    * refinement — recall is below kmeans-seeded IVF on strongly
+    * clustered data; nProbe > 1 compensates). cellId = index. */
   def trainCentroids(corpus: DataFrame, nCells: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Float]] = {
     import corpus.sparkSession.implicits._

@@ -16,9 +16,11 @@ import graft.util.Tables
   */
 object TextFunctions {
 
-  /** Token count via the bio tokenizer (graft.text.BioTokenizer). */
-  val bioTokenCount = udf((s: String) =>
-    if (s == null) 0 else BioTokenizer.tokenize(s).length)
+  /** Token count via the bio tokenizer. UDF form for callers that need
+    * a plain udf; prefer [[Expressions.bio_token_count]] (native
+    * codegen) in plans — both delegate to BioTokenizer.tokenCount so
+    * semantics cannot drift. */
+  val bioTokenCount = udf((s: String) => BioTokenizer.tokenCount(s))
 
   /** Sentence count via the rule-based splitter. */
   val sentenceCount = udf((s: String) =>

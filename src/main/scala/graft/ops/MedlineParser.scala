@@ -92,11 +92,10 @@ object MedlineParser {
     val journalRef = {
       val volume = journalIssue.flatMap(ji => firstText(ji, "Volume"))
       val issue = journalIssue.flatMap(ji => firstText(ji, "Issue"))
-      val pgn = articleOpt.flatMap(a => firstText(a, "Pagination"))
-        .orElse(articleOpt.flatMap(a => (a \ "Pagination" \ "MedlinePgn").headOption.flatMap(textOpt)))
+      val pgn = articleOpt.flatMap(a =>
+        (a \ "Pagination" \ "MedlinePgn").headOption.flatMap(textOpt))
       if (volume.isEmpty && issue.isEmpty && pgn.isEmpty) None
-      else Some(JournalReference(volume = volume, issue = issue,
-        pgn = articleOpt.flatMap(a => (a \ "Pagination" \ "MedlinePgn").headOption.flatMap(textOpt))))
+      else Some(JournalReference(volume = volume, issue = issue, pgn = pgn))
     }
 
     val pubTypes = articleOpt.toSeq

@@ -8,8 +8,13 @@ import org.apache.spark.sql.functions._
   * {{{
   * runMain graft.ops.PipelineMain
   *   --input-baseline <glob> [--input-updates <glob>]
-  *   --output <dir> [--enrich]
+  *   --output <dir> [--vocab <dir>] [--format json|parquet]
+  *   | --input-enriched <path> --output <dir>
   * }}}
+  *
+  * Passing --vocab enables the NLP enrichment + 4-collection fan-out;
+  * without it only the deduplicated publication table is written.
+  * All flags take a value (flag pairing is positional).
   *
   * Graph: read XML(.gz) → parse fragments → union baseline+updates →
   * latest-per-PMID dedup + tombstones → write `publication` parquet

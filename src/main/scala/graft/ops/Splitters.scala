@@ -84,11 +84,13 @@ object Splitters {
     val tt = col("text_mined_entities.nlp.tagged_text")
     enriched.select(
       col("pub_id"),
-      // partition('. '): text before the first '. ' / text after
-      when(instr(tt, ". ") > 0, substring_index(tt, ". ", 1)).otherwise(lit("")).as("title"),
+      // partition('. '): text before the first '. ' / text after.
+      // No separator → Python partition returns (full, '', ''), i.e.
+      // title = full text, abstract = '' (reference main.py:672-675)
+      when(instr(tt, ". ") > 0, substring_index(tt, ". ", 1)).otherwise(tt).as("title"),
       when(instr(tt, ". ") > 0,
         expr("substring(text_mined_entities.nlp.tagged_text, instr(text_mined_entities.nlp.tagged_text, '. ') + 2)"))
-        .otherwise(tt).as("abstract"))
+        .otherwise(lit("")).as("abstract"))
   }
 
   /** Small publication (reference CleanPublication, main.py:691-716):

@@ -75,11 +75,14 @@ case class AutomatonJoinExec(
         else {
           val text = t.asInstanceOf[UTF8String].toString
           // contains-semantics: one output row per matching build row,
-          // regardless of how many times the surface occurs
-          val seen = new java.util.HashSet[Int]()
+          // regardless of how many times the surface occurs (identity
+          // set, NOT identityHashCode ints — hash collisions would
+          // silently drop rows)
+          val seen = java.util.Collections.newSetFromMap(
+            new java.util.IdentityHashMap[List[InternalRow], java.lang.Boolean]())
           val out = List.newBuilder[InternalRow]
           auto.scan(text) { (_, _, rows) =>
-            if (seen.add(System.identityHashCode(rows))) {
+            if (seen.add(rows)) {
               rows.foreach { r =>
                 out += new JoinedRow(leftRow, r).copy()
               }

@@ -40,9 +40,11 @@ object StreamingPipeline {
         case (_, versions, state: GroupState[VersionState]) =>
           val incoming = versions.toSeq
           val currentBest = state.getOption
-          // latest by lexicographic filename (reference main.py:585)
+          // latest by lexicographic filename (reference main.py:585).
+          // Strictly-newer check: re-delivery of an already-applied file
+          // (source replay after restart) must not re-emit the row.
           val incomingBest = incoming.maxBy(_.filename)
-          if (currentBest.forall(_.filename <= incomingBest.filename)) {
+          if (currentBest.forall(_.filename < incomingBest.filename)) {
             state.update(VersionState(incomingBest.filename, incomingBest.is_deleted))
             if (incomingBest.is_deleted) Iterator.empty
             else Iterator.single(incomingBest)

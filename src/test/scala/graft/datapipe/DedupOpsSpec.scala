@@ -41,6 +41,24 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(pairs.exists(r => r.getAs[Long]("id_a") == 267L && r.getAs[Long]("id_b") == 413L))
   }
 
+  test("simhash maxHamming=0 finds exact-simhash duplicates (mask edge)") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.simhashNearDupPairs(df, maxHamming = 0).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id_a") == 1L && pairs.head.getAs[Long]("id_b") == 2L)
+  }
+
+  test("minhash near-dup pairs survive null text rows") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"),
+      (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.minhashNearDupPairs(df, 0.5).collect() // must not NPE
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L))
+  }
+
   test("jaccard is symmetric and bounded") {
     val a = Hashing.shingleSet("the quick brown fox jumps over the lazy dog", 3)
     val b = Hashing.shingleSet("the quick brown fox leaps over the lazy dog", 3)

@@ -109,6 +109,16 @@ class EnrichSpec extends AnyFunSuite {
     enriched.unpersist()
   }
 
+  test("taggedText partition fallback: no '. ' separator -> title=text, abstract=''") {
+    import spark.implicits._
+    // title-only pub: tagged_text has no ". " (period abuts markup)
+    val pub = Publication(pub_id = "7", title = Some("Asthma"), filename = "f")
+    val enriched = Enrich.enrichedDF(spark, spark.createDataset(Seq(pub)), vocabs)
+    val row = Splitters.taggedText(enriched).head()
+    assert(row.getAs[String]("title").nonEmpty) // full text goes to title
+    assert(row.getAs[String]("abstract") == "")
+  }
+
   test("concept relations cross-product with entity tags") {
     import spark.implicits._
     val tagger = graft.text.BioentityTagger.build(vocabs)
