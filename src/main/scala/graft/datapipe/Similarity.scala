@@ -68,19 +68,45 @@ object Similarity {
         col("s.id").as("neighbor_id"))
       .orderBy(col("query_id"), col("rank"))
 
-  /** Deterministic centroid selection: a hash-ordered pseudo-random
-    * sample of corpus vectors used directly as cell centroids (no Lloyd
-    * refinement — recall is below kmeans-seeded IVF on strongly
-    * clustered data; nProbe > 1 compensates). cellId = index. */
+  /** Deterministic k-means-lite centroid training: seed with a
+    * hash-ordered pseudo-random sample, then run `lloydIters` Lloyd
+    * refinement passes over a bounded training sample (assignment +
+    * per-cell mean). Everything is deterministic — same corpus ⇒ same
+    * centroids. cellId = index. */
   def trainCentroids(corpus: DataFrame, nCells: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Float]] = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      lloydIters: Int = 2, sampleSize: Int = 4096): Array[Array[Float]] = {
     import corpus.sparkSession.implicits._
-    val seedRows = corpus
+    val sample = corpus
       .select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol))) // deterministic pseudo-random order
-      .limit(nCells)
+      .limit(math.max(nCells, sampleSize))
       .select(col(vecCol)).as[Seq[Float]].collect()
-    seedRows.map(_.toArray)
+      .map(_.toArray)
+    var centroids = sample.take(nCells)
+    var iter = 0
+    while (iter < lloydIters) {
+      val dim = centroids.head.length
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Int](nCells)
+      sample.foreach { v =>
+        val c = nearestCell(centroids, v)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) // keep empty cells' seeds
+        else {
+          val m = new Array[Float](dim)
+          var i = 0
+          while (i < dim) { m(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+          m
+        }
+      }.toArray
+      iter += 1
+    }
+    centroids
   }
 
   private def nearestCell(centroids: Array[Array[Float]], v: Array[Float]): Int = {
