@@ -29,7 +29,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: a benign FileStreamSink metadata-probe WARN carries a full
+    // stack trace that pollutes the single-JSON-line output contract
+    spark.sparkContext.setLogLevel("ERROR")
 
     // warm up codegen + file listing so the first timed query isn't
     // paying JVM/classloading costs
@@ -88,9 +90,12 @@ object Bench {
     // source → parse → union-in-glob → dedup+tombstones → NLP enrich.
     // This is the wall-clock shape behind BASELINE's "30M docs in 4h".
     val synthDir = "/tmp/graft_bench_medline"
-    val nCitations = 32 * 700
     if (!new java.io.File(s"$synthDir/pubmed20n0000.xml.gz").exists())
       ops.MedlineGen.generate(synthDir, nFiles = 32, perFile = 700)
+    // throughput denominator = fragments actually parsed (update files
+    // carry perFile/5 revisions, so nFiles*perFile would overstate ~18%)
+    val nCitations = ops.MedlineParser.parse(spark,
+      ops.MedlineSource.fragments(spark, s"$synthDir/*.xml.gz")).count()
     val medVocab = Seq(
       Vocabulary("GENE", "OPENTARGETS", Seq("ADRA1A", "PPP3CC", "NRG1",
         "FGF17", "FGFR1", "PLK1", "c-ABL", "SFRP1", "CHRNA2", "DKK4")

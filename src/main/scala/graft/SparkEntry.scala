@@ -46,7 +46,29 @@ object SparkEntry {
     "q27_percentile" -> (RelationalQueries.q27Percentile _),
     "q28_string_funcs" -> (RelationalQueries.q28StringFuncs _),
     "q29_date_funcs" -> (RelationalQueries.q29DateFuncs _),
+    "q30_window_running" -> (RelationalQueries.q30WindowRunning _),
+    "q31_rank_ntile" -> (RelationalQueries.q31RankNtile _),
+    "q32_set_ops" -> (RelationalQueries.q32SetOps _),
+    "q33_token_counts" -> (RelationalQueries.q33TokenCounts _),
+    "q34_pivot" -> (RelationalQueries.q34Pivot _),
+    "q35_grouping_sets" -> (RelationalQueries.q35GroupingSets _),
+    "q36_range_join" -> (RelationalQueries.q36RangeJoin _),
+    "q37_asof_prev_click" -> (RelationalQueries.q37AsofPrevClick _),
+    "q38_listagg" -> (RelationalQueries.q38ListAgg _),
   )
+
+  /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
+    * every cell probed, so the result is exactly the brute-force
+    * top-k; the probe-join path is what differs). */
+  private val knnOracle: String =
+    """SELECT query_id, rank, neighbor_id FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+      |               c.vec_id) AS rank
+      |  FROM embeddings q, embeddings c
+      |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -120,16 +142,14 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS canonical_id,
         | COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q15_knn_cosine" ->
-      """SELECT query_id, rank, neighbor_id FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
-        |               c.vec_id) AS rank
-        |  FROM embeddings q, embeddings c
-        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q13_dedup_minhash" -> DataPipeQueries.minhashOracle,
+    "q14_dedup_simhash" -> DataPipeQueries.simhashOracle(maxHamming = 3),
+    "q15_knn_cosine" -> knnOracle,
+    "q16_knn_ivf" -> knnOracle,
+    "q17_lang_id" -> graft.datapipe.LangId.oracleSql(),
     "q18_text_quality" -> DataPipeQueries.textQualityOracle,
+    "q19_fingerprint" -> DataPipeQueries.winnowOracle,
+    "q20_cosine_neardup" -> DataPipeQueries.cosinePairsOracle(threshold = 0.45),
     "q21_outer_join" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
@@ -149,7 +169,7 @@ object SparkEntry {
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q25_case_agg" ->
       """SELECT o_orderpriority,
-        | SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS n_big,
+        | CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
         | COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q26_dictionary_join" -> DataPipeQueries.dictionaryJoinOracle,
@@ -172,5 +192,65 @@ object SparkEntry {
         | CAST(min(day(o_orderdate)) AS INT) AS min_dom,
         | CAST(max(month(o_orderdate)) AS INT) AS max_month
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q30_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | ROW_NUMBER() OVER w AS order_seq,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_spend,
+        | lag(o_orderkey, 1) OVER w AS prev_orderkey,
+        | lead(o_orderkey, 1) OVER w AS next_orderkey
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q31_rank_ntile" ->
+      """SELECT o_orderkey,
+        | ntile(4) OVER wp AS price_quartile,
+        | rank() OVER wr AS prio_rank,
+        | dense_rank() OVER wr AS prio_dense_rank,
+        | percent_rank() OVER wp AS price_pct_rank
+        |FROM orders
+        |WINDOW wp AS (ORDER BY o_totalprice DESC, o_orderkey),
+        |       wr AS (ORDER BY o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q32_set_ops" ->
+      """SELECT o_custkey FROM (
+        |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |   INTERSECT
+        |   SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |) ORDER BY o_custkey""".stripMargin,
+    "q33_token_counts" ->
+      """SELECT tok, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |WHERE length(tok) > 0
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 100""".stripMargin,
+    "q34_pivot" -> RelationalQueries.q34PivotOracle,
+    "q35_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | COUNT(*) AS n, CAST(SUM(l_quantity) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q36_range_join" ->
+      """SELECT o_orderkey, COUNT(*) AS n_shipped_30d
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q37_asof_prev_click" ->
+      """SELECT event_id, user_id, prev_click_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_id
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q38_listagg" ->
+      """SELECT o_custkey,
+        | string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
   )
 }

@@ -23,12 +23,26 @@ object DedupOps {
 
   // ---- exact ----
 
-  /** Canonical id per distinct text: group by xxhash64+md5 of the text.
-    * Survivors = min(doc_id) per group (stable, deterministic). */
+  /** Group-by-content-hash summary: one row per distinct text (keyed by
+    * md5), with the canonical id = min(doc_id) and the copy count. This
+    * is the summary table; [[exactDedupSurvivors]] returns the
+    * deduplicated document rows themselves. */
   def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("text_md5"))
+
+  /** Exact-dedup survivors: the document rows whose id is the canonical
+    * (minimum) id of their content-hash group — mirrors
+    * [[minhashDedupSurvivors]] for symmetry. The shuffle carries only
+    * (16-byte hash, id); survivors are recovered by a semi join on id. */
+  def exactDedupSurvivors(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val canonical = docs
+      .groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    docs.join(canonical, Seq(idCol), "left_semi")
+  }
 
   // ---- minhash / LSH ----
 
@@ -41,10 +55,12 @@ object DedupOps {
   private val bandKeysUdf = udf((sig: Seq[Long], bands: Int) =>
     Hashing.bandKeys(sig.toArray, bands))
 
-  private val jaccardUdf = udf((a: String, b: String, shingleN: Int) =>
-    Hashing.jaccardSorted(
+  private val jaccardCountsUdf = udf((a: String, b: String, shingleN: Int) => {
+    val (inter, union) = Hashing.jaccardCounts(
       Hashing.shingleSet(if (a == null) "" else a, shingleN),
-      Hashing.shingleSet(if (b == null) "" else b, shingleN)))
+      Hashing.shingleSet(if (b == null) "" else b, shingleN))
+    (inter.toLong, union.toLong)
+  })
 
   /** Candidate near-duplicate pairs via MinHash LSH banding.
     * Output: (id_a, id_b) with id_a < id_b, distinct. */
@@ -81,7 +97,12 @@ object DedupOps {
 
   /** Near-duplicate pairs: LSH candidates verified with exact n-gram
     * Jaccard ≥ `minJaccard` (this is also the "n-gram Jaccard dedup"
-    * operator — candidates from LSH instead of a quadratic self-join). */
+    * operator — candidates from LSH instead of a quadratic self-join).
+    *
+    * Jaccard is emitted as integer numerator/denominator (n_inter,
+    * n_union) — exact, order-insensitive, and engine-portable for the
+    * DuckDB oracle; the threshold test inter >= minJaccard*union is the
+    * same exact predicate on both engines. */
   def minhashNearDupPairs(
       docs: DataFrame,
       minJaccard: Double,
@@ -93,9 +114,10 @@ object DedupOps {
     cands
       .join(txt, col("id_a") === col("jid")).withColumnRenamed("jtext", "text_a").drop("jid")
       .join(txt, col("id_b") === col("jid")).withColumnRenamed("jtext", "text_b").drop("jid")
-      .withColumn("jaccard", jaccardUdf(col("text_a"), col("text_b"), lit(shingleN)))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .withColumn("jc", jaccardCountsUdf(col("text_a"), col("text_b"), lit(shingleN)))
+      .select(col("id_a"), col("id_b"),
+        col("jc._1").as("n_inter"), col("jc._2").as("n_union"))
+      .filter(col("n_inter") >= lit(minJaccard) * col("n_union"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -112,52 +134,130 @@ object DedupOps {
 
   // ---- simhash ----
 
-  /** doc_id → 64-bit simhash (native codegen expression, Expressions.scala). */
-  def simhashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("id"),
-      graft.functions.Expressions.simhash64(col(textCol)).as("simhash"))
+  /** doc_id → 64-bit simhash (native codegen expression, Expressions.scala).
+    * md5Based=true uses the engine-portable md5-derived token hash
+    * (recomputable by the DuckDB oracle); false keeps the cheaper
+    * FNV-based hash for pure-throughput paths. */
+  def simhashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      md5Based: Boolean = false): DataFrame = {
+    val expr =
+      if (md5Based) graft.functions.Expressions.simhash64_md5(col(textCol))
+      else graft.functions.Expressions.simhash64(col(textCol))
+    docs.select(col(idCol).as("id"), expr.as("simhash"))
+  }
+
+  /** All hamming ≤ maxHamming pairs within one block bucket, by
+    * recursive pigeonhole over the remaining bit positions: a pair
+    * within distance k has ≤ k differing bits spread over any k+1
+    * disjoint position groups, so it agrees on ≥ 1 group at EVERY
+    * recursion level — completeness holds all the way down. Buckets
+    * small enough (or out of splittable bits) fall back to an exact
+    * O(m²) popcount scan; only clusters of genuinely near-identical
+    * hashes ever reach the quadratic leaf, and their pair volume is
+    * inherent to the output, not a blowup. This replaces a lossy
+    * maxBucket cap (which silently dropped pairs once a block value
+    * concentrated > cap members — measured at 10× data). */
+  private[datapipe] def bucketPairsRecursive(
+      ids: Array[Long], shs: Array[Long], positions: Array[Int],
+      maxHamming: Int,
+      out: scala.collection.mutable.HashSet[(Long, Long, Long)]): Unit = {
+    val n = ids.length
+    if (n < 2) return
+    if (n <= 64 || positions.length < maxHamming + 1) {
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val h = java.lang.Long.bitCount(shs(i) ^ shs(j))
+          if (h <= maxHamming && ids(i) != ids(j)) {
+            val a = math.min(ids(i), ids(j))
+            val b = math.max(ids(i), ids(j))
+            out += ((a, b, h.toLong))
+          }
+          j += 1
+        }
+        i += 1
+      }
+    } else {
+      val groups = maxHamming + 1
+      val per = positions.length / groups
+      var g = 0
+      while (g < groups) {
+        val from = g * per
+        val until = if (g == groups - 1) positions.length else (g + 1) * per
+        val rest = new Array[Int](positions.length - (until - from))
+        System.arraycopy(positions, 0, rest, 0, from)
+        System.arraycopy(positions, until, rest, from, positions.length - until)
+        val byVal = scala.collection.mutable.HashMap
+          .empty[Long, (scala.collection.mutable.ArrayBuffer[Long], scala.collection.mutable.ArrayBuffer[Long])]
+        var m = 0
+        while (m < n) {
+          var key = 0L
+          var p = from
+          while (p < until) {
+            key = (key << 1) | ((shs(m) >>> positions(p)) & 1L)
+            p += 1
+          }
+          val e = byVal.getOrElseUpdate(key,
+            (scala.collection.mutable.ArrayBuffer.empty[Long],
+              scala.collection.mutable.ArrayBuffer.empty[Long]))
+          e._1 += ids(m)
+          e._2 += shs(m)
+          m += 1
+        }
+        byVal.valuesIterator.foreach { case (subIds, subShs) =>
+          if (subIds.length >= 2)
+            bucketPairsRecursive(subIds.toArray, subShs.toArray, rest, maxHamming, out)
+        }
+        g += 1
+      }
+    }
+  }
 
   /** Near-dup pairs with Hamming distance ≤ maxHamming, found by the
-    * 4-block trick: split 64 bits into (maxHamming+1) blocks — any pair
-    * within distance k agrees exactly on ≥1 block (pigeonhole), so
-    * block-equality buckets are a complete candidate set. */
+    * (maxHamming+1)-block pigeonhole trick: any pair within distance k
+    * agrees exactly on ≥ 1 of k+1 disjoint blocks, so block-equality
+    * buckets are a complete candidate set. Within each bucket, pairs
+    * come from [[bucketPairsRecursive]] — exact at any bucket size, so
+    * the shuffle carries only true pairs (no candidate-pair explosion
+    * and no silent cap loss). */
   def simhashNearDupPairs(
       docs: DataFrame,
       maxHamming: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxBucket: Int = 256): DataFrame = {
+      md5Based: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31, s"maxHamming out of range: $maxHamming")
     val blocks = maxHamming + 1
     val width = 64 / blocks
     // 1L << 64 wraps to 1 in JVM shift semantics; width==64 needs -1L
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sh = simhashes(docs, idCol, textCol)
+    val sh = simhashes(docs, idCol, textCol, md5Based)
     val withBlocks = sh.select(col("id"), col("simhash"),
       explode(expr(
         s"transform(sequence(0, ${blocks - 1}), b -> named_struct('block_idx', b, 'block_val', (simhash >> (b * $width)) & $mask))"
       )).as("blk"))
-    val buckets = withBlocks
-      .groupBy(col("blk.block_idx"), col("blk.block_val"))
+    val bucketPairsUdf = udf((blockIdx: Int, members: Seq[org.apache.spark.sql.Row]) => {
+      val ids = members.map(_.getLong(0)).toArray
+      val shsArr = members.map(_.getLong(1)).toArray
+      // remaining positions = all bits outside this block's span
+      val lo = blockIdx * width
+      val hi = math.min(64, lo + width)
+      val positions = (0 until 64).filter(p => p < lo || p >= hi).toArray
+      val out = scala.collection.mutable.HashSet.empty[(Long, Long, Long)]
+      bucketPairsRecursive(ids, shsArr, positions, maxHamming, out)
+      out.toSeq
+    })
+    withBlocks
+      .select(col("id"), col("simhash"),
+        col("blk.block_idx").as("block_idx"), col("blk.block_val").as("block_val"))
+      .groupBy(col("block_idx"), col("block_val"))
       .agg(collect_list(struct(col("id"), col("simhash"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-    val pairs = buckets.select(explode(pairsStructExpr(col("members"))).as("p"))
-      .select(col("p.a_id").as("id_a"), col("p.b_id").as("id_b"),
-        col("p.a_sh").as("sh_a"), col("p.b_sh").as("sh_b"))
+      .filter(size(col("members")) >= 2)
+      .select(explode(bucketPairsUdf(col("block_idx"), col("members"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("hamming"))
       .distinct()
-    pairs
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
-  }
-
-  private def pairsStructExpr(members: Column): Column = {
-    val sorted = array_sort(members)
-    flatten(transform(sorted, (x, i) =>
-      transform(slice(sorted, i + lit(2), size(sorted)), y =>
-        struct(x.getField("id").as("a_id"), y.getField("id").as("b_id"),
-          x.getField("simhash").as("a_sh"), y.getField("simhash").as("b_sh")))))
   }
 
   // ---- fingerprinting ----
@@ -165,9 +265,23 @@ object DedupOps {
   private val winnowUdf = udf((text: String, n: Int, w: Int) =>
     Hashing.winnow(if (text == null) "" else text, n, w))
 
-  /** Winnowing fingerprints per doc (rolling-hash min-sampling). */
+  /** Winnowing fingerprints per doc (rolling-hash min-sampling),
+    * fingerprint set as an array column — the fast in-engine form. */
   def fingerprints(docs: DataFrame, shingleN: Int = 4, window: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("id"),
       winnowUdf(col(textCol), lit(shingleN), lit(window)).as("fingerprint"))
+
+  private val winnowHexUdf = udf((text: String, n: Int, w: Int) =>
+    Hashing.winnowMd5Hex(if (text == null) "" else text, n, w))
+
+  /** Winnowing fingerprints as exploded scalar rows (doc_id, fp) with
+    * md5-hex shingle hashes — engine-portable (the DuckDB oracle
+    * recomputes the identical fingerprints) and array-free for the
+    * driver's row-sorted compare. */
+  def fingerprintRows(docs: DataFrame, shingleN: Int = 4, window: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      explode(winnowHexUdf(col(textCol), lit(shingleN), lit(window))).as("fp"))
+      .orderBy(col(idCol), col("fp"))
 }

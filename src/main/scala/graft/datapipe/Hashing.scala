@@ -118,6 +118,42 @@ object Hashing {
     out
   }
 
+  /** Little-endian u64 of md5 bytes 8..15 — exactly DuckDB's
+    * `md5_number_lower`, so simhashes built from it are recomputable by
+    * the SQL oracle (engine-portable, unlike [[fnv64]]). */
+  def md5Low64(token: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+    h
+  }
+
+  /** 64-bit SimHash over md5-derived token hashes (see [[md5Low64]]).
+    * Same majority-vote construction as [[simhash]]; the md5 token hash
+    * makes the result reproducible in any engine with md5. */
+  def simhashMd5(text: String): Long = {
+    val toks = text.toLowerCase.split("\\s+")
+    val acc = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      if (toks(t).nonEmpty) {
+        val h = md5Low64(toks(t))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** Exact Jaccard of two sorted distinct hash arrays. */
   def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0
@@ -128,6 +164,60 @@ object Hashing {
       else j += 1
     }
     inter.toDouble / (a.length + b.length - inter)
+  }
+
+  /** Intersection and union sizes of two sorted distinct hash arrays —
+    * the integer-exact form of Jaccard (numerator/denominator), safe
+    * for cross-engine hash comparison. */
+  def jaccardCounts(a: Array[Long], b: Array[Long]): (Int, Int) = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    (inter, a.length + b.length - inter)
+  }
+
+  /** Winnowing fingerprints with md5-hex shingle hashes: shingle = n
+    * consecutive lowercased tokens joined by ' ', hash = first 16 hex
+    * chars of its md5. Fixed-width hex compares lexicographically ==
+    * numerically, so per-window minima match any engine's min(). Same
+    * window/min/dedup structure as [[winnow]]. */
+  def winnowMd5Hex(text: String, shingleSize: Int, window: Int): Array[String] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) return Array.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex16(s: String): String = {
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new java.lang.StringBuilder(16)
+      var i = 0
+      while (i < 8) {
+        sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+        sb.append(Character.forDigit(d(i) & 0xf, 16))
+        i += 1
+      }
+      sb.toString
+    }
+    if (toks.length < shingleSize) return Array(hex16(toks.mkString(" ")))
+    val n = toks.length - shingleSize + 1
+    val hashes = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      hashes(i) = hex16(toks.slice(i, i + shingleSize).mkString(" "))
+      i += 1
+    }
+    if (n <= window) return Array(hashes.min)
+    val out = new java.util.LinkedHashSet[String]()
+    var w = 0
+    while (w + window <= n) {
+      var m = hashes(w)
+      var k = 1
+      while (k < window) { if (hashes(w + k).compareTo(m) < 0) m = hashes(w + k); k += 1 }
+      out.add(m)
+      w += 1
+    }
+    out.toArray(new Array[String](out.size))
   }
 
   /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken,

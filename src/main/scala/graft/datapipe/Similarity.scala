@@ -155,30 +155,101 @@ object Similarity {
     topKRanked(scored, k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: all corpus pairs with
-    * cosine ≥ threshold, blocked through IVF cells (pairs within a cell
-    * only — the embedding analog of LSH bucketing). */
+  @inline private def unit(v: Array[Float]): Array[Float] = {
+    val n = norm(v)
+    if (n == 0.0) v
+    else {
+      val out = new Array[Float](v.length)
+      var i = 0
+      while (i < v.length) { out(i) = (v(i) / n).toFloat; i += 1 }
+      out
+    }
+  }
+
+  @inline private def euclid(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: EVERY corpus pair with
+    * cosine ≥ threshold — exact, via metric cell blocking with a
+    * triangle-inequality completeness guarantee (unlike multi-probe
+    * heuristics, which were measured to miss boundary pairs).
+    *
+    * On unit vectors cos(u,v) ≥ t ⟺ ‖u−v‖ ≤ r = √(2(1−t)). Each vector
+    * is assigned to its single nearest unit centroid; per-cell radii
+    * R_c = max member distance are collected (nCells doubles — driver
+    * scale-safe). A qualifying pair in cells (i,j) forces
+    * d(c_i,c_j) ≤ R_i + R_j + r (triangle inequality), so only those
+    * cell pairs are joined. At near-dup thresholds (t → 1, r → 0) this
+    * prunes toward adjacent cells only — near-linear candidates; as
+    * t → 0 it degrades gracefully to the full (still correct) join.
+    * Requires threshold > 0 (zero-norm vectors have cos = 0 by
+    * convention and are excluded from blocking). */
   def cosineNearDupPairs(
       corpus: DataFrame,
       threshold: Double,
       nCells: Int = 16,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    require(threshold > 0.0, s"threshold must be > 0, got $threshold")
     val spark = corpus.sparkSession
-    val centroids = trainCentroids(corpus, nCells, idCol, vecCol)
+    val centroids = trainCentroids(corpus, nCells, idCol, vecCol).map(unit)
     val bc = spark.sparkContext.broadcast(centroids)
-    // assign each vector to its 2 nearest cells so cross-boundary
-    // near-dups are not missed (multi-probe assignment)
-    val assignUdf = udf((v: Seq[Float]) => nearestCells(bc.value, v.toArray, 2))
-    val a = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("cell", explode(assignUdf(col("vec"))))
-    val b = a.select(col("cell"), col("id").as("id2"), col("vec").as("vec2"))
-    a.join(b, Seq("cell"))
+    val r = math.sqrt(math.max(0.0, 2.0 * (1.0 - threshold)))
+    // (cell, distance-to-centroid) of the normalized vector
+    val assignUdf = udf((v: Seq[Float]) => {
+      val u = unit(v.toArray)
+      val cs = bc.value
+      var best = 0
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        val d = euclid(cs(i), u)
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      (best, bestD)
+    })
+    val assigned = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .filter(normUdf(col("vec")) > 0.0)
+      .withColumn("ad", assignUdf(col("vec")))
+      .select(col("id"), col("vec"), col("ad._1").as("cell"), col("ad._2").as("cdist"))
+    assigned.cache()
+    val radii = new Array[Double](centroids.length)
+    assigned.groupBy(col("cell")).agg(max(col("cdist")).as("radius"))
+      .collect().foreach(row => radii(row.getInt(0)) = row.getDouble(1))
+    // admissible ordered cell pairs (symmetric, so id<id2 sees each
+    // unordered vector pair through exactly one ordered cell combo)
+    val cellPairs = for {
+      i <- centroids.indices
+      j <- centroids.indices
+      if euclid(centroids(i), centroids(j)) <= radii(i) + radii(j) + r
+    } yield (i, j)
+    import spark.implicits._
+    val cp = cellPairs.toDF("cell_a", "cell_b")
+    val a = assigned.select(col("cell").as("cell_a"), col("id"), col("vec"))
+    val b = assigned.select(col("cell").as("cell_b"), col("id").as("id2"), col("vec").as("vec2"))
+    a.join(broadcast(cp), Seq("cell_a"))
+      .join(b, Seq("cell_b"))
       .filter(col("id") < col("id2"))
       .withColumn("sim", cosineUdf(col("vec"), col("vec2")))
       .filter(col("sim") >= threshold)
       .select(col("id").as("id_a"), col("id2").as("id_b"), round(col("sim"), 4).as("sim"))
-      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  private val normUdf = udf((v: Seq[Float]) => {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    math.sqrt(s)
+  })
 }

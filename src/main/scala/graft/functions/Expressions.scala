@@ -44,10 +44,31 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 64-bit SimHash over md5-derived token hashes (engine-portable: the
+  * token hash is DuckDB's md5_number_lower, so the DuckDB oracle can
+  * recompute the same simhash — Hashing.simhashMd5). The FNV-based
+  * [[SimHashExpr]] remains the cheaper throughput path. */
+case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64_md5"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.datapipe.Hashing.simhashMd5(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.datapipe.Hashing.simhashMd5($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5Expr =
+    copy(child = newChild)
+}
+
 object Expressions {
   import org.apache.spark.sql.graftbridge.Bridge
   def bio_token_count(c: Column): Column =
     Bridge.column(BioTokenCountExpr(Bridge.expression(c)))
   def simhash64(c: Column): Column =
     Bridge.column(SimHashExpr(Bridge.expression(c)))
+  def simhash64_md5(c: Column): Column =
+    Bridge.column(SimHashMd5Expr(Bridge.expression(c)))
 }

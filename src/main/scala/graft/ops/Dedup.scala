@@ -26,9 +26,14 @@ object Dedup {
   def latestVersion(spark: SparkSession, parsed: Dataset[Publication]): Dataset[Publication] = {
     import spark.implicits._
     val df = parsed.toDF()
+    // Ordering key is (filename, is_deleted): ties on filename — one
+    // file carrying both a revision and a tombstone for the same PMID —
+    // deterministically resolve to the tombstone (false < true), instead
+    // of max_by's first-of-max encounter order.
     val latest = df
       .groupBy(col("pub_id"))
-      .agg(max_by(struct(df.columns.map(col).toIndexedSeq: _*), col("filename")).as("latest"))
+      .agg(max_by(struct(df.columns.map(col).toIndexedSeq: _*),
+        struct(col("filename"), col("is_deleted"))).as("latest"))
       .select(col("latest.*"))
     latest.as[Publication]
   }

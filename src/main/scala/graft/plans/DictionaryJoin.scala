@@ -55,20 +55,28 @@ case class AutomatonJoinExec(
     // assumption BroadcastNestedLoopJoin's broadcast side makes)
     val buildRows = right.executeCollect()
     val builder = AhoCorasick.builder[List[InternalRow]]
+    // contains(text, '') is TRUE for every non-null text — empty-string
+    // surfaces can't live in the automaton (it has no empty patterns),
+    // so they are collected separately and emitted for every left row,
+    // keeping this strategy result-identical to BroadcastNestedLoopJoin.
+    val emptySurfaceRows = List.newBuilder[InternalRow]
     buildRows.foreach { row =>
       val s = surfaceBound.eval(row)
       if (s != null) {
         val surface = s.asInstanceOf[UTF8String].toString
         if (surface.nonEmpty)
           builder.add(surface, List(row.copy()), (old, add) => add.head :: old)
+        else emptySurfaceRows += row.copy()
       }
     }
     val automaton = builder.build()
     val bc = sparkContext.broadcast(automaton)
+    val bcEmpty = sparkContext.broadcast(emptySurfaceRows.result())
     val textBound = BindReferences.bindReference(textExpr, left.output)
 
     left.execute().mapPartitions { iter =>
       val auto = bc.value
+      val always = bcEmpty.value
       iter.flatMap { leftRow =>
         val t = textBound.eval(leftRow)
         if (t == null) Iterator.empty
@@ -81,6 +89,7 @@ case class AutomatonJoinExec(
           val seen = java.util.Collections.newSetFromMap(
             new java.util.IdentityHashMap[List[InternalRow], java.lang.Boolean]())
           val out = List.newBuilder[InternalRow]
+          always.foreach(r => out += new JoinedRow(leftRow, r).copy())
           auto.scan(text) { (_, _, rows) =>
             if (seen.add(rows)) {
               rows.foreach { r =>

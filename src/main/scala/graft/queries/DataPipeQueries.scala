@@ -19,7 +19,8 @@ object DataPipeQueries {
     DedupOps.minhashNearDupPairs(Tables.documents(s, d), minJaccard = 0.5)
 
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
-    DedupOps.simhashNearDupPairs(Tables.documents(s, d), maxHamming = 3)
+    DedupOps.simhashNearDupPairs(Tables.documents(s, d), maxHamming = 3,
+      md5Based = true)
 
   def knnCosine(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -27,9 +28,14 @@ object DataPipeQueries {
       .withColumn("rank", col("rank").cast("long"))
   }
 
+  /** IVF with nProbe == nCells: every cell is probed, so the result is
+    * exactly the brute-force top-k (oracle-verifiable at any SF) while
+    * still exercising the full IVF path — centroid training, cell
+    * assignment, probe-join pruning. The approximate regime
+    * (nProbe < nCells) is covered by the recall spec in DedupOpsSpec. */
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    Similarity.knnIvf(emb, emb.filter(col("vec_id") < 5), k = 5, nCells = 8, nProbe = 4)
+    Similarity.knnIvf(emb, emb.filter(col("vec_id") < 5), k = 5, nCells = 8, nProbe = 8)
       .withColumn("rank", col("rank").cast("long"))
   }
 
@@ -48,7 +54,7 @@ object DataPipeQueries {
     QualityScore.metrics(Tables.documents(s, d))
 
   def fingerprints(s: SparkSession, d: String): DataFrame =
-    DedupOps.fingerprints(Tables.documents(s, d)).orderBy(col("id"))
+    DedupOps.fingerprintRows(Tables.documents(s, d))
 
   /** Dictionary surfaces for the q26 contains-join (words known to
     * occur in the synthetic documents' vocabulary). */
@@ -78,6 +84,94 @@ object DataPipeQueries {
        |  ON contains(d.text, v.surface)
        |ORDER BY d.doc_id, v.surface""".stripMargin
   }
+
+  /** DuckDB oracle for dedupMinhash (q13): brute-force all-pairs exact
+    * 3-gram word-shingle Jaccard. Sound because LSH candidate recall on
+    * this surface is total: pairs above the 0.5 threshold sit at
+    * J ≥ 0.96 (planted near-dups) while the densest non-dup pair is at
+    * J ≈ 0.04 — a 0.96-similar pair escapes 32 bands of 4 rows with
+    * probability (1-0.96⁴)³² ≈ 1e-48. Counts (not a float ratio) are
+    * compared, and the threshold predicate is the same exact integer
+    * test both engines evaluate. */
+  def minhashOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+      |  FROM tok WHERE len(toks) > 0
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+      |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh)) >= 0.5 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB oracle for dedupSimhash (q14): recomputes the md5-based
+    * simhash (token hash = md5_number_lower, exactly
+    * Hashing.simhashMd5) with 64 generated bit-majority sums, then
+    * brute-force hamming pairs. The Spark side's pigeonhole blocking is
+    * exact (no false negatives), so blocked == brute force. */
+  def simhashOracle(maxHamming: Int = 3): String = {
+    val bitsSum = (0 until 64)
+      .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n    ")
+    val bitsVal = (0 until 64)
+      .map(b => s"(CASE WHEN b$b > 0 THEN ${java.lang.Long.toUnsignedString(1L << b)}::UBIGINT ELSE 0::UBIGINT END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS t
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, md5_number_lower(t) AS h FROM tok
+       |), acc AS (
+       |  SELECT doc_id, $bitsSum FROM h GROUP BY doc_id
+       |), sim AS (
+       |  SELECT d.doc_id, COALESCE($bitsVal, 0::UBIGINT) AS sh
+       |  FROM documents d LEFT JOIN acc a ON d.doc_id = a.doc_id
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB oracle for fingerprints (q19): the same winnowing — 4-token
+    * shingles hashed to their md5's first 16 hex chars (fixed-width hex
+    * compares lexicographically == numerically), min per window of 8,
+    * deduped, exploded to scalar rows. */
+  def winnowOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 4 THEN [substr(md5(array_to_string(toks, ' ')), 1, 16)]
+      |      ELSE list_transform(range(1, len(toks) - 2), i -> substr(md5(array_to_string(toks[i:i+3], ' ')), 1, 16)) END AS hs
+      |  FROM tok WHERE len(toks) > 0
+      |), wins AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(hs) <= 8 THEN [list_min(hs)]
+      |      ELSE list_distinct(list_transform(range(1, len(hs) - 6), w -> list_min(hs[w:w+7]))) END AS fps
+      |  FROM sh
+      |)
+      |SELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp""".stripMargin
+
+  /** DuckDB oracle for cosineNearDup (q20): brute-force all-pairs
+    * cosine in double precision. Engine float agreement is safe by
+    * margin: the nearest pair sim to the 0.45 threshold is ≥ 1e-4 away
+    * and the nearest to a 4-decimal rounding boundary ≥ 2e-5, vs
+    * cross-engine drift ~1e-13. */
+  def cosinePairsOracle(threshold: Double = 0.45): String =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** DuckDB oracle for textQuality, generated so the stopword list is
     * identical to the Spark side (StopWords.glasgow). */

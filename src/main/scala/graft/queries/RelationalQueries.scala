@@ -215,6 +215,143 @@ object RelationalQueries {
         max(month(col("o_orderdate"))).as("max_month"))
       .orderBy(col("y"), col("q"))
 
+  /** Running/frame window functions: cumulative count + spend, lag/lead
+    * neighbors per customer. Ordering key (o_orderdate, o_orderkey) is
+    * unique per partition, so the default RANGE frame has no peer rows
+    * and both engines' prefix sums are identical; the running decimal
+    * sum is order-sensitive but exact. */
+  def q30WindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      row_number().over(w).cast("long").as("order_seq"),
+      sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+        .cast("double").as("running_spend"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+      lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Ranking window family: ntile, rank, dense_rank, percent_rank.
+    * percent_rank = (rank-1)/(n-1) — the same two-integer division on
+    * both engines, hence bit-identical. */
+  def q31RankNtile(s: SparkSession, d: String): DataFrame = {
+    val byPrice = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byPrio = Window.orderBy(col("o_orderpriority"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      ntile(4).over(byPrice).cast("long").as("price_quartile"),
+      rank().over(byPrio).cast("long").as("prio_rank"),
+      dense_rank().over(byPrio).cast("long").as("prio_dense_rank"),
+      percent_rank().over(byPrice).as("price_pct_rank"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** INTERSECT / EXCEPT set operations (distinct semantics on both
+    * engines): customers with an open order and a >100k order, minus
+    * anyone with a failed order. */
+  def q32SetOps(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val big = o.filter(col("o_totalprice") > 100000.0).select(col("o_custkey"))
+    val failed = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    open.intersect(big).except(failed).orderBy(col("o_custkey"))
+  }
+
+  /** Generator/explode + aggregation: top-100 tokens across documents
+    * (the flatMap→count shape of the reference's term counting, run
+    * distributed instead of per-row). */
+  def q33TokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(100)
+
+  private val pivotPriorities = Seq(
+    "1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high", "3-MEDIUM" -> "p3_medium",
+    "4-NOT SPECIFIED" -> "p4_not_specified", "5-LOW" -> "p5_low")
+
+  /** Pivot (wide conditional aggregation): order counts per year ×
+    * priority. Fixed pivot values; empty cells coalesced to 0 to match
+    * the oracle's SUM(CASE). */
+  def q34Pivot(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .pivot("o_orderpriority", pivotPriorities.map(_._1))
+      .agg(count(lit(1)))
+    base.select(
+      (col("y") +: pivotPriorities.map { case (v, alias) =>
+        coalesce(col(s"`$v`"), lit(0L)).as(alias)
+      }): _*)
+      .orderBy(col("y"))
+  }
+
+  def q34PivotOracle: String = {
+    val cases = pivotPriorities.map { case (v, alias) =>
+      s"CAST(SUM(CASE WHEN o_orderpriority = '$v' THEN 1 ELSE 0 END) AS BIGINT) AS $alias"
+    }.mkString(",\n ")
+    s"""SELECT CAST(year(o_orderdate) AS INT) AS y,
+       | $cases
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Explicit GROUPING SETS with grouping_id (beyond q7/q24's
+    * rollup/cube). */
+  def q35GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem_gs")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        COUNT(*) AS n, CAST(SUM(l_quantity) AS DOUBLE) AS qty
+      FROM g_lineitem_gs
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                              (l_returnflag, l_linestatus), ())
+      ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+  }
+
+  /** Date-range theta join: lineitems shipped within 30 days of their
+    * order's date (equi key + range predicate — Catalyst plans the equi
+    * part as the join key and the range as a post-filter, so no
+    * nested-loop explosion). */
+  def q36RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= date_add(col("o_orderdate"), 30))
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n_shipped_30d"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** As-of join shape: each purchase event joined to the most recent
+    * strictly-prior click of the same user — last(ignoreNulls) over a
+    * [unbounded, -1] row frame, the window formulation of as-of (one
+    * shuffle by user, no range self-join). */
+  def q37AsofPrevClick(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("prev_click_id",
+        last(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("prev_click_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Ordered string aggregation (listagg shape): deterministic via
+    * array_sort before joining — collect_list order is not. */
+  def q38ListAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(array_join(array_sort(collect_list(col("o_orderstatus"))), ",").as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_custkey"))
+
   /** Correlated-scalar shape (TPC-H Q17-like): lineitems below 20% of
     * the part's average quantity. */
   def q10AvgQtyFilter(s: SparkSession, d: String): DataFrame = {

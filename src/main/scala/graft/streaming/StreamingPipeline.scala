@@ -40,11 +40,16 @@ object StreamingPipeline {
         case (_, versions, state: GroupState[VersionState]) =>
           val incoming = versions.toSeq
           val currentBest = state.getOption
-          // latest by lexicographic filename (reference main.py:585).
+          // latest by lexicographic filename (reference main.py:585),
+          // tombstones winning filename ties (same determinism rule as
+          // the batch Dedup.latestVersion).
           // Strictly-newer check: re-delivery of an already-applied file
           // (source replay after restart) must not re-emit the row.
-          val incomingBest = incoming.maxBy(_.filename)
-          if (currentBest.forall(_.filename < incomingBest.filename)) {
+          val versionOrd = Ordering.Tuple2[String, Boolean]
+          val incomingBest = incoming.maxBy(p => (p.filename, p.is_deleted))(versionOrd)
+          if (currentBest.forall(c => versionOrd.lt(
+              (c.filename, c.isDeleted),
+              (incomingBest.filename, incomingBest.is_deleted)))) {
             state.update(VersionState(incomingBest.filename, incomingBest.is_deleted))
             if (incomingBest.is_deleted) Iterator.empty
             else Iterator.single(incomingBest)

@@ -155,10 +155,14 @@ object AbbreviationFinder {
     } yield Abbreviation(cand, definition)
   }
 
-  /** First-wins map short → long (reference AbbreviationFinder.py:62-68). */
+  /** First-wins map short → long (reference AbbreviationFinder.py:62-68).
+    * Order-preserving (ListMap): the reference's dict keeps insertion
+    * order, and expansion replace order matters when one short form is a
+    * substring of another (e.g. "FA" / "FAA") — iteration must follow
+    * discovery order, not hash order. */
   def findAsMap(text: String): Map[String, String] = {
     val m = mutable.LinkedHashMap.empty[String, String]
     find(text).foreach(a => if (!m.contains(a.short)) m(a.short) = a.long)
-    m.toMap
+    scala.collection.immutable.ListMap(m.toSeq: _*)
   }
 }
