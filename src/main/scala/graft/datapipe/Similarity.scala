@@ -226,23 +226,59 @@ object Similarity {
     val radii = new Array[Double](centroids.length)
     assigned.groupBy(col("cell")).agg(max(col("cdist")).as("radius"))
       .collect().foreach(row => radii(row.getInt(0)) = row.getDouble(1))
-    // admissible ordered cell pairs (symmetric, so id<id2 sees each
-    // unordered vector pair through exactly one ordered cell combo)
+    // admissible unordered cell pairs i <= j (triangle inequality); each
+    // vector lives in exactly one cell, so a vector pair appears in at
+    // most one cell pair — no distinct needed
     val cellPairs = for {
       i <- centroids.indices
-      j <- centroids.indices
+      j <- i until centroids.length
       if euclid(centroids(i), centroids(j)) <= radii(i) + radii(j) + r
     } yield (i, j)
     import spark.implicits._
     val cp = cellPairs.toDF("cell_a", "cell_b")
-    val a = assigned.select(col("cell").as("cell_a"), col("id"), col("vec"))
-    val b = assigned.select(col("cell").as("cell_b"), col("id").as("id2"), col("vec").as("vec2"))
+    // join at CELL-pair granularity (≤ nCells² rows), not member-pair
+    // granularity: the quadratic scan runs inside the UDF over primitive
+    // arrays, so no per-candidate-pair rows cross an operator boundary
+    val cellMembers = assigned
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("id"), col("vec"))).as("ms"))
+    val a = cellMembers.select(col("cell").as("cell_a"), col("ms").as("ms_a"))
+    val b = cellMembers.select(col("cell").as("cell_b"), col("ms").as("ms_b"))
+    val scanUdf = udf((msA: Seq[org.apache.spark.sql.Row], msB: Seq[org.apache.spark.sql.Row], same: Boolean) => {
+      def unpack(ms: Seq[org.apache.spark.sql.Row]): (Array[Long], Array[Array[Float]]) = {
+        val ids = new Array[Long](ms.length)
+        val vecs = new Array[Array[Float]](ms.length)
+        var i = 0
+        ms.foreach { row =>
+          ids(i) = row.getLong(0)
+          vecs(i) = row.getSeq[Float](1).toArray
+          i += 1
+        }
+        (ids, vecs)
+      }
+      val (idsA, vecsA) = unpack(msA)
+      val (idsB, vecsB) = if (same) (idsA, vecsA) else unpack(msB)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < idsA.length) {
+        var j = if (same) i + 1 else 0
+        while (j < idsB.length) {
+          val s = cosine(vecsA(i), vecsB(j))
+          if (s >= threshold && idsA(i) != idsB(j)) {
+            val (x, y) = if (idsA(i) < idsB(j)) (idsA(i), idsB(j)) else (idsB(j), idsA(i))
+            out += ((x, y, s))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    })
     a.join(broadcast(cp), Seq("cell_a"))
       .join(b, Seq("cell_b"))
-      .filter(col("id") < col("id2"))
-      .withColumn("sim", cosineUdf(col("vec"), col("vec2")))
-      .filter(col("sim") >= threshold)
-      .select(col("id").as("id_a"), col("id2").as("id_b"), round(col("sim"), 4).as("sim"))
+      .select(explode(scanUdf(col("ms_a"), col("ms_b"), col("cell_a") === col("cell_b"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
+        round(col("p._3"), 4).as("sim"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
