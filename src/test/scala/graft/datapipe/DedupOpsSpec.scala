@@ -90,6 +90,58 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall") // nProbe=4 of 8 cells
   }
 
+  test("cosine near-dup blocking is EXACT: equals brute force at sf0.01") {
+    import spark.implicits._
+    val cos = udf((x: Seq[Float], y: Seq[Float]) =>
+      Similarity.cosine(x.toArray, y.toArray))
+    val a = emb.select(col("vec_id").as("id"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("vb"))
+    val exact = a.join(b, col("id") < col("id2"))
+      .withColumn("sim", cos(col("va"), col("vb")))
+      .filter(col("sim") >= 0.45)
+      .select("id", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Similarity.cosineNearDupPairs(emb, 0.45, nCells = 22)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == exact,
+      s"missing=${exact -- blocked} extra=${blocked -- exact}")
+  }
+
+  test("simhash recursive blocking is EXACT: equals brute force (oversized bucket)") {
+    import spark.implicits._
+    // 400 docs drawn from a tiny shared vocabulary so simhashes
+    // concentrate on few block values — the regime where a fixed bucket
+    // cap silently dropped pairs
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val rnd = new scala.util.Random(7)
+    val docsDf = (0 until 400).map { i =>
+      (i.toLong, Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val hashes = DedupOps.simhashes(docsDf, md5Based = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exact = (for {
+      (ia, sa) <- hashes; (ib, sb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val blocked = DedupOps.simhashNearDupPairs(docsDf, maxHamming = 3, md5Based = true)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == exact,
+      s"exact=${exact.size} blocked=${blocked.size} missing=${(exact -- blocked).take(5)}")
+  }
+
+  test("winnowMd5Hex matches winnow structure and is deterministic") {
+    val fp1 = Hashing.winnowMd5Hex("a b c d e f g h i j k l m n o p", 4, 4)
+    val fp2 = Hashing.winnowMd5Hex("a b c d e f g h i j k l m n o q", 4, 4)
+    assert(fp1.intersect(fp2).nonEmpty)
+    assert(fp1.sameElements(Hashing.winnowMd5Hex("a b c d e f g h i j k l m n o p", 4, 4)))
+    assert(fp1.forall(_.length == 16))
+    assert(Hashing.winnowMd5Hex("", 4, 8).isEmpty)
+    // md5Low64 matches DuckDB md5_number_lower('abc') = 8250560606382298838
+    assert(Hashing.md5Low64("abc") == 8250560606382298838L)
+  }
+
   test("winnow fingerprints: near-dup docs share most fingerprints") {
     val fp1 = Hashing.winnow("a b c d e f g h i j k l m n o p", 4, 4)
     val fp2 = Hashing.winnow("a b c d e f g h i j k l m n o q", 4, 4)
