@@ -96,15 +96,31 @@ object RelationalQueries {
       .orderBy(col("c_custkey"))
   }
 
-  /** Self-join co-occurrence — the LINK adjacency-matrix aggregation
-    * (SURVEY §2.3 J4): part pairs appearing in the same order. */
+  /** Self co-occurrence — the LINK adjacency-matrix aggregation
+    * (SURVEY §2.3 J4): part pairs appearing in the same order.
+    *
+    * Formulated as collect-per-key + in-map pair generation (the
+    * minhash-bucket pattern) instead of a self-join: one shuffle of the
+    * fact table by key, pairs expand inside the map stage via
+    * higher-order array functions (codegen), then one shuffle of the
+    * pair counts. A self-join of the fact table with itself either
+    * broadcasts the full table (what Catalyst picks at test scale —
+    * impossible at 100 TB) or shuffles it twice into a sort-merge join;
+    * this shape does neither. Top-100 lands in TakeOrderedAndProject
+    * (no extra shuffle). */
   def q6CoOccurrence(s: SparkSession, d: String): DataFrame = {
     val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    val a = l.as("a")
-    val b = l.as("b")
-    a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+    val pairs = {
+      val sorted = array_sort(col("parts"))
+      flatten(transform(sorted, (x, i) =>
+        transform(slice(sorted, i + lit(2), size(sorted)), y =>
+          struct(x.as("_1"), y.as("_2")))))
+    }
+    l.groupBy(col("l_orderkey"))
+      .agg(collect_list(col("l_partkey")).as("parts"))
+      .select(explode(pairs).as("pr"))
+      .filter(col("pr._1") < col("pr._2"))
+      .groupBy(col("pr._1").as("p1"), col("pr._2").as("p2"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("p1"), col("p2"))
       .limit(100)
