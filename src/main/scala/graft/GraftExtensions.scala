@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BioTokenCountExpr, SimHashExpr}
+import graft.functions.{BioTokenCountExpr, SimHashExpr, SimHashMd5Expr}
 
 /** SparkSessionExtensions entry point: registers the native graft
   * expressions as SQL functions so `spark.sql("SELECT simhash64(text)
@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(text) - 64-bit SimHash of the token stream"),
       ((args: Seq[Expression]) => SimHashExpr(args.head)): FunctionBuilder))
+    e.injectFunction((
+      FunctionIdentifier("simhash64_md5"),
+      info("simhash64_md5",
+        "simhash64_md5(text) - engine-portable 64-bit SimHash (md5 token hash)"),
+      ((args: Seq[Expression]) => SimHashMd5Expr(args.head)): FunctionBuilder))
     // rewrite contains(text, surface) inner joins into broadcast
     // Aho-Corasick scans (SURVEY §4 candidate strategy)
     e.injectPlannerStrategy(_ => graft.plans.DictionaryJoinStrategy)

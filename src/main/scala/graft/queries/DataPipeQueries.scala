@@ -102,12 +102,15 @@ object DataPipeQueries {
       |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
       |      ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
       |  FROM tok WHERE len(toks) > 0
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+      |    CAST(len(a.sh) + len(b.sh) AS BIGINT) AS sum_len
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
-      |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union
-      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |WHERE len(list_intersect(a.sh, b.sh)) >= 0.5 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      |SELECT id_a, id_b, n_inter, sum_len - n_inter AS n_union
+      |FROM pairs
+      |WHERE n_inter >= 0.5 * (sum_len - n_inter)
       |ORDER BY id_a, id_b""".stripMargin
 
   /** DuckDB oracle for dedupSimhash (q14): recomputes the md5-based

@@ -32,18 +32,29 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got.toSeq == texts.map(graft.datapipe.Hashing.simhash))
   }
 
+  test("native simhash64_md5 equals Hashing.simhashMd5") {
+    import spark.implicits._
+    val texts = Seq("the quick brown fox", "another document entirely", "")
+    val df = texts.toDF("text")
+    val got = df.select(Expressions.simhash64_md5(col("text"))).as[Long].collect()
+    assert(got.toSeq == texts.map(graft.datapipe.Hashing.simhashMd5))
+  }
+
   test("SQL function registration (the GraftExtensions builders)") {
     // getOrCreate would reuse the shared test session and skip
     // extensions, so drive the same builders through the registry
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHashExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64_md5",
+      exprs => SimHashMd5Expr(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("bio_token_count",
       exprs => BioTokenCountExpr(exprs.head), "scala_udf")
     val row = spark.sql(
-      "SELECT simhash64('a b c') AS h, bio_token_count('a b c d') AS n").head()
+      "SELECT simhash64('a b c') AS h, simhash64_md5('a b c') AS hm, bio_token_count('a b c d') AS n").head()
     assert(row.getLong(0) == graft.datapipe.Hashing.simhash("a b c"))
-    assert(row.getInt(1) == 4)
+    assert(row.getLong(1) == graft.datapipe.Hashing.simhashMd5("a b c"))
+    assert(row.getInt(2) == 4)
   }
 
   test("codegen plan contains the native expression, not a ScalaUDF") {
