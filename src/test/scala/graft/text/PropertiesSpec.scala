@@ -90,6 +90,19 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: jaccardCounts consistent with jaccardSorted") {
+    forAll(text, text) { (a, b) =>
+      val sa = Hashing.shingleSet(a, 2)
+      val sb = Hashing.shingleSet(b, 2)
+      val (inter, union) = Hashing.jaccardCounts(sa, sb)
+      assert(inter >= 0 && inter <= math.min(sa.length, sb.length))
+      assert(union == sa.length + sb.length - inter)
+      if (union > 0)
+        assert(Hashing.jaccardSorted(sa, sb) == inter.toDouble / union)
+      assert(Hashing.jaccardCounts(sb, sa) == ((inter, union)))
+    }
+  }
+
   test("property: minhash estimate approximates exact jaccard") {
     // identical → estimate 1; disjoint-ish → estimate low
     forAll(text.suchThat(_.split(" ").count(_.nonEmpty) > 5)) { t =>
