@@ -55,6 +55,7 @@ object SparkEntry {
     "q36_range_join" -> (RelationalQueries.q36RangeJoin _),
     "q37_asof_prev_click" -> (RelationalQueries.q37AsofPrevClick _),
     "q38_listagg" -> (RelationalQueries.q38ListAgg _),
+    "q39_json_funcs" -> (RelationalQueries.q39JsonFuncs _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -252,5 +253,14 @@ object SparkEntry {
         | string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
         | COUNT(*) AS n
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q39_json_funcs" ->
+      """SELECT event_type, COUNT(k) AS n_k,
+        | CAST(SUM(k) AS BIGINT) AS sum_k,
+        | CAST(MIN(k) AS BIGINT) AS min_k,
+        | CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

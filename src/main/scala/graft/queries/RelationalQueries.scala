@@ -368,6 +368,24 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy(col("o_custkey"))
 
+  /** JSON scalar functions (SURVEY §2.7 F4/F5 on the query surface):
+    * from_json with an explicit schema AND get_json_object path
+    * extraction over the events.props JSON column, aggregated. */
+  def q39JsonFuncs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val propsSchema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), propsSchema).getField("k").as("k"),
+        get_json_object(col("props"), "$.k").cast("long").as("k2"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k2")).as("min_k"),
+        max(col("k2")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   /** Correlated-scalar shape (TPC-H Q17-like): lineitems below 20% of
     * the part's average quantity. */
   def q10AvgQtyFilter(s: SparkSession, d: String): DataFrame = {
