@@ -82,17 +82,9 @@ object DedupOps {
       .filter(size(col("members")).between(2, maxBucket))
     // pairs within bucket (sorted, i<j), then global distinct
     buckets
-      .select(explode(pairsExpr(col("members"))).as("pair"))
+      .select(explode(graft.functions.ArrayPairs.orderedPairs(col("members"))).as("pair"))
       .select(col("pair._1").as("id_a"), col("pair._2").as("id_b"))
       .distinct()
-  }
-
-  /** array<long> → array<struct<_1,_2>> of ordered pairs, built from
-    * built-in higher-order functions (stays in codegen). */
-  private def pairsExpr(members: Column): Column = {
-    val sorted = array_sort(members)
-    flatten(transform(sorted, (x, i) =>
-      transform(slice(sorted, i + lit(2), size(sorted)), y => struct(x.as("_1"), y.as("_2")))))
   }
 
   /** Near-duplicate pairs: LSH candidates verified with exact n-gram

@@ -110,15 +110,9 @@ object RelationalQueries {
     * (no extra shuffle). */
   def q6CoOccurrence(s: SparkSession, d: String): DataFrame = {
     val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    val pairs = {
-      val sorted = array_sort(col("parts"))
-      flatten(transform(sorted, (x, i) =>
-        transform(slice(sorted, i + lit(2), size(sorted)), y =>
-          struct(x.as("_1"), y.as("_2")))))
-    }
     l.groupBy(col("l_orderkey"))
       .agg(collect_list(col("l_partkey")).as("parts"))
-      .select(explode(pairs).as("pr"))
+      .select(explode(graft.functions.ArrayPairs.orderedPairs(col("parts"))).as("pr"))
       .filter(col("pr._1") < col("pr._2"))
       .groupBy(col("pr._1").as("p1"), col("pr._2").as("p2"))
       .agg(count(lit(1)).as("cnt"))

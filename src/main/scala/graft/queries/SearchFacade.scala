@@ -74,16 +74,19 @@ object SearchFacade {
   }
 
   /** Entity-level co-occurrence from the bioentities collection: tag
-    * pairs within the same publication (SURVEY §2.3 J4 alternative). */
+    * pairs within the same publication (SURVEY §2.3 J4 alternative).
+    * Collect-per-publication + in-map pair expansion — one shuffle of
+    * the tag rows, not a self-join (see ArrayPairs). */
   def entityCoOccurrence(bioentities: DataFrame): DataFrame = {
     val tags = bioentities
       .select(col("pub_id"), explode(col("entities")).as("e"))
       .select(col("pub_id"), col("e.reference").as("ref"))
       .distinct()
-    val t2 = tags.withColumnRenamed("ref", "ref2")
-    tags.join(t2, Seq("pub_id"))
-      .filter(col("ref") < col("ref2"))
-      .groupBy(col("ref"), col("ref2"))
+    tags.groupBy(col("pub_id"))
+      .agg(collect_list(col("ref")).as("refs"))
+      .select(explode(graft.functions.ArrayPairs.orderedPairs(col("refs"))).as("pr"))
+      .filter(col("pr._1") < col("pr._2"))
+      .groupBy(col("pr._1").as("ref"), col("pr._2").as("ref2"))
       .agg(count(lit(1)).as("n_publications"))
       .orderBy(col("n_publications").desc, col("ref"), col("ref2"))
   }
