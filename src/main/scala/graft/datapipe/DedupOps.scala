@@ -72,9 +72,15 @@ object DedupOps {
       numPerm: Int = NumPerm,
       bands: Int = Bands,
       maxBucket: Int = 64): DataFrame = {
-    val sigs = docs.select(
-      col(idCol).as("id"),
-      bandKeysUdf(minhashSigUdf(col(textCol), lit(numPerm), lit(shingleN)), lit(bands)).as("bands"))
+    // shingle-less documents (null/whitespace-only text) are excluded:
+    // they all share the degenerate all-MaxValue signature and would
+    // pair with each other at a meaningless 0/0 jaccard. trim-empty is
+    // exactly "no \\s+ tokens" (trim strips the same chars \\s matches).
+    val sigs = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(
+        col(idCol).as("id"),
+        bandKeysUdf(minhashSigUdf(col(textCol), lit(numPerm), lit(shingleN)), lit(bands)).as("bands"))
     val buckets = sigs
       .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
       .groupBy(col("band_idx"), col("band_key"))
@@ -209,10 +215,21 @@ object DedupOps {
   /** Near-dup pairs with Hamming distance ≤ maxHamming, found by the
     * (maxHamming+1)-block pigeonhole trick: any pair within distance k
     * agrees exactly on ≥ 1 of k+1 disjoint blocks, so block-equality
-    * buckets are a complete candidate set. Within each bucket, pairs
-    * come from [[bucketPairsRecursive]] — exact at any bucket size, so
-    * the shuffle carries only true pairs (no candidate-pair explosion
-    * and no silent cap loss). */
+    * buckets are a complete candidate set.
+    *
+    * Blocking runs over DISTINCT simhashes, not document rows:
+    *  1. group ids per simhash (one shuffle) — a corpus of mass
+    *     duplicates collapses to one row per distinct hash, so the
+    *     degenerate "everyone shares a block value" bucket holds 8-byte
+    *     hashes, not member structs;
+    *  2. identical-hash groups emit their internal pairs directly
+    *     (hamming 0);
+    *  3. distinct-hash buckets produce (hash_a, hash_b, hamming) pairs
+    *     via [[bucketPairsRecursive]] — exact at any bucket size — then
+    *     expand to id pairs by joining each side's id group back.
+    * The shuffle carries only true pairs; pair volume for duplicate-
+    * heavy corpora is inherent to the output (use exactDedup first when
+    * identical content should collapse instead of pairing). */
   def simhashNearDupPairs(
       docs: DataFrame,
       maxHamming: Int = 3,
@@ -224,32 +241,58 @@ object DedupOps {
     val width = 64 / blocks
     // 1L << 64 wraps to 1 in JVM shift semantics; width==64 needs -1L
     val mask = if (width == 64) -1L else (1L << width) - 1
+    // null-text docs have a null simhash: drop them (the oracle's sim
+    // CTE filters them identically); token-less non-null docs keep
+    // simhash 0 on both engines
     val sh = simhashes(docs, idCol, textCol, md5Based)
-    val withBlocks = sh.select(col("id"), col("simhash"),
+      .filter(col("simhash").isNotNull)
+    val groups = sh.groupBy(col("simhash")).agg(collect_list(col("id")).as("ids"))
+
+    // 1) intra-group: identical simhash ⇒ hamming 0
+    val intra = groups
+      .filter(size(col("ids")) >= 2)
+      .select(explode(graft.functions.ArrayPairs.orderedPairs(col("ids"))).as("pr"))
+      .select(col("pr._1").as("id_a"), col("pr._2").as("id_b"), lit(0L).as("hamming"))
+
+    // 2) inter-group: pigeonhole blocking over the distinct hashes
+    val withBlocks = groups.select(col("simhash"),
       explode(expr(
         s"transform(sequence(0, ${blocks - 1}), b -> named_struct('block_idx', b, 'block_val', (simhash >> (b * $width)) & $mask))"
       )).as("blk"))
-    val bucketPairsUdf = udf((blockIdx: Int, members: Seq[org.apache.spark.sql.Row]) => {
-      val ids = members.map(_.getLong(0)).toArray
-      val shsArr = members.map(_.getLong(1)).toArray
-      // remaining positions = all bits outside this block's span
+    val hashPairsUdf = udf((blockIdx: Int, hs: Seq[Long]) => {
+      val arr = hs.toArray
       val lo = blockIdx * width
       val hi = math.min(64, lo + width)
       val positions = (0 until 64).filter(p => p < lo || p >= hi).toArray
       val out = scala.collection.mutable.HashSet.empty[(Long, Long, Long)]
-      bucketPairsRecursive(ids, shsArr, positions, maxHamming, out)
+      // hashes are distinct here, so the "id" IS the hash; pairs come
+      // back (min, max, hamming ≥ 1)
+      bucketPairsRecursive(arr, arr, positions, maxHamming, out)
       out.toSeq
     })
-    withBlocks
-      .select(col("id"), col("simhash"),
+    val hashPairs = withBlocks
+      .select(col("simhash"),
         col("blk.block_idx").as("block_idx"), col("blk.block_val").as("block_val"))
       .groupBy(col("block_idx"), col("block_val"))
-      .agg(collect_list(struct(col("id"), col("simhash"))).as("members"))
-      .filter(size(col("members")) >= 2)
-      .select(explode(bucketPairsUdf(col("block_idx"), col("members"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("hamming"))
+      .agg(collect_list(col("simhash")).as("hashes"))
+      .filter(size(col("hashes")) >= 2)
+      .select(explode(hashPairsUdf(col("block_idx"), col("hashes"))).as("p"))
+      .select(col("p._1").as("sh_a"), col("p._2").as("sh_b"), col("p._3").as("hamming"))
       .distinct()
-      .orderBy(col("id_a"), col("id_b"))
+
+    // 3) expand distinct-hash pairs to id pairs (groups are disjoint, so
+    // each id pair arises exactly once; normalize orientation)
+    val ga = groups.select(col("simhash").as("sh_a"), col("ids").as("ids_a"))
+    val gb = groups.select(col("simhash").as("sh_b"), col("ids").as("ids_b"))
+    val inter = hashPairs
+      .join(ga, Seq("sh_a"))
+      .join(gb, Seq("sh_b"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("hamming"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("hamming"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+
+    intra.unionByName(inter).orderBy(col("id_a"), col("id_b"))
   }
 
   // ---- fingerprinting ----

@@ -118,28 +118,32 @@ object Hashing {
     out
   }
 
-  /** Little-endian u64 of md5 bytes 8..15 — exactly DuckDB's
-    * `md5_number_lower`, so simhashes built from it are recomputable by
-    * the SQL oracle (engine-portable, unlike [[fnv64]]). */
-  def md5Low64(token: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def md5Low64(md: java.security.MessageDigest, token: String): Long = {
+    val d = md.digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var h = 0L
     var i = 15
     while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
     h
   }
 
+  /** Little-endian u64 of md5 bytes 8..15 — exactly DuckDB's
+    * `md5_number_lower`, so simhashes built from it are recomputable by
+    * the SQL oracle (engine-portable, unlike [[fnv64]]). */
+  def md5Low64(token: String): Long =
+    md5Low64(java.security.MessageDigest.getInstance("MD5"), token)
+
   /** 64-bit SimHash over md5-derived token hashes (see [[md5Low64]]).
     * Same majority-vote construction as [[simhash]]; the md5 token hash
-    * makes the result reproducible in any engine with md5. */
+    * makes the result reproducible in any engine with md5. One
+    * MessageDigest per call, reused across tokens (digest() resets). */
   def simhashMd5(text: String): Long = {
     val toks = text.toLowerCase.split("\\s+")
     val acc = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
     var t = 0
     while (t < toks.length) {
       if (toks(t).nonEmpty) {
-        val h = md5Low64(toks(t))
+        val h = md5Low64(md, toks(t))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1

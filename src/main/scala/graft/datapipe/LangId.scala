@@ -113,8 +113,11 @@ object LangId {
     * same marker tables (mirrors the q18 generated-stopword-SQL idiom). */
   def oracleSql(idCol: String = "doc_id", textCol: String = "text",
       table: String = "documents"): String = {
+    // letters-of-script: strip non-letters first, then non-script —
+    // detect() counts codepoints that are BOTH isLetter and in the
+    // script (digits/marks carry a script in RE2 but are not letters)
     def scriptLen(cls: String) =
-      s"length(regexp_replace($textCol, '[^$cls]', '', 'g'))"
+      s"length(regexp_replace(regexp_replace($textCol, '[^\\p{L}]', '', 'g'), '[^$cls]', '', 'g'))"
     val scoreCols = markers.map { case (lang, ws, gs) =>
       val gramSum = gs.map(g =>
         s"(CASE WHEN contains(lt, '${g.replace("'", "''")}') THEN 1 ELSE 0 END)")

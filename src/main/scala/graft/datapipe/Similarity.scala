@@ -222,10 +222,14 @@ object Similarity {
       .filter(normUdf(col("vec")) > 0.0)
       .withColumn("ad", assignUdf(col("vec")))
       .select(col("id"), col("vec"), col("ad._1").as("cell"), col("ad._2").as("cdist"))
+    // cache only for the radii collection; the main job recomputes the
+    // (deterministic, cheap) assignment rather than pinning the corpus
+    // in executor storage for the session lifetime
     assigned.cache()
     val radii = new Array[Double](centroids.length)
     assigned.groupBy(col("cell")).agg(max(col("cdist")).as("radius"))
       .collect().foreach(row => radii(row.getInt(0)) = row.getDouble(1))
+    assigned.unpersist()
     // admissible unordered cell pairs i <= j (triangle inequality); each
     // vector lives in exactly one cell, so a vector pair appears in at
     // most one cell pair — no distinct needed

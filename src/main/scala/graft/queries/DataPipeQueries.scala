@@ -135,6 +135,7 @@ object DataPipeQueries {
        |), sim AS (
        |  SELECT d.doc_id, COALESCE($bitsVal, 0::UBIGINT) AS sh
        |  FROM documents d LEFT JOIN acc a ON d.doc_id = a.doc_id
+       |  WHERE d.text IS NOT NULL
        |)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming

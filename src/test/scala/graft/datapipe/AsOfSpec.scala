@@ -51,6 +51,15 @@ class AsOfSpec extends AnyFunSuite {
     val events = graft.util.Tables.events(spark, "/root/testdata/sf0.001")
     val purchases = events.filter(col("event_type") === "purchase")
     val clicks = events.filter(col("event_type") === "click")
+    // Precondition: the equivalence needs no click/purchase (user, ts)
+    // collisions — q37's [unbounded,-1] row frame would include an
+    // equal-ts click with a smaller event_id, while strict as-of hides
+    // every equal-ts click. Fail loudly if the generator ever changes.
+    val collisions = purchases.select(col("user_id"), col("ts"))
+      .intersect(clicks.select(col("user_id"), col("ts"))).count()
+    assert(collisions == 0,
+      s"testdata now has $collisions click/purchase (user, ts) ties; " +
+        "strict as-of and the q37 row-frame window legitimately differ on ties")
     val viaOp = AsOf.asofJoin(
       purchases.select(col("event_id"), col("user_id"), col("ts")),
       clicks.select(col("event_id"), col("user_id"), col("ts")),

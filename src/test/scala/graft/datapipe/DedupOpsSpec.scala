@@ -51,6 +51,22 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(pairs.head.getAs[Long]("id_a") == 1L && pairs.head.getAs[Long]("id_b") == 2L)
   }
 
+  test("simhash near-dup pairs survive null and empty text rows") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"),
+      (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]),
+      (5L, "   "), (6L, ""))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.simhashNearDupPairs(df, maxHamming = 3, md5Based = true)
+      .collect() // must not NPE on the null simhashes
+    // identical docs pair at hamming 0; null-text docs are dropped;
+    // token-less docs (5, 6) share simhash 0 and pair with each other
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L
+      && r.getAs[Long]("hamming") == 0L))
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 5L && r.getAs[Long]("id_b") == 6L))
+    assert(!pairs.exists(r => r.getAs[Long]("id_a") == 3L || r.getAs[Long]("id_b") == 3L))
+  }
+
   test("minhash near-dup pairs survive null text rows") {
     import spark.implicits._
     val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"),
