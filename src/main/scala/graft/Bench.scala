@@ -75,9 +75,10 @@ object Bench {
           abstractText = Some(text), filename = "bench")
       }
     val nDocs = pubs.count()
-    // min of 2 runs: single-run wall time at this scale is dominated by
-    // scheduling noise
-    val enrichSec = (1 to 2).map { _ =>
+    // min of 3 runs: these two throughput numbers are the
+    // BASELINE-comparable headline; single-run wall time at this scale
+    // is dominated by host-contention noise
+    val enrichSec = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       Enrich.enrich(spark, pubs, vocab).write.mode("overwrite")
         .format("noop").save()
@@ -103,7 +104,7 @@ object Bench {
       Vocabulary("DISEASE", "OPENTARGETS", Seq("asthma", "schizophrenia",
         "autism", "cancer", "inflammation", "depression", "bipolar disorder")
         .map(d => d -> VocabEntry(Seq(s"EFO_$d"), d)).toMap))
-    val medSec = (1 to 2).map { _ =>
+    val medSec = (1 to 3).map { _ =>
       val tMed = System.nanoTime()
       val parsed = ops.MedlineParser.parse(spark,
         ops.MedlineSource.fragments(spark, s"$synthDir/*.xml.gz"))

@@ -57,6 +57,22 @@ object StreamingPipeline {
       }
   }
 
+  /** Streaming exact deduplication of a document stream by content
+    * hash: first arrival of each distinct text wins. State is bounded
+    * by the event-time watermark (`dropDuplicatesWithinWatermark` —
+    * duplicates separated by more than the watermark horizon are not
+    * suppressed; combine with a batch [[graft.datapipe.DedupOps]]
+    * sweep for full-history dedup, the standard lambda split at 100 TB).
+    * The state key is the 16-byte md5, never the document body. */
+  def dedupStream(docs: DataFrame,
+      tsCol: String = "ts",
+      textCol: String = "text",
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("text_md5", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   /** Watermarked tumbling-window event aggregation (generic streaming
     * agg; mirrors RelationalQueries.q8EventsHourly as a stream). */
   def eventsWindowed(events: DataFrame,

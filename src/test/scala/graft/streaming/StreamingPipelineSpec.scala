@@ -72,4 +72,31 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(clickHour10.get.getAs[Double]("total_value") == 3.0)
     query.stop()
   }
+
+  test("streaming exact dedup by content hash within watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val out = StreamingPipeline.dedupStream(docs, "ts", "text", "10 minutes")
+    val query = out.writeStream
+      .format("memory").queryName("dedup_docs")
+      .outputMode("append").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "alpha beta"),
+      (ts("2024-01-01 10:00:30"), 2L, "gamma delta"))
+    query.processAllAvailable()
+    // duplicate content inside the watermark horizon: suppressed
+    input.addData(
+      (ts("2024-01-01 10:01:00"), 3L, "alpha beta"),
+      (ts("2024-01-01 10:02:00"), 4L, "epsilon"))
+    query.processAllAvailable()
+
+    val ids = spark.table("dedup_docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L), s"got $ids")
+    query.stop()
+  }
 }
