@@ -56,6 +56,7 @@ object SparkEntry {
     "q37_asof_prev_click" -> (RelationalQueries.q37AsofPrevClick _),
     "q38_listagg" -> (RelationalQueries.q38ListAgg _),
     "q39_json_funcs" -> (RelationalQueries.q39JsonFuncs _),
+    "q40_dictionary_semi_join" -> (DataPipeQueries.dictionarySemiJoin _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -262,5 +263,6 @@ object SparkEntry {
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q40_dictionary_semi_join" -> DataPipeQueries.dictionarySemiJoinOracle,
   )
 }

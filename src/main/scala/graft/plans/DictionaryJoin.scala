@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Contains, Expression, JoinedRow}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,25 +29,34 @@ import graft.text.AhoCorasick
   */
 object DictionaryJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case Join(left, right, Inner, Some(Contains(textExpr, surfaceExpr)), _)
-        if textExpr.references.subsetOf(left.outputSet) &&
+    case Join(left, right, jt, Some(Contains(textExpr, surfaceExpr)), _)
+        if (jt == Inner || jt == LeftSemi || jt == LeftAnti) &&
+          textExpr.references.subsetOf(left.outputSet) &&
           surfaceExpr.references.subsetOf(right.outputSet) =>
-      AutomatonJoinExec(planLater(left), planLater(right), textExpr, surfaceExpr) :: Nil
+      AutomatonJoinExec(planLater(left), planLater(right), textExpr, surfaceExpr, jt) :: Nil
     case _ => Nil
   }
 }
 
 /** Physical automaton join: builds the Aho-Corasick automaton from the
   * collected build side, broadcasts it, and emits one joined row per
-  * (streamed row, matching build row). */
+  * (streamed row, matching build row) — or, for LeftSemi/LeftAnti, the
+  * left row alone when a match exists / doesn't. Anti-join null
+  * semantics follow BroadcastNestedLoopJoin exactly: contains(null, s)
+  * is null (not TRUE), so null-text rows have no matching right row and
+  * ARE emitted by anti. */
 case class AutomatonJoinExec(
     left: SparkPlan,
     right: SparkPlan,
     textExpr: Expression,
     surfaceExpr: Expression,
+    joinType: JoinType = Inner,
 ) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] = joinType match {
+    case LeftSemi | LeftAnti => left.output
+    case _ => left.output ++ right.output
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val surfaceBound = BindReferences.bindReference(surfaceExpr, right.output)
@@ -74,31 +83,52 @@ case class AutomatonJoinExec(
     val bcEmpty = sparkContext.broadcast(emptySurfaceRows.result())
     val textBound = BindReferences.bindReference(textExpr, left.output)
 
+    val jt = joinType
     left.execute().mapPartitions { iter =>
       val auto = bc.value
       val always = bcEmpty.value
-      iter.flatMap { leftRow =>
-        val t = textBound.eval(leftRow)
-        if (t == null) Iterator.empty
-        else {
-          val text = t.asInstanceOf[UTF8String].toString
-          // contains-semantics: one output row per matching build row,
-          // regardless of how many times the surface occurs (identity
-          // set, NOT identityHashCode ints — hash collisions would
-          // silently drop rows)
-          val seen = java.util.Collections.newSetFromMap(
-            new java.util.IdentityHashMap[List[InternalRow], java.lang.Boolean]())
-          val out = List.newBuilder[InternalRow]
-          always.foreach(r => out += new JoinedRow(leftRow, r).copy())
-          auto.scan(text) { (_, _, rows) =>
-            if (seen.add(rows)) {
-              rows.foreach { r =>
-                out += new JoinedRow(leftRow, r).copy()
+      jt match {
+        case LeftSemi | LeftAnti =>
+          val wantMatch = jt == LeftSemi
+          iter.filter { leftRow =>
+            val t = textBound.eval(leftRow)
+            // null text: contains(null, s) is null, never TRUE — no
+            // match, so semi drops the row and anti keeps it
+            val matched = t != null && {
+              val text = t.asInstanceOf[UTF8String].toString
+              if (always.nonEmpty) true
+              else {
+                var found = false
+                auto.scan(text) { (_, _, _) => found = true }
+                found
               }
             }
+            matched == wantMatch
           }
-          out.result().iterator
-        }
+        case _ =>
+          iter.flatMap { leftRow =>
+            val t = textBound.eval(leftRow)
+            if (t == null) Iterator.empty
+            else {
+              val text = t.asInstanceOf[UTF8String].toString
+              // contains-semantics: one output row per matching build
+              // row, regardless of how many times the surface occurs
+              // (identity set, NOT identityHashCode ints — hash
+              // collisions would silently drop rows)
+              val seen = java.util.Collections.newSetFromMap(
+                new java.util.IdentityHashMap[List[InternalRow], java.lang.Boolean]())
+              val out = List.newBuilder[InternalRow]
+              always.foreach(r => out += new JoinedRow(leftRow, r).copy())
+              auto.scan(text) { (_, _, rows) =>
+                if (seen.add(rows)) {
+                  rows.foreach { r =>
+                    out += new JoinedRow(leftRow, r).copy()
+                  }
+                }
+              }
+              out.result().iterator
+            }
+          }
       }
     }
   }

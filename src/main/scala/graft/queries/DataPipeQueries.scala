@@ -85,6 +85,28 @@ object DataPipeQueries {
        |ORDER BY d.doc_id, v.surface""".stripMargin
   }
 
+  /** Contains-dictionary SEMI join (EXISTS filter — "keep documents
+    * mentioning any surface"), planned through the same strategy as
+    * q26 but emitting each document once. */
+  def dictionarySemiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.experimental.extraStrategies =
+      Seq(graft.plans.DictionaryJoinStrategy)
+    val vocab = dictSurfaces.toDF("surface")
+    Tables.documents(s, d)
+      .join(vocab, expr("contains(text, surface)"), "left_semi")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dictionarySemiJoinOracle: String = {
+    val values = dictSurfaces.map(w => s"('$w')").mkString(", ")
+    s"""SELECT d.doc_id FROM documents d
+       |WHERE EXISTS (SELECT 1 FROM (VALUES $values) v(surface)
+       |              WHERE contains(d.text, v.surface))
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** DuckDB oracle for dedupMinhash (q13): brute-force all-pairs exact
     * 3-gram word-shingle Jaccard. Sound because LSH candidate recall on
     * this surface is total: pairs above the 0.5 threshold sit at

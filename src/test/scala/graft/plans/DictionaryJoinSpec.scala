@@ -59,4 +59,36 @@ class DictionaryJoinSpec extends AnyFunSuite {
     // doc 3 matches asthma once (not twice) + schizophrenia
     assert(f.count(_.contains("[3,")) == 2)
   }
+
+  test("semi and anti joins plan through the strategy with BNLJ-identical results") {
+    val (docs, vocab) = data
+    for (jt <- Seq("left_semi", "left_anti")) {
+      val fast = docs.join(vocab, expr("contains(text, surface)"), jt)
+      assert(fast.queryExecution.executedPlan.toString.contains("AutomatonJoin"),
+        s"$jt not planned through the strategy")
+      val base = graft.SparkTestSession.spark
+      import base.implicits._
+      val docsB = docs.collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSeq.toDF("doc_id", "text")
+      val vocabB = vocab.collect().map(r =>
+        (r.getString(0), r.getString(1))).toSeq.toDF("surface", "category")
+      val slow = docsB.join(vocabB, expr("contains(text, surface)"), jt)
+      val f = fast.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val s = slow.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(f == s, s"$jt: fast=$f slow=$s")
+    }
+    // anti keeps the null-text row (contains(null, s) is not TRUE)
+    val anti = docs.join(vocab, expr("contains(text, surface)"), "left_anti")
+    assert(anti.collect().map(_.getLong(0)).toSet == Set(2L, 4L))
+  }
+
+  test("empty-string surface: semi keeps every non-null text, anti only null") {
+    import spark.implicits._
+    val docs = Seq((1L, "anything"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val vocab = Seq("").toDF("surface")
+    val semi = docs.join(vocab, expr("contains(text, surface)"), "left_semi")
+    assert(semi.collect().map(_.getLong(0)).toSet == Set(1L))
+    val anti = docs.join(vocab, expr("contains(text, surface)"), "left_anti")
+    assert(anti.collect().map(_.getLong(0)).toSet == Set(2L))
+  }
 }
