@@ -19,6 +19,26 @@ import graft.text.{Vocabulary, VocabEntry}
   * ≈ 2 docs/s/core).
   */
 object Bench {
+
+  /** Shared MEDLINE bench fixture (also used by BenchProfile so the
+    * stage-level profile decomposes exactly this bench's corpus):
+    * generate-once synthetic gz corpus dir. */
+  def medlineFixtureDir(): String = {
+    val synthDir = "/tmp/graft_bench_medline"
+    if (!new java.io.File(s"$synthDir/pubmed20n0000.xml.gz").exists())
+      ops.MedlineGen.generate(synthDir, nFiles = 32, perFile = 700)
+    synthDir
+  }
+
+  /** Vocabulary matching MedlineGen's generated abstracts. */
+  val medlineVocab: Seq[Vocabulary] = Seq(
+    Vocabulary("GENE", "OPENTARGETS", Seq("ADRA1A", "PPP3CC", "NRG1",
+      "FGF17", "FGFR1", "PLK1", "c-ABL", "SFRP1", "CHRNA2", "DKK4")
+      .map(g => g -> VocabEntry(Seq(s"ENSG_$g"), g)).toMap),
+    Vocabulary("DISEASE", "OPENTARGETS", Seq("asthma", "schizophrenia",
+      "autism", "cancer", "inflammation", "depression", "bipolar disorder")
+      .map(d => d -> VocabEntry(Seq(s"EFO_$d"), d)).toMap))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -90,20 +110,12 @@ object Bench {
     // full MEDLINE-shaped pipeline: synthetic gz XML corpus →
     // source → parse → union-in-glob → dedup+tombstones → NLP enrich.
     // This is the wall-clock shape behind BASELINE's "30M docs in 4h".
-    val synthDir = "/tmp/graft_bench_medline"
-    if (!new java.io.File(s"$synthDir/pubmed20n0000.xml.gz").exists())
-      ops.MedlineGen.generate(synthDir, nFiles = 32, perFile = 700)
+    val synthDir = Bench.medlineFixtureDir()
     // throughput denominator = fragments actually parsed (update files
     // carry perFile/5 revisions, so nFiles*perFile would overstate ~18%)
     val nCitations = ops.MedlineParser.parse(spark,
       ops.MedlineSource.fragments(spark, s"$synthDir/*.xml.gz")).count()
-    val medVocab = Seq(
-      Vocabulary("GENE", "OPENTARGETS", Seq("ADRA1A", "PPP3CC", "NRG1",
-        "FGF17", "FGFR1", "PLK1", "c-ABL", "SFRP1", "CHRNA2", "DKK4")
-        .map(g => g -> VocabEntry(Seq(s"ENSG_$g"), g)).toMap),
-      Vocabulary("DISEASE", "OPENTARGETS", Seq("asthma", "schizophrenia",
-        "autism", "cancer", "inflammation", "depression", "bipolar disorder")
-        .map(d => d -> VocabEntry(Seq(s"EFO_$d"), d)).toMap))
+    val medVocab = Bench.medlineVocab
     val medSec = (1 to 3).map { _ =>
       val tMed = System.nanoTime()
       val parsed = ops.MedlineParser.parse(spark,

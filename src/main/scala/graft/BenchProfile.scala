@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.text.{VocabEntry, Vocabulary}
 
 /** Stage-level profile of the MEDLINE pipeline (diagnostic main, not
   * part of the driver contract): source+parse / +dedup / +enrich. */
@@ -14,16 +13,10 @@ object BenchProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val synthDir = "/tmp/graft_bench_medline"
-    if (!new java.io.File(s"$synthDir/pubmed20n0000.xml.gz").exists())
-      ops.MedlineGen.generate(synthDir, nFiles = 32, perFile = 700)
-    val vocab = Seq(
-      Vocabulary("GENE", "OPENTARGETS", Seq("ADRA1A", "PPP3CC", "NRG1",
-        "FGF17", "FGFR1", "PLK1", "c-ABL", "SFRP1", "CHRNA2", "DKK4")
-        .map(g => g -> VocabEntry(Seq(s"ENSG_$g"), g)).toMap),
-      Vocabulary("DISEASE", "OPENTARGETS", Seq("asthma", "schizophrenia",
-        "autism", "cancer", "inflammation", "depression", "bipolar disorder")
-        .map(d => d -> VocabEntry(Seq(s"EFO_$d"), d)).toMap))
+    // same corpus + vocab as Bench's medline_pipeline, so these stage
+    // timings decompose that exact number
+    val synthDir = Bench.medlineFixtureDir()
+    val vocab = Bench.medlineVocab
     def time(tag: String)(f: => Long): Unit = {
       val best = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

@@ -94,15 +94,8 @@ case class AutomatonJoinExec(
             val t = textBound.eval(leftRow)
             // null text: contains(null, s) is null, never TRUE — no
             // match, so semi drops the row and anti keeps it
-            val matched = t != null && {
-              val text = t.asInstanceOf[UTF8String].toString
-              if (always.nonEmpty) true
-              else {
-                var found = false
-                auto.scan(text) { (_, _, _) => found = true }
-                found
-              }
-            }
+            val matched = t != null && (always.nonEmpty ||
+              auto.exists(t.asInstanceOf[UTF8String].toString))
             matched == wantMatch
           }
         case _ =>

@@ -63,15 +63,18 @@ object StreamingPipeline {
     * duplicates separated by more than the watermark horizon are not
     * suppressed; combine with a batch [[graft.datapipe.DedupOps]]
     * sweep for full-history dedup, the standard lambda split at 100 TB).
-    * The state key is the 16-byte md5, never the document body. */
+    * The state key is the raw 16-byte md5 (unhex'd binary, not the
+    * 32-char hex string), never the document body; the helper column is
+    * dropped so the output schema equals the input schema. */
   def dedupStream(docs: DataFrame,
       tsCol: String = "ts",
       textCol: String = "text",
       watermark: String = "10 minutes"): DataFrame =
     docs
-      .withColumn("text_md5", md5(col(textCol)))
+      .withColumn("__text_md5", unhex(md5(col(textCol))))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("text_md5")
+      .dropDuplicatesWithinWatermark("__text_md5")
+      .drop("__text_md5")
 
   /** Watermarked tumbling-window event aggregation (generic streaming
     * agg; mirrors RelationalQueries.q8EventsHourly as a stream). */

@@ -57,6 +57,25 @@ final class AhoCorasick[V] private (
     }
   }
 
+  /** True iff any pattern occurs in `text` — returns on the FIRST hit
+    * instead of completing the scan (existence checks — semi/anti
+    * dictionary joins — only need one). */
+  def exists(text: CharSequence): Boolean = {
+    var s = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      s = step(s, text.charAt(i))
+      var o = s
+      while (o != -1) {
+        if (valueIdx(o) >= 0) return true
+        o = outputLink(o)
+      }
+      i += 1
+    }
+    false
+  }
+
   def nStates: Int = fail.length
 }
 

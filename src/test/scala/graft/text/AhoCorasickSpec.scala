@@ -44,6 +44,10 @@ class AhoCorasickSpec extends AnyFunSuite {
     (1 to 300).foreach { _ =>
       gen.apply(Gen.Parameters.default, seed).foreach { case (ws, t) =>
         assert(scanAll(t, ws) == bruteForce(t, ws), s"words=$ws text=$t")
+        // exists == "scan would report >= 1 match"
+        val b = AhoCorasick.builder[String]
+        ws.distinct.foreach(w => b.add(w, w))
+        assert(b.build().exists(t) == bruteForce(t, ws).nonEmpty, s"exists words=$ws text=$t")
       }
       seed = seed.next
     }
