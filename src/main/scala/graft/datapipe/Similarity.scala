@@ -286,6 +286,154 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // ---------------------------------------------------------------
+  // Product quantization (PQ): the memory-scale path for ANN. A d-dim
+  // float vector (d·4 bytes) compresses to m bytes — one codebook id
+  // per subspace — so a 100 TB embedding corpus scans as ~0.8 TB of
+  // codes. Queries score codes with an asymmetric-distance table (m×ks
+  // partial dot products, computed once per query) and optionally
+  // re-rank the top candidates exactly.
+  // ---------------------------------------------------------------
+
+  /** Per-subspace codebooks over UNIT vectors: [m][ks][d/m] floats.
+    * Deterministic: hash-ordered sample seeds + Lloyd refinement, the
+    * same recipe as [[trainCentroids]]. */
+  def trainPq(corpus: DataFrame, m: Int, ks: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      lloydIters: Int = 3, sampleSize: Int = 4096): Array[Array[Array[Float]]] = {
+    import corpus.sparkSession.implicits._
+    val sample = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)))
+      .limit(math.max(ks, sampleSize))
+      .select(col(vecCol)).as[Seq[Float]].collect()
+      .map(s => unit(s.toArray))
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dsub = d / m
+    Array.tabulate(m) { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      var cents = sub.take(ks)
+      var iter = 0
+      while (iter < lloydIters) {
+        val sums = Array.fill(ks)(new Array[Double](dsub))
+        val counts = new Array[Int](ks)
+        sub.foreach { v =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            val dd = euclid(cents(c), v)
+            if (dd < bestD) { bestD = dd; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(i); i += 1 }
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c)
+          else {
+            val mean = new Array[Float](dsub)
+            var i = 0
+            while (i < dsub) { mean(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+            mean
+          }
+        }.toArray
+        iter += 1
+      }
+      cents
+    }
+  }
+
+  /** Encode each corpus vector as m codebook ids (id, code:binary). */
+  def pqEncode(corpus: DataFrame, codebooks: Array[Array[Array[Float]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(codebooks)
+    val encodeUdf = udf((v: Seq[Float]) => {
+      val cbs = bc.value
+      val u = unit(v.toArray)
+      val m = cbs.length
+      val dsub = u.length / m
+      val code = new Array[Byte](m)
+      var j = 0
+      while (j < m) {
+        val sub = java.util.Arrays.copyOfRange(u, j * dsub, (j + 1) * dsub)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cbs(j).length) {
+          val dd = euclid(cbs(j)(c), sub)
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        code(j) = best.toByte
+        j += 1
+      }
+      code
+    })
+    corpus.select(col(idCol).as("neighbor_id"), encodeUdf(col(vecCol)).as("code"))
+  }
+
+  /** PQ top-k with asymmetric-distance scoring and exact re-ranking:
+    * score all codes via m table lookups per candidate (the corpus
+    * side never materializes floats), keep `k·refine` per query with
+    * the map-side TopK aggregator, then re-rank those few exactly
+    * against the original vectors. */
+  def knnPq(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int = 8,
+      ks: Int = 16,
+      refine: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val codebooks = trainPq(corpus, m, ks, idCol, vecCol)
+    val codes = pqEncode(corpus, codebooks, idCol, vecCol)
+    // per-query ADC table: adc[j][c] = dot(q_j, codebook[j][c]); the
+    // approximate inner product of unit vectors ≈ cosine
+    val bcCb = spark.sparkContext.broadcast(codebooks)
+    val adcUdf = udf((q: Seq[Float]) => {
+      val cbs = bcCb.value
+      val u = unit(q.toArray)
+      val dsub = u.length / cbs.length
+      cbs.indices.flatMap { j =>
+        cbs(j).map { c =>
+          var s = 0.0
+          var i = 0
+          while (i < dsub) { s += c(i) * u(j * dsub + i); i += 1 }
+          s
+        }
+      }.toArray
+    })
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("adc", adcUdf(col("qvec")))
+    val scoreUdf = udf((adc: Seq[Double], code: Array[Byte]) => {
+      var s = 0.0
+      var j = 0
+      while (j < code.length) {
+        s += adc(j * ks + (code(j) & 0xff))
+        j += 1
+      }
+      s
+    })
+    val approx = codes.join(broadcast(q.select(col("query_id"), col("adc"))),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", scoreUdf(col("adc"), col("code")))
+    val shortlist = topKRanked(approx, k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank of the shortlist
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val rescored = shortlist
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qvec"))), Seq("query_id"))
+      .withColumn("sim", cosineUdf(col("qvec"), col("cvec")))
+    topKRanked(rescored, k)
+  }
+
   private val normUdf = udf((v: Seq[Float]) => {
     var s = 0.0
     var i = 0

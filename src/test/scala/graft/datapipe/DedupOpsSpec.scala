@@ -147,6 +147,24 @@ class DedupOpsSpec extends AnyFunSuite {
       s"exact=${exact.size} blocked=${blocked.size} missing=${(exact -- blocked).take(5)}")
   }
 
+  test("pq knn recalls most brute-force neighbors after exact re-rank") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.knnBruteForce(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pq = Similarity.knnPq(emb, queries, k = 5, m = 8, ks = 16, refine = 8).collect()
+    assert(pq.length == 25)
+    val approx = pq.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 64-dim random-ish embeddings compress 32x (256B -> 8B); with an
+    // 8x-overfetch exact re-rank the shortlist recovers most true
+    // neighbors despite the lossy codes
+    assert(recall >= 0.5, s"PQ recall too low: $recall")
+    // determinism: same corpus => same codebooks => same result
+    val again = Similarity.knnPq(emb, queries, k = 5, m = 8, ks = 16, refine = 8).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(again == approx)
+  }
+
   test("winnowMd5Hex matches winnow structure and is deterministic") {
     val fp1 = Hashing.winnowMd5Hex("a b c d e f g h i j k l m n o p", 4, 4)
     val fp2 = Hashing.winnowMd5Hex("a b c d e f g h i j k l m n o q", 4, 4)
