@@ -87,7 +87,9 @@ object DocumentAnalysis {
     val normalized = TextNormalizer.normalize(rawText)
     val abbreviations = AbbreviationFinder.findAsMap(normalized)
 
-    // expand short forms when the long form is absent (NLP.py:529-532)
+    // expand short forms when the long form is absent — boundary-less
+    // substring replace, exactly the reference's
+    // `analysed_text.replace(short, long)` (NLP.py:529-532)
     var document = normalized
     abbreviations.foreach { case (short, long) =>
       if (document.contains(short) && !document.contains(long))
@@ -122,8 +124,10 @@ object DocumentAnalysis {
       while (idx >= 0) { c += 1; idx = loweredText.indexOf(lnp, idx + lnp.length) }
       counter(lnp) = c
     }
+    // contains(np) guard: folding X may have removed X+"s" before the
+    // iteration reaches it (keys X, X+"s", X+"ss") — see NounChunker
     counter.keys.toSeq.foreach { np =>
-      if (counter.contains(np + "s")) {
+      if (counter.contains(np) && counter.contains(np + "s")) {
         counter(np) = counter(np) + counter(np + "s")
         counter.remove(np + "s")
       }

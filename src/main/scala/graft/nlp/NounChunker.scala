@@ -131,9 +131,12 @@ object NounChunker {
       if (!counter.contains(ll)) counter(ll) = 1
     }
     val base = counter.keys.toList // chunks = keys before folding (NLP.py:324)
-    // fold plurals: np + "s" merges into np (NLP.py:326-329)
+    // fold plurals: np + "s" merges into np (NLP.py:326-329). The
+    // contains(np) guard matters: with keys X, X+"s", X+"ss", folding X
+    // removes X+"s" before the iteration reaches it (the reference's
+    // py2 dict loop would KeyError on the same input).
     counter.keys.toSeq.foreach { np =>
-      if (counter.contains(np + "s")) {
+      if (counter.contains(np) && counter.contains(np + "s")) {
         counter(np) = counter(np) + counter(np + "s")
         counter.remove(np + "s")
       }

@@ -72,8 +72,10 @@ object VocabularySource {
     val mapper = new ObjectMapper()
     files.filter(_.getName.endsWith(".json")).sortBy(_.getName).toSeq.map { f =>
       // filename encodes CATEGORY-REFERENCEDB (BioentityTagger.py:55)
-      val Array(category, refDb) =
-        f.getName.stripSuffix(".json").split("_")(0).split("-", 2)
+      val parts = f.getName.stripSuffix(".json").split("_")(0).split("-", 2)
+      require(parts.length == 2,
+        s"vocabulary file '${f.getName}' does not follow the CATEGORY-REFERENCEDB naming convention")
+      val Array(category, refDb) = parts
       val root = mapper.readTree(f)
       val entries = scala.collection.mutable.Map.empty[String, VocabEntry]
       val it = root.fields()

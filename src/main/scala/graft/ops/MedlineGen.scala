@@ -89,7 +89,6 @@ object MedlineGen {
     var nextPmid = 10000000L
     val filePmids = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
     val deleted = scala.collection.mutable.Set.empty[Long]
-    val revised = scala.collection.mutable.Set.empty[Long]
     for (i <- 0 until nFiles) {
       val name = f"pubmed20n$i%04d.xml.gz"
       if (i % 5 == 4 && i > 0) {
@@ -101,7 +100,6 @@ object MedlineGen {
         writeFile(s"$outDir/$name", toRevise, toDelete, seed + i, version = 2)
         filePmids += toRevise
         deleted ++= toDelete
-        revised ++= toRevise
       } else {
         val pmids = (0 until perFile).map(_ => { nextPmid += 1; nextPmid })
         writeFile(s"$outDir/$name", pmids, Nil, seed + i, version = 1)

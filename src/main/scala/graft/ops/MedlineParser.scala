@@ -40,11 +40,14 @@ object MedlineParser {
     val pmid = firstText(medline, "PMID").getOrElse(
       throw new IllegalArgumentException("no PMID"))
 
-    // DateCreated → first_publication_date (main.py:243-252); missing day → '1'
+    // DateCreated → first_publication_date (main.py:243-252); missing
+    // day → '1'. Missing Month defaults to Jan like the PubDate path —
+    // a documented deviation: the reference accesses child.Month.text
+    // unguarded, so a month-less DateCreated drops the whole record.
     val firstPubDate = (medline \ "DateCreated").headOption.flatMap { dc =>
       MedlineDates.parse(
         firstText(dc, "Year").getOrElse(""),
-        firstText(dc, "Month").getOrElse(""),
+        firstText(dc, "Month").getOrElse("Jan"),
         firstText(dc, "Day").getOrElse("1"))
     }
 

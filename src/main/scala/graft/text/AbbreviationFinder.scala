@@ -42,6 +42,9 @@ object AbbreviationFinder {
         var closeIndex = -1
         var continue = true
         while (continue) {
+          // closeIndex + 1 skips a '(' sitting immediately after the
+          // previous ')' — reference parity (AbbreviationFinder.py:134
+          // uses find(del_start, closeindex + 1) identically)
           val openIndex = sentence.indexOf(delStart, closeIndex + 1)
           if (openIndex == -1) continue = false
           else {
@@ -81,6 +84,8 @@ object AbbreviationFinder {
     * occurrences of the candidate's first character. */
   private def definitionWindow(candStart: Int, cand: String, sentence: String): Option[String] = {
     if (candStart < 2) return None
+    // unconditional -2 assumes "... (" before the candidate — reference
+    // parity (AbbreviationFinder.py:180 slices [:candidate.start - 2])
     val before = sentence.substring(0, math.max(0, candStart - 2))
     val tokens = before.toLowerCase.split("\\s+").filter(_.nonEmpty)
     if (tokens.isEmpty) return None
@@ -98,13 +103,10 @@ object AbbreviationFinder {
       if (firstChars(startIndex) == key) count += 1
     }
     if (count < candidateFreq) return None
-    Some(tokens.slice(startIndex, tokens.length).mkString(" ") match {
-      case _ =>
-        // recover original-cased text: take the suffix of `before`
-        // spanning the last (tokens.length - startIndex) tokens
-        val rawTokens = before.split("\\s+").filter(_.nonEmpty)
-        rawTokens.slice(startIndex, rawTokens.length).mkString(" ")
-    })
+    // original-cased text: the suffix of `before` spanning the last
+    // (tokens.length - startIndex) tokens
+    val rawTokens = before.split("\\s+").filter(_.nonEmpty)
+    Some(rawTokens.slice(startIndex, rawTokens.length).mkString(" "))
   }
 
   /** Schwartz–Hearst definition selection: scan right-to-left matching

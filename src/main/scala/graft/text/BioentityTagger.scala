@@ -164,6 +164,10 @@ object BioentityTagger {
   ): BioentityTagger = {
     val stops = Option(stopwords).getOrElse(StopWords.domain)
     val b = AhoCorasick.builder[TagPayload]
+    // Reference parity (BioentityTagger.py:125-133 add_tag): only
+    // categories/referenceDbs/ids extend on a duplicate surface; the
+    // first insertion's originalValue/matchForm/prefName are kept —
+    // the reference leaves previous_annotation[4..6] untouched too.
     def merge(prev: TagPayload, add: TagPayload): TagPayload = {
       val prevKeys = prev.categories.zip(prev.referenceDbs).map { case (c, r) => s"$c|$r" }.toSet
       val key = s"${add.categories.head}|${add.referenceDbs.head}"
