@@ -242,6 +242,10 @@ object BioentityTagger {
     */
   def markTagsInText(text: String, matches: Seq[MatchedTag]): String = {
     val sorted = matches.sortBy(t => (t.start, -t.end)).zipWithIndex
+    // Equal-offset inserts land in tag-addition order — the same order
+    // the reference's ChangeCollector applies them, INCLUDING the
+    // crossed close-tags two overlapping same-end tags produce
+    // (BioentityTagger.py:240-249; parity, not a bug).
     // collect insertions as (position, orderKey, text); apply descending
     val inserts = sorted.flatMap { case (t, i) =>
       val openTag = s"""<mark-$i data-entity="${t.category}" reference-db="${t.referenceDb}"  reference="${t.reference}">"""
