@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BioTokenCountExpr, SimHashExpr, SimHashMd5Expr}
+import graft.functions.{BioTokenCountExpr, CosineSimExpr, SimHashExpr, SimHashMd5Expr}
 
 /** SparkSessionExtensions entry point: registers the native graft
   * expressions as SQL functions so `spark.sql("SELECT simhash64(text)
@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash64_md5",
         "simhash64_md5(text) - engine-portable 64-bit SimHash (md5 token hash)"),
       ((args: Seq[Expression]) => SimHashMd5Expr(args.head)): FunctionBuilder))
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim",
+        "cosine_sim(a, b) - cosine similarity of two float arrays"),
+      ((args: Seq[Expression]) => CosineSimExpr(args.head, args(1))): FunctionBuilder))
     // rewrite contains(text, surface) inner joins into broadcast
     // Aho-Corasick scans (SURVEY §4 candidate strategy)
     e.injectPlannerStrategy(_ => graft.plans.DictionaryJoinStrategy)

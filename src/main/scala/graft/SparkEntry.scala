@@ -57,6 +57,7 @@ object SparkEntry {
     "q38_listagg" -> (RelationalQueries.q38ListAgg _),
     "q39_json_funcs" -> (RelationalQueries.q39JsonFuncs _),
     "q40_dictionary_semi_join" -> (DataPipeQueries.dictionarySemiJoin _),
+    "q41_set_ops_all" -> (RelationalQueries.q41SetOpsAll _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -264,5 +265,13 @@ object SparkEntry {
         |      FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q40_dictionary_semi_join" -> DataPipeQueries.dictionarySemiJoinOracle,
+    "q41_set_ops_all" ->
+      """SELECT okey, COUNT(*) AS n FROM (
+        |  (SELECT l_orderkey AS okey FROM lineitem WHERE l_shipdate >= '1998-01-01'
+        |   INTERSECT ALL
+        |   SELECT l_orderkey AS okey FROM lineitem WHERE l_returnflag = 'R')
+        |  EXCEPT ALL
+        |  SELECT l_orderkey AS okey FROM lineitem WHERE l_linestatus = 'F'
+        |) GROUP BY okey ORDER BY okey""".stripMargin,
   )
 }

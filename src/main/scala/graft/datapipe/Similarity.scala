@@ -35,8 +35,33 @@ object Similarity {
     if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
   }
 
-  private val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) =>
-    cosine(a.toArray, b.toArray))
+  /** ArrayData-level cosine for the native [[graft.functions.CosineSimExpr]]:
+    * reads floats straight out of the columnar array (no Seq boxing) with
+    * the identical accumulation order and zero-norm convention as
+    * [[cosine]] — results are bit-equal. */
+  def cosineArrayData(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      d += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val sa = math.sqrt(na)
+    val sb = math.sqrt(nb)
+    if (sa == 0.0 || sb == 0.0) 0.0 else d / (sa * sb)
+  }
+
+  /** Codegen'd cosine column (no ScalaUDF encoder boundary). */
+  private def cosineCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.Expressions.cosine_sim(a, b)
 
   /** Brute-force cosine top-k: for each query vector (rows of `queries`),
     * the k nearest corpus rows. Output: (query_id, rank, neighbor_id).
@@ -54,7 +79,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosineUdf(col("qvec"), col("cvec")))
+      .withColumn("sim", cosineCol(col("qvec"), col("cvec")))
     topKRanked(scored, k)
   }
 
@@ -149,7 +174,7 @@ object Similarity {
       .withColumn("cell", explode(probeUdf(col("qvec"))))
     val scored = indexed.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosineUdf(col("qvec"), col("cvec")))
+      .withColumn("sim", cosineCol(col("qvec"), col("cvec")))
     // no dedup needed: each corpus vector lives in exactly one cell, so
     // a (query, neighbor) pair can only arise from one probed cell
     topKRanked(scored, k)
@@ -430,7 +455,7 @@ object Similarity {
     val rescored = shortlist
       .join(c, Seq("neighbor_id"))
       .join(broadcast(q.select(col("query_id"), col("qvec"))), Seq("query_id"))
-      .withColumn("sim", cosineUdf(col("qvec"), col("cvec")))
+      .withColumn("sim", cosineCol(col("qvec"), col("cvec")))
     topKRanked(rescored, k)
   }
 

@@ -63,6 +63,29 @@ case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Cosine similarity of two float-array columns, codegen'd as a static
+  * call over ArrayData — no ScalaUDF encoder boundary, no Seq boxing of
+  * the vectors (the hot inner op of every KNN path). Bit-identical to
+  * Similarity.cosine. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.datapipe.Similarity.cosineArrayData(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.datapipe.Similarity.cosineArrayData($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object Expressions {
   import org.apache.spark.sql.graftbridge.Bridge
   def bio_token_count(c: Column): Column =
@@ -71,4 +94,6 @@ object Expressions {
     Bridge.column(SimHashExpr(Bridge.expression(c)))
   def simhash64_md5(c: Column): Column =
     Bridge.column(SimHashMd5Expr(Bridge.expression(c)))
+  def cosine_sim(a: Column, b: Column): Column =
+    Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
 }

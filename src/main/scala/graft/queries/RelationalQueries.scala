@@ -362,6 +362,22 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy(col("o_custkey"))
 
+  /** Multiset (bag-semantics) set operations: INTERSECT ALL / EXCEPT
+    * ALL preserve duplicate multiplicities, unlike q32's distinct
+    * forms. */
+  def q41SetOpsAll(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val shipped = l.filter(col("l_shipdate") >= lit("1998-01-01"))
+      .select(col("l_orderkey").as("okey"))
+    val returned = l.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("okey"))
+    val filled = l.filter(col("l_linestatus") === "F")
+      .select(col("l_orderkey").as("okey"))
+    shipped.intersectAll(returned).exceptAll(filled)
+      .groupBy(col("okey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("okey"))
+  }
+
   /** JSON scalar functions (SURVEY §2.7 F4/F5 on the query surface):
     * from_json with an explicit schema AND get_json_object path
     * extraction over the events.props JSON column, aggregated. */

@@ -40,6 +40,23 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got.toSeq == texts.map(graft.datapipe.Hashing.simhashMd5))
   }
 
+  test("native cosine_sim equals Similarity.cosine bit-for-bit") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    val pairs = emb.take(20).flatMap(a => emb.take(20).map(b => (a, b))).toSeq
+    val df = pairs.map { case ((ia, va), (ib, vb)) => (ia, ib, va, vb) }
+      .toDF("ia", "ib", "va", "vb")
+    val got = df.select(Expressions.cosine_sim(col("va"), col("vb"))).as[Double].collect()
+    val want = pairs.map { case ((_, va), (_, vb)) =>
+      graft.datapipe.Similarity.cosine(va.toArray, vb.toArray)
+    }
+    assert(got.toSeq == want)
+    // null propagation
+    val n = Seq((Seq(1.0f), null.asInstanceOf[Seq[Float]])).toDF("a", "b")
+    assert(n.select(Expressions.cosine_sim(col("a"), col("b"))).head().isNullAt(0))
+  }
+
   test("SQL function registration (the GraftExtensions builders)") {
     // getOrCreate would reuse the shared test session and skip
     // extensions, so drive the same builders through the registry
