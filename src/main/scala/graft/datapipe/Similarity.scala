@@ -459,6 +459,96 @@ object Similarity {
     topKRanked(rescored, k)
   }
 
+  /** IVF-PQ: the composed at-scale ANN layout (inverted file over
+    * coarse cells × product-quantized codes inside). The corpus stores
+    * (cell, m-byte code) per vector; a query probes its nProbe nearest
+    * cells and ADC-scores only those cells' codes; the k·refine
+    * shortlist re-ranks exactly. Memory: m bytes + one int per vector;
+    * compute per query: |probed cells|/nCells of the corpus, m lookups
+    * each. */
+  def knnIvfPq(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      ks: Int = 16,
+      refine: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = trainCentroids(corpus, nCells, idCol, vecCol)
+    val codebooks = trainPq(corpus, m, ks, idCol, vecCol)
+    val bcCent = spark.sparkContext.broadcast(centroids)
+    val bcCb = spark.sparkContext.broadcast(codebooks)
+    val cellUdf = udf((v: Seq[Float]) => nearestCell(bcCent.value, v.toArray))
+    val probeUdf = udf((v: Seq[Float]) => nearestCells(bcCent.value, v.toArray, nProbe))
+    val encodeUdf = udf((v: Seq[Float]) => {
+      val cbs = bcCb.value
+      val u = unit(v.toArray)
+      val dsub = u.length / cbs.length
+      val code = new Array[Byte](cbs.length)
+      var j = 0
+      while (j < cbs.length) {
+        val sub = java.util.Arrays.copyOfRange(u, j * dsub, (j + 1) * dsub)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cbs(j).length) {
+          val dd = euclid(cbs(j)(c), sub)
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        code(j) = best.toByte
+        j += 1
+      }
+      code
+    })
+    val adcUdf = udf((q: Seq[Float]) => {
+      val cbs = bcCb.value
+      val u = unit(q.toArray)
+      val dsub = u.length / cbs.length
+      cbs.indices.flatMap { j =>
+        cbs(j).map { c =>
+          var s = 0.0
+          var i = 0
+          while (i < dsub) { s += c(i) * u(j * dsub + i); i += 1 }
+          s
+        }
+      }.toArray
+    })
+    val scoreUdf = udf((adc: Seq[Double], code: Array[Byte]) => {
+      var s = 0.0
+      var j = 0
+      while (j < code.length) {
+        s += adc(j * ks + (code(j) & 0xff))
+        j += 1
+      }
+      s
+    })
+    val indexed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("cell", cellUdf(col("cvec")))
+      .withColumn("code", encodeUdf(col("cvec")))
+      .drop("cvec")
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("adc", adcUdf(col("qvec")))
+      .withColumn("cell", explode(probeUdf(col("qvec"))))
+    val approx = indexed
+      .join(broadcast(probed.select(col("cell"), col("query_id"), col("adc"))), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", scoreUdf(col("adc"), col("code")))
+    val shortlist = topKRanked(approx, k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val rescored = shortlist
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("sim", cosineCol(col("qvec"), col("cvec")))
+    topKRanked(rescored, k)
+  }
+
   private val normUdf = udf((v: Seq[Float]) => {
     var s = 0.0
     var i = 0

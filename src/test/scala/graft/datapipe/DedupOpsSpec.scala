@@ -165,6 +165,24 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(again == approx)
   }
 
+  test("ivf-pq knn recall and determinism (composed index)") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.knnBruteForce(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivfpq = Similarity.knnIvfPq(emb, queries, k = 5,
+      nCells = 8, nProbe = 6, m = 8, ks = 16, refine = 8).collect()
+    assert(ivfpq.length == 25)
+    val approx = ivfpq.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // two lossy stages compose (cell pruning x code quantization);
+    // the exact re-rank recovers what the shortlist retains
+    assert(recall >= 0.4, s"IVF-PQ recall too low: $recall")
+    val again = Similarity.knnIvfPq(emb, queries, k = 5,
+      nCells = 8, nProbe = 6, m = 8, ks = 16, refine = 8).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(again == approx)
+  }
+
   test("winnowMd5Hex matches winnow structure and is deterministic") {
     val fp1 = Hashing.winnowMd5Hex("a b c d e f g h i j k l m n o p", 4, 4)
     val fp2 = Hashing.winnowMd5Hex("a b c d e f g h i j k l m n o q", 4, 4)
