@@ -58,6 +58,16 @@ object SparkEntry {
     "q39_json_funcs" -> (RelationalQueries.q39JsonFuncs _),
     "q40_dictionary_semi_join" -> (DataPipeQueries.dictionarySemiJoin _),
     "q41_set_ops_all" -> (RelationalQueries.q41SetOpsAll _),
+    "q42_full_outer" -> (RelationalQueries.q42FullOuter _),
+    "q43_posexplode" -> (RelationalQueries.q43Posexplode _),
+    "q44_array_hof" -> (RelationalQueries.q44ArrayHof _),
+    "q45_sessionize" -> (DataPipeQueries.sessionize _),
+    "q46_scalar_subquery" -> (RelationalQueries.q46ScalarSubquery _),
+    "q47_regexp_funcs" -> (RelationalQueries.q47RegexpFuncs _),
+    "q48_hash_sample" -> (RelationalQueries.q48HashSample _),
+    "q49_window_range_frame" -> (RelationalQueries.q49WindowRangeFrame _),
+    "q50_map_funcs" -> (RelationalQueries.q50MapFuncs _),
+    "q51_cross_join" -> (RelationalQueries.q51CrossJoin _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -273,5 +283,81 @@ object SparkEntry {
         |  EXCEPT ALL
         |  SELECT l_orderkey AS okey FROM lineitem WHERE l_linestatus = 'F'
         |) GROUP BY okey ORDER BY okey""".stripMargin,
+    "q42_full_outer" ->
+      """SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+        | COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+        |      FROM customer GROUP BY 1) cn
+        |FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+        |      FROM supplier WHERE s_acctbal > 9000.0 GROUP BY 1) sn
+        |ON cn.nk IS NOT DISTINCT FROM sn.nk
+        |ORDER BY nationkey""".stripMargin,
+    "q43_posexplode" ->
+      """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |CROSS JOIN (SELECT unnest(range(1, 6)) AS i) t
+        |WHERE i <= len(toks)
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q44_array_hof" ->
+      """SELECT doc_id,
+        | CAST(len(toks) AS BIGINT) AS n_toks,
+        | CAST(len(list_filter(toks, t -> length(t) > 4)) AS BIGINT) AS n_long_toks,
+        | CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_chars,
+        | CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT) AS max_tok_len,
+        | list_sort(toks)[1] AS first_tok_sorted
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q45_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, lag(ts) OVER w AS prev_ts
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, event_id, ts,
+        |    SUM(CASE WHEN prev_ts IS NULL
+        |             OR date_diff('second', prev_ts, ts) > 1800
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM e)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events,
+        |  MIN(event_id) AS first_event_id,
+        |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q46_scalar_subquery" ->
+      """SELECT p_partkey, p_brand,
+        | (SELECT COALESCE(CAST(SUM(l_quantity) AS DOUBLE), 0.0)
+        |  FROM lineitem WHERE l_partkey = p_partkey) AS total_qty
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q47_regexp_funcs" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_vowel_runs,
+        | regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+        | CAST(CASE WHEN regexp_matches(text, 'ing\b') THEN 1 ELSE 0 END AS BIGINT) AS has_ing
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q48_hash_sample" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sample_revenue
+        |FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q49_window_range_frame" ->
+      """SELECT o_orderkey,
+        | COUNT(*) OVER w AS n_last_30d,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS spend_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q50_map_funcs" ->
+      """SELECT event_id,
+        | CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        | array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+        | json_extract_string(props, '$.k') AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q51_cross_join" ->
+      """SELECT n_name, r_name FROM nation CROSS JOIN region
+        |ORDER BY n_name, r_name""".stripMargin,
   )
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Contains, Expression, JoinedRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Contains, Expression, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
@@ -99,6 +99,11 @@ case class AutomatonJoinExec(
             matched == wantMatch
           }
         case _ =>
+          // SparkPlan contract: doExecute must emit UnsafeRows (a
+          // collect directly on this node casts to UnsafeRow); a raw
+          // JoinedRow would CCE, so project each joined row
+          val proj = UnsafeProjection.create(output, output)
+          val joiner = new JoinedRow()
           iter.flatMap { leftRow =>
             val t = textBound.eval(leftRow)
             if (t == null) Iterator.empty
@@ -111,11 +116,11 @@ case class AutomatonJoinExec(
               val seen = java.util.Collections.newSetFromMap(
                 new java.util.IdentityHashMap[List[InternalRow], java.lang.Boolean]())
               val out = List.newBuilder[InternalRow]
-              always.foreach(r => out += new JoinedRow(leftRow, r).copy())
+              always.foreach(r => out += proj(joiner(leftRow, r)).copy())
               auto.scan(text) { (_, _, rows) =>
                 if (seen.add(rows)) {
                   rows.foreach { r =>
-                    out += new JoinedRow(leftRow, r).copy()
+                    out += proj(joiner(leftRow, r)).copy()
                   }
                 }
               }

@@ -66,6 +66,13 @@ object DataPipeQueries {
     * [[graft.plans.DictionaryJoinStrategy]] (broadcast Aho-Corasick
     * scan instead of BroadcastNestedLoop). Oracle-verified: DuckDB runs
     * the same join with its own contains(). */
+  /** Gaps-and-islands sessionization over the events stream table
+    * (30-minute inactivity gap), summarized per session. */
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    Sessionize.sessionStats(Tables.events(s, d), "user_id", "ts",
+        "event_id", gapSeconds = 1800L)
+      .orderBy(col("user_id"), col("session_id"))
+
   def dictionaryJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     s.experimental.extraStrategies =

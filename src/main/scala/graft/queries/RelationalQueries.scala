@@ -396,6 +396,122 @@ object RelationalQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Full outer join with null-safe key equality (<=>): per-nation
+    * customer counts vs (filtered) supplier counts. The filter drops
+    * most nations from the supplier side so real outer rows appear;
+    * COALESCE folds both null sides. */
+  def q42FullOuter(s: SparkSession, d: String): DataFrame = {
+    val cn = Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("cnk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sn = Tables.supplier(s, d)
+      .filter(col("s_acctbal") > 9000.0)
+      .groupBy(col("s_nationkey").as("snk"))
+      .agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, col("cnk") <=> col("snk"), "full_outer")
+      .select(coalesce(col("cnk"), col("snk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Positional explode (posexplode generator): first five tokens of
+    * every document with their 0-based position. */
+  def q43Posexplode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .filter(col("pos") < 5)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("tok"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** Higher-order array functions — transform / filter / aggregate /
+    * array_max / array_sort — entirely inside whole-stage codegen (no
+    * UDF, no shuffle: a pure per-row columnar pipeline). */
+  def q44ArrayHof(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val lens = transform(toks, t => length(t).cast("long"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_toks"),
+        size(filter(toks, t => length(t) > 4)).cast("long").as("n_long_toks"),
+        aggregate(lens, lit(0L), (acc, x) => acc + x).as("total_chars"),
+        array_max(lens).as("max_tok_len"),
+        element_at(array_sort(toks), 1).as("first_tok_sorted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Correlated scalar subquery (decorrelated by Catalyst into an
+    * aggregate + left outer join — SURVEY §4): total lineitem quantity
+    * per part, 0 for parts never ordered. */
+  def q46ScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("g_part")
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem_sq")
+    s.sql("""
+      SELECT p_partkey, p_brand,
+        (SELECT COALESCE(CAST(SUM(l_quantity) AS DOUBLE), 0.0)
+         FROM g_lineitem_sq WHERE l_partkey = p_partkey) AS total_qty
+      FROM g_part ORDER BY p_partkey""")
+  }
+
+  /** Regular-expression function family: extract-all count, anchored
+    * group extract, word-boundary match flag. Patterns stay in the
+    * RE2/Java common subset so both engines agree. */
+  def q47RegexpFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[aeiou]+"), lit(0)))
+          .cast("long").as("n_vowel_runs"),
+        regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"),
+        when(col("text").rlike("ing\\b"), 1L).otherwise(0L).as("has_ing"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic hash sampling: engine-portable ~1/16 sample keyed on
+    * md5(o_orderkey) — the reproducible-sampling primitive a training
+    * pipeline uses for held-out splits (TABLESAMPLE is seed-dependent
+    * per engine; a content hash is not). */
+  def q48HashSample(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(col("o_totalprice")).as("sample_revenue"))
+      .orderBy(col("o_orderstatus"))
+
+  /** RANGE-frame window (value-based, not row-based): trailing-30-day
+    * order count and spend per customer, ordered by day number so the
+    * frame is numeric on both engines. */
+  def q49WindowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val dayNum = datediff(col("o_orderdate"), lit("1970-01-01"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(dayNum)
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        count(lit(1)).over(w).as("n_last_30d"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+          .cast("double").as("spend_30d"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Map-typed column functions: parse the JSON props column into a
+    * map, then map_keys / size / element_at. */
+  def q50MapFuncs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val m = from_json(col("props"), MapType(StringType, StringType))
+    Tables.events(s, d)
+      .select(col("event_id"),
+        size(map_keys(m)).cast("long").as("n_keys"),
+        array_join(array_sort(map_keys(m)), ",").as("keys_sorted"),
+        element_at(m, "k").as("k_val"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Cartesian product (explicit cross join) of two small dims. */
+  def q51CrossJoin(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d).crossJoin(Tables.region(s, d))
+      .select(col("n_name"), col("r_name"))
+      .orderBy(col("n_name"), col("r_name"))
+
   /** Correlated-scalar shape (TPC-H Q17-like): lineitems below 20% of
     * the part's average quantity. */
   def q10AvgQtyFilter(s: SparkSession, d: String): DataFrame = {

@@ -90,5 +90,8 @@ class DictionaryJoinSpec extends AnyFunSuite {
     assert(semi.collect().map(_.getLong(0)).toSet == Set(1L))
     val anti = docs.join(vocab, expr("contains(text, surface)"), "left_anti")
     assert(anti.collect().map(_.getLong(0)).toSet == Set(2L))
+    // inner: one row per (doc, empty-surface) pair for non-null text
+    val inner = docs.join(vocab, expr("contains(text, surface)"), "inner")
+    assert(inner.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 }
