@@ -76,8 +76,8 @@ object DedupOps {
     // they all share the degenerate all-MaxValue signature and would
     // pair with each other at a meaningless 0/0 jaccard. trim-empty is
     // exactly "no \\s+ tokens" (trim strips the same chars \\s matches).
-    val sigs = docs
-      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+    val sigs = graft.util.Par.ensure(docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0))
       .select(
         col(idCol).as("id"),
         bandKeysUdf(minhashSigUdf(col(textCol), lit(numPerm), lit(shingleN)), lit(bands)).as("bands"))
@@ -141,6 +141,9 @@ object DedupOps {
     val expr =
       if (md5Based) graft.functions.Expressions.simhash64_md5(col(textCol))
       else graft.functions.Expressions.simhash64(col(textCol))
+    // no Par.ensure here: measured at sf0.1, the simhash expression is
+    // cheaper than the repartition shuffle it would take to spread a
+    // single-split scan (unlike the 128-permutation minhash signatures)
     docs.select(col(idCol).as("id"), expr.as("simhash"))
   }
 
