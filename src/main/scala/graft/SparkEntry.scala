@@ -68,6 +68,7 @@ object SparkEntry {
     "q49_window_range_frame" -> (RelationalQueries.q49WindowRangeFrame _),
     "q50_map_funcs" -> (RelationalQueries.q50MapFuncs _),
     "q51_cross_join" -> (RelationalQueries.q51CrossJoin _),
+    "q52_media_features" -> (DataPipeQueries.mediaFeatures _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -359,5 +360,14 @@ object SparkEntry {
     "q51_cross_join" ->
       """SELECT n_name, r_name FROM nation CROSS JOIN region
         |ORDER BY n_name, r_name""".stripMargin,
+    "q52_media_features" ->
+      """SELECT doc_id AS media_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        | CAST(16 + length(text) AS BIGINT) AS n_bytes,
+        | CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |   i -> ord(text[i:i]))) AS BIGINT) AS sum_bytes,
+        | CAST(length(text) AS BIGINT) AS n_payload
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 }

@@ -112,6 +112,24 @@ object Multimodal {
     }
   }
 
+  /** Integer-exact per-media stats through the full decode path
+    * (header parse → payload scan): engine-portable — byte sums are
+    * emitted as integers, so the DuckDB oracle can recompute them from
+    * the deterministic fake encoding (q52). */
+  def mediaStats(spark: SparkSession, media: Dataset[MediaRow]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeStub(r.data).map { case (meta, payload) =>
+          var sum = 0L
+          var i = 0
+          while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+          (r.media_id, meta.modality, r.data.length.toLong, sum, payload.length.toLong)
+        }
+      }
+    }.toDF("media_id", "modality", "n_bytes", "sum_bytes", "n_payload")
+  }
+
   /** Frame sampling for video rows: every `stride`-th frame index
     * (plumbing only — frames are index markers over the stub). */
   def sampleFrames(media: Dataset[MediaRow], stride: Int): DataFrame = {

@@ -66,6 +66,16 @@ object DataPipeQueries {
     * [[graft.plans.DictionaryJoinStrategy]] (broadcast Aho-Corasick
     * scan instead of BroadcastNestedLoop). Oracle-verified: DuckDB runs
     * the same join with its own contains(). */
+  /** Multimodal decode path end-to-end (q52): fake-encode each document
+    * as a binary media column, then decode + byte-scan through the
+    * batched mapPartitions stage. Integer outputs are recomputable by
+    * the oracle because the fake codec is deterministic and the text is
+    * ASCII (byte == codepoint). */
+  def mediaFeatures(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.fakeMediaTable(s, Tables.documents(s, d))
+    Multimodal.mediaStats(s, media).orderBy(col("media_id"))
+  }
+
   /** Gaps-and-islands sessionization over the events stream table
     * (30-minute inactivity gap), summarized per session. */
   def sessionize(s: SparkSession, d: String): DataFrame =

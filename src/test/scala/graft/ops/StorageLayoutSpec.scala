@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+
+/** Storage-layout behaviors that carry the 100 TB design: hive-style
+  * partitioned writes with partition pruning at the scan, and bucketed
+  * tables whose co-located join plans with NO exchange. Small data,
+  * but the plan shapes asserted here are exactly what changes at
+  * scale. */
+class StorageLayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("partitionBy write + partition pruning: filtered scan lists only matching dirs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val df = (1 to 1000).map(i => (i.toLong, 1995 + i % 4, s"v$i"))
+      .toDF("id", "year", "payload")
+    df.write.mode("overwrite").partitionBy("year").parquet(dir)
+
+    // hive-style layout on disk: year=1995 ... year=1998
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(subdirs == Set("year=1995", "year=1996", "year=1997", "year=1998"))
+
+    val read = spark.read.parquet(dir).filter(col("year") === 1997)
+    assert(read.count() == 250)
+    val scan = read.queryExecution.executedPlan.collectLeaves().head.toString
+    // the partition filter must prune at planning time (PartitionFilters,
+    // not a post-scan Filter), and the pruned scan reads 1 of 4 dirs
+    assert(scan.contains("PartitionFilters") && scan.contains("year"), scan)
+    val files = read.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("year=1997")), files.toSeq)
+  }
+
+  test("bucketed tables: equi-join on the bucket key plans with zero exchanges") {
+    import spark.implicits._
+    val facts = (1 to 1000).map(i => (i.toLong % 100, s"f$i")).toDF("k", "fv")
+    val dims = (1 to 300).map(i => (i.toLong % 100, s"d$i")).toDF("k", "dv")
+    facts.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("bucketed_facts")
+    dims.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("bucketed_dims")
+
+    val j = spark.table("bucketed_facts")
+      .join(spark.table("bucketed_dims").hint("merge"), Seq("k"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // correctness: same result as the unbucketed join
+    val expected = facts.join(dims, Seq("k")).count()
+    assert(j.count() == expected)
+
+    spark.sql("DROP TABLE bucketed_facts")
+    spark.sql("DROP TABLE bucketed_dims")
+  }
+
+  test("dynamic partition pruning: dim-filtered join prunes fact partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    (1 to 2000).map(i => (i.toLong, i % 10, i * 2L))
+      .toDF("id", "part_key", "measure")
+      .write.mode("overwrite").partitionBy("part_key").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be a real scan: a LocalRelation folds its filter
+    // into the relation and DPP no longer sees a selective predicate
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    (0 to 9).map(k => (k, if (k < 2) "keep" else "drop"))
+      .toDF("dk", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    // at toy sizes DPP's cost model says "not worth it" — raise the
+    // fallback ratio so the planner applies it (real fact tables pass
+    // the benefit check on their own statistics)
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "1000")
+    try {
+      val q = fact.join(dim, col("part_key") === col("dk"))
+        .filter(col("tag") === "keep")
+      // 2 of 10 partitions survive: 400 fact rows
+      assert(q.count() == 400)
+      val scan = q.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).find(_.contains("PartitionFilters")).getOrElse("")
+      // dynamicpruning expression present in the fact scan's partition
+      // filters (Spark's DPP — subquery-driven runtime pruning)
+      assert(scan.contains("dynamicpruning"), scan)
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    }
+  }
+}
