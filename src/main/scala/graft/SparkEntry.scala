@@ -69,6 +69,7 @@ object SparkEntry {
     "q50_map_funcs" -> (RelationalQueries.q50MapFuncs _),
     "q51_cross_join" -> (RelationalQueries.q51CrossJoin _),
     "q52_media_features" -> (DataPipeQueries.mediaFeatures _),
+    "q53_stratified_sample" -> (DataPipeQueries.stratifiedSample _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -369,5 +370,12 @@ object SparkEntry {
         |   i -> ord(text[i:i]))) AS BIGINT) AS sum_bytes,
         | CAST(length(text) AS BIGINT) AS n_payload
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q53_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE lang WHEN 'en' THEN '80000000'
+        |            WHEN 'zh' THEN '20000000'
+        |            ELSE '40000000' END
+        |ORDER BY doc_id""".stripMargin,
   )
 }

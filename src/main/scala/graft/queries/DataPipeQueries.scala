@@ -76,6 +76,16 @@ object DataPipeQueries {
     Multimodal.mediaStats(s, media).orderBy(col("media_id"))
   }
 
+  /** Stratified deterministic sampling (q53): per-language data-mix
+    * weights over the documents corpus — en kept at 50%, zh at 12.5%,
+    * everything else at 25%. The oracle recomputes the identical
+    * md5-prefix predicate per stratum. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    Sampling.stratified(Tables.documents(s, d), "lang", "doc_id",
+        Map("en" -> 0.5, "zh" -> 0.125), defaultFraction = 0.25)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   /** Gaps-and-islands sessionization over the events stream table
     * (30-minute inactivity gap), summarized per session. */
   def sessionize(s: SparkSession, d: String): DataFrame =

@@ -88,4 +88,22 @@ object StreamingPipeline {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** Streaming sessionization: `session_window` with a dynamic-merge
+    * gap — the Structured Streaming twin of the batch
+    * [[graft.datapipe.Sessionize]] operator. Sessions close when no
+    * event arrives within `gap` (event time) and the watermark passes;
+    * state is bounded by the watermark horizon. Output: one row per
+    * closed session per user with count and duration. */
+  def eventsSessionized(events: DataFrame,
+      watermark: String = "10 minutes",
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
 }

@@ -99,4 +99,36 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(ids == Set(1L, 2L, 4L), s"got $ids")
     query.stop()
   }
+
+  test("session_window streaming sessionization (batch twin: Sessionize)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val out = StreamingPipeline.eventsSessionized(events, "5 minutes", "30 minutes")
+    val query = out.writeStream
+      .format("memory").queryName("sessionized_events")
+      .outputMode("append").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: two events 10 min apart (one session), then a 40-min gap
+    // event (second session); user 2: one event
+    input.addData(
+      (ts("2024-01-01 10:00:00"), 1L),
+      (ts("2024-01-01 10:10:00"), 1L),
+      (ts("2024-01-01 10:50:00"), 1L),
+      (ts("2024-01-01 10:05:00"), 2L))
+    query.processAllAvailable()
+    // advance event time so the watermark closes every session
+    input.addData((ts("2024-01-01 14:00:00"), 9L))
+    query.processAllAvailable()
+
+    val rows = spark.table("sessionized_events")
+      .select("user_id", "session_start", "n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+    assert(rows.contains((1L, "2024-01-01 10:00:00.0", 2L)), rows)
+    assert(rows.contains((1L, "2024-01-01 10:50:00.0", 1L)), rows)
+    assert(rows.contains((2L, "2024-01-01 10:05:00.0", 1L)), rows)
+    query.stop()
+  }
 }
