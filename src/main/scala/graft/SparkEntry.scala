@@ -70,6 +70,7 @@ object SparkEntry {
     "q51_cross_join" -> (RelationalQueries.q51CrossJoin _),
     "q52_media_features" -> (DataPipeQueries.mediaFeatures _),
     "q53_stratified_sample" -> (DataPipeQueries.stratifiedSample _),
+    "q54_curation_funnel" -> (DataPipeQueries.curationFunnel _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -377,5 +378,6 @@ object SparkEntry {
         |            WHEN 'zh' THEN '20000000'
         |            ELSE '40000000' END
         |ORDER BY doc_id""".stripMargin,
+    "q54_curation_funnel" -> DataPipeQueries.curationOracle,
   )
 }

@@ -86,6 +86,43 @@ object DataPipeQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Composed curation funnel (q54): language gate → quality gate →
+    * minhash near-dup survivors → 50% deterministic sample, with the
+    * whole composition recomputed by the DuckDB oracle. */
+  def curationFunnel(s: SparkSession, d: String): DataFrame =
+    Curation.curate(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  def curationOracle: String =
+    """WITH gated AS (
+      |  SELECT * FROM documents WHERE lang = 'en' AND length(trim(text)) > 0
+      |), qual AS (
+      |  SELECT * FROM gated
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 30
+      |    AND (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+      |        < 0.2 * length(text)
+      |), tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |  FROM qual
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+      |  FROM tok WHERE len(toks) > 0
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.sh, b.sh)) AS n_inter,
+      |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |), surv AS (
+      |  SELECT * FROM qual WHERE doc_id NOT IN (
+      |    SELECT id_b FROM pairs WHERE n_inter >= 0.5 * n_union)
+      |)
+      |SELECT doc_id, lang, n_chars FROM surv
+      |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+      |ORDER BY doc_id""".stripMargin
+
   /** Gaps-and-islands sessionization over the events stream table
     * (30-minute inactivity gap), summarized per session. */
   def sessionize(s: SparkSession, d: String): DataFrame =
