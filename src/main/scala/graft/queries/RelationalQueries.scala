@@ -426,8 +426,10 @@ object RelationalQueries {
       .orderBy(col("doc_id"), col("pos"))
 
   /** Higher-order array functions — transform / filter / aggregate /
-    * array_max / array_sort — entirely inside whole-stage codegen (no
-    * UDF, no shuffle: a pure per-row columnar pipeline). */
+    * array_max / array_sort — all native Catalyst expressions: no UDF
+    * or encoder boundary, no shuffle; one narrow Project over the
+    * pruned scan (HOF lambdas are CodegenFallback, but stay inside the
+    * columnar pipeline). */
   def q44ArrayHof(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ")
     val lens = transform(toks, t => length(t).cast("long"))

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.SparkEntry
+
+/** Plan-shape regression guard: the physical plans that carry the
+  * 100 TB design, asserted so a refactor can't silently degrade them.
+  * Runs on sf0.001 (plan shapes, not timings). */
+class PlanAuditSpec extends AnyFunSuite {
+  // q26/q40 set experimental.extraStrategies themselves (as in the
+  // Verify/Bench sessions); the shared test session works as-is
+  lazy val spark = SparkTestSession.spark
+  val d = "/root/testdata/sf0.001"
+
+  def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  /** Formatted explain: full (untruncated) ReadSchema + codegen ids. */
+  def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q2 joins the nation dim with a broadcast, not a shuffle join") {
+    val p = plan("q2_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q1 scan prunes to exactly the referenced lineitem columns") {
+    val p = formatted("q1_pricing_summary")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.isDefined, p.take(1000))
+    val cols = read.get.split(",").map(_.split(":")(0)).toSet
+    assert(cols == Set("l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_linestatus", "l_shipdate"), cols)
+  }
+
+  test("q1 pushes the shipdate filter to the parquet scan") {
+    val p = formatted("q1_pricing_summary")
+    assert(p.contains("IsNotNull(l_shipdate)") &&
+      p.contains("LessThanOrEqual(l_shipdate"), p.take(2000))
+  }
+
+  test("q3 top-k lands in TakeOrderedAndProject (no global sort)") {
+    val p = plan("q3_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q26/q40 plan through the custom automaton join, not BNLJ") {
+    assert(plan("q26_dictionary_join").contains("AutomatonJoin"))
+    assert(plan("q40_dictionary_semi_join").contains("AutomatonJoin"))
+    assert(!plan("q26_dictionary_join").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q4 dedup aggregates partially before its one exchange") {
+    // groupBy+max_by formulation would be ideal; q4 is the window form
+    // on purpose (W1) — but the pipeline's Dedup.latestByKey must be
+    // partial-agg shaped: exactly one exchange, HashAggregate on both
+    // sides of it
+    val df = graft.ops.Dedup.latestByKey(
+      graft.util.Tables.orders(spark, d), "o_custkey", "o_orderkey")
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    // partial max_by below the exchange (map-side combine; struct
+    // payload plans as SortAggregate — the partial/final split is what
+    // matters, the shuffle carries one row per key per partition)
+    assert(p.contains("partial_max_by"), p)
+  }
+
+  test("q44 higher-order functions run native (no UDF/encoder boundary)") {
+    // HOFs are native Catalyst expressions (CodegenFallback, not
+    // codegen'd — but still no serialization boundary): the whole
+    // query is one narrow Project over the pruned two-column scan
+    val p = plan("q44_array_hof")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF") &&
+      !p.contains("DeserializeToObject"), p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(2000))
+  }
+
+  test("q53 stratified sample broadcasts the fractions dim") {
+    val p = plan("q53_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q15 KNN exchange carries top-k rows, not all scored candidates") {
+    val p = plan("q15_knn_cosine")
+    // map-side-combining TopK Aggregator: partial agg before exchange
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p.take(2000))
+  }
+}
