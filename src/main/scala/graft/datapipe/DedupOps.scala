@@ -49,12 +49,6 @@ object DedupOps {
   val NumPerm = 128
   val Bands = 32 // rows=4 → LSH threshold ≈ (1/32)^(1/4) ≈ 0.42
 
-  private val minhashSigUdf = udf((text: String, numPerm: Int, shingleN: Int) =>
-    Hashing.minhash(Hashing.shingleSet(if (text == null) "" else text, shingleN), numPerm))
-
-  private val bandKeysUdf = udf((sig: Seq[Long], bands: Int) =>
-    Hashing.bandKeys(sig.toArray, bands))
-
   private val jaccardCountsUdf = udf((a: String, b: String, shingleN: Int) => {
     val (inter, union) = Hashing.jaccardCounts(
       Hashing.shingleSet(if (a == null) "" else a, shingleN),
@@ -80,7 +74,10 @@ object DedupOps {
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0))
       .select(
         col(idCol).as("id"),
-        bandKeysUdf(minhashSigUdf(col(textCol), lit(numPerm), lit(shingleN)), lit(bands)).as("bands"))
+        // native fused expression: shingle → 128-perm sig → band keys
+        // in one call, no ScalaUDF boundary (MinHashBandsExpr)
+        graft.functions.Expressions.minhash_bands(
+          col(textCol), numPerm, shingleN, bands).as("bands"))
     val buckets = sigs
       .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
       .groupBy(col("band_idx"), col("band_key"))

@@ -82,6 +82,14 @@ object Hashing {
     sig
   }
 
+  /** Fused shingle→minhash→band pipeline over ArrayData, for the native
+    * Catalyst expression (MinHashBandsExpr): one call per row, primitive
+    * arrays end-to-end, result wrapped without boxing. */
+  def minhashBandsArrayData(text: org.apache.spark.unsafe.types.UTF8String,
+      numPerm: Int, shingleN: Int, bands: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      bandKeys(minhash(shingleSet(text.toString, shingleN), numPerm), bands))
+
   /** LSH band keys: hash each of `bands` signature slices of length
     * rows = numPerm/bands. Same band key ⇒ candidate pair. */
   def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {

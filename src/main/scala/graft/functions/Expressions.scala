@@ -63,6 +63,30 @@ case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused MinHash-LSH band keys of a text column: shingle → 128-perm
+  * signature → band hashes in ONE native call per row (the hot stage of
+  * LSH dedup). Replaces two chained ScalaUDFs (sig + bands), removing
+  * the encoder boundary and the boxed Seq[Long] between them; the
+  * result lands as UnsafeArrayData with no per-element boxing.
+  * Bit-identical to Hashing.bandKeys(Hashing.minhash(...)). */
+case class MinHashBandsExpr(child: Expression, numPerm: Int, shingleN: Int,
+    bands: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.datapipe.Hashing.minhashBandsArrayData(
+      input.asInstanceOf[UTF8String], numPerm, shingleN, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.datapipe.Hashing.minhashBandsArrayData($c, $numPerm, $shingleN, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandsExpr =
+    copy(child = newChild)
+}
+
 /** Cosine similarity of two float-array columns, codegen'd as a static
   * call over ArrayData — no ScalaUDF encoder boundary, no Seq boxing of
   * the vectors (the hot inner op of every KNN path). Bit-identical to
@@ -96,4 +120,6 @@ object Expressions {
     Bridge.column(SimHashMd5Expr(Bridge.expression(c)))
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
+  def minhash_bands(c: Column, numPerm: Int, shingleN: Int, bands: Int): Column =
+    Bridge.column(MinHashBandsExpr(Bridge.expression(c), numPerm, shingleN, bands))
 }

@@ -57,6 +57,23 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(n.select(Expressions.cosine_sim(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("native minhash_bands equals bandKeys(minhash(shingleSet)) bit-for-bit") {
+    import spark.implicits._
+    import graft.datapipe.Hashing
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "a b", "", "one two three four five")
+    val df = texts.toDF("text")
+    val got = df.select(Expressions.minhash_bands(col("text"), 128, 3, 32))
+      .as[Seq[Long]].collect()
+    val want = texts.map(t =>
+      Hashing.bandKeys(Hashing.minhash(Hashing.shingleSet(t, 3), 128), 32).toSeq)
+    assert(got.toSeq == want)
+    // null propagation
+    val n = Seq(null.asInstanceOf[String]).toDF("text")
+    assert(n.select(Expressions.minhash_bands(col("text"), 128, 3, 32))
+      .head().isNullAt(0))
+  }
+
   test("SQL function registration (the GraftExtensions builders)") {
     // getOrCreate would reuse the shared test session and skip
     // extensions, so drive the same builders through the registry
