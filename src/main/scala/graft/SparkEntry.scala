@@ -71,6 +71,7 @@ object SparkEntry {
     "q52_media_features" -> (DataPipeQueries.mediaFeatures _),
     "q53_stratified_sample" -> (DataPipeQueries.stratifiedSample _),
     "q54_curation_funnel" -> (DataPipeQueries.curationFunnel _),
+    "q55_neardup_components" -> (DataPipeQueries.nearDupComponents _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -379,5 +380,6 @@ object SparkEntry {
         |            ELSE '40000000' END
         |ORDER BY doc_id""".stripMargin,
     "q54_curation_funnel" -> DataPipeQueries.curationOracle,
+    "q55_neardup_components" -> DataPipeQueries.componentsOracle,
   )
 }

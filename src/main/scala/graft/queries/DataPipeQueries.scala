@@ -86,6 +86,45 @@ object DataPipeQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Near-dup clusters (q55): transitive closure of the minhash
+    * near-dup pairs via large-star/small-star connected components —
+    * every document labeled with the min doc_id of its cluster,
+    * singletons labeling themselves. Oracle: DuckDB recomputes the
+    * exact pair set and closes it with a recursive CTE. */
+  def nearDupComponents(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = DedupOps.minhashNearDupPairs(docs, minJaccard = 0.5)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    ConnectedComponents.componentsWithSingletons(docs, "doc_id", pairs)
+      .orderBy(col("doc_id"))
+  }
+
+  def componentsOracle: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+      |  FROM tok WHERE len(toks) > 0
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+      |    CAST(len(a.sh) + len(b.sh) AS BIGINT) AS sum_len
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |), edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs WHERE n_inter >= 0.5 * (sum_len - n_inter)
+      |  UNION ALL
+      |  SELECT id_b AS a, id_a AS b FROM pairs WHERE n_inter >= 0.5 * (sum_len - n_inter)
+      |), reach(node, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+      |)
+      |SELECT node AS doc_id, MIN(label) AS component
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   /** Composed curation funnel (q54): language gate → quality gate →
     * minhash near-dup survivors → 50% deterministic sample, with the
     * whole composition recomputed by the DuckDB oracle. */
