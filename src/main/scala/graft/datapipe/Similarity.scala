@@ -180,6 +180,92 @@ object Similarity {
     topKRanked(scored, k)
   }
 
+  /** Deterministic random hyperplanes for LSH: component (i, j) is a
+    * uniform value in [-1, 1) derived from mix64 — same corpus ⇒ same
+    * buckets, no RNG state. */
+  private[datapipe] def hyperplanes(nBits: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(nBits) { i =>
+      Array.tabulate(dim) { j =>
+        val h = Hashing.mix64(0x9e3779b97f4a7c15L * (i.toLong * dim + j + 1))
+        ((h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+      }
+    }
+
+  /** Signature bucket + per-bit margins (|dot| — small margin = the bit
+    * most likely to differ for near neighbors). */
+  private def lshSig(planes: Array[Array[Float]], v: Array[Float]): (Int, Array[Double]) = {
+    var sig = 0
+    val margins = new Array[Double](planes.length)
+    var i = 0
+    while (i < planes.length) {
+      var d = 0.0
+      val p = planes(i)
+      var j = 0
+      while (j < p.length) { d += p(j).toDouble * v(j).toDouble; j += 1 }
+      if (d >= 0) sig |= (1 << i)
+      margins(i) = math.abs(d)
+      i += 1
+    }
+    (sig, margins)
+  }
+
+  /** Multi-probe bucket sequence: own bucket, then single- and
+    * double-bit flips ordered by the summed margin of the flipped bits
+    * (a low-|dot| bit is the one a true neighbor most likely disagrees
+    * on), truncated to nProbe — the classic multi-probe LSH schedule
+    * (Lv et al., VLDB'07). */
+  private def probeSeq(sig: Int, margins: Array[Double], nProbe: Int): Array[Int] = {
+    val n = margins.length
+    val cands = scala.collection.mutable.ArrayBuffer((0.0, sig))
+    var i = 0
+    while (i < n) {
+      cands += ((margins(i), sig ^ (1 << i)))
+      var j = i + 1
+      while (j < n) {
+        cands += ((margins(i) + margins(j), sig ^ (1 << i) ^ (1 << j)))
+        j += 1
+      }
+      i += 1
+    }
+    cands.sortBy(_._1).map(_._2).distinct.take(nProbe).toArray
+  }
+
+  /** LSH-bucketed ANN (the brief's "LSH-bucketed variant"): random-
+    * hyperplane signatures bucket the corpus (one 32-bit key per
+    * vector — the scale path: the index is an int column, the shuffle
+    * key 4 bytes); queries multi-probe their nearest buckets and re-rank
+    * exactly inside them. Recall < 1 by design — the recall spec pins
+    * the floor; [[cosineNearDupPairs]] is the exact-complete
+    * alternative. */
+  def knnLsh(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nBits: Int = 12,
+      nProbe: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(nBits, dim)
+    val bc = spark.sparkContext.broadcast(planes)
+    val bucketUdf = udf((v: Seq[Float]) => lshSig(bc.value, v.toArray)._1)
+    val probesUdf = udf((v: Seq[Float]) => {
+      val (sig, margins) = lshSig(bc.value, v.toArray)
+      probeSeq(sig, margins, nProbe)
+    })
+    val indexed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("bucket", bucketUdf(col("cvec")))
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("bucket", explode(probesUdf(col("qvec"))))
+    val scored = indexed.join(broadcast(probed), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosineCol(col("qvec"), col("cvec")))
+    // each corpus vector lives in exactly one bucket and probe buckets
+    // are distinct, so no (query, neighbor) dedup is needed
+    topKRanked(scored, k)
+  }
+
   @inline private def unit(v: Array[Float]): Array[Float] = {
     val n = norm(v)
     if (n == 0.0) v
