@@ -54,6 +54,52 @@ object SearchFacade {
     qToks.map(t => array_contains(tokensCol, t)).reduceOption(_ || _).getOrElse(lit(false))
   }
 
+  /** Phrase predicate (ES match_phrase analog): the analyzed query
+    * terms appear consecutively in the token array. Same caveat as ES:
+    * positions are post-stopword-removal. Pure higher-order functions —
+    * no UDF. */
+  def matchPhrase(tokensCol: Column, phrase: String): Column = {
+    val q = phrase.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+    if (q.isEmpty) lit(true)
+    else if (q.length == 1) array_contains(tokensCol, q.head)
+    else {
+      val qArr = array(q.map(lit).toIndexedSeq: _*)
+      val m = q.length
+      size(filter(
+        sequence(lit(1), greatest(size(tokensCol) - (m - 1), lit(0))),
+        i => slice(tokensCol, i, lit(m)) === qArr)) > 0
+    }
+  }
+
+  /** TF-IDF ranked search (the ES relevance-scoring analog): documents
+    * filtered to any-term matches, scored by Σ_t tf(t,d)·idf(t) with
+    * idf(t) = ln((N+1)/(df_t+1)). Document frequencies for the (few)
+    * query terms are computed in one aggregate and folded in as
+    * literals — no second shuffle, no UDF; the score is a codegen'd
+    * per-row expression and top-k lands in TakeOrderedAndProject. */
+  def searchRanked(df: DataFrame, idCol: String, textCol: String,
+      query: String, k: Int = 10): DataFrame = {
+    val qToks = query.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty).distinct
+    require(qToks.nonEmpty, "empty query")
+    val tokens = withSearchTokens(df, textCol)
+    val n = tokens.count()
+    val dfCounts: Map[String, Long] = tokens
+      .select(explode(array_distinct(col("tokens"))).as("t"))
+      .filter(col("t").isin(qToks.toIndexedSeq: _*))
+      .groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val score = qToks.map { t =>
+      val idf = math.log((n + 1.0) / (dfCounts.getOrElse(t, 0L) + 1.0))
+      size(filter(col("tokens"), x => x === lit(t))).cast("double") * lit(idf)
+    }.reduce(_ + _)
+    tokens
+      .filter(matchAny(col("tokens"), query))
+      .withColumn("score", score)
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** LINK-style co-occurrence over the concepts collection (SURVEY §2.3
     * J4): explode the precomputed `relations.undirected` pair strings,
     * filter to the entities of interest (≤ `maxFilters`, mirroring ES's

@@ -74,6 +74,37 @@ class SearchFacadeSpec extends AnyFunSuite {
     assert(top.getAs[Long]("n_publications") == 2) // NRG1 x schizophrenia
   }
 
+  test("phrase match requires consecutive analyzed terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "airway inflammation drives asthma"),
+      (2L, "inflammation of the airway"), // reversed order
+      (3L, "airway chronic inflammation") // gap
+    ).toDF("id", "text")
+    val t = SearchFacade.withSearchTokens(docs, "text")
+    val hit = t.filter(SearchFacade.matchPhrase(col("tokens"), "airway inflammation"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(hit == Set(1L), hit)
+    // single-term phrase degrades to contains
+    val one = t.filter(SearchFacade.matchPhrase(col("tokens"), "asthma"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(one == Set(1L))
+  }
+
+  test("tf-idf ranking: rarer terms dominate, term frequency breaks ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "asthma asthma asthma common common"),
+      (2L, "asthma common common common"),
+      (3L, "common common common common"),
+      (4L, "unrelated words entirely")
+    ).toDF("id", "text")
+    // 'asthma' df=2, 'common' df=3: asthma idf higher; doc 1 has tf=3
+    val ranked = SearchFacade.searchRanked(docs, "id", "text", "asthma common", k = 3)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ranked == Seq(1L, 2L, 3L), ranked)
+  }
+
   test("max filters limit enforced like ES max_adjacency_matrix_filters") {
     import spark.implicits._
     val concepts = Seq.empty[(String, String)].toDF("pub_id", "x")
