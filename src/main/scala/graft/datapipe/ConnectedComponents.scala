@@ -52,11 +52,23 @@ object ConnectedComponents {
   /** Component assignment for every node appearing in `edges`
     * (columns (u, v), Long ids): returns (node, component) where
     * component = the minimum id in the node's connected component.
-    * Root nodes map to themselves. */
-  def components(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    * Root nodes map to themselves.
+    *
+    * Hybrid execution: below `driverThreshold` edges the graph is
+    * collected and solved with a single-pass union-find — O(E α(E))
+    * on one core beats O(log n) rounds of cluster-wide shuffles by an
+    * order of magnitude for small edge sets (near-dup graphs are tiny
+    * relative to their corpus: edges ≈ duplicates, not documents).
+    * Above the threshold the alternating star rounds run distributed.
+    * Both paths are spec-equal; pass driverThreshold = 0 to force the
+    * distributed path. */
+  def components(edges: DataFrame, maxIter: Int = 25,
+      driverThreshold: Long = 2000000L): DataFrame = {
     var e = edges.select(col("u").cast("long"), col("v").cast("long"))
       .filter(col("u") =!= col("v"))
       .distinct()
+    val nEdges = e.count()
+    if (nEdges <= driverThreshold) return unionFindLocal(e)
     var converged = false
     var iter = 0
     // fingerprint = (count, xor-ish checksum) of the canonical edge set:
@@ -82,6 +94,30 @@ object ConnectedComponents {
     val roots = stars.select(col("component").as("node"),
       col("component")).distinct()
     stars.union(roots).distinct()
+  }
+
+  /** Driver union-find for the small-graph fast path: collect the edge
+    * list (bounded by driverThreshold ≈ 32 MB), solve, parallelize the
+    * (node → min-root) assignment back out. */
+  private def unionFindLocal(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val pairs = e.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toArray.distinct
+    nodes.map(x => (x, find(x))).toSeq.toDF("node", "component")
   }
 
   /** Components over a node table: nodes without any edge become
