@@ -88,6 +88,13 @@ object ConnectedComponents {
       e = next
       iter += 1
     }
+    // Convergence is O(log n) rounds; exhausting maxIter without a
+    // stable fingerprint means the edge set is NOT a star forest and
+    // the assignments below would be silently wrong — fail loudly.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge after $maxIter rounds " +
+          s"($nEdges input edges); raise maxIter or inspect the edge set")
     // after convergence the edge set is a star forest: (u, root)
     val stars = e.select(greatest(col("u"), col("v")).as("node"),
       least(col("u"), col("v")).as("component"))

@@ -19,11 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** 8-hex-digit threshold: fraction of the 2³² keyspace, clamped. */
+  /** 8-hex-digit threshold: fraction of the 2³² keyspace, clamped.
+    * fraction >= 1.0 returns "g" — lexicographically above every 8-hex
+    * key — so a full-fraction sample (and a band with hi = 1.0) keeps
+    * ALL rows, including the ~2⁻³² whose md5 prefix is exactly
+    * "ffffffff"; strict '<' against "ffffffff" would drop those and
+    * break the "bands partition the corpus" invariant. */
   def hexThreshold(fraction: Double): String = {
-    val f = math.max(0.0, math.min(1.0, fraction))
-    val v = math.min((f * 4294967296.0).toLong, 0xffffffffL)
-    f"$v%08x"
+    if (fraction >= 1.0) "g"
+    else {
+      val f = math.max(0.0, fraction)
+      val v = math.min((f * 4294967296.0).toLong, 0xffffffffL)
+      f"$v%08x"
+    }
   }
 
   /** Uniform hash key in hex for a row id (salt varies the split). */

@@ -99,6 +99,15 @@ object DataPipeQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Oracle for q55. LSH-RECALL ASSUMPTION (shared with q13/q54): this
+    * brute-forces ALL pairs at J >= 0.5 while the implementation only
+    * exact-verifies LSH candidate pairs (32 bands x 4 rows — a pair at
+    * exactly J = 0.5 escapes banding with probability ~13%). The two
+    * agree because the corpus has no borderline pairs: planted
+    * near-dups sit at J >= 0.96 (escape probability (1-0.96^4)^32 ~
+    * 1e-48) and the densest non-dup pair is at J ~ 0.04. If the corpus
+    * is regenerated with pairs near the threshold, either raise the
+    * band count or make the oracle mirror the band keys. */
   def componentsOracle: String =
     """WITH RECURSIVE tok AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
@@ -127,7 +136,9 @@ object DataPipeQueries {
 
   /** Composed curation funnel (q54): language gate → quality gate →
     * minhash near-dup survivors → 50% deterministic sample, with the
-    * whole composition recomputed by the DuckDB oracle. */
+    * whole composition recomputed by the DuckDB oracle. The oracle's
+    * brute-force pair stage carries the same LSH-recall assumption as
+    * q55 — see [[componentsOracle]]. */
   def curationFunnel(s: SparkSession, d: String): DataFrame =
     Curation.curate(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"), col("n_chars"))

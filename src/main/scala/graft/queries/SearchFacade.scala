@@ -65,8 +65,13 @@ object SearchFacade {
     else {
       val qArr = array(q.map(lit).toIndexedSeq: _*)
       val m = q.length
+      // Floor the window-start range at 1: for a doc with fewer than m
+      // tokens the end would be <= 0 and sequence(1, 0) expands as the
+      // DESCENDING [1, 0], feeding slice() an invalid start of 0. With
+      // end = 1, slice(tokens, 1, m) on a too-short array yields fewer
+      // than m elements and compares unequal to qArr — correct false.
       size(filter(
-        sequence(lit(1), greatest(size(tokensCol) - (m - 1), lit(0))),
+        sequence(lit(1), greatest(size(tokensCol) - (m - 1), lit(1))),
         i => slice(tokensCol, i, lit(m)) === qArr)) > 0
     }
   }

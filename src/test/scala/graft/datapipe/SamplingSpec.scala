@@ -40,6 +40,16 @@ class SamplingSpec extends AnyFunSuite {
       .subsetOf(train))
   }
 
+  test("full fraction keeps every row, including max-prefix keys") {
+    // regression: hexThreshold(1.0) used to be "ffffffff" and strict
+    // '<' dropped rows whose md5 prefix is exactly ffffffff
+    assert(Sampling.hexThreshold(1.0) > "ffffffff")
+    assert(Sampling.hexThreshold(0.9999) <= "ffffffff")
+    val df = ids(5000)
+    assert(Sampling.uniform(df, "id", 1.0).count() == 5000)
+    assert(Sampling.band(df, "id", 0.0, 1.0).count() == 5000)
+  }
+
   test("different salts give independent splits") {
     val df = ids(8000)
     val a = Sampling.uniform(df, "id", 0.5, salt = "epoch1")

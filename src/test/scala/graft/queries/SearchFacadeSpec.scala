@@ -91,6 +91,21 @@ class SearchFacadeSpec extends AnyFunSuite {
     assert(one == Set(1L))
   }
 
+  test("phrase match survives documents shorter than the phrase") {
+    import spark.implicits._
+    // regression: a doc with fewer analyzed tokens than the phrase used
+    // to feed sequence(1, 0) = [1, 0] into slice() and crash the query
+    val docs = Seq(
+      (1L, "asthma"),                       // 1 token < 2-term phrase
+      (2L, "the of and"),                   // analyzes to 0 tokens
+      (3L, "airway inflammation persists")
+    ).toDF("id", "text")
+    val t = SearchFacade.withSearchTokens(docs, "text")
+    val hit = t.filter(SearchFacade.matchPhrase(col("tokens"), "airway inflammation"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(hit == Set(3L), hit)
+  }
+
   test("tf-idf ranking: rarer terms dominate, term frequency breaks ties") {
     import spark.implicits._
     val docs = Seq(
