@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DataPipeQueries, RelationalQueries}
+import graft.queries.{DataPipeQueries, RelationalQueries, Round4Queries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -72,6 +72,12 @@ object SparkEntry {
     "q53_stratified_sample" -> (DataPipeQueries.stratifiedSample _),
     "q54_curation_funnel" -> (DataPipeQueries.curationFunnel _),
     "q55_neardup_components" -> (DataPipeQueries.nearDupComponents _),
+    "q56_kmv_distinct" -> (Round4Queries.kmvDistinct _),
+    "q57_moment_stats" -> (Round4Queries.momentStats _),
+    "q58_merge_upsert" -> (Round4Queries.mergeUpsert _),
+    "q59_bpe_tokens" -> (Round4Queries.bpeTokenCounts _),
+    "q60_edit_distance" -> (Round4Queries.editDistancePairs _),
+    "q61_inverted_search" -> (Round4Queries.invertedSearch _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -381,5 +387,11 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q54_curation_funnel" -> DataPipeQueries.curationOracle,
     "q55_neardup_components" -> DataPipeQueries.componentsOracle,
+    "q56_kmv_distinct" -> Round4Queries.kmvOracle,
+    "q57_moment_stats" -> Round4Queries.momentStatsOracle,
+    "q58_merge_upsert" -> Round4Queries.mergeUpsertOracle,
+    "q59_bpe_tokens" -> Round4Queries.bpeOracle,
+    "q60_edit_distance" -> Round4Queries.editDistanceOracle,
+    "q61_inverted_search" -> Round4Queries.invertedSearchOracle,
   )
 }

@@ -1,0 +1,133 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, TypedColumn}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Approximate distinct counting via a K-Minimum-Values sketch — the
+  * 100 TB answer to "how many distinct users/tokens/urls" when an
+  * exact `COUNT(DISTINCT x)` would shuffle every distinct value.
+  *
+  * Why KMV and not HyperLogLog here: the sketch state is the k
+  * smallest distinct hash values, which is (a) MERGEABLE — merge =
+  * union-then-truncate, so it runs as a map-side partial aggregate
+  * with O(k) state per partition and only numPartitions·k values ever
+  * cross the wire; (b) DETERMINISTIC AND ENGINE-PORTABLE — the hash is
+  * `md5(key)`'s first 15 hex digits parsed as a 60-bit integer, which
+  * any engine with md5 reproduces bit-for-bit (the driver's DuckDB
+  * oracle recomputes the identical estimate, q56); Spark's own
+  * `approx_count_distinct` (HLL++) is neither portable nor
+  * specified across versions. Estimator: with v = k-th smallest of n
+  * distinct uniform hashes in [0, 2⁶⁰), E[v/2⁶⁰] ≈ k/(n+1), so
+  * n̂ = (k-1)/(v/2⁶⁰) (the unbiased form; Bar-Yossef et al. 2002).
+  * Relative error ~ 1/√k (k = 256 → ~6%).
+  *
+  * The estimate expression divides by the EXACT power 2⁶⁰ first
+  * (exact in binary floating point), then divides — one rounding per
+  * operation, bit-identical on any IEEE-754 engine evaluating the
+  * same tree.
+  */
+object Sketches {
+
+  /** Engine-portable 60-bit uniform hash: first 15 hex digits of
+    * md5(key as string). Pure built-ins — whole-stage codegen'd.
+    * (DuckDB: `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`.) */
+  def kmvHash(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Sketch state: the (≤ k) smallest distinct hashes, sorted asc. */
+  final class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k >= 2, "KMV needs k >= 2")
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    // insert one hash, keep the k smallest distinct (sorted buffer)
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(buf, h)
+      if (pos >= 0) buf // already present
+      else {
+        val ins = -pos - 1
+        if (ins >= k) buf // larger than current k-th: no-op
+        else {
+          val n = math.min(buf.length + 1, k)
+          val out = new Array[Long](n)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
+          out
+        }
+      }
+    }
+
+    // merge = sorted-union, truncate to k
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var o = 0
+      var last = Long.MinValue; var first = true
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val v =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
+          else { val x = b(j); j += 1; x }
+        if (first || v != last) { out(o) = v; o = o + 1; last = v; first = false }
+      }
+      if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = ExprEnc.arrayLong
+    override def outputEncoder: Encoder[Array[Long]] = ExprEnc.arrayLong
+  }
+
+  private object ExprEnc {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val arrayLong: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The sketch as a typed aggregation column over a hash column
+    * (use with `df.select(kmvHash(col("x")).as[Long]).agg(...)` or any
+    * `groupBy` — partial aggregation and AQE apply as with any agg). */
+  def kmvSketch(k: Int): TypedColumn[Long, Array[Long]] =
+    new KmvAgg(k).toColumn
+
+  /** One-row distinct-count estimate for `keyCol` of `df`:
+    * (key_name, n_kept, kth_hash, est_distinct). When fewer than k
+    * distinct hashes exist the sketch IS the distinct set and the
+    * estimate is exact. */
+  def kmvDistinct(df: DataFrame, keyCol: String, k: Int,
+      label: String = null): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val name = if (label == null) keyCol else label
+    val sketch = df.select(kmvHash(col(keyCol)).as("h"))
+      .filter(col("h").isNotNull)
+      .as[Long]
+      .select(kmvSketch(k).name("mins"))
+    sketch.select(
+      lit(name).as("key_name"),
+      size(col("mins")).cast("long").as("n_kept"),
+      array_max(col("mins")).as("kth_hash"),
+      when(size(col("mins")) < k, size(col("mins")).cast("double"))
+        .otherwise(lit((k - 1).toDouble) /
+          (array_max(col("mins")).cast("double") / lit(1152921504606846976.0d)))
+        .as("est_distinct"))
+  }
+
+  /** DuckDB oracle for one [[kmvDistinct]] row: same hash, same
+    * k-smallest-distinct, same estimate expression. `keyExpr` is the
+    * SQL expression for the key cast to VARCHAR the way Spark casts it
+    * (BIGINT→VARCHAR prints identically). */
+  def kmvOracle(table: String, keyExpr: String, k: Int, label: String,
+      where: String = "TRUE"): String =
+    s"""SELECT '$label' AS key_name,
+       |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |  MAX(h) AS kth_hash,
+       |  CASE WHEN COUNT(*) < $k THEN CAST(COUNT(*) AS DOUBLE)
+       |    ELSE CAST(${k - 1} AS DOUBLE) /
+       |      (CAST(MAX(h) AS DOUBLE) / 1152921504606846976.0) END AS est_distinct
+       |FROM (
+       |  SELECT DISTINCT CAST('0x' || substr(md5($keyExpr), 1, 15) AS BIGINT) AS h
+       |  FROM $table WHERE ($keyExpr) IS NOT NULL AND $where
+       |  ORDER BY h LIMIT $k
+       |)""".stripMargin
+}

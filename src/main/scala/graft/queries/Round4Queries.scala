@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.datapipe.{EditDistance, Sketches}
+import graft.ops.Merge
+import graft.util.Tables
+
+/** Round-4 query surface: sketch aggregation, exact-moment statistics,
+  * CDC merge, BPE-style token counting, blocked edit-distance pairs,
+  * and inverted-index search. Every query carries a DuckDB oracle.
+  */
+object Round4Queries {
+
+  // ---------------------------------------------------------------- q56
+  /** Distinct-count sketches (KMV, k=256) over three keys: a high-
+    * cardinality foreign key, the corpus token vocabulary, and a
+    * low-cardinality column exercising the exact small-set path. */
+  def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val k = 256
+    val custkeys = Sketches.kmvDistinct(Tables.orders(s, d), "o_custkey", k)
+    val tokens = Sketches.kmvDistinct(
+      Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= ""),
+      "tok", k, label = "doc_tokens")
+    val statuses = Sketches.kmvDistinct(Tables.lineitem(s, d), "l_linestatus", k)
+    custkeys.unionByName(tokens).unionByName(statuses)
+      .orderBy(col("key_name"))
+  }
+
+  def kmvOracle: String = {
+    val k = 256
+    val a = Sketches.kmvOracle("orders", "CAST(o_custkey AS VARCHAR)", k, "o_custkey")
+    val b = Sketches.kmvOracle(
+      "(SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok FROM documents)",
+      "tok", k, "doc_tokens")
+    val c = Sketches.kmvOracle("lineitem", "l_linestatus", k, "l_linestatus")
+    s"""SELECT * FROM ($a UNION ALL $b UNION ALL $c) ORDER BY key_name"""
+  }
+
+  // ---------------------------------------------------------------- q57
+  /** Distributed-exact statistical moments per group, with derived
+    * correlation / stddev. The raw moments are EXACT (integer sums for
+    * the integer-valued quantity, DECIMAL sums for money), so they
+    * survive any partitioning / merge order — unlike Spark's float
+    * `corr`/`stddev` built-ins whose streaming merges are partition-
+    * order-dependent. The float stats are then ONE deterministic
+    * closed-form expression over those exact components (identical
+    * IEEE-754 tree in the oracle). This is the scale-correct pattern
+    * for statistics over 100 TB: shuffle carries O(groups) exact
+    * moment tuples; nothing depends on row order. */
+  def momentStats(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val qtyL = col("l_quantity").cast("long")
+    val priceDec = col("l_extendedprice").cast(DecimalType(18, 4))
+    val agg = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(qtyL).as("sum_qty"),
+      sum(qtyL * qtyL).as("sum_qty2"),
+      sum(priceDec).as("sum_price_dec"),
+      sum((priceDec * priceDec).cast(DecimalType(38, 8))).as("sum_price2_dec"),
+      sum((qtyL.cast(DecimalType(9, 0)) * priceDec).cast(DecimalType(38, 6)))
+        .as("sum_qty_price_dec"))
+    val n = col("n_rows").cast("double")
+    val sx = col("sum_qty").cast("double")
+    val sxx = col("sum_qty2").cast("double")
+    val sy = col("sum_price_dec").cast("double")
+    val syy = col("sum_price2_dec").cast("double")
+    val sxy = col("sum_qty_price_dec").cast("double")
+    agg.select(
+      col("l_returnflag"),
+      col("n_rows"),
+      col("sum_qty"),
+      sy.as("sum_price"),
+      ((n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qty_price"),
+      sqrt((n * sxx - sx * sx) / (n * n)).as("stddev_pop_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  def momentStatsOracle: String =
+    """WITH agg AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty2,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_price_dec,
+      |    SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(19,4)) * CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS sum_price2_dec,
+      |    SUM(CAST(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(19,0)) * CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DECIMAL(19,4)) AS DECIMAL(38,6))) AS sum_qty_price_dec
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, n_rows, sum_qty,
+      |  CAST(sum_price_dec AS DOUBLE) AS sum_price,
+      |  ((CAST(n_rows AS DOUBLE) * CAST(sum_qty_price_dec AS DOUBLE) - CAST(sum_qty AS DOUBLE) * CAST(sum_price_dec AS DOUBLE)) /
+      |   (sqrt(CAST(n_rows AS DOUBLE) * CAST(sum_qty2 AS DOUBLE) - CAST(sum_qty AS DOUBLE) * CAST(sum_qty AS DOUBLE)) *
+      |    sqrt(CAST(n_rows AS DOUBLE) * CAST(sum_price2_dec AS DOUBLE) - CAST(sum_price_dec AS DOUBLE) * CAST(sum_price_dec AS DOUBLE))))
+      |    AS corr_qty_price,
+      |  sqrt((CAST(n_rows AS DOUBLE) * CAST(sum_qty2 AS DOUBLE) - CAST(sum_qty AS DOUBLE) * CAST(sum_qty AS DOUBLE)) /
+      |       (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))) AS stddev_pop_qty
+      |FROM agg ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q58
+  /** CDC merge (the reference's baseline+updatefiles pattern on the
+    * relational surface): a deterministic delta derived from orders —
+    * status updates for keys ≡ 3 (mod 10), tombstones for keys ≡ 7
+    * (mod 100), inserts of new keys — applied via [[Merge]]. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .withColumn("version", lit(1L))
+      .withColumn("is_deleted", lit(false))
+    val updates = base.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderstatus", lit("X"))
+      .withColumn("version", lit(2L))
+    val tombstones = base.filter(col("o_orderkey") % 100 === 7)
+      .withColumn("version", lit(2L))
+      .withColumn("is_deleted", lit(true))
+    val inserts = base.filter(col("o_orderkey") % 500 === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      .withColumn("o_orderstatus", lit("N"))
+    val delta = updates.unionByName(tombstones).unionByName(inserts)
+    Merge.applyChanges(base, delta, Seq("o_orderkey"), "version", "is_deleted")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("version"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  def mergeUpsertOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    CAST(1 AS BIGINT) AS version, FALSE AS is_deleted, 0 AS src
+      |  FROM orders
+      |), delta AS (
+      |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice,
+      |    CAST(2 AS BIGINT) AS version, FALSE AS is_deleted, 1 AS src
+      |  FROM orders WHERE o_orderkey % 10 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    CAST(2 AS BIGINT) AS version, TRUE AS is_deleted, 1 AS src
+      |  FROM orders WHERE o_orderkey % 100 = 7
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_custkey, 'N' AS o_orderstatus, o_totalprice,
+      |    CAST(1 AS BIGINT) AS version, FALSE AS is_deleted, 1 AS src
+      |  FROM orders WHERE o_orderkey % 500 = 1
+      |), unioned AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM delta
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY o_orderkey ORDER BY version DESC, src DESC) AS rn
+      |  FROM unioned
+      |)
+      |SELECT o_orderkey, o_orderstatus, o_totalprice, version
+      |FROM ranked WHERE rn = 1 AND NOT is_deleted
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  /** GPT-2-style pre-tokenizer regex (no lookahead — portable between
+    * Java regex and RE2): contractions, space-prefixed letter runs,
+    * space-prefixed digit runs, space-prefixed punctuation runs,
+    * whitespace runs. */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token counting per document: whitespace tokens and BPE-ish
+    * pre-tokens (the LLM-cost proxy). Pure codegen'd expressions. */
+  def bpeTokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws"),
+      size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+        .cast("long").as("n_bpe"),
+      length(col("text")).cast("long").as("n_chars_measured"))
+      .filter(length(trim(col("text"))) > 0)
+      .orderBy(col("doc_id"))
+
+  def bpeOracle: String = {
+    val pat = bpePattern.replace("'", "''")
+    s"""SELECT doc_id,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws,
+       |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_bpe,
+       |  CAST(length(text) AS BIGINT) AS n_chars_measured
+       |FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q60
+  /** Blocked Levenshtein near-match pairs over part names (block =
+    * brand, length band + threshold-bounded DP inside the block). */
+  def editDistancePairs(s: SparkSession, d: String): DataFrame =
+    EditDistance.nearMatchPairs(Tables.part(s, d), "p_partkey", "p_name",
+        "p_brand", maxDist = 2)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def editDistanceOracle: String =
+    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+      |  AND levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+  /** Conjunctive full-text search answered through the inverted index
+    * (postings join) instead of a corpus scan; the oracle recomputes
+    * the analyzer per document and tests token membership — equality
+    * proves index search ≡ scan search. Query terms exercise the
+    * plural stemming ("windows batches" → window, batch). */
+  val searchQuery = "windows batches"
+
+  def invertedSearch(s: SparkSession, d: String): DataFrame =
+    SearchFacade.searchIndexAll(Tables.documents(s, d), "doc_id", "text",
+        searchQuery)
+      .orderBy(col("doc_id"))
+
+  def invertedSearchOracle: String = {
+    val terms = SearchFacade.analyzeQueryTerms(searchQuery).distinct
+    val conds = terms.map(t => s"list_contains(toks, '$t')").mkString(" AND ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_transform(
+       |    list_filter(
+       |      string_split_regex(regexp_replace(lower(text), '''s\\b', '', 'g'), '[^\\p{L}\\p{N}]+'),
+       |      t -> t <> ''),
+       |    t -> CASE
+       |      WHEN length(t) > 4 AND regexp_matches(t, 'ies$$') THEN regexp_replace(t, 'ies$$', 'y')
+       |      WHEN regexp_matches(t, '(sses|ches|shes|xes)$$') THEN regexp_replace(t, 'es$$', '')
+       |      WHEN length(t) > 3 AND regexp_matches(t, '[^su]s$$') THEN regexp_replace(t, 's$$', '')
+       |      ELSE t END) AS toks
+       |  FROM documents
+       |)
+       |SELECT doc_id FROM tok WHERE $conds ORDER BY doc_id""".stripMargin
+  }
+}

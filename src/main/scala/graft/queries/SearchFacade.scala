@@ -142,6 +142,51 @@ object SearchFacade {
       .orderBy(col("n_publications").desc, col("ref"), col("ref2"))
   }
 
+  /** Scala mirror of [[analyzeEnglish]] for driver-side query strings —
+    * same regexes and rule order, so an analyzed query term matches the
+    * analyzed document tokens. Kept adjacent to the column version;
+    * SearchFacadeSpec pins their agreement. */
+  def analyzeQueryTerms(query: String): Seq[String] =
+    query.toLowerCase.replaceAll("'s\\b", "")
+      .split("[^\\p{L}\\p{N}]+").toIndexedSeq
+      .filter(_.nonEmpty)
+      .filterNot(StopWords.glasgow.contains)
+      .map { t =>
+        if (t.length > 4 && t.endsWith("ies")) t.dropRight(3) + "y"
+        else if (t.endsWith("sses") || t.endsWith("ches") ||
+          t.endsWith("shes") || t.endsWith("xes")) t.dropRight(2)
+        else if (t.length > 3 && t.endsWith("s") && !t.endsWith("ss") &&
+          !t.endsWith("us")) t.dropRight(1)
+        else t
+      }
+
+  /** Inverted index over a document table: one (term, id) posting per
+    * distinct analyzed token per document — the scale path for the
+    * search predicates above (SURVEY §3.3 / §4): materialized once and
+    * partitioned (or bucketed) by term, a conjunctive query reads only
+    * its terms' postings instead of scanning every document's text. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withSearchTokens(df, textCol)
+      .select(col(idCol), explode(col("tokens")).as("term"))
+      .distinct()
+
+  /** Conjunctive (AND) search through the inverted index: filter the
+    * postings to the query's analyzed terms (pushed to the scan),
+    * count distinct terms per document, keep docs matching all terms.
+    * One shuffle over the matching postings only — independent of
+    * corpus text size. */
+  def searchIndexAll(df: DataFrame, idCol: String, textCol: String,
+      query: String): DataFrame = {
+    val terms = analyzeQueryTerms(query).distinct
+    require(terms.nonEmpty, "query analyzed to zero terms")
+    invertedIndex(df, idCol, textCol)
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("term")).as("__nt"))
+      .filter(col("__nt") === terms.size)
+      .select(col(idCol))
+  }
+
   /** Register the 4 collections as temp views for spark.sql queries. */
   def registerTables(spark: SparkSession, outputDir: String): Unit = {
     Seq("publication", "publication_enriched", "concept", "bioentity", "taggedtext")

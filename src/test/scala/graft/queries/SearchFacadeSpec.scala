@@ -120,6 +120,39 @@ class SearchFacadeSpec extends AnyFunSuite {
     assert(ranked == Seq(1L, 2L, 3L), ranked)
   }
 
+  test("scala query analyzer mirrors the column analyzer") {
+    import spark.implicits._
+    val samples = Seq(
+      "The cell's cycles; batches of Windows-based queries!",
+      "kinases diseases bosses churches dishes boxes series bus hands",
+      "a an the of", // all stopwords
+      "x9 alpha-2 receptors 42",
+    )
+    val colToks = SearchFacade
+      .withSearchTokens(samples.zipWithIndex.map(_.swap).toDF("id", "text"), "text")
+      .orderBy("id").select("tokens").as[Seq[String]].collect().toSeq
+    val scalaToks = samples.map(SearchFacade.analyzeQueryTerms)
+    assert(colToks == scalaToks, s"\ncol:   $colToks\nscala: $scalaToks")
+  }
+
+  test("inverted-index search equals scan-based matchAll") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "window functions batch the shuffle"),
+      (2L, "windows and batches everywhere"),   // stems to window/batch
+      (3L, "window only"),
+      (4L, "batch only"),
+      (5L, "nothing relevant"),
+    ).toDF("doc_id", "text")
+    val viaIndex = SearchFacade.searchIndexAll(docs, "doc_id", "text", "windows batches")
+      .collect().map(_.getLong(0)).toSet
+    val viaScan = SearchFacade.withSearchTokens(docs, "text")
+      .filter(SearchFacade.matchAll(col("tokens"), "window batch"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaIndex == Set(1L, 2L))
+    assert(viaIndex == viaScan)
+  }
+
   test("max filters limit enforced like ES max_adjacency_matrix_filters") {
     import spark.implicits._
     val concepts = Seq.empty[(String, String)].toDF("pub_id", "x")
