@@ -30,8 +30,12 @@ object EditDistance {
     * `strCol` values are within `maxDist` edits. id_a < id_b. */
   def nearMatchPairs(df: DataFrame, idCol: String, strCol: String,
       blockCol: String, maxDist: Int): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(strCol).as("s_a"),
-      col(blockCol).as("blk"))
+    // The per-PAIR Levenshtein runs in the probe-side tasks; a
+    // single-split input would serialize it (Par.ensure is a no-op on
+    // inputs that already scan with real parallelism).
+    val a = graft.util.Par.ensure(
+      df.select(col(idCol).as("id_a"), col(strCol).as("s_a"),
+        col(blockCol).as("blk")))
     val b = df.select(col(idCol).as("id_b"), col(strCol).as("s_b"),
       col(blockCol).as("blk"))
     a.join(b, Seq("blk"))

@@ -27,10 +27,13 @@ object SearchFacade {
     * minimal plural stemming (S-stemmer, approximating ES's
     * `minimal_english`). Pure built-ins — fully codegen'd. */
   def analyzeEnglish(text: Column): Column = {
-    val stopArr = array(StopWords.glasgow.toSeq.sorted.map(lit): _*)
+    // stopword test as In(600 literals): the optimizer rewrites it to a
+    // hashed InSet (O(1) per token) — array_contains over a literal
+    // array would scan all 600 entries per token
+    val stopList = StopWords.glasgow.toSeq.sorted
     val toks = split(regexp_replace(lower(text), "'s\\b", ""), "[^\\p{L}\\p{N}]+")
     val filtered = filter(toks, t =>
-      length(t) > 0 && !array_contains(stopArr, t))
+      length(t) > 0 && !t.isin(stopList: _*))
     transform(filtered, t =>
       when(t.rlike("ies$") && length(t) > 4, regexp_replace(t, "ies$", "y"))
         .when(t.rlike("(sses|ches|shes|xes)$"), regexp_replace(t, "es$", ""))
@@ -179,7 +182,14 @@ object SearchFacade {
       query: String): DataFrame = {
     val terms = analyzeQueryTerms(query).distinct
     require(terms.nonEmpty, "query analyzed to zero terms")
-    invertedIndex(df, idCol, textCol)
+    // countDistinct dedups postings itself, so no separate .distinct()
+    // aggregate: one logical agg over the term-filtered postings (the
+    // term filter sits directly on the generate output, before any
+    // exchange — only matching postings are ever shuffled). Par.ensure:
+    // the regex analyzer is the CPU cost and must not run single-task
+    // on single-split inputs (no-op at real scale).
+    withSearchTokens(graft.util.Par.ensure(df), textCol)
+      .select(col(idCol), explode(col("tokens")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col(idCol))
       .agg(countDistinct(col("term")).as("__nt"))
