@@ -106,4 +106,26 @@ object StreamingPipeline {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  /** Stream-stream interval join: pair each right-stream event with
+    * the left-stream events of the same key that happened in the
+    * window (right.ts - horizon, right.ts] — the "attribute a
+    * conversion to recent clicks" shape. Both sides are watermarked so
+    * the join state is bounded: a buffered left row can be dropped
+    * once the right watermark passes its ts + horizon (Spark derives
+    * the state-eviction bound from the interval condition; without the
+    * time bound the join would buffer both streams forever).
+    * Columns: left (key, ts, …lCols), right (key, rts, …rCols). */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+      keyCol: String, horizon: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.withColumnRenamed(keyCol, "__rkey")
+      .withWatermark("rts", watermark)
+    l.join(r,
+      col(keyCol) === col("__rkey") &&
+        col("ts") > col("rts") - expr(s"INTERVAL $horizon") &&
+        col("ts") <= col("rts"),
+      "inner").drop("__rkey")
+  }
 }

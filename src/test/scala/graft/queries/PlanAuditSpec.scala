@@ -87,4 +87,44 @@ class PlanAuditSpec extends AnyFunSuite {
     // map-side-combining TopK Aggregator: partial agg before exchange
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p.take(2000))
   }
+
+  test("q56 KMV sketch partially aggregates before each exchange") {
+    // the whole point of the sketch: only O(k) state per partition
+    // crosses the wire — ObjectHashAggregate(partial) below Exchange
+    val p = formatted("q56_kmv_distinct")
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstExchange >= 0, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // each of the 3 sketch branches: partial+final ObjectHashAggregate
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 6, p.take(3000))
+  }
+
+  test("q58 merge is ONE key shuffle (agg-based, not join-based)") {
+    val p = plan("q58_merge_upsert")
+    // one exchange for the keyed max_by agg + one for the final sort
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"$exchanges exchanges\n${p.take(3000)}")
+    assert(!p.contains("Join"), p.take(2000)) // no join-based merge
+  }
+
+  test("q60 blocked edit distance joins on the block key (never a cross product)") {
+    val p = plan("q60_edit_distance")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q61 term filter sits below the first aggregate exchange") {
+    // only postings matching the query terms are shuffled; the filter
+    // must not migrate above the exchange
+    val p = plan("q61_inverted_search")
+    val filterIdx = p.indexOf("term#")
+    val inIdx = p.indexOf(" IN (")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(inIdx >= 0 && exchangeIdx >= 0, p.take(3000))
+    assert(inIdx > exchangeIdx,
+      s"term IN-filter should print BELOW (after) its exchange in tree order\n${p.take(3000)}")
+  }
 }

@@ -131,4 +131,38 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(rows.contains((2L, "2024-01-01 10:05:00.0", 1L)), rows)
     query.stop()
   }
+
+  test("stream-stream interval join attributes conversions to recent clicks") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val convs = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val out = StreamingPipeline.intervalJoinStreams(
+      clicks.toDF().toDF("ts", "user_id", "page"),
+      convs.toDF().toDF("rts", "user_id", "amount"),
+      "user_id", horizon = "1 hour", watermark = "10 minutes")
+    val query = out.writeStream
+      .format("memory").queryName("attributed")
+      .outputMode("append").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    clicks.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "a"),   // within 1h of conv -> joins
+      (ts("2024-01-01 10:40:00"), 1L, "b"),   // within 1h -> joins
+      (ts("2024-01-01 08:00:00"), 1L, "old"), // > 1h before conv -> no
+      (ts("2024-01-01 10:30:00"), 2L, "c"))   // other user, no conversion
+    convs.addData((ts("2024-01-01 10:45:00"), 1L, 9.99))
+    query.processAllAvailable()
+    // advance both watermarks so buffered state can be evicted
+    // (distinct keys so the advancing rows don't join each other)
+    clicks.addData((ts("2024-01-01 14:00:00"), 8L, "z"))
+    convs.addData((ts("2024-01-01 14:00:00"), 9L, 0.0))
+    query.processAllAvailable()
+
+    val rows = spark.table("attributed")
+      .select("user_id", "page", "amount").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, "a", 9.99), (1L, "b", 9.99)), rows)
+    query.stop()
+  }
 }
