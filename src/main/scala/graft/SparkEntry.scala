@@ -78,6 +78,7 @@ object SparkEntry {
     "q59_bpe_tokens" -> (Round4Queries.bpeTokenCounts _),
     "q60_edit_distance" -> (Round4Queries.editDistancePairs _),
     "q61_inverted_search" -> (Round4Queries.invertedSearch _),
+    "q62_bm25_search" -> (Round4Queries.bm25Search _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -393,5 +394,6 @@ object SparkEntry {
     "q59_bpe_tokens" -> Round4Queries.bpeOracle,
     "q60_edit_distance" -> Round4Queries.editDistanceOracle,
     "q61_inverted_search" -> Round4Queries.invertedSearchOracle,
+    "q62_bm25_search" -> Round4Queries.bm25Oracle,
   )
 }

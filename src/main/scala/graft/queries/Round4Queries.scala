@@ -215,6 +215,65 @@ object Round4Queries {
         searchQuery)
       .orderBy(col("doc_id"))
 
+  // ---------------------------------------------------------------- q62
+  /** BM25 ranked search (the ES default scorer) — rank + integer
+    * columns only; float scores are engine-local because ln is not
+    * bit-portable (see [[SearchFacade.searchBm25]]). Ordering is
+    * robust: same integer (tf, dl) ⇒ bit-equal score in each engine. */
+  def bm25Search(s: SparkSession, d: String): DataFrame =
+    SearchFacade.searchBm25(Tables.documents(s, d), "doc_id", "text",
+      searchQuery, k = 20)
+
+  def bm25Oracle: String = {
+    val terms = SearchFacade.analyzeQueryTerms(searchQuery).distinct
+    val tfExprs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i" }
+      .mkString(",\n       |    ")
+    val dfSubs = terms.zipWithIndex.map { case (t, i) =>
+      s"(SELECT COUNT(*) FROM tok WHERE list_contains(toks, '$t')) AS df$i" }
+      .mkString(",\n       |    ")
+    val scoreSum = terms.indices.map { i =>
+      s"""ln(1.0 + (CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) *
+         | (tf$i * (1.2 + 1.0)) / (tf$i + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgdl))"""
+        .stripMargin.replace("\n", " ") }
+      .mkString(" + ")
+    val anyMatch = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_transform(
+       |    list_filter(
+       |      string_split_regex(regexp_replace(lower(text), '''s\\b', '', 'g'), '[^\\p{L}\\p{N}]+'),
+       |      t -> t <> '' AND NOT list_contains($stopListSql, t)),
+       |    t -> CASE
+       |      WHEN length(t) > 4 AND regexp_matches(t, 'ies$$') THEN regexp_replace(t, 'ies$$', 'y')
+       |      WHEN regexp_matches(t, '(sses|ches|shes|xes)$$') THEN regexp_replace(t, 'es$$', '')
+       |      WHEN length(t) > 3 AND regexp_matches(t, '[^su]s$$') THEN regexp_replace(t, 's$$', '')
+       |      ELSE t END) AS toks
+       |  FROM documents
+       |), pertok AS (
+       |  SELECT doc_id, len(toks) AS dl,
+       |    $tfExprs
+       |  FROM tok
+       |), stats AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+       |    $dfSubs
+       |  FROM (SELECT doc_id, len(toks) AS dl FROM tok) _
+       |), scored AS (
+       |  SELECT doc_id, dl, $scoreSum AS score
+       |  FROM pertok, stats WHERE $anyMatch
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       |  doc_id, CAST(dl AS BIGINT) AS dl
+       |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** Stopword list as a DuckDB list literal (analyzer parity: the
+    * Spark analyzer drops stopwords BEFORE stemming — dl must count
+    * post-stopword tokens). */
+  private def stopListSql: String =
+    graft.text.StopWords.glasgow.toSeq.sorted
+      .map(w => s"'${w.replace("'", "''")}'").mkString("[", ",", "]")
+
   def invertedSearchOracle: String = {
     val terms = SearchFacade.analyzeQueryTerms(searchQuery).distinct
     val conds = terms.map(t => s"list_contains(toks, '$t')").mkString(" AND ")

@@ -153,6 +153,28 @@ class SearchFacadeSpec extends AnyFunSuite {
     assert(viaIndex == viaScan)
   }
 
+  test("bm25: saturation and length normalization differ from tf-idf") {
+    import spark.implicits._
+    val docs = Seq(
+      // same tf for 'asthma' (1), shorter doc -> higher bm25 rank
+      (1L, "asthma treatment"),
+      (2L, "asthma treatment respiratory clinical longitudinal cohort evaluation"),
+      // tf saturation: 10x tf must not give 10x weight over doc 1
+      (3L, "asthma asthma asthma asthma asthma asthma asthma asthma asthma asthma"),
+      (4L, "unrelated entirely"),
+    ).toDF("id", "text")
+    val ranked = SearchFacade.searchBm25(docs, "id", "text", "asthma", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq // (rank, id)
+    // all three asthma docs match, ranks 1..3; doc 4 absent
+    assert(ranked.map(_._2).toSet == Set(1L, 2L, 3L), ranked)
+    val rankOf = ranked.map { case (r, id) => id -> r }.toMap
+    // shorter doc beats longer doc at equal tf (length normalization)
+    assert(rankOf(1L) < rankOf(2L), ranked)
+    // repetition still wins over single mention, but is bounded:
+    // doc 3 is also the SHORTEST doc with the highest tf -> rank 1
+    assert(rankOf(3L) == 1L, ranked)
+  }
+
   test("max filters limit enforced like ES max_adjacency_matrix_filters") {
     import spark.implicits._
     val concepts = Seq.empty[(String, String)].toDF("pub_id", "x")
