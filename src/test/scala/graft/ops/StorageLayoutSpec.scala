@@ -89,4 +89,37 @@ class StorageLayoutSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
     }
   }
+
+  test("runtime bloom filter: selective dim side injects bloom_filter_might_contain on the fact scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    (1 to 20000).map(i => (i.toLong % 2000, s"f$i")).toDF("k", "fv")
+      .write.mode("overwrite").parquet(s"$dir/facts")
+    (1 to 2000).map(i => (i.toLong, i % 7)).toDF("k", "attr")
+      .write.mode("overwrite").parquet(s"$dir/dims")
+    // thresholds sized for toy data; at scale the defaults (10 MB
+    // creation side) gate the same rewrite
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "500MB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = spark.read.parquet(s"$dir/facts")
+      val dims = spark.read.parquet(s"$dir/dims").filter(col("attr") === 3)
+      val j = facts.join(dims, Seq("k"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      // the runtime filter rewrites the fact side to
+      // might_contain(bloom_filter_agg(dim keys), xxhash64(k))
+      assert(plan.contains("bloom_filter") || plan.contains("might_contain"), plan)
+      // and the join result is unaffected by the filter
+      assert(j.count() ==
+        facts.join(spark.read.parquet(s"$dir/dims").filter(col("attr") === 3),
+          Seq("k"), "inner").count())
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
