@@ -79,6 +79,7 @@ object SparkEntry {
     "q60_edit_distance" -> (Round4Queries.editDistancePairs _),
     "q61_inverted_search" -> (Round4Queries.invertedSearch _),
     "q62_bm25_search" -> (Round4Queries.bm25Search _),
+    "q63_salted_join" -> (Round4Queries.saltedJoinRevenue _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -395,5 +396,6 @@ object SparkEntry {
     "q60_edit_distance" -> Round4Queries.editDistanceOracle,
     "q61_inverted_search" -> Round4Queries.invertedSearchOracle,
     "q62_bm25_search" -> Round4Queries.bm25Oracle,
+    "q63_salted_join" -> Round4Queries.saltedJoinOracle,
   )
 }

@@ -267,6 +267,32 @@ object Round4Queries {
        |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q63
+  /** Salted skew join on the query surface: revenue per supplier where
+    * the fact side is salted into 8 buckets and the dim replicated per
+    * bucket ([[Skew.saltedJoin]]) — semantically identical to the plain
+    * join, which is exactly what the oracle checks (salting must never
+    * lose or duplicate a row). */
+  def saltedJoinRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_suppkey"),
+        col("l_extendedprice").cast(DecimalType(18, 4)).as("p"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    graft.datapipe.Skew.saltedJoin(li, sup, "l_suppkey", nSalts = 8)
+      .groupBy(col("s_name"))
+      .agg(sum(col("p")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("s_name"))
+  }
+
+  def saltedJoinOracle: String =
+    """SELECT s.s_name,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |GROUP BY s.s_name ORDER BY s.s_name""".stripMargin
+
   /** Stopword list as a DuckDB list literal (analyzer parity: the
     * Spark analyzer drops stopwords BEFORE stemming — dl must count
     * post-stopword tokens). */
