@@ -110,6 +110,50 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Z-value (Morton code) of two int columns: bit-interleave so that
+  * sorting by the result clusters rows that are close in BOTH
+  * dimensions — the 2-D generalization of sorted compaction. Files
+  * written in z-order have tight min/max ranges on BOTH columns, so a
+  * 2-D box predicate prunes files on either axis (the Delta/Iceberg
+  * OPTIMIZE ZORDER technique, here as one codegen'd expression +
+  * repartitionByRange). Inputs are flipped by Int.MinValue so the
+  * unsigned interleave respects signed order. */
+case class ZOrder2Expr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder2"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder2Expr.interleave(a.asInstanceOf[Int], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ZOrder2Expr.interleave($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrder2Expr =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZOrder2Expr {
+  /** Spread the 32 bits of `v` into the even bit positions of a long. */
+  @inline private def spread(v: Int): Long = {
+    var x = v.toLong & 0xffffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** Morton code with sign-flips so BOTH the signed int inputs and the
+    * signed long output sort in true z-order (the interleaved top bit
+    * lands on the long's sign bit — flip it back). */
+  def interleave(a: Int, b: Int): Long =
+    ((spread(a ^ Int.MinValue) << 1) | spread(b ^ Int.MinValue)) ^ Long.MinValue
+}
+
 object Expressions {
   import org.apache.spark.sql.graftbridge.Bridge
   def bio_token_count(c: Column): Column =
@@ -122,4 +166,6 @@ object Expressions {
     Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
   def minhash_bands(c: Column, numPerm: Int, shingleN: Int, bands: Int): Column =
     Bridge.column(MinHashBandsExpr(Bridge.expression(c), numPerm, shingleN, bands))
+  def zorder2(a: Column, b: Column): Column =
+    Bridge.column(ZOrder2Expr(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -42,4 +42,21 @@ object Compaction {
     }
     shaped.write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Z-ordered compaction over TWO int clustering columns: cluster by
+    * the Morton code ([[graft.functions.ZOrder2Expr]], codegen'd) so
+    * every file covers a tight range in BOTH dimensions — a 2-D box
+    * predicate prunes files on either axis, where a single-column sort
+    * only prunes on its leading column. */
+  def writeZOrdered(df: DataFrame, path: String, targetRows: Long,
+      colA: String, colB: String): Unit = {
+    val n = fileCount(df.count(), targetRows)
+    df.withColumn("__z",
+        graft.functions.Expressions.zorder2(
+          col(colA).cast("int"), col(colB).cast("int")))
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -52,6 +52,53 @@ class CompactionSpec extends AnyFunSuite {
     assert(files.length == 1)
   }
 
+  test("z-ordered compaction: 2-D box query touches fewer files than row order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // 64x64 grid in random-ish (id-hash) order
+    val grid = (0 until 4096).map { i =>
+      val x = (i * 2654435761L % 4096).toInt
+      (x % 64, x / 64, i.toLong)
+    }.toDF("x", "y", "payload")
+    grid.repartition(1).write.mode("overwrite").parquet(s"$dir/roworder")
+    Compaction.writeZOrdered(grid, s"$dir/zorder", targetRows = 256, "x", "y")
+    assert(parquetFiles(s"$dir/zorder").length == 16)
+    // content preserved
+    assert(spark.read.parquet(s"$dir/zorder").count() == 4096)
+
+    // z-order clusters 2-D locality: an 8x8 box (1/64 of the space)
+    // must concentrate in a small fraction of the 16 files
+    val touched = spark.read.parquet(s"$dir/zorder")
+      .filter(col("x").between(8, 15) && col("y").between(8, 15))
+      .select(input_file_name()).distinct().count()
+    assert(touched <= 4, s"box query touched $touched of 16 z-ordered files")
+
+    // per-file bounding boxes are tight on BOTH axes: no file spans
+    // the full extent of both dimensions (a random layout does)
+    val boxes = spark.read.parquet(s"$dir/zorder")
+      .groupBy(input_file_name())
+      .agg(max("x") - min("x"), max("y") - min("y"))
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    assert(boxes.forall { case (dx, dy) => dx < 64 || dy < 64 }, boxes.toSeq)
+    assert(boxes.count { case (dx, dy) => dx <= 31 && dy <= 31 } >= 8, boxes.toSeq)
+  }
+
+  test("z-value interleave orders 2-D neighbors together") {
+    import graft.functions.ZOrder2Expr.interleave
+    // quadrant structure: all of quadrant (low x, low y) sorts before
+    // the (high, high) quadrant
+    assert(interleave(0, 0) < interleave(0, 1))
+    assert(interleave(3, 3) < interleave(4, 0)) // 2-bit block boundary
+    assert(interleave(63, 63) < interleave(64, 64))
+    // signed order respected on both axes and the output
+    assert(interleave(-1, 0) < interleave(0, 0))
+    assert(interleave(Int.MinValue, Int.MinValue) < interleave(0, 0))
+    assert(interleave(0, 0) < interleave(Int.MaxValue, Int.MaxValue))
+    // bit-exact known value: x=1,y=0 -> bit 1 of the unsigned code
+    assert((interleave(1, 0) ^ Long.MinValue) ==
+      ((interleave(0, 0) ^ Long.MinValue) | 2L))
+  }
+
   test("fileCount arithmetic") {
     assert(Compaction.fileCount(1000, 250) == 4)
     assert(Compaction.fileCount(1001, 250) == 5)
