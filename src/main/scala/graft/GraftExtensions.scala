@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BioTokenCountExpr, CosineSimExpr, SimHashExpr, SimHashMd5Expr}
+import graft.functions.{BioTokenCountExpr, CosineSimExpr, SimHashExpr, SimHashMd5Expr, ZOrder2Expr}
 
 /** SparkSessionExtensions entry point: registers the native graft
   * expressions as SQL functions so `spark.sql("SELECT simhash64(text)
@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("cosine_sim",
         "cosine_sim(a, b) - cosine similarity of two float arrays"),
       ((args: Seq[Expression]) => CosineSimExpr(args.head, args(1))): FunctionBuilder))
+    e.injectFunction((
+      FunctionIdentifier("zorder2"),
+      info("zorder2",
+        "zorder2(a, b) - sign-correct Morton z-value of two ints"),
+      ((args: Seq[Expression]) => ZOrder2Expr(args.head, args(1))): FunctionBuilder))
     // rewrite contains(text, surface) inner joins into broadcast
     // Aho-Corasick scans (SURVEY §4 candidate strategy)
     e.injectPlannerStrategy(_ => graft.plans.DictionaryJoinStrategy)

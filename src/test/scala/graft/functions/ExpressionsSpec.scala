@@ -84,11 +84,14 @@ class ExpressionsSpec extends AnyFunSuite {
       exprs => SimHashMd5Expr(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("bio_token_count",
       exprs => BioTokenCountExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("zorder2",
+      exprs => ZOrder2Expr(exprs.head, exprs(1)), "scala_udf")
     val row = spark.sql(
-      "SELECT simhash64('a b c') AS h, simhash64_md5('a b c') AS hm, bio_token_count('a b c d') AS n").head()
+      "SELECT simhash64('a b c') AS h, simhash64_md5('a b c') AS hm, bio_token_count('a b c d') AS n, zorder2(3, 5) AS z").head()
     assert(row.getLong(0) == graft.datapipe.Hashing.simhash("a b c"))
     assert(row.getLong(1) == graft.datapipe.Hashing.simhashMd5("a b c"))
     assert(row.getInt(2) == 4)
+    assert(row.getLong(3) == ZOrder2Expr.interleave(3, 5))
   }
 
   test("codegen plan contains the native expression, not a ScalaUDF") {
