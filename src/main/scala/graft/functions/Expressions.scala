@@ -120,6 +120,18 @@ case class CosineSimExpr(left: Expression, right: Expression)
   * unsigned interleave respects signed order. */
 case class ZOrder2Expr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  // analysis-time contract: ints only. A silent 64-bit cast would wrap
+  // and interleave garbage bits; callers with bigint keys must decide
+  // how to reduce them (range-check then cast) — see Compaction
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (left.dataType == IntegerType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"zorder2 requires (INT, INT), got (${left.dataType.simpleString}, " +
+        s"${right.dataType.simpleString}); range-check then cast explicitly")
+  }
   override def dataType: DataType = LongType
   override def prettyName: String = "zorder2"
 

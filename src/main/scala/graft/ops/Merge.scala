@@ -38,11 +38,16 @@ object Merge {
     require(keyCols.nonEmpty && keyCols.forall(cols.contains))
     val tagged = base.select(cols.map(col): _*).withColumn("__src", lit(0))
       .unionByName(delta.select(cols.map(col): _*).withColumn("__src", lit(1)))
+    // ordering: version, then delta-over-base, then a content hash so a
+    // delta batch carrying MULTIPLE rows for one key at the same
+    // version still resolves deterministically (max_by ties are
+    // otherwise arbitrary and would break run-to-run reproducibility)
     tagged
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(
         struct(cols.map(col): _*),
-        struct(col(versionCol), col("__src"))).as("__row"))
+        struct(col(versionCol), col("__src"),
+          xxhash64(cols.map(col): _*))).as("__row"))
       .select(col("__row.*"))
       .filter(!coalesce(col(deletedCol), lit(false)))
   }

@@ -160,9 +160,11 @@ object Round4Queries {
   /** GPT-2-style pre-tokenizer regex (no lookahead — portable between
     * Java regex and RE2): contractions, space-prefixed letter runs,
     * space-prefixed digit runs, space-prefixed punctuation runs,
-    * whitespace runs. */
+    * whitespace runs. Whitespace is an EXPLICIT class, not \s: Java's
+    * \s includes vertical tab U+000B while RE2's does not — the
+    * explicit class keeps both engines tokenizing identically. */
   val bpePattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+|[ \\t\\n\\r\\f]+"
 
   /** Token counting per document: whitespace tokens and BPE-ish
     * pre-tokens (the LLM-cost proxy). Pure codegen'd expressions. */
@@ -303,11 +305,14 @@ object Round4Queries {
   def invertedSearchOracle: String = {
     val terms = SearchFacade.analyzeQueryTerms(searchQuery).distinct
     val conds = terms.map(t => s"list_contains(toks, '$t')").mkString(" AND ")
+    // stopwords drop BEFORE stemming, exactly as the Spark analyzer
+    // does — otherwise a stopword whose stem equals a query term would
+    // make the oracle a superset of the implementation
     s"""WITH tok AS (
        |  SELECT doc_id, list_transform(
        |    list_filter(
        |      string_split_regex(regexp_replace(lower(text), '''s\\b', '', 'g'), '[^\\p{L}\\p{N}]+'),
-       |      t -> t <> ''),
+       |      t -> t <> '' AND NOT list_contains($stopListSql, t)),
        |    t -> CASE
        |      WHEN length(t) > 4 AND regexp_matches(t, 'ies$$') THEN regexp_replace(t, 'ies$$', 'y')
        |      WHEN regexp_matches(t, '(sses|ches|shes|xes)$$') THEN regexp_replace(t, 'es$$', '')

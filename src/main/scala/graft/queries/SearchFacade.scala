@@ -132,6 +132,11 @@ object SearchFacade {
       .select(col(idCol), col("tokens"), size(col("tokens")).as("dl"))
     val stats = toks.agg(count(lit(1)), sum(col("dl"))).head()
     val n = stats.getLong(0)
+    // empty corpus (or all-null text): no document can match — return
+    // an empty frame with the output schema instead of NPE/NaN stats
+    if (n == 0 || stats.isNullAt(1))
+      return toks.filter(lit(false))
+        .select(lit(0L).as("rank"), col(idCol), col("dl"))
     val avgdl = stats.getLong(1).toDouble / n.toDouble
     val dfCounts: Map[String, Long] = toks
       .select(explode(array_distinct(col("tokens"))).as("t"))

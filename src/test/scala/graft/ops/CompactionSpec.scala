@@ -99,6 +99,16 @@ class CompactionSpec extends AnyFunSuite {
       ((interleave(0, 0) ^ Long.MinValue) | 2L))
   }
 
+  test("z-order write rejects clustering columns wider than 32 bits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zreject").toString
+    val wide = Seq((5000000000L, 1), (1L, 2)).toDF("big", "small")
+    val e = intercept[IllegalArgumentException] {
+      Compaction.writeZOrdered(wide, s"$dir/out", 100, "big", "small")
+    }
+    assert(e.getMessage.contains("32-bit"), e.getMessage)
+  }
+
   test("fileCount arithmetic") {
     assert(Compaction.fileCount(1000, 250) == 4)
     assert(Compaction.fileCount(1001, 250) == 5)

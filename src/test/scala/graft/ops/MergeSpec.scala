@@ -48,6 +48,19 @@ class MergeSpec extends AnyFunSuite {
     assert(out2.count() == 4)
   }
 
+  test("duplicate same-version delta rows resolve deterministically") {
+    val delta = Seq(
+      (1L, "dup-x", 5L, false),
+      (1L, "dup-y", 5L, false),
+    ).toDF("id", "val", "version", "is_deleted")
+    val picks = (1 to 5).map { _ =>
+      Merge.applyChanges(base, delta.repartition(3), Seq("id"),
+          "version", "is_deleted")
+        .filter($"id" === 1L).head().getString(1)
+    }.toSet
+    assert(picks.size == 1, s"nondeterministic tie-break: $picks")
+  }
+
   test("mismatched columns are rejected") {
     val bad = Seq((1L, 1L, false)).toDF("id", "version", "is_deleted")
     intercept[IllegalArgumentException] {

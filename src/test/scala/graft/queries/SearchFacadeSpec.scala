@@ -175,6 +175,14 @@ class SearchFacadeSpec extends AnyFunSuite {
     assert(rankOf(3L) == 1L, ranked)
   }
 
+  test("bm25 on an empty corpus returns an empty frame, not an error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    val out = SearchFacade.searchBm25(empty, "id", "text", "asthma")
+    assert(out.columns.toSeq == Seq("rank", "id", "dl"))
+    assert(out.count() == 0)
+  }
+
   test("max filters limit enforced like ES max_adjacency_matrix_filters") {
     import spark.implicits._
     val concepts = Seq.empty[(String, String)].toDF("pub_id", "x")
