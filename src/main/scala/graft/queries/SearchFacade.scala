@@ -128,9 +128,16 @@ object SearchFacade {
       query: String, k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = analyzeQueryTerms(query).distinct
     require(terms.nonEmpty, "query analyzed to zero terms")
-    val toks = withSearchTokens(df, textCol)
+    // Par.ensure: the analyzer dominates; don't serialize it on
+    // single-split inputs. Corpus stats (N, Σdl, every per-term df) in
+    // ONE aggregate pass — the analyzer is the cost, so one pass for
+    // all statistics instead of one for (N, Σdl) plus an explode for df
+    val toks = withSearchTokens(graft.util.Par.ensure(df), textCol)
       .select(col(idCol), col("tokens"), size(col("tokens")).as("dl"))
-    val stats = toks.agg(count(lit(1)), sum(col("dl"))).head()
+    val aggCols = Seq(count(lit(1)), sum(col("dl"))) ++
+      terms.map(t => sum(when(array_contains(col("tokens"), t), 1L)
+        .otherwise(0L)))
+    val stats = toks.agg(aggCols.head, aggCols.tail: _*).head()
     val n = stats.getLong(0)
     // empty corpus (or all-null text): no document can match — return
     // an empty frame with the output schema instead of NPE/NaN stats
@@ -138,11 +145,8 @@ object SearchFacade {
       return toks.filter(lit(false))
         .select(lit(0L).as("rank"), col(idCol), col("dl"))
     val avgdl = stats.getLong(1).toDouble / n.toDouble
-    val dfCounts: Map[String, Long] = toks
-      .select(explode(array_distinct(col("tokens"))).as("t"))
-      .filter(col("t").isin(terms: _*))
-      .groupBy("t").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfCounts: Map[String, Long] =
+      terms.zipWithIndex.map { case (t, i) => t -> stats.getLong(2 + i) }.toMap
     val score = terms.map { t =>
       val dft = dfCounts.getOrElse(t, 0L)
       val idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
