@@ -138,4 +138,62 @@ class PropertiesSpec extends AnyFunSuite {
       assert(stripped == t)
     }
   }
+
+  test("property: KMV merge is commutative, associative-consistent, bounded") {
+    val agg = new graft.datapipe.Sketches.KmvAgg(8)
+    val buf: Gen[Array[Long]] = Gen.listOf(Gen.choose(0L, 1000L))
+      .map(_.distinct.sorted.take(8).toArray)
+    forAll(buf, buf) { (a, b) =>
+      val ab = agg.merge(a, b)
+      val ba = agg.merge(b, a)
+      assert(ab.toSeq == ba.toSeq)                     // commutative
+      assert(ab.length <= 8)                           // bounded
+      assert(ab.toSeq == ab.toSeq.distinct.sorted)     // sorted distinct
+      // merge equals insert-one-at-a-time (reduce/merge consistency)
+      val viaReduce = b.foldLeft(a)(agg.reduce)
+      assert(ab.toSeq == viaReduce.toSeq)
+      // merging with itself is identity
+      assert(agg.merge(a, a).toSeq == a.toSeq)
+    }
+  }
+
+  test("property: z-order interleave preserves per-axis order at fixed other axis") {
+    import graft.functions.ZOrder2Expr.interleave
+    val int: Gen[Int] = Gen.oneOf(Gen.choose(-1000, 1000),
+      Gen.oneOf(Int.MinValue, Int.MaxValue, 0, -1, 1))
+    forAll(int, int) { (a, b) =>
+      if (a < Int.MaxValue) {
+        assert(interleave(a, b) < interleave(a + 1, b)) // x-axis monotone
+        assert(interleave(b, a) < interleave(b, a + 1)) // y-axis monotone
+      }
+      // bijective on the sampled pairs: decode by bit-deinterleave
+      val z = interleave(a, b) ^ Long.MinValue
+      def unspread(x0: Long): Int = {
+        var x = x0 & 0x5555555555555555L
+        x = (x | (x >> 1)) & 0x3333333333333333L
+        x = (x | (x >> 2)) & 0x0f0f0f0f0f0f0f0fL
+        x = (x | (x >> 4)) & 0x00ff00ff00ff00ffL
+        x = (x | (x >> 8)) & 0x0000ffff0000ffffL
+        x = (x | (x >> 16)) & 0x00000000ffffffffL
+        x.toInt
+      }
+      assert((unspread(z >>> 1) ^ Int.MinValue) == a)
+      assert((unspread(z) ^ Int.MinValue) == b)
+    }
+  }
+
+  test("property: levenshtein length band is exactness-preserving") {
+    // |len(a) - len(b)| > d implies lev(a, b) > d (the q60 pruning rule)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    forAll(word, word) { (a, b) =>
+      assert(lev(a, b) >= math.abs(a.length - b.length))
+    }
+  }
 }
