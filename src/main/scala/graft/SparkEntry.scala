@@ -80,6 +80,8 @@ object SparkEntry {
     "q61_inverted_search" -> (Round4Queries.invertedSearch _),
     "q62_bm25_search" -> (Round4Queries.bm25Search _),
     "q63_salted_join" -> (Round4Queries.saltedJoinRevenue _),
+    "q64_sequence_packing" -> (Round4Queries.sequencePacking _),
+    "q65_mixture_schedule" -> (Round4Queries.mixtureSchedule _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -397,5 +399,7 @@ object SparkEntry {
     "q61_inverted_search" -> Round4Queries.invertedSearchOracle,
     "q62_bm25_search" -> Round4Queries.bm25Oracle,
     "q63_salted_join" -> Round4Queries.saltedJoinOracle,
+    "q64_sequence_packing" -> Round4Queries.sequencePackingOracle,
+    "q65_mixture_schedule" -> Round4Queries.mixtureScheduleOracle,
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.datapipe.{EditDistance, Sketches}
+import graft.datapipe.{EditDistance, Packing, Sketches}
 import graft.ops.Merge
 import graft.util.Tables
 
@@ -294,6 +294,55 @@ object Round4Queries {
       |  CAST(COUNT(*) AS BIGINT) AS n_items
       |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |GROUP BY s.s_name ORDER BY s.s_name""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  /** Greedy sequence packing: per-language shards, whitespace token
+    * counts, 2048-token batches. */
+  def sequencePacking(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    Packing.packByBudget(docs, "lang", "doc_id", "n_tokens", tokenBudget = 2048L)
+      .orderBy(col("doc_id"))
+  }
+
+  def sequencePackingOracle: String =
+    """SELECT doc_id, lang,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |  CAST(floor((SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT))
+      |          OVER (PARTITION BY lang ORDER BY doc_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |        - CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT))
+      |       / 2048) AS BIGINT) AS batch_id
+      |FROM documents WHERE length(trim(text)) > 0
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+  /** Deterministic weighted-mixture schedule over sources: the first
+    * 500 schedule slots, weights up-sampling src1 (2x) and down-sampling src2 (0.5x). */
+  def mixtureSchedule(s: SparkSession, d: String): DataFrame =
+    Packing.mixtureSchedule(Tables.documents(s, d), "source", "doc_id",
+        Map("src1" -> 2.0, "src2" -> 0.5), defaultWeight = 1.0)
+      .filter(col("mix_rank") <= 500)
+      .select(col("mix_rank"), col("doc_id"), col("source"))
+      .orderBy(col("mix_rank"))
+
+  def mixtureScheduleOracle: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS DOUBLE)
+      |    / (CASE source WHEN 'src1' THEN 2.0 WHEN 'src2' THEN 0.5 ELSE 1.0 END)
+      |      AS position
+      |  FROM documents
+      |), sched AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY position, source, doc_id) AS BIGINT)
+      |    AS mix_rank, doc_id, source
+      |  FROM ranked
+      |)
+      |SELECT mix_rank, doc_id, source FROM sched
+      |WHERE mix_rank <= 500 ORDER BY mix_rank""".stripMargin
 
   /** Stopword list as a DuckDB list literal (analyzer parity: the
     * Spark analyzer drops stopwords BEFORE stemming — dl must count

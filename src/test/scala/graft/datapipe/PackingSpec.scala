@@ -1,0 +1,65 @@
+package graft.datapipe
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("packing: batches fill up to the budget; only oversized docs overflow") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", 1L, 1000L), ("a", 2L, 900L), ("a", 3L, 200L), // 1000+900 fits; 200 starts at 1900 -> batch 0
+      ("a", 4L, 5000L),                                    // oversized: own start batch
+      ("a", 5L, 100L),
+      ("b", 1L, 100L), ("b", 2L, 100L),                    // independent shard
+    ).toDF("shard", "id", "n")
+    val got = Packing.packByBudget(docs, "shard", "id", "n", tokenBudget = 2048L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == Set(
+      ("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 0L), // starts 0, 1000, 1900
+      ("a", 4L, 1L),                                // start 2100 -> batch 1
+      ("a", 5L, 3L),                                // start 7100 -> batch 3 (doc 4 spanned 2)
+      ("b", 1L, 0L), ("b", 2L, 0L)), got)
+    // batch ids are non-decreasing in id order within a shard
+    val aSeq = Packing.packByBudget(docs, "shard", "id", "n", 2048L)
+      .filter($"shard" === "a").orderBy("id")
+      .collect().map(_.getLong(3)).toSeq
+    assert(aSeq == aSeq.sorted)
+  }
+
+  test("packing is partitioning-invariant") {
+    import spark.implicits._
+    val docs = (1 to 500).map(i => (s"s${i % 3}", i.toLong, (i % 97 + 1).toLong))
+      .toDF("shard", "id", "n")
+    val a = Packing.packByBudget(docs, "shard", "id", "n", 256L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    val b = Packing.packByBudget(docs.repartition(7), "shard", "id", "n", 256L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(a == b)
+  }
+
+  test("mixture schedule: prefix proportions track the weights") {
+    import spark.implicits._
+    val docs = (1 to 3000).map(i =>
+      (i.toLong, Seq("hot", "cold", "base")(i % 3))).toDF("id", "src")
+    val sched = Packing.mixtureSchedule(docs, "src", "id",
+      Map("hot" -> 2.0, "cold" -> 0.5), defaultWeight = 1.0)
+    val prefix = sched.filter(col("mix_rank") <= 700)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // stride scheduling: hot appears 2x base, cold 0.5x base (ratio 4:2:1)
+    assert(prefix("hot") == 400, prefix)
+    assert(prefix("base") == 200, prefix)
+    assert(prefix("cold") == 100, prefix)
+    // deterministic: same schedule on a different partitioning
+    val again = Packing.mixtureSchedule(docs.repartition(5), "src", "id",
+        Map("hot" -> 2.0, "cold" -> 0.5), defaultWeight = 1.0)
+      .filter(col("mix_rank") <= 50).orderBy("mix_rank")
+      .collect().map(_.getLong(0)).toSeq
+    val first = sched.filter(col("mix_rank") <= 50).orderBy("mix_rank")
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == first)
+  }
+}
