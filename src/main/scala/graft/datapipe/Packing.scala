@@ -40,7 +40,15 @@ object Packing {
     * appears twice as often as one with weight w in any prefix of the
     * schedule (stride scheduling). Output adds `position` (the sort
     * key) and `mix_rank` (the global order). Rows of unlisted sources
-    * get `defaultWeight`. */
+    * get `defaultWeight`.
+    *
+    * Scale note: the per-source rank is a partitioned window (one
+    * shuffle), but `mix_rank` is a GLOBAL row_number — a single-task
+    * sort. That is fine for bounded schedules (the query surface takes
+    * a prefix); to materialize a full 100 TB training order, drop
+    * `mix_rank` and range-partition-write by `position` instead — the
+    * global order is then the file order with no single-task stage
+    * (`position` alone determines it). */
   def mixtureSchedule(df: DataFrame, sourceCol: String, idCol: String,
       weights: Map[String, Double], defaultWeight: Double): DataFrame = {
     val spark = df.sparkSession
