@@ -297,23 +297,25 @@ object Round4Queries {
 
   // ---------------------------------------------------------------- q64
   /** Greedy sequence packing: per-language shards, whitespace token
-    * counts, 2048-token batches. */
+    * counts, 2048-token batches. The token split uses an EXPLICIT
+    * whitespace class (same reason as [[bpePattern]]: Java \s includes
+    * U+000B, RE2's does not). */
   def sequencePacking(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("lang"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        size(split(trim(col("text")), "[ \\t\\n\\r\\f]+")).cast("long").as("n_tokens"))
     Packing.packByBudget(docs, "lang", "doc_id", "n_tokens", tokenBudget = 2048L)
       .orderBy(col("doc_id"))
   }
 
   def sequencePackingOracle: String =
     """SELECT doc_id, lang,
-      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-      |  CAST(floor((SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT))
+      |  CAST(len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS BIGINT) AS n_tokens,
+      |  CAST(floor((SUM(CAST(len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS BIGINT))
       |          OVER (PARTITION BY lang ORDER BY doc_id
       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |        - CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT))
+      |        - CAST(len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS BIGINT))
       |       / 2048) AS BIGINT) AS batch_id
       |FROM documents WHERE length(trim(text)) > 0
       |ORDER BY doc_id""".stripMargin

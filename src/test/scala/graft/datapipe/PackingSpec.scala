@@ -7,11 +7,11 @@ import org.apache.spark.sql.functions._
 class PackingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  test("packing: batches fill up to the budget; only oversized docs overflow") {
+  test("offset packing: batch = the batch a doc's start offset falls in") {
     import spark.implicits._
     val docs = Seq(
-      ("a", 1L, 1000L), ("a", 2L, 900L), ("a", 3L, 200L), // 1000+900 fits; 200 starts at 1900 -> batch 0
-      ("a", 4L, 5000L),                                    // oversized: own start batch
+      ("a", 1L, 1000L), ("a", 2L, 900L), ("a", 3L, 200L), // 200 starts at 1900 -> batch 0 (straddles)
+      ("a", 4L, 5000L),                                    // oversized: spans batches 1..3
       ("a", 5L, 100L),
       ("b", 1L, 100L), ("b", 2L, 100L),                    // independent shard
     ).toDF("shard", "id", "n")
@@ -27,6 +27,32 @@ class PackingSpec extends AnyFunSuite {
       .filter($"shard" === "a").orderBy("id")
       .collect().map(_.getLong(3)).toSeq
     assert(aSeq == aSeq.sorted)
+  }
+
+  test("strict packing: batches never exceed the budget; docs stay atomic") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", 1L, 1000L), ("a", 2L, 900L), ("a", 3L, 200L), // 1900 fits; +200 would be 2100 -> new batch
+      ("a", 4L, 5000L),                                    // oversized: own batch
+      ("a", 5L, 100L),
+      ("b", 1L, 100L), ("b", 2L, 100L),
+    ).toDF("shard", "id", "n")
+    val got = Packing.packByBudgetStrict(docs, "shard", "id", "n", 2048L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == Set(
+      ("a", 1L, 0L), ("a", 2L, 0L), // 1900 <= 2048
+      ("a", 3L, 1L),                // would overflow batch 0
+      ("a", 4L, 2L),                // oversized alone
+      ("a", 5L, 3L),
+      ("b", 1L, 0L), ("b", 2L, 0L)), got)
+    // invariant on random input: no multi-doc batch exceeds the budget
+    val rand = (1 to 400).map(i => ("s", i.toLong, (i * 37 % 900 + 1).toLong))
+      .toDF("shard", "id", "n")
+    val batches = Packing.packByBudgetStrict(rand, "shard", "id", "n", 1000L)
+      .groupBy("batch_id").agg(sum("n").as("total"), count(lit(1)).as("k"))
+      .collect()
+    assert(batches.forall(r => r.getLong(1) <= 1000L || r.getLong(2) == 1L),
+      batches.toSeq.take(5).toString)
   }
 
   test("packing is partitioning-invariant") {
