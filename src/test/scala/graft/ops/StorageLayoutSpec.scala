@@ -90,6 +90,41 @@ class StorageLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE skew join: a hot key is split across multiple tasks at runtime") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    // one hot key (0) with ~50k rows, 50 cold keys with ~200 each
+    (1 to 60000).map(i => (if (i <= 50000) 0L else i.toLong % 50 + 1, s"payload$i"))
+      .toDF("k", "v").repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/big")
+    (0L to 50L).map(k => (k, s"dim$k")).toDF("k", "dv")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val j = spark.read.parquet(s"$dir/big")
+        .join(spark.read.parquet(s"$dir/dim"), Seq("k"))
+      // execute THIS dataset's plan (count() would run a different
+      // queryExecution and leave j's adaptive plan un-finalized)
+      assert(j.collect().length == 60000) // correctness unaffected
+      // after execution the adaptive plan marks the skewed join
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), finalPlan.take(3000))
+    } finally {
+      Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled")
+        .foreach(spark.conf.unset)
+    }
+  }
+
   test("runtime bloom filter: selective dim side injects bloom_filter_might_contain on the fact scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
