@@ -82,6 +82,7 @@ object SparkEntry {
     "q63_salted_join" -> (Round4Queries.saltedJoinRevenue _),
     "q64_sequence_packing" -> (Round4Queries.sequencePacking _),
     "q65_mixture_schedule" -> (Round4Queries.mixtureSchedule _),
+    "q66_unpivot" -> (Round4Queries.unpivotMetrics _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -401,5 +402,6 @@ object SparkEntry {
     "q63_salted_join" -> Round4Queries.saltedJoinOracle,
     "q64_sequence_packing" -> Round4Queries.sequencePackingOracle,
     "q65_mixture_schedule" -> Round4Queries.mixtureScheduleOracle,
+    "q66_unpivot" -> Round4Queries.unpivotOracle,
   )
 }

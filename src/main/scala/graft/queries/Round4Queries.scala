@@ -346,6 +346,42 @@ object Round4Queries {
       |SELECT mix_rank, doc_id, source FROM sched
       |WHERE mix_rank <= 500 ORDER BY mix_rank""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  /** UNPIVOT (melt) — the inverse of q34's pivot, via the native
+    * `Dataset.unpivot` API (plans as an Expand node: one pass, no
+    * join/union of re-scans): a wide per-flag aggregate melts into
+    * (flag, metric, value) long form. */
+  def unpivotMetrics(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_items"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("n_items"), col("n_suppliers")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  def unpivotOracle: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |    CAST(COUNT(*) AS BIGINT) AS n_items,
+      |    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, metric, value FROM (
+      |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+      |  UNION ALL
+      |  SELECT l_returnflag, 'n_items' AS metric, n_items AS value FROM wide
+      |  UNION ALL
+      |  SELECT l_returnflag, 'n_suppliers' AS metric, n_suppliers AS value FROM wide
+      |)
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   /** Stopword list as a DuckDB list literal (analyzer parity: the
     * Spark analyzer drops stopwords BEFORE stemming — dl must count
     * post-stopword tokens). */
