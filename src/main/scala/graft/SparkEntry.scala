@@ -83,6 +83,10 @@ object SparkEntry {
     "q64_sequence_packing" -> (Round4Queries.sequencePacking _),
     "q65_mixture_schedule" -> (Round4Queries.mixtureSchedule _),
     "q66_unpivot" -> (Round4Queries.unpivotMetrics _),
+    "q67_redaction" -> (Round4Queries.redaction _),
+    "q68_array_set_ops" -> (Round4Queries.arraySetOps _),
+    "q69_conditional_funcs" -> (Round4Queries.conditionalFuncs _),
+    "q70_bitwise_agg" -> (Round4Queries.bitwiseAgg _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -403,5 +407,9 @@ object SparkEntry {
     "q64_sequence_packing" -> Round4Queries.sequencePackingOracle,
     "q65_mixture_schedule" -> Round4Queries.mixtureScheduleOracle,
     "q66_unpivot" -> Round4Queries.unpivotOracle,
+    "q67_redaction" -> Round4Queries.redactionOracle,
+    "q68_array_set_ops" -> Round4Queries.arraySetOpsOracle,
+    "q69_conditional_funcs" -> Round4Queries.conditionalFuncsOracle,
+    "q70_bitwise_agg" -> Round4Queries.bitwiseAggOracle,
   )
 }

@@ -382,6 +382,103 @@ object Round4Queries {
       |)
       |ORDER BY l_returnflag, metric""".stripMargin
 
+  // ------------------------------------------------------- q67 - q70
+  /** String-mutation family (q67): global regexp redaction + translate
+    * masking — the PII-scrub shape of a curation pipeline (here over
+    * digit runs and vowels; the pattern, not the pattern LIST, is the
+    * operator). RE2∩Java regex subset only. */
+  def redaction(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(regexp_replace(col("text"), "[0-9]+", "#")).cast("long")
+        .as("red_len"),
+      substring(regexp_replace(col("text"), "[0-9]+", "#"), 1, 30)
+        .as("red_prefix"),
+      substring(translate(col("text"), "aeiou", "*****"), 1, 30)
+        .as("masked_prefix"))
+      .orderBy(col("doc_id"))
+
+  def redactionOracle: String =
+    """SELECT doc_id,
+      |  CAST(length(regexp_replace(text, '[0-9]+', '#', 'g')) AS BIGINT) AS red_len,
+      |  substring(regexp_replace(text, '[0-9]+', '#', 'g'), 1, 30) AS red_prefix,
+      |  substring(translate(text, 'aeiou', '*****'), 1, 30) AS masked_prefix
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val setOpsDict = Seq("spark", "query", "window", "shuffle",
+    "vector", "stream")
+
+  /** Array set algebra (q68): per-document distinct-token set vs a
+    * dictionary — union/intersect/except cardinalities (counts are
+    * order-independent, so engine-specific element ordering cannot
+    * leak into the compare). */
+  def arraySetOps(s: SparkSession, d: String): DataFrame = {
+    val dict = array(setOpsDict.map(lit): _*)
+    val toks = array_distinct(filter(
+      split(lower(col("text")), "\\s+"), t => t =!= ""))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(array_intersect(toks, dict)).cast("long").as("n_inter"),
+      size(array_union(toks, dict)).cast("long").as("n_union"),
+      size(array_except(toks, dict)).cast("long").as("n_except"))
+      .orderBy(col("doc_id"))
+  }
+
+  def arraySetOpsOracle: String = {
+    val dict = setOpsDict.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS toks
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(len(list_intersect(toks, $dict)) AS BIGINT) AS n_inter,
+       |  CAST(len(list_distinct(list_concat(toks, $dict))) AS BIGINT) AS n_union,
+       |  CAST(len(list_filter(toks, t -> NOT list_contains($dict, t))) AS BIGINT) AS n_except
+       |FROM tok ORDER BY doc_id""".stripMargin
+  }
+
+  /** Conditional-expression family (q69): nullif / coalesce / least /
+    * greatest over integer-valued columns. */
+  def conditionalFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        coalesce(nullif(col("l_quantity").cast("long"), lit(25L)), lit(-1L))
+          .as("qty_not25"),
+        least(col("l_quantity").cast("long"), lit(25L)).as("qty_floor"),
+        greatest(col("l_quantity").cast("long"), lit(25L)).as("qty_ceil"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  def conditionalFuncsOracle: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |  coalesce(nullif(CAST(l_quantity AS BIGINT), 25), -1) AS qty_not25,
+      |  least(CAST(l_quantity AS BIGINT), 25) AS qty_floor,
+      |  greatest(CAST(l_quantity AS BIGINT), 25) AS qty_ceil
+      |FROM lineitem WHERE l_orderkey % 50 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Bitwise aggregate family (q70): bit_and / bit_or / bit_xor per
+    * group + a shifted sum. */
+  def bitwiseAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        bit_and(col("o_orderkey")).as("key_and"),
+        bit_or(col("o_orderkey")).as("key_or"),
+        bit_xor(col("o_orderkey")).as("key_xor"),
+        sum(shiftleft(col("o_custkey"), 2)).as("shifted_sum"))
+      .orderBy(col("o_orderstatus"))
+
+  def bitwiseAggOracle: String =
+    """SELECT o_orderstatus,
+      |  bit_and(o_orderkey) AS key_and,
+      |  bit_or(o_orderkey) AS key_or,
+      |  bit_xor(o_orderkey) AS key_xor,
+      |  CAST(SUM(o_custkey << 2) AS BIGINT) AS shifted_sum
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Stopword list as a DuckDB list literal (analyzer parity: the
     * Spark analyzer drops stopwords BEFORE stemming — dl must count
     * post-stopword tokens). */
