@@ -87,6 +87,7 @@ object SparkEntry {
     "q68_array_set_ops" -> (Round4Queries.arraySetOps _),
     "q69_conditional_funcs" -> (Round4Queries.conditionalFuncs _),
     "q70_bitwise_agg" -> (Round4Queries.bitwiseAgg _),
+    "q71_sampled_quantiles" -> (Round4Queries.sampledQuantiles _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -411,5 +412,6 @@ object SparkEntry {
     "q68_array_set_ops" -> Round4Queries.arraySetOpsOracle,
     "q69_conditional_funcs" -> Round4Queries.conditionalFuncsOracle,
     "q70_bitwise_agg" -> Round4Queries.bitwiseAggOracle,
+    "q71_sampled_quantiles" -> Round4Queries.sampledQuantilesOracle,
   )
 }

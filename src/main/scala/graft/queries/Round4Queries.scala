@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.datapipe.{EditDistance, Packing, Sketches}
+import graft.datapipe.{EditDistance, Packing, Sampling, Sketches}
 import graft.ops.Merge
 import graft.util.Tables
 
@@ -478,6 +478,49 @@ object Round4Queries {
       |  bit_xor(o_orderkey) AS key_xor,
       |  CAST(SUM(o_custkey << 2) AS BIGINT) AS shifted_sum
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q71
+  /** Approximate quantiles the engine-portable way (q71): a
+    * deterministic 10% hash sample ([[Sampling.uniform]] — identical
+    * row set on any engine/partitioning) followed by EXACT quantiles
+    * over the sample. This is the scalable approximate-quantile
+    * pattern whose result is still bit-reproducible: error ~
+    * O(1/√|sample|) like any sampling sketch, but unlike t-digest/KLL
+    * the result is deterministic and the oracle recomputes it exactly.
+    * Money flows through integer cents so the quantile interpolation
+    * runs on exact integers. */
+  def sampledQuantiles(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.lineitem(s, d).select(
+      col("l_returnflag"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("rowkey"),
+      (col("l_extendedprice").cast(DecimalType(18, 4)) * 10000)
+        .cast("long").as("cents"))
+    Sampling.uniform(base, "rowkey", 0.1)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sample"),
+        expr("percentile(cents, 0.5)").as("median_cents"),
+        expr("percentile(cents, 0.9)").as("p90_cents"),
+        expr("percentile(cents, 0.99)").as("p99_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  def sampledQuantilesOracle: String = {
+    val t = Sampling.hexThreshold(0.1)
+    s"""WITH base AS (
+       |  SELECT l_returnflag,
+       |    l_orderkey * 10 + l_linenumber AS rowkey,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS cents
+       |  FROM lineitem
+       |), samp AS (
+       |  SELECT * FROM base
+       |  WHERE substring(md5(CAST(rowkey AS VARCHAR)), 1, 8) < '$t'
+       |)
+       |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_sample,
+       |  percentile_cont(0.5) WITHIN GROUP (ORDER BY cents) AS median_cents,
+       |  percentile_cont(0.9) WITHIN GROUP (ORDER BY cents) AS p90_cents,
+       |  percentile_cont(0.99) WITHIN GROUP (ORDER BY cents) AS p99_cents
+       |FROM samp GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
 
   /** Stopword list as a DuckDB list literal (analyzer parity: the
     * Spark analyzer drops stopwords BEFORE stemming — dl must count
