@@ -117,6 +117,8 @@ class StorageLayoutSpec extends AnyFunSuite {
       assert(finalPlan.contains("skew=true"), finalPlan.take(3000))
     } finally {
       Seq("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
