@@ -132,6 +132,36 @@ class StreamingPipelineSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("foreachBatch CDC upsert stream maintains a merged snapshot") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsert_stream").toString
+    val snap = s"$dir/snapshot"
+    val input = MemoryStream[(Long, String, Long, Boolean)]
+    val delta = input.toDF().toDF("id", "v", "version", "is_deleted")
+    val query = StreamingPipeline.upsertStream(delta, snap,
+        Seq("id"), "version", "is_deleted")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+
+    // batch 1 bootstraps the snapshot
+    input.addData((1L, "a", 1L, false), (2L, "b", 1L, false))
+    query.processAllAvailable()
+    def state() = spark.read.parquet(snap)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state() == Set((1L, "a"), (2L, "b")))
+
+    // batch 2: revise 1, tombstone 2, insert 3
+    input.addData((1L, "a2", 2L, false), (2L, "b", 2L, true), (3L, "c", 1L, false))
+    query.processAllAvailable()
+    assert(state() == Set((1L, "a2"), (3L, "c")))
+
+    // batch 3: stale version for 1 must not downgrade the snapshot
+    input.addData((1L, "a0", 1L, false))
+    query.processAllAvailable()
+    assert(state() == Set((1L, "a2"), (3L, "c")))
+    query.stop()
+  }
+
   test("stream-stream interval join attributes conversions to recent clicks") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
