@@ -29,9 +29,17 @@ object Merge {
 
   /** Apply `delta` onto `base`. Both must share the same columns;
     * `deletedCol` is a boolean (null = false). Returns the merged
-    * snapshot: upserted rows present, tombstoned keys absent. */
+    * snapshot: upserted rows present, tombstoned keys absent.
+    *
+    * `dropTombstones = false` RETAINS the winning tombstone rows
+    * instead of filtering them — required when the merge result is
+    * itself the base of a later incremental merge: a dropped tombstone
+    * could not out-version a late-arriving stale upsert for the same
+    * key, silently resurrecting it (filter the deleted flag at read
+    * time instead). */
   def applyChanges(base: DataFrame, delta: DataFrame, keyCols: Seq[String],
-      versionCol: String, deletedCol: String): DataFrame = {
+      versionCol: String, deletedCol: String,
+      dropTombstones: Boolean = true): DataFrame = {
     val cols = base.columns.toSeq
     require(delta.columns.sorted.sameElements(cols.sorted),
       s"delta columns ${delta.columns.mkString(",")} != base columns ${cols.mkString(",")}")
@@ -42,13 +50,14 @@ object Merge {
     // delta batch carrying MULTIPLE rows for one key at the same
     // version still resolves deterministically (max_by ties are
     // otherwise arbitrary and would break run-to-run reproducibility)
-    tagged
+    val merged = tagged
       .groupBy(keyCols.map(col): _*)
       .agg(max_by(
         struct(cols.map(col): _*),
         struct(col(versionCol), col("__src"),
           xxhash64(cols.map(col): _*))).as("__row"))
       .select(col("__row.*"))
-      .filter(!coalesce(col(deletedCol), lit(false)))
+    if (dropTombstones) merged.filter(!coalesce(col(deletedCol), lit(false)))
+    else merged
   }
 }

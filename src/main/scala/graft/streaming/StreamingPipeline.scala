@@ -108,41 +108,101 @@ object StreamingPipeline {
         col("n_events"))
 
   /** Streaming CDC apply: each micro-batch of keyed upserts/tombstones
-    * merges onto the snapshot at `snapshotPath` via
+    * merges onto a versioned snapshot under `snapshotDir` via
     * [[graft.ops.Merge.applyChanges]] inside `foreachBatch` — the
     * standard Structured-Streaming upsert pattern for sinks without
-    * row-level MERGE. The snapshot is read+rewritten per batch
-    * (atomically via a temp dir + rename); a transactional table
-    * format would replace the rewrite with a real MERGE INTO, the
-    * surrounding plumbing is identical. Batches arriving when the
-    * snapshot does not yet exist bootstrap it from the delta alone. */
-  def upsertStream(delta: DataFrame, snapshotPath: String,
+    * row-level MERGE (a transactional table format would replace the
+    * rewrite with a real MERGE INTO; the plumbing is identical).
+    *
+    * Durability model (a minimal manifest-pointer table format):
+    *  - batch N writes a COMPLETE new snapshot to `snapshotDir/v{N}`
+    *    (never touches the previous version);
+    *  - the `_LATEST` manifest then flips to `v{N}` (tiny single-file
+    *    write + rename through the Hadoop FileSystem API, so any
+    *    scheme — file://, hdfs://, s3a:// — works, not just the
+    *    driver's local disk);
+    *  - a crash between the two leaves `_LATEST` pointing at the old
+    *    complete version, and the batch replay rewrites `v{N}`
+    *    idempotently (re-applying a delta is idempotent — MergeSpec);
+    *  - TOMBSTONES ARE RETAINED in the snapshot (dropTombstones =
+    *    false): a later stale upsert for a deleted key must lose to
+    *    the tombstone's version instead of resurrecting unopposed.
+    *    Read the live view via [[snapshot]].
+    * Versions older than the previous one are cleaned best-effort. */
+  def upsertStream(delta: DataFrame, snapshotDir: String,
       keyCols: Seq[String], versionCol: String, deletedCol: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    delta.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    delta.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val merged =
-        if (new java.io.File(snapshotPath).exists()) {
-          val base = spark.read.parquet(snapshotPath)
-          graft.ops.Merge.applyChanges(base, batch.select(base.columns.map(col): _*),
-            keyCols, versionCol, deletedCol)
-        } else {
-          graft.ops.Merge.applyChanges(
-            batch.filter(lit(false)), batch, keyCols, versionCol, deletedCol)
-        }
-      val tmp = snapshotPath + ".tmp"
-      merged.write.mode("overwrite").parquet(tmp)
-      val dir = new java.io.File(snapshotPath)
-      if (dir.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(dir)
+      val root = new org.apache.hadoop.fs.Path(snapshotDir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val merged = currentSnapshotPath(fs, root) match {
+        case Some(p) =>
+          val base = spark.read.parquet(p.toString)
+          graft.ops.Merge.applyChanges(base,
+            batch.select(base.columns.map(col): _*),
+            keyCols, versionCol, deletedCol, dropTombstones = false)
+        case None =>
+          graft.ops.Merge.applyChanges(batch.filter(lit(false)), batch,
+            keyCols, versionCol, deletedCol, dropTombstones = false)
       }
-      new java.io.File(tmp).renameTo(dir)
+      val target = new org.apache.hadoop.fs.Path(root, s"v$batchId")
+      merged.write.mode("overwrite").parquet(target.toString)
+      // atomic-enough pointer flip: write sidecar, delete, rename (the
+      // no-_LATEST crash window recovers via the newest complete vN)
+      val tmp = new org.apache.hadoop.fs.Path(root, s"_LATEST.tmp")
+      val out = fs.create(tmp, true)
+      out.write(s"v$batchId".getBytes("UTF-8"))
+      out.close()
+      val manifest = new org.apache.hadoop.fs.Path(root, "_LATEST")
+      if (fs.exists(manifest)) fs.delete(manifest, false)
+      if (!fs.rename(tmp, manifest))
+        throw new java.io.IOException(s"could not flip $manifest to v$batchId")
+      // best-effort cleanup: keep this and the previous version
+      fs.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.startsWith("v") &&
+          p.getName.drop(1).forall(_.isDigit) &&
+          p.getName.drop(1).toLong < batchId - 1)
+        .foreach(p => fs.delete(p, true))
       ()
     }
+
+  /** Resolve the current snapshot version dir: the `_LATEST` manifest
+    * if present, else the newest complete `v{N}` (with `_SUCCESS`) —
+    * the crash-window recovery path. */
+  private def currentSnapshotPath(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+    if (!fs.exists(root)) return None
+    val manifest = new org.apache.hadoop.fs.Path(root, "_LATEST")
+    val fromManifest =
+      if (fs.exists(manifest)) {
+        val in = fs.open(manifest)
+        val name = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        in.close()
+        Some(new org.apache.hadoop.fs.Path(root, name)).filter(fs.exists)
+      } else None
+    fromManifest.orElse {
+      fs.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.startsWith("v") &&
+          p.getName.drop(1).forall(_.isDigit) && p.getName.drop(1).nonEmpty)
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        .sortBy(_.getName.drop(1).toLong)
+        .lastOption
+    }
+  }
+
+  /** Live view of the [[upsertStream]] snapshot: latest version,
+    * tombstones filtered. None until the first batch commits. */
+  def snapshot(spark: SparkSession, snapshotDir: String,
+      deletedCol: String = "is_deleted"): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    currentSnapshotPath(fs, root).map { p =>
+      spark.read.parquet(p.toString)
+        .filter(!coalesce(col(deletedCol), lit(false)))
+    }
+  }
 
   /** Stream-stream interval join: pair each right-stream event with
     * the left-stream events of the same key that happened in the
