@@ -88,6 +88,7 @@ object SparkEntry {
     "q69_conditional_funcs" -> (Round4Queries.conditionalFuncs _),
     "q70_bitwise_agg" -> (Round4Queries.bitwiseAgg _),
     "q71_sampled_quantiles" -> (Round4Queries.sampledQuantiles _),
+    "q72_resample_ffill" -> (Round4Queries.resampleFfill _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -413,5 +414,6 @@ object SparkEntry {
     "q69_conditional_funcs" -> Round4Queries.conditionalFuncsOracle,
     "q70_bitwise_agg" -> Round4Queries.bitwiseAggOracle,
     "q71_sampled_quantiles" -> Round4Queries.sampledQuantilesOracle,
+    "q72_resample_ffill" -> Round4Queries.resampleOracle,
   )
 }

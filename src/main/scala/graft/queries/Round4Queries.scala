@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.datapipe.{EditDistance, Packing, Sampling, Sketches}
+import graft.datapipe.{EditDistance, Packing, Resample, Sampling, Sketches}
 import graft.ops.Merge
 import graft.util.Tables
 
@@ -521,6 +521,44 @@ object Round4Queries {
        |  percentile_cont(0.99) WITHIN GROUP (ORDER BY cents) AS p99_cents
        |FROM samp GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }
+
+  // ---------------------------------------------------------------- q72
+  /** Hourly resample + forward-fill over the event stream (users < 40
+    * keep the grid bounded): every (user, hour) slot from the user's
+    * first to last event, event counts with explicit zero gaps, and
+    * the last observed value carried forward. */
+  def resampleFfill(s: SparkSession, d: String): DataFrame =
+    Resample.resampleFfill(
+        Tables.events(s, d).filter(col("user_id") < 40),
+        "user_id", "ts", "value", "event_id")
+      .orderBy(col("user_id"), col("bucket_ts"))
+
+  def resampleOracle: String =
+    """WITH ev AS (
+      |  SELECT *, date_trunc('hour', ts) AS hr FROM events WHERE user_id < 40
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, hr
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM ev
+      |), hourly AS (
+      |  SELECT user_id, hr, CAST(COUNT(*) AS BIGINT) AS n,
+      |    MAX(CASE WHEN rn = 1 THEN value END) AS last_val
+      |  FROM ranked GROUP BY user_id, hr
+      |), span AS (
+      |  SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+      |    date_trunc('hour', max(ts)) AS hi
+      |  FROM ev GROUP BY user_id
+      |), grid AS (
+      |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      |  FROM span
+      |)
+      |SELECT g.user_id, g.hr AS bucket_ts,
+      |  COALESCE(h.n, 0) AS n_events,
+      |  last_value(h.last_val IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+      |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+      |ORDER BY g.user_id, bucket_ts""".stripMargin
 
   /** Stopword list as a DuckDB list literal (analyzer parity: the
     * Spark analyzer drops stopwords BEFORE stemming — dl must count
