@@ -89,6 +89,7 @@ object SparkEntry {
     "q70_bitwise_agg" -> (Round4Queries.bitwiseAgg _),
     "q71_sampled_quantiles" -> (Round4Queries.sampledQuantiles _),
     "q72_resample_ffill" -> (Round4Queries.resampleFfill _),
+    "q73_contamination" -> (Round4Queries.contamination _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -415,5 +416,6 @@ object SparkEntry {
     "q70_bitwise_agg" -> Round4Queries.bitwiseAggOracle,
     "q71_sampled_quantiles" -> Round4Queries.sampledQuantilesOracle,
     "q72_resample_ffill" -> Round4Queries.resampleOracle,
+    "q73_contamination" -> Round4Queries.contaminationOracle,
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.datapipe.{EditDistance, Packing, Resample, Sampling, Sketches}
+import graft.datapipe.{Contamination, EditDistance, Packing, Resample, Sampling, Sketches}
 import graft.ops.Merge
 import graft.util.Tables
 
@@ -559,6 +559,37 @@ object Round4Queries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
       |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
       |ORDER BY g.user_id, bucket_ts""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  /** Benchmark-contamination scan: documents with doc_id ≡ 0 (mod 97)
+    * act as the eval set; every other document sharing a 3-gram word
+    * shingle with it is flagged with its shared-shingle count. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Contamination.contaminated(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  def contaminationOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+      |  FROM tok
+      |), eval_sh AS (
+      |  SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0
+      |), train_post AS (
+      |  SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 97 <> 0
+      |)
+      |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM train_post t JOIN eval_sh e ON t.s = e.s
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
   /** Stopword list as a DuckDB list literal (analyzer parity: the
     * Spark analyzer drops stopwords BEFORE stemming — dl must count
