@@ -134,6 +134,16 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"enrich_docs_per_sec":$docsPerSec%.1f,"enrich_docs":$nDocs,"medline_docs_per_sec":$medDocsPerSec%.1f,"medline_docs":$nCitations,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The full line above grew past the collector's tail-capture window
+    // (~2.2 KB) once the query count passed ~75, leaving only a
+    // head-truncated (unparseable) fragment in the captured tail. Print
+    // a second, short summary line LAST so a complete JSON object always
+    // sits inside any tail window; headline numbers only.
+    val headline = Seq("enrich_pipeline", "medline_pipeline")
+      .flatMap(k => results.get(k).map(v => "\"" + k + f"\":$v%.3f"))
+      .mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$headline,"n_queries":${results.size},"enrich_docs_per_sec":$docsPerSec%.1f,"enrich_docs":$nDocs,"medline_docs_per_sec":$medDocsPerSec%.1f,"medline_docs":$nCitations,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

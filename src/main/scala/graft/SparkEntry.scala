@@ -170,7 +170,7 @@ object SparkEntry {
         |ON l.l_partkey = a.ap WHERE l.l_quantity < a.thresh""".stripMargin,
     "q11_doc_token_stats" ->
       """SELECT doc_id,
-        | len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        | len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS n_tokens,
         | length(text) AS text_len, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q12_dedup_exact" ->

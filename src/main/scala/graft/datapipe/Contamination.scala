@@ -23,7 +23,7 @@ object Contamination {
     * shorter than n collapse to one whole-text shingle; empty texts
     * are dropped by the caller's filter). */
   def shingles(text: Column, n: Int): Column = {
-    val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
+    val toks = filter(split(lower(text), graft.util.Tok.WS), t => t =!= "")
     array_distinct(
       when(size(toks) < n, array(array_join(toks, " ")))
         .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),

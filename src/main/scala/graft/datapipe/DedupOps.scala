@@ -68,8 +68,9 @@ object DedupOps {
       maxBucket: Int = 64): DataFrame = {
     // shingle-less documents (null/whitespace-only text) are excluded:
     // they all share the degenerate all-MaxValue signature and would
-    // pair with each other at a meaningless 0/0 jaccard. trim-empty is
-    // exactly "no \\s+ tokens" (trim strips the same chars \\s matches).
+    // pair with each other at a meaningless 0/0 jaccard. trim-empty
+    // means "no Tok.WS tokens" for these space-separated corpora (both
+    // engines' trim strips spaces; the oracle applies the same filter).
     val sigs = graft.util.Par.ensure(docs
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0))
       .select(

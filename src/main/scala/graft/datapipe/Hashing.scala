@@ -1,5 +1,7 @@
 package graft.datapipe
 
+import graft.util.Tok
+
 /** Deterministic hashing primitives for the dedup/similarity family.
   * Pure functions, fixed constants — results are reproducible across
   * runs, executors, and engines (a requirement for the driver's
@@ -40,7 +42,7 @@ object Hashing {
 
   /** Lowercased whitespace tokens hashed to longs. */
   def tokenHashes(text: String): Array[Long] = {
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = text.toLowerCase.split(Tok.WS).filter(_.nonEmpty)
     val out = new Array[Long](toks.length)
     var i = 0
     while (i < toks.length) { out(i) = fnv64(toks(i)); i += 1 }
@@ -145,7 +147,7 @@ object Hashing {
     * makes the result reproducible in any engine with md5. One
     * MessageDigest per call, reused across tokens (digest() resets). */
   def simhashMd5(text: String): Long = {
-    val toks = text.toLowerCase.split("\\s+")
+    val toks = text.toLowerCase.split(Tok.WS)
     val acc = new Array[Int](64)
     val md = java.security.MessageDigest.getInstance("MD5")
     var t = 0
@@ -197,7 +199,7 @@ object Hashing {
     * numerically, so per-window minima match any engine's min(). Same
     * window/min/dedup structure as [[winnow]]. */
   def winnowMd5Hex(text: String, shingleSize: Int, window: Int): Array[String] = {
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = text.toLowerCase.split(Tok.WS).filter(_.nonEmpty)
     if (toks.isEmpty) return Array.empty
     val md = java.security.MessageDigest.getInstance("MD5")
     def hex16(s: String): String = {

@@ -3,6 +3,7 @@ package graft.datapipe
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.text.StopWords
+import graft.util.Tok
 
 /** Document quality scoring for training-data curation (builder brief:
   * length / punctuation / stopword ratios — the C4/Gopher-style rule
@@ -19,7 +20,7 @@ object QualityScore {
     * mean word length, plus a [0,1] quality score. */
   def metrics(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val stopArr = array(StopWords.glasgow.toSeq.sorted.map(lit): _*)
-    val toks = split(trim(col(textCol)), "\\s+")
+    val toks = split(trim(col(textCol)), Tok.WS)
     docs
       .filter(length(trim(col(textCol))) > 0)
       .select(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.datapipe._
 import graft.text.StopWords
-import graft.util.Tables
+import graft.util.{Tables, Tok}
 
 /** Training-data pipeline operators exposed on the driver's query
   * surface (builder brief: dedup family, similarity search, text
@@ -109,8 +109,8 @@ object DataPipeQueries {
     * is regenerated with pairs near the threshold, either raise the
     * band count or make the oracle mirror the band keys. */
   def componentsOracle: String =
-    """WITH RECURSIVE tok AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+    s"""WITH RECURSIVE tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
       |  FROM documents
       |), sh AS (
       |  SELECT doc_id,
@@ -145,15 +145,15 @@ object DataPipeQueries {
       .orderBy(col("doc_id"))
 
   def curationOracle: String =
-    """WITH gated AS (
+    s"""WITH gated AS (
       |  SELECT * FROM documents WHERE lang = 'en' AND length(trim(text)) > 0
       |), qual AS (
       |  SELECT * FROM gated
-      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 30
+      |  WHERE len(string_split_regex(trim(text), '${Tok.WS}')) >= 30
       |    AND (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
       |        < 0.2 * length(text)
       |), tok AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
       |  FROM qual
       |), sh AS (
       |  SELECT doc_id,
@@ -230,8 +230,8 @@ object DataPipeQueries {
     * compared, and the threshold predicate is the same exact integer
     * test both engines evaluate. */
   def minhashOracle: String =
-    """WITH tok AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+    s"""WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
       |  FROM documents
       |), sh AS (
       |  SELECT doc_id,
@@ -262,7 +262,7 @@ object DataPipeQueries {
       .map(b => s"(CASE WHEN b$b > 0 THEN ${java.lang.Long.toUnsignedString(1L << b)}::UBIGINT ELSE 0::UBIGINT END)")
       .mkString(" + ")
     s"""WITH tok AS (
-       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS t
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '')) AS t
        |  FROM documents
        |), h AS (
        |  SELECT doc_id, md5_number_lower(t) AS h FROM tok
@@ -285,8 +285,8 @@ object DataPipeQueries {
     * compares lexicographically == numerically), min per window of 8,
     * deduped, exploded to scalar rows. */
   def winnowOracle: String =
-    """WITH tok AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+    s"""WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
       |  FROM documents
       |), sh AS (
       |  SELECT doc_id,
@@ -320,12 +320,12 @@ object DataPipeQueries {
       .map(w => s"'${w.replace("'", "''")}'").mkString("[", ",", "]")
     s"""SELECT doc_id,
        | CAST(length(text) AS BIGINT) AS n_chars_measured,
-       | CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-       | CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       | CAST(len(string_split_regex(trim(text), '${Tok.WS}')) AS BIGINT) AS n_tokens,
+       | CAST(len(list_filter(string_split_regex(trim(text), '${Tok.WS}'),
        |     t -> list_contains($stopList, lower(t)))) AS BIGINT) AS n_stopwords,
        | CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
        | CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
-       | CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       | CAST(len(list_filter(string_split_regex(trim(text), '${Tok.WS}'),
        |     t -> length(t) > 15)) AS BIGINT) AS n_long_tokens
        |FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id""".stripMargin
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.datapipe.{Contamination, EditDistance, Packing, Resample, Sampling, Sketches}
 import graft.ops.Merge
-import graft.util.Tables
+import graft.util.{Tables, Tok}
 
 /** Round-4 query surface: sketch aggregation, exact-moment statistics,
   * CDC merge, BPE-style token counting, blocked edit-distance pairs,
@@ -22,7 +22,7 @@ object Round4Queries {
     val custkeys = Sketches.kmvDistinct(Tables.orders(s, d), "o_custkey", k)
     val tokens = Sketches.kmvDistinct(
       Tables.documents(s, d)
-        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .select(explode(split(lower(col("text")), Tok.WS)).as("tok"))
         .filter(col("tok") =!= ""),
       "tok", k, label = "doc_tokens")
     val statuses = Sketches.kmvDistinct(Tables.lineitem(s, d), "l_linestatus", k)
@@ -34,7 +34,7 @@ object Round4Queries {
     val k = 256
     val a = Sketches.kmvOracle("orders", "CAST(o_custkey AS VARCHAR)", k, "o_custkey")
     val b = Sketches.kmvOracle(
-      "(SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok FROM documents)",
+      s"(SELECT unnest(list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '')) AS tok FROM documents)",
       "tok", k, "doc_tokens")
     val c = Sketches.kmvOracle("lineitem", "l_linestatus", k, "l_linestatus")
     s"""SELECT * FROM ($a UNION ALL $b UNION ALL $c) ORDER BY key_name"""
@@ -171,7 +171,7 @@ object Round4Queries {
   def bpeTokenCounts(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
-      size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws"),
+      size(split(trim(col("text")), Tok.WS)).cast("long").as("n_ws"),
       size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
         .cast("long").as("n_bpe"),
       length(col("text")).cast("long").as("n_chars_measured"))
@@ -181,7 +181,7 @@ object Round4Queries {
   def bpeOracle: String = {
     val pat = bpePattern.replace("'", "''")
     s"""SELECT doc_id,
-       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws,
+       |  CAST(len(string_split_regex(trim(text), '${Tok.WS}')) AS BIGINT) AS n_ws,
        |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_bpe,
        |  CAST(length(text) AS BIGINT) AS n_chars_measured
        |FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id""".stripMargin
@@ -415,7 +415,7 @@ object Round4Queries {
   def arraySetOps(s: SparkSession, d: String): DataFrame = {
     val dict = array(setOpsDict.map(lit): _*)
     val toks = array_distinct(filter(
-      split(lower(col("text")), "\\s+"), t => t =!= ""))
+      split(lower(col("text")), Tok.WS), t => t =!= ""))
     Tables.documents(s, d).select(
       col("doc_id"),
       size(array_intersect(toks, dict)).cast("long").as("n_inter"),
@@ -428,7 +428,7 @@ object Round4Queries {
     val dict = setOpsDict.map(w => s"'$w'").mkString("[", ",", "]")
     s"""WITH tok AS (
        |  SELECT doc_id,
-       |    list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS toks
+       |    list_distinct(list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '')) AS toks
        |  FROM documents
        |)
        |SELECT doc_id,
@@ -574,8 +574,8 @@ object Round4Queries {
   }
 
   def contaminationOracle: String =
-    """WITH tok AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+    s"""WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
       |  FROM documents WHERE length(trim(text)) > 0
       |), sh AS (
       |  SELECT doc_id,

@@ -133,10 +133,34 @@ object StreamingPipeline {
       keyCols: Seq[String], versionCol: String, deletedCol: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     delta.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      val root = new org.apache.hadoop.fs.Path(snapshotDir)
-      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      val merged = currentSnapshotPath(fs, root) match {
+      applyUpsertBatch(batch, batchId, snapshotDir, keyCols, versionCol,
+        deletedCol)
+    }
+
+  /** One [[upsertStream]] micro-batch: merge, snapshot write, manifest
+    * flip, cleanup. Factored out so crash-replay recovery is directly
+    * testable without steering a real stream into the crash window.
+    *
+    * Crash-replay: a crash after the `_LATEST` flip but before the
+    * stream checkpoint commits makes the restarted stream re-deliver
+    * batch N while the manifest already points at `v{N}`. Reading the
+    * base from `v{N}` and overwriting the same path is something Spark
+    * refuses ("Cannot overwrite a path that is also being read from"),
+    * which would wedge the stream permanently — and is unnecessary:
+    * `v{N}` already contains this batch's merge result (re-applying a
+    * delta is idempotent, MergeSpec), so the rewrite is skipped and
+    * only the flip + cleanup re-run. */
+  private[streaming] def applyUpsertBatch(batch: DataFrame, batchId: Long,
+      snapshotDir: String, keyCols: Seq[String], versionCol: String,
+      deletedCol: String): Unit = {
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val target = new org.apache.hadoop.fs.Path(root, s"v$batchId")
+    val current = currentSnapshotPath(fs, root)
+    val alreadyApplied = current.exists(_.getName == target.getName)
+    if (!alreadyApplied) {
+      val merged = current match {
         case Some(p) =>
           val base = spark.read.parquet(p.toString)
           graft.ops.Merge.applyChanges(base,
@@ -146,26 +170,29 @@ object StreamingPipeline {
           graft.ops.Merge.applyChanges(batch.filter(lit(false)), batch,
             keyCols, versionCol, deletedCol, dropTombstones = false)
       }
-      val target = new org.apache.hadoop.fs.Path(root, s"v$batchId")
       merged.write.mode("overwrite").parquet(target.toString)
-      // atomic-enough pointer flip: write sidecar, delete, rename (the
-      // no-_LATEST crash window recovers via the newest complete vN)
-      val tmp = new org.apache.hadoop.fs.Path(root, s"_LATEST.tmp")
-      val out = fs.create(tmp, true)
-      out.write(s"v$batchId".getBytes("UTF-8"))
-      out.close()
-      val manifest = new org.apache.hadoop.fs.Path(root, "_LATEST")
-      if (fs.exists(manifest)) fs.delete(manifest, false)
-      if (!fs.rename(tmp, manifest))
-        throw new java.io.IOException(s"could not flip $manifest to v$batchId")
-      // best-effort cleanup: keep this and the previous version
-      fs.listStatus(root).map(_.getPath)
-        .filter(p => p.getName.startsWith("v") &&
-          p.getName.drop(1).forall(_.isDigit) &&
-          p.getName.drop(1).toLong < batchId - 1)
-        .foreach(p => fs.delete(p, true))
-      ()
     }
+    // atomic-enough pointer flip: write sidecar, delete, rename (the
+    // no-_LATEST crash window recovers via the newest complete vN)
+    val tmp = new org.apache.hadoop.fs.Path(root, s"_LATEST.tmp")
+    val out = fs.create(tmp, true)
+    out.write(s"v$batchId".getBytes("UTF-8"))
+    out.close()
+    val manifest = new org.apache.hadoop.fs.Path(root, "_LATEST")
+    if (fs.exists(manifest)) fs.delete(manifest, false)
+    if (!fs.rename(tmp, manifest))
+      throw new java.io.IOException(s"could not flip $manifest to v$batchId")
+    // best-effort cleanup: keep this and the previous version. The
+    // nonEmpty guard matters: a stray dir named exactly "v" would make
+    // "".toLong throw and fail every subsequent micro-batch.
+    fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("v") &&
+        p.getName.drop(1).nonEmpty &&
+        p.getName.drop(1).forall(_.isDigit) &&
+        p.getName.drop(1).toLong < batchId - 1)
+      .foreach(p => fs.delete(p, true))
+    ()
+  }
 
   /** Resolve the current snapshot version dir: the `_LATEST` manifest
     * if present, else the newest complete `v{N}` (with `_SUCCESS`) —

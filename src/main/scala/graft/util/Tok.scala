@@ -1,0 +1,17 @@
+package graft.util
+
+/** Whitespace tokenization shared VERBATIM between the Spark-side
+  * tokenizers and the DuckDB oracle SQL.
+  *
+  * An explicit character class, not `\s`: Java's `\s` matches vertical
+  * tab U+000B while DuckDB's RE2 `\s` does not, so any document
+  * containing a vertical tab would silently break oracle parity — the
+  * same cross-engine divergence `Round4Queries.bpePattern` documents
+  * and works around. `\t` `\n` `\r` `\f` escapes parse identically in
+  * Java regex and RE2, and the literal also passes unmodified through
+  * a DuckDB single-quoted string (no backslash processing there).
+  */
+object Tok {
+  /** Whitespace-run split pattern, valid in both Java regex and RE2. */
+  val WS: String = "[ \\t\\n\\r\\f]+"
+}

@@ -165,6 +165,41 @@ class StreamingPipelineSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("upsert batch replay across the flip-then-crash window recovers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsert_replay").toString
+    val snap = s"$dir/snapshot"
+    def delta(rows: (Long, String, Long, Boolean)*) =
+      rows.toDF("id", "v", "version", "is_deleted")
+    def state() = StreamingPipeline.snapshot(spark, snap).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    StreamingPipeline.applyUpsertBatch(delta((1L, "a", 1L, false)), 0L,
+      snap, Seq("id"), "version", "is_deleted")
+    StreamingPipeline.applyUpsertBatch(delta((2L, "b", 1L, false)), 1L,
+      snap, Seq("id"), "version", "is_deleted")
+    assert(state() == Set((1L, "a"), (2L, "b")))
+
+    // crash window: _LATEST already points at v1, but the stream
+    // checkpoint never committed — restart re-delivers batch 1. The
+    // base would be read from v1 and overwritten in place, which Spark
+    // refuses; recovery = skip the rewrite (idempotent) and re-flip.
+    StreamingPipeline.applyUpsertBatch(delta((2L, "b", 1L, false)), 1L,
+      snap, Seq("id"), "version", "is_deleted")
+    assert(state() == Set((1L, "a"), (2L, "b")))
+
+    // a stray dir named exactly "v" must not break cleanup
+    new java.io.File(s"$snap/v").mkdirs()
+    StreamingPipeline.applyUpsertBatch(delta((3L, "c", 1L, false)), 2L,
+      snap, Seq("id"), "version", "is_deleted")
+    assert(state() == Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // the stream still makes progress after the replayed batch
+    StreamingPipeline.applyUpsertBatch(delta((1L, "a2", 2L, false)), 3L,
+      snap, Seq("id"), "version", "is_deleted")
+    assert(state() == Set((1L, "a2"), (2L, "b"), (3L, "c")))
+  }
+
   test("stream-stream interval join attributes conversions to recent clicks") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
