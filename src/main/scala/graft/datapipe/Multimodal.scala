@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * transforms (the Scala analog of `mapInPandas` — one buffer per
   * batch, amortized init, vectorizable shape).
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * container): `decodeStub` parses a deterministic fake header instead
-  * of calling a real decoder. Everything around it — schema, typed
-  * Datasets, batch iteration, partitioning — is real and tested, so a
-  * real decoder drops in by replacing one function.
+  * IMAGES decode for real: PNG/JPEG/BMP/GIF through the JDK's own
+  * `javax.imageio` ([[decodeImage]] — metadata + a luminance-byte
+  * payload; [[resize]] re-renders pixels). AUDIO/VIDEO stay stubbed
+  * ([[decodeStub]], a deterministic fake container) because their
+  * codecs are not in the base JDK; [[decode]] dispatches on the
+  * container magic, so a real codec binding drops in by extending one
+  * function.
   */
 object Multimodal {
 
@@ -69,6 +71,50 @@ object Multimodal {
     Some((MediaMeta(modality, "fake", w, h, f, sr), payload))
   }
 
+  /** Real image decode via the JDK's `javax.imageio` (PNG, JPEG, BMP,
+    * GIF readers ship in the base JDK — no external libraries).
+    * Returns typed metadata plus a row-major luminance payload (one
+    * byte per pixel, integer ITU-R BT.601 weights — deterministic, no
+    * float rounding), the same (meta, payload) shape the stub emits so
+    * every downstream stage is codec-agnostic. Undecodable bytes →
+    * None (same contract as the stub: corrupt rows drop, never throw). */
+  def decodeImage(data: Array[Byte]): Option[(MediaMeta, Array[Byte])] = {
+    if (data == null || data.length < 4) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(data))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val fmt = reader.getFormatName.toLowerCase
+        val img = reader.read(0)
+        val w = img.getWidth
+        val h = img.getHeight
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        val payload = new Array[Byte](w * h)
+        var i = 0
+        while (i < payload.length) {
+          val p = rgb(i)
+          payload(i) = ((((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+            (p & 0xff) * 114) / 1000).toByte
+          i += 1
+        }
+        Some((MediaMeta("image", fmt, w, h, 1, 0), payload))
+      } finally reader.dispose()
+    } catch { case _: Exception => None }
+    finally if (iis != null) iis.close()
+  }
+
+  /** Decode dispatch: the deterministic fake container (magic 0x7f —
+    * no real format starts with it) parses via [[decodeStub]]; any
+    * other bytes try the real image path ([[decodeImage]]). */
+  def decode(data: Array[Byte]): Option[(MediaMeta, Array[Byte])] =
+    if (data != null && data.length >= 16 && data(0) == 0x7f.toByte)
+      decodeStub(data)
+    else decodeImage(data)
+
   /** Build a deterministic fake media table derived from the documents
     * table (binary payload = the text bytes; modality round-robins). */
   def fakeMediaTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
@@ -92,7 +138,7 @@ object Multimodal {
       // per-partition init (the start_bundle/one-time-model-load slot)
       val featBuf = new Array[Float](featureDim)
       rows.flatMap { r =>
-        decodeStub(r.data).map { case (meta, payload) =>
+        decode(r.data).map { case (meta, payload) =>
           var sum = 0L
           var checksum = 0xcbf29ce484222325L
           java.util.Arrays.fill(featBuf, 0.0f)
@@ -120,7 +166,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        decodeStub(r.data).map { case (meta, payload) =>
+        decode(r.data).map { case (meta, payload) =>
           var sum = 0L
           var i = 0
           while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
@@ -140,19 +186,49 @@ object Multimodal {
       .toDF("media_id", "sampled_frames")
   }
 
-  /** "Resize" stub: rewrite metadata + re-encode header (a real impl
-    * transforms pixels; shape/partitioning identical). */
+  /** Scale real image bytes to (w, h): bilinear re-render through
+    * `java.awt` (headless-safe) and re-encode as PNG. None when the
+    * bytes aren't a decodable image. */
+  def resizeImageBytes(data: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    Some(bos.toByteArray)
+  }
+
+  /** Resize: real images re-render their pixels (PNG out); fake
+    * containers rewrite the header only (their payload is opaque).
+    * Rows that decode as neither pass through unchanged. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.map { r =>
-      decodeStub(r.data) match {
-        case Some((meta, payload)) =>
-          r.copy(
-            data = encodeFake(meta.modality, w, h, meta.nFrames, meta.sampleRate, payload),
-            meta = meta.copy(width = w, height = h))
-        case None => r
-      }
+      if (r.data != null && r.data.length >= 16 && r.data(0) == 0x7f.toByte)
+        decodeStub(r.data) match {
+          case Some((meta, payload)) =>
+            r.copy(
+              data = encodeFake(meta.modality, w, h, meta.nFrames, meta.sampleRate, payload),
+              meta = meta.copy(width = w, height = h))
+          case None => r
+        }
+      else
+        resizeImageBytes(r.data, w, h) match {
+          case Some(png) =>
+            r.copy(data = png,
+              meta = MediaMeta("image", "png", w, h, 1, 0))
+          case None => r
+        }
     }
   }
 }

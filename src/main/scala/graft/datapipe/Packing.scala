@@ -77,15 +77,20 @@ object Packing {
     * key) and `mix_rank` (the global order). Rows of unlisted sources
     * get `defaultWeight`.
     *
-    * Scale note: the per-source rank is a partitioned window (one
-    * shuffle), but `mix_rank` is a GLOBAL row_number — a single-task
-    * sort. That is fine for bounded schedules (the query surface takes
-    * a prefix); to materialize a full 100 TB training order, drop
-    * `mix_rank` and range-partition-write by `position` instead — the
-    * global order is then the file order with no single-task stage
-    * (`position` alone determines it). */
+    * `mix_rank` is the global row_number over (position, source, id)
+    * but is NOT computed with a global-sort window (that is a
+    * single-task stage — the full dataset through one executor
+    * thread). Instead: positions are cut into `nBands` deterministic
+    * value bands (band = floor(position / bandWidth) — a pure function
+    * of the row, so no dependence on physical partitioning or sampled
+    * range boundaries), each band ranks in parallel, and per-band
+    * offsets (an O(nBands)-row aggregate — the only data crossing a
+    * single-partition stage) shift the local ranks into the global
+    * order. Stride positions are near-uniform over (0, max], so the
+    * bands are balanced by construction. */
   def mixtureSchedule(df: DataFrame, sourceCol: String, idCol: String,
-      weights: Map[String, Double], defaultWeight: Double): DataFrame = {
+      weights: Map[String, Double], defaultWeight: Double,
+      nBands: Int = 0): DataFrame = {
     require(defaultWeight > 0 && weights.values.forall(_ > 0),
       s"mixture weights must be positive (zero would schedule a source at " +
         s"position Infinity — i.e. never; negative would invert its order): " +
@@ -100,9 +105,29 @@ object Packing {
         Window.partitionBy(col(sourceCol))
           .orderBy(Sampling.hashKey(col(idCol)), col(idCol))))
       .withColumn("position", col("__r").cast("double") / col("__weight"))
-    ranked
-      .withColumn("mix_rank", row_number().over(
-        Window.orderBy(col("position"), col(sourceCol), col(idCol))).cast("long"))
-      .drop("__src", "__w", "__weight", "__r")
+    val bands: Long =
+      if (nBands > 0) nBands.toLong
+      else spark.sessionState.conf.numShufflePartitions.toLong * 4
+    // schedule length = max position: a 1-row broadcast aggregate
+    val lmax = ranked.agg(max(col("position")).as("__lmax"))
+    val banded = ranked.crossJoin(broadcast(lmax))
+      .withColumn("__band",
+        least(floor(col("position") / (col("__lmax") / bands)), lit(bands - 1))
+          .cast("long"))
+    // per-band offsets: O(nBands) rows through the cumsum window —
+    // the deliberate, bounded exception to "no single-partition stage"
+    val offsets = banded.groupBy(col("__band")).agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(Window.orderBy(col("__band"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__band"), col("__offset"))
+    banded
+      .withColumn("__band_rank", row_number().over(
+        Window.partitionBy(col("__band"))
+          .orderBy(col("position"), col(sourceCol), col(idCol))))
+      .join(broadcast(offsets), Seq("__band"))
+      .withColumn("mix_rank", (col("__offset") + col("__band_rank")).cast("long"))
+      .drop("__src", "__w", "__weight", "__r", "__lmax", "__band",
+        "__band_rank", "__offset")
   }
 }

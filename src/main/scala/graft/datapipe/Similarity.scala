@@ -302,14 +302,27 @@ object Similarity {
     * prunes toward adjacent cells only — near-linear candidates; as
     * t → 0 it degrades gracefully to the full (still correct) join.
     * Requires threshold > 0 (zero-norm vectors have cos = 0 by
-    * convention and are excluded from blocking). */
+    * convention and are excluded from blocking).
+    *
+    * PER-TASK BOUND: cell member lists are NOT materialized whole — a
+    * hot cell at corpus scale would otherwise become one multi-GB row.
+    * Each cell is split into hash chunks of ~`maxCell` expected members
+    * (nChunks = ⌈n/maxCell⌉ from the same one-pass stats aggregate as
+    * the radii), and EVERY chunk pair inside an admissible cell pair is
+    * scanned. Chunking is a pure partition of the double loop: each
+    * unordered vector pair occurs in exactly one (cell, chunk) pair, so
+    * exactness needs no new admissibility argument, and a task holds at
+    * most two ~maxCell-member chunks regardless of cell skew (hash
+    * balance concentrates chunk sizes tightly for maxCell ≫ 1). */
   def cosineNearDupPairs(
       corpus: DataFrame,
       threshold: Double,
       nCells: Int = 16,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      maxCell: Int = 4096): DataFrame = {
     require(threshold > 0.0, s"threshold must be > 0, got $threshold")
+    require(maxCell > 0, s"maxCell must be > 0, got $maxCell")
     val spark = corpus.sparkSession
     val centroids = trainCentroids(corpus, nCells, idCol, vecCol).map(unit)
     val bc = spark.sparkContext.broadcast(centroids)
@@ -333,13 +346,19 @@ object Similarity {
       .filter(normUdf(col("vec")) > 0.0)
       .withColumn("ad", assignUdf(col("vec")))
       .select(col("id"), col("vec"), col("ad._1").as("cell"), col("ad._2").as("cdist"))
-    // cache only for the radii collection; the main job recomputes the
+    // cache only for the stats collection; the main job recomputes the
     // (deterministic, cheap) assignment rather than pinning the corpus
     // in executor storage for the session lifetime
     assigned.cache()
+    // one pass for radii AND member counts: O(nCells) rows to the driver
     val radii = new Array[Double](centroids.length)
-    assigned.groupBy(col("cell")).agg(max(col("cdist")).as("radius"))
-      .collect().foreach(row => radii(row.getInt(0)) = row.getDouble(1))
+    val nChunks = Array.fill(centroids.length)(1L)
+    assigned.groupBy(col("cell"))
+      .agg(max(col("cdist")).as("radius"), count(lit(1)).as("n"))
+      .collect().foreach { row =>
+        radii(row.getInt(0)) = row.getDouble(1)
+        nChunks(row.getInt(0)) = (row.getLong(2) + maxCell - 1) / maxCell
+      }
     assigned.unpersist()
     // admissible unordered cell pairs i <= j (triangle inequality); each
     // vector lives in exactly one cell, so a vector pair appears in at
@@ -350,15 +369,28 @@ object Similarity {
       if euclid(centroids(i), centroids(j)) <= radii(i) + radii(j) + r
     } yield (i, j)
     import spark.implicits._
-    val cp = cellPairs.toDF("cell_a", "cell_b")
-    // join at CELL-pair granularity (≤ nCells² rows), not member-pair
-    // granularity: the quadratic scan runs inside the UDF over primitive
-    // arrays, so no per-candidate-pair rows cross an operator boundary
-    val cellMembers = assigned
-      .groupBy(col("cell"))
+    // expand admissible cell pairs to chunk pairs; within one cell only
+    // the unordered chunk pairs ca <= cb (the scan handles ca == cb with
+    // its same-group triangular loop)
+    val chunkPairs = cellPairs.flatMap { case (i, j) =>
+      for {
+        ca <- 0L until nChunks(i)
+        cb <- 0L until nChunks(j)
+        if i != j || ca <= cb
+      } yield (i, ca, j, cb)
+    }.toDF("cell_a", "chunk_a", "cell_b", "chunk_b")
+    // join at CHUNK-pair granularity, not member-pair granularity: the
+    // quadratic scan runs inside the UDF over primitive arrays, so no
+    // per-candidate-pair rows cross an operator boundary
+    val nChunksOf = udf((cell: Int) => nChunks(cell))
+    val chunkMembers = assigned
+      .withColumn("chunk", pmod(xxhash64(col("id")), nChunksOf(col("cell"))))
+      .groupBy(col("cell"), col("chunk"))
       .agg(collect_list(struct(col("id"), col("vec"))).as("ms"))
-    val a = cellMembers.select(col("cell").as("cell_a"), col("ms").as("ms_a"))
-    val b = cellMembers.select(col("cell").as("cell_b"), col("ms").as("ms_b"))
+    val a = chunkMembers.select(col("cell").as("cell_a"),
+      col("chunk").as("chunk_a"), col("ms").as("ms_a"))
+    val b = chunkMembers.select(col("cell").as("cell_b"),
+      col("chunk").as("chunk_b"), col("ms").as("ms_b"))
     val scanUdf = udf((msA: Seq[org.apache.spark.sql.Row], msB: Seq[org.apache.spark.sql.Row], same: Boolean) => {
       def unpack(ms: Seq[org.apache.spark.sql.Row]): (Array[Long], Array[Array[Float]]) = {
         val ids = new Array[Long](ms.length)
@@ -389,9 +421,10 @@ object Similarity {
       }
       out.toSeq
     })
-    a.join(broadcast(cp), Seq("cell_a"))
-      .join(b, Seq("cell_b"))
-      .select(explode(scanUdf(col("ms_a"), col("ms_b"), col("cell_a") === col("cell_b"))).as("p"))
+    a.join(broadcast(chunkPairs), Seq("cell_a", "chunk_a"))
+      .join(b, Seq("cell_b", "chunk_b"))
+      .select(explode(scanUdf(col("ms_a"), col("ms_b"),
+        col("cell_a") === col("cell_b") && col("chunk_a") === col("chunk_b"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"),
         round(col("p._3"), 4).as("sim"))
       .orderBy(col("id_a"), col("id_b"))

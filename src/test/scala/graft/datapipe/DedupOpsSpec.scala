@@ -142,6 +142,41 @@ class DedupOpsSpec extends AnyFunSuite {
       s"missing=${exact -- blocked} extra=${blocked -- exact}")
   }
 
+  test("cosine near-dup chunking bounds a hot cell and stays exact") {
+    import spark.implicits._
+    // 300 near-parallel vectors: all of them land in ONE cell — the
+    // regime where an unchunked collect_list materializes the entire
+    // cell as a single multi-hundred-row task payload
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        if (d == 0) 1.0f else 0.01f * ((i * (d + 3)) % 17)).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cos = udf((x: Seq[Float], y: Seq[Float]) =>
+      Similarity.cosine(x.toArray, y.toArray))
+    val aa = vecs.select(col("vec_id").as("id"), col("embedding").as("va"))
+    val bb = vecs.select(col("vec_id").as("id2"), col("embedding").as("vb"))
+    val exact = aa.join(bb, col("id") < col("id2"))
+      .withColumn("sim", cos(col("va"), col("vb")))
+      .filter(col("sim") >= 0.999)
+      .select("id", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Similarity
+      .cosineNearDupPairs(vecs, 0.999, nCells = 1, maxCell = 16)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(blocked == exact,
+      s"exact=${exact.size} blocked=${blocked.size} " +
+        s"missing=${(exact -- blocked).take(5)} extra=${(blocked -- exact).take(5)}")
+    // the chunk hash actually used splits the 300-member cell into
+    // ceil(300/16)=19 groups whose sizes concentrate near 16 — no task
+    // ever holds anything close to the whole cell
+    val sizes = vecs
+      .select(pmod(xxhash64(col("vec_id")), lit(19L)).as("c"))
+      .groupBy("c").count().collect().map(_.getLong(1))
+    assert(sizes.length == 19 && sizes.max <= 48, sizes.sorted.mkString(","))
+  }
+
   test("simhash recursive blocking is EXACT: equals brute force (oversized bucket)") {
     import spark.implicits._
     // 400 docs drawn from a tiny shared vocabulary so simhashes

@@ -59,4 +59,57 @@ class MultimodalSpec extends AnyFunSuite {
     val Some((_, payload)) = Multimodal.decodeStub(one.data)
     assert(payload.nonEmpty)
   }
+
+  /** A w×h PNG with a deterministic gradient: pixel (x,y) is the gray
+    * level (x + y) % 256 — luminance == gray level, so byte sums are
+    * exactly predictable after decode. */
+  def gradientPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x + y) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG bytes decode through javax.imageio with exact luminance") {
+    val png = gradientPng(40, 25)
+    val Some((meta, payload)) = Multimodal.decodeImage(png)
+    assert(meta.modality == "image" && meta.format == "png")
+    assert(meta.width == 40 && meta.height == 25 && meta.nFrames == 1)
+    assert(payload.length == 40 * 25)
+    // gray pixels: BT.601 luminance of (v,v,v) is exactly v
+    for (y <- 0 until 25; x <- 0 until 40)
+      assert((payload(y * 40 + x) & 0xff) == (x + y) % 256)
+    // dispatch: decode() routes PNG to the real decoder, fake to stub
+    assert(Multimodal.decode(png).get._1.format == "png")
+    val fake = Multimodal.encodeFake("audio", 0, 0, 1, 16000, Array[Byte](1, 2))
+    assert(Multimodal.decode(fake).get._1.format == "fake")
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+  }
+
+  test("real images flow through the batched feature/stats/resize stages") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(100L, gradientPng(16, 16),
+        Multimodal.MediaMeta("image", "png", 16, 16, 1, 0)),
+      // a fake-container audio row in the same partition: dispatch is per-row
+      Multimodal.MediaRow(101L,
+        Multimodal.encodeFake("audio", 0, 0, 1, 16000, Array[Byte](10, 20, 30)),
+        Multimodal.MediaMeta("audio", "fake", 0, 0, 1, 16000)))
+    val media = spark.createDataset(rows)
+    val stats = Multimodal.mediaStats(spark, media).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3), r.getLong(4))).toMap
+    val lumSum = (for (y <- 0 until 16; x <- 0 until 16) yield (x + y) % 256).sum.toLong
+    assert(stats(100L) == (("image", lumSum, 256L)), stats(100L))
+    assert(stats(101L) == (("audio", 60L, 3L)), stats(101L))
+    // resize re-renders real pixels: output decodes as a 8x8 png
+    val resized = Multimodal.resize(media, 8, 8).filter(_.media_id == 100L).head()
+    val Some((rmeta, rpay)) = Multimodal.decodeImage(resized.data)
+    assert(rmeta.width == 8 && rmeta.height == 8 && rmeta.format == "png")
+    assert(rpay.length == 64)
+  }
 }

@@ -88,4 +88,50 @@ class PackingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(again == first)
   }
+
+  test("mixture schedule: mix_rank equals the brute-force global order") {
+    import spark.implicits._
+    val docs = (1 to 997).map(i =>
+      (i.toLong, Seq("hot", "cold", "base", "x")(i % 4))).toDF("id", "src")
+    val sched = Packing.mixtureSchedule(docs, "src", "id",
+        Map("hot" -> 3.0, "cold" -> 0.25), defaultWeight = 1.0, nBands = 7)
+      .select("id", "src", "position", "mix_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    // brute force: sort everything by (position, src, id) on the driver
+    val expected = sched.sortBy(t => (t._3, t._2, t._1))
+      .zipWithIndex.map { case ((id, src, _, _), i) => (id, src, i + 1L) }.toSet
+    assert(sched.map(t => (t._1, t._2, t._4)).toSet == expected)
+    assert(sched.map(_._4).sorted.toSeq == (1L to 997L).toSeq)
+  }
+
+  test("mixture schedule plan: no single-partition stage carries row data") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val docs = (1 to 200).map(i =>
+      (i.toLong, Seq("a", "b")(i % 2))).toDF("id", "src")
+    val sched = Packing.mixtureSchedule(docs, "src", "id",
+      Map("a" -> 2.0), defaultWeight = 1.0)
+    val root: SparkPlan = sched.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val singles = root.collect {
+      case s: ShuffleExchangeExec if s.outputPartitioning == SinglePartition => s
+    }
+    // the only tolerated single-partition exchange is the O(nBands)
+    // band-count cumsum — its subtree must already be aggregated
+    assert(singles.forall(_.child.toString.contains("HashAggregate")),
+      singles.map(_.toString.take(500)).mkString("\n---\n"))
+    // and the full-data global-sort window must be gone entirely:
+    // every window in the plan is partitioned
+    assert(!root.toString.contains("Window [") ||
+      root.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }.forall(_.child.toString.contains("HashAggregate")),
+      root.toString.take(3000))
+  }
 }
