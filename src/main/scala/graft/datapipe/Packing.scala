@@ -77,17 +77,26 @@ object Packing {
     * key) and `mix_rank` (the global order). Rows of unlisted sources
     * get `defaultWeight`.
     *
-    * `mix_rank` is the global row_number over (position, source, id)
-    * but is NOT computed with a global-sort window (that is a
-    * single-task stage — the full dataset through one executor
-    * thread). Instead: positions are cut into `nBands` deterministic
-    * value bands (band = floor(position / bandWidth) — a pure function
-    * of the row, so no dependence on physical partitioning or sampled
-    * range boundaries), each band ranks in parallel, and per-band
-    * offsets (an O(nBands)-row aggregate — the only data crossing a
-    * single-partition stage) shift the local ranks into the global
-    * order. Stride positions are near-uniform over (0, max], so the
-    * bands are balanced by construction. */
+    * NEITHER rank here is computed with a window whose partition a
+    * single task must sort. A global-sort window is one task for the
+    * whole dataset; a per-source window is one task per source, and a
+    * training mixture has O(10) sources of which one often holds most
+    * of the corpus — both funnel ~everything through one executor
+    * thread. Instead both ranks use deterministic VALUE BANDS:
+    *
+    *  - the per-source rank (order = hashKey(id), id) bands on the
+    *    numeric value of `hashKey(id)` itself — fixed-width hex
+    *    compares lexicographically == numerically, so the bands are a
+    *    prefix-respecting cut of the per-source order, and md5 is
+    *    uniform so they are balanced by construction;
+    *  - `mix_rank` (order = position, source, id) bands on
+    *    floor(position / bandWidth).
+    *
+    * Each (source, band) / band ranks in parallel; per-band row counts
+    * (an O(nSources·nBands) / O(nBands) aggregate — the only data
+    * crossing a narrow stage) shift the local ranks into the global
+    * order. Band membership is a pure function of the row, so the
+    * result is independent of physical partitioning. */
   def mixtureSchedule(df: DataFrame, sourceCol: String, idCol: String,
       weights: Map[String, Double], defaultWeight: Double,
       nBands: Int = 0): DataFrame = {
@@ -97,17 +106,40 @@ object Packing {
         s"$weights default=$defaultWeight")
     val spark = df.sparkSession
     import spark.implicits._
-    val dim = weights.toSeq.toDF("__src", "__w")
-    val ranked = df
-      .join(broadcast(dim), col(sourceCol) === col("__src"), "left_outer")
-      .withColumn("__weight", coalesce(col("__w"), lit(defaultWeight)))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(col(sourceCol))
-          .orderBy(Sampling.hashKey(col(idCol)), col(idCol))))
-      .withColumn("position", col("__r").cast("double") / col("__weight"))
     val bands: Long =
       if (nBands > 0) nBands.toLong
       else spark.sessionState.conf.numShufflePartitions.toLong * 4
+    val dim = weights.toSeq.toDF("__src", "__w")
+    // per-source rank, banded: hashKey is 8 hex chars — uniform over
+    // [0, 2^32), and string order == numeric order — so cutting its
+    // value range into `bands` slices partitions each source's
+    // (hashKey, id) order into contiguous, balanced runs.
+    val withBand = df
+      .join(broadcast(dim), col(sourceCol) === col("__src"), "left_outer")
+      .withColumn("__weight", coalesce(col("__w"), lit(defaultWeight)))
+      .withColumn("__hk", Sampling.hashKey(col(idCol)))
+      .withColumn("__hband",
+        least(floor(conv(col("__hk"), 16, 10).cast("long") /
+          lit(4294967296.0 / bands)), lit(bands - 1)).cast("long"))
+    // per-(source, band) counts → per-source cumulative offsets: the
+    // window runs on O(nSources·nBands) aggregated rows, never row data
+    val srcOffsets = withBand
+      .groupBy(col(sourceCol).as("__osrc"), col("__hband").as("__oband"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__soffset",
+        coalesce(sum(col("__bn")).over(Window.partitionBy(col("__osrc"))
+          .orderBy(col("__oband"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__osrc"), col("__oband"), col("__soffset"))
+    val ranked = withBand
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy(col(sourceCol), col("__hband"))
+          .orderBy(col("__hk"), col(idCol))))
+      .join(broadcast(srcOffsets),
+        col(sourceCol) === col("__osrc") && col("__hband") === col("__oband"))
+      .withColumn("__r", col("__soffset") + col("__lr"))
+      .withColumn("position", col("__r").cast("double") / col("__weight"))
+      .drop("__hk", "__hband", "__lr", "__osrc", "__oband", "__soffset")
     // schedule length = max position: a 1-row broadcast aggregate
     val lmax = ranked.agg(max(col("position")).as("__lmax"))
     val banded = ranked.crossJoin(broadcast(lmax))

@@ -134,4 +134,43 @@ class PackingSpec extends AnyFunSuite {
       }.forall(_.child.toString.contains("HashAggregate")),
       root.toString.take(3000))
   }
+
+  test("mixture schedule plan: no row-data exchange hash-partitions on source alone") {
+    // a hash exchange on the source column alone is a single task PER
+    // SOURCE — with O(10) sources one of which dominates a 100 TB
+    // corpus, that is the same scale-killer as a global sort. Row data
+    // must only ever shuffle on (source, band); source-alone exchanges
+    // are tolerated solely above the O(nSources·nBands) count aggregate.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val docs = (1 to 200).map(i =>
+      (i.toLong, Seq("a", "b")(i % 2))).toDF("id", "src")
+    val sched = Packing.mixtureSchedule(docs, "src", "id",
+      Map("a" -> 2.0), defaultWeight = 1.0)
+    val root: SparkPlan = sched.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val srcAlone = root.collect {
+      case s: ShuffleExchangeExec => s.outputPartitioning match {
+        case h: HashPartitioning if h.expressions.size == 1 &&
+            h.expressions.flatMap(_.references.toSeq.map(_.name))
+              .forall(n => n == "src" || n == "__osrc") => Some(s)
+        case _ => None
+      }
+    }.flatten
+    assert(srcAlone.forall(_.child.toString.contains("HashAggregate")),
+      srcAlone.map(_.toString.take(800)).mkString("\n---\n"))
+    // and per-source ranking windows must partition on more than source
+    val winExecs = root.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(winExecs.forall(w => w.partitionSpec.size != 1 ||
+      w.child.toString.contains("HashAggregate") ||
+      !w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).contains("src")),
+      winExecs.map(w => w.partitionSpec.mkString(",")).mkString("\n"))
+  }
 }
