@@ -32,14 +32,16 @@ object Curation {
              minTokens: Long = 30,
              maxPunctRatio: Double = 0.2,
              minJaccard: Double = 0.5,
-             sampleFraction: Double = 0.5): DataFrame = {
+             sampleFraction: Double = 0.5,
+             md5Based: Boolean = false): DataFrame = {
     val gated = docs.filter(col("lang") === lang)
     val okIds = QualityScore.metrics(gated)
       .filter(col("n_tokens") >= minTokens &&
         col("n_punct") < lit(maxPunctRatio) * col("n_chars_measured"))
       .select(col("doc_id"))
     val quality = gated.join(okIds, Seq("doc_id"), "left_semi")
-    val deduped = DedupOps.minhashDedupSurvivors(quality, minJaccard)
+    val deduped = DedupOps.minhashDedupSurvivors(quality, minJaccard,
+      md5Based = md5Based)
     Sampling.uniform(deduped, "doc_id", sampleFraction)
   }
 }

@@ -56,8 +56,18 @@ object DedupOps {
     (inter.toLong, union.toLong)
   })
 
+  private val minhashBandsMd5Udf =
+    udf((text: String, numPerm: Int, shingleN: Int, bands: Int) =>
+      Hashing.minhashBandsMd5(if (text == null) "" else text, numPerm, shingleN, bands))
+
   /** Candidate near-duplicate pairs via MinHash LSH banding.
-    * Output: (id_a, id_b) with id_a < id_b, distinct. */
+    * Output: (id_a, id_b) with id_a < id_b, distinct.
+    *
+    * md5Based=true swaps the fnv/mix64 signature for the
+    * engine-portable md5 one ([[Hashing.minhashBandsMd5]]) — band keys
+    * the DuckDB oracle recomputes bit-for-bit, so oracle and engine
+    * test the SAME candidate set (no LSH-recall assumption). Same
+    * pattern as [[simhashes]]' md5Based flag. */
   def minhashCandidates(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -65,20 +75,26 @@ object DedupOps {
       shingleN: Int = 3,
       numPerm: Int = NumPerm,
       bands: Int = Bands,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64,
+      md5Based: Boolean = false): DataFrame = {
     // shingle-less documents (null/whitespace-only text) are excluded:
     // they all share the degenerate all-MaxValue signature and would
     // pair with each other at a meaningless 0/0 jaccard. trim-empty
     // means "no Tok.WS tokens" for these space-separated corpora (both
     // engines' trim strips spaces; the oracle applies the same filter).
-    val sigs = graft.util.Par.ensure(docs
+    val nonEmpty = graft.util.Par.ensure(docs
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0))
+    val sigs = nonEmpty
       .select(
         col(idCol).as("id"),
-        // native fused expression: shingle → 128-perm sig → band keys
-        // in one call, no ScalaUDF boundary (MinHashBandsExpr)
-        graft.functions.Expressions.minhash_bands(
-          col(textCol), numPerm, shingleN, bands).as("bands"))
+        if (md5Based)
+          minhashBandsMd5Udf(col(textCol), lit(numPerm), lit(shingleN),
+            lit(bands)).as("bands")
+        else
+          // native fused expression: shingle → 128-perm sig → band keys
+          // in one call, no ScalaUDF boundary (MinHashBandsExpr)
+          graft.functions.Expressions.minhash_bands(
+            col(textCol), numPerm, shingleN, bands).as("bands"))
     val buckets = sigs
       .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
       .groupBy(col("band_idx"), col("band_key"))
@@ -104,8 +120,10 @@ object DedupOps {
       minJaccard: Double,
       idCol: String = "doc_id",
       textCol: String = "text",
-      shingleN: Int = 3): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol, shingleN)
+      shingleN: Int = 3,
+      md5Based: Boolean = false): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, shingleN,
+      md5Based = md5Based)
     val txt = docs.select(col(idCol).as("jid"), col(textCol).as("jtext"))
     cands
       .join(txt, col("id_a") === col("jid")).withColumnRenamed("jtext", "text_a").drop("jid")
@@ -122,8 +140,9 @@ object DedupOps {
     * id equals the cluster min survive). For full transitive closure at
     * scale, iterate `largeStarSmallStar` (documented; one pass suffices
     * for pairwise-similar clusters). */
-  def minhashDedupSurvivors(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val pairs = minhashNearDupPairs(docs, minJaccard)
+  def minhashDedupSurvivors(docs: DataFrame, minJaccard: Double,
+      md5Based: Boolean = false): DataFrame = {
+    val pairs = minhashNearDupPairs(docs, minJaccard, md5Based = md5Based)
     val dropped = pairs.select(col("id_b").as("doc_id")).distinct()
     docs.join(dropped, Seq("doc_id"), "left_anti")
   }

@@ -92,6 +92,92 @@ object Hashing {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
       bandKeys(minhash(shingleSet(text.toString, shingleN), numPerm), bands))
 
+  // ---- engine-portable (md5-based) minhash ----
+
+  /** 2^61 − 1, a Mersenne prime: modulus of the portable permutation
+    * family h_i(x) = (a_i·x + b_i) mod p. Chosen so any engine with
+    * 128-bit integers can evaluate h_i exactly (a_i, x < 2^61 ⇒ product
+    * < 2^122, inside a signed 128-bit range), which lets the DuckDB
+    * correctness oracle recompute the LSH band keys bit-for-bit. */
+  val P61: Long = (1L << 61) - 1
+
+  /** Fixed permutation coefficients — pure functions of the index, so
+    * the engine and the GENERATED oracle SQL embed identical values. */
+  def permA(i: Int): Long =
+    java.lang.Long.remainderUnsigned(mix64(0xa075bcd15f4a7c15L + i), P61 - 1) + 1
+  def permB(i: Int): Long =
+    java.lang.Long.remainderUnsigned(mix64(0x3c6ef372fe94f82bL + i), P61)
+
+  /** (a·x) mod (2^61−1) without 64-bit overflow: the 128-bit product
+    * hi·2^64 + lo folds via 2^64 ≡ 8 and 2^61 ≡ 1 (mod p). Requires
+    * 0 ≤ a, x < 2^61 (so hi < 2^58 and hi·8 cannot overflow). */
+  def mulmodP61(a: Long, x: Long): Long = {
+    val hi = Math.multiplyHigh(a, x)
+    val lo = a * x
+    var r = (hi << 3) + (lo >>> 61) + (lo & P61)
+    if (r >= P61) r -= P61
+    if (r >= P61) r -= P61
+    r
+  }
+
+  /** Distinct word-shingle STRINGS (n consecutive lowercased tokens
+    * joined by ' '), first-seen order; docs shorter than n collapse to
+    * one whole-doc shingle. String form (not [[shingleSet]]'s fnv
+    * hashes) because the oracle rebuilds the same strings with
+    * array_to_string. */
+  def shingleStrings(text: String, n: Int): Array[String] = {
+    val toks = text.toLowerCase.split(Tok.WS).filter(_.nonEmpty)
+    if (toks.isEmpty) Array.empty
+    else if (toks.length < n) Array(toks.mkString(" "))
+    else {
+      val set = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + n <= toks.length) { set.add(toks.slice(i, i + n).mkString(" ")); i += 1 }
+      set.toArray(new Array[String](set.size))
+    }
+  }
+
+  /** Engine-portable LSH band keys: ONE md5 per shingle (the u64 of
+    * bytes 8..15 little-endian == DuckDB's md5_number_lower, see
+    * [[md5Low64]]), numPerm permutations via (a_i·x + b_i) mod 2^61−1,
+    * band key = comma-joined row minima. Every step is recomputable in
+    * DuckDB SQL, so the q13/q54/q55 oracles mirror the CANDIDATE SET
+    * exactly instead of assuming total LSH recall — a borderline pair
+    * (J ≈ threshold) that escapes banding now escapes both engines
+    * identically. Slightly slower than the fnv/mix64 fast path
+    * ([[minhash]] + [[bandKeys]]); use that when oracle portability is
+    * not needed. */
+  def minhashBandsMd5(text: String, numPerm: Int, shingleN: Int, bands: Int): Array[String] = {
+    val sh = shingleStrings(text, shingleN)
+    val as = Array.tabulate(numPerm)(permA)
+    val bs = Array.tabulate(numPerm)(permB)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    var si = 0
+    while (si < sh.length) {
+      val x = java.lang.Long.remainderUnsigned(md5Low64(md, sh(si)), P61)
+      var i = 0
+      while (i < numPerm) {
+        var h = mulmodP61(as(i), x) + bs(i)
+        if (h >= P61) h -= P61
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      si += 1
+    }
+    val rows = numPerm / bands
+    Array.tabulate(bands) { b =>
+      val sb = new java.lang.StringBuilder(rows * 20)
+      var r = 0
+      while (r < rows) {
+        if (r > 0) sb.append(',')
+        sb.append(sig(b * rows + r))
+        r += 1
+      }
+      sb.toString
+    }
+  }
+
   /** LSH band keys: hash each of `bands` signature slices of length
     * rows = numPerm/bands. Same band key ⇒ candidate pair. */
   def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {

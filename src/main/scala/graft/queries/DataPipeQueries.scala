@@ -15,8 +15,12 @@ object DataPipeQueries {
   def dedupExact(s: SparkSession, d: String): DataFrame =
     DedupOps.exactDedup(Tables.documents(s, d))
 
+  /** md5Based: band keys the DuckDB oracle recomputes bit-for-bit, so
+    * both engines test the same LSH candidate set (q13/q54/q55 share
+    * this; the fnv fast path stays for non-oracle throughput use). */
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
-    DedupOps.minhashNearDupPairs(Tables.documents(s, d), minJaccard = 0.5)
+    DedupOps.minhashNearDupPairs(Tables.documents(s, d), minJaccard = 0.5,
+      md5Based = true)
 
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     DedupOps.simhashNearDupPairs(Tables.documents(s, d), maxHamming = 3,
@@ -93,36 +97,79 @@ object DataPipeQueries {
     * exact pair set and closes it with a recursive CTE. */
   def nearDupComponents(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = DedupOps.minhashNearDupPairs(docs, minJaccard = 0.5)
+    val pairs = DedupOps.minhashNearDupPairs(docs, minJaccard = 0.5,
+        md5Based = true)
       .select(col("id_a").as("u"), col("id_b").as("v"))
     ConnectedComponents.componentsWithSingletons(docs, "doc_id", pairs)
       .orderBy(col("doc_id"))
   }
 
-  /** Oracle for q55. LSH-RECALL ASSUMPTION (shared with q13/q54): this
-    * brute-forces ALL pairs at J >= 0.5 while the implementation only
-    * exact-verifies LSH candidate pairs (32 bands x 4 rows — a pair at
-    * exactly J = 0.5 escapes banding with probability ~13%). The two
-    * agree because the corpus has no borderline pairs: planted
-    * near-dups sit at J >= 0.96 (escape probability (1-0.96^4)^32 ~
-    * 1e-48) and the densest non-dup pair is at J ~ 0.04. If the corpus
-    * is regenerated with pairs near the threshold, either raise the
-    * band count or make the oracle mirror the band keys. */
-  def componentsOracle: String =
-    s"""WITH RECURSIVE tok AS (
+  /** Shared oracle CTE chain mirroring [[graft.datapipe.Hashing.minhashBandsMd5]]
+    * + [[graft.datapipe.DedupOps.minhashCandidates]] over `srcRel`
+    * (any relation with doc_id, text): the 32×4 LSH band keys are
+    * recomputed bit-for-bit in DuckDB (md5_number_lower == the
+    * engine's md5Low64; the (a·x + b) mod 2^61−1 permutations fit
+    * HUGEINT exactly; identical a/b constants are generated from the
+    * same Scala functions), candidate pairs come from band-key
+    * equality with the engine's [2, maxBucket=64] bucket-size gate,
+    * and `pairs` carries exact-Jaccard counts for CANDIDATES ONLY.
+    * Oracle and engine therefore test the SAME candidate set — a
+    * borderline pair (J ≈ 0.5) that escapes banding escapes both
+    * engines identically, so correctness no longer assumes total LSH
+    * recall. */
+  private def minhashPairsCtes(srcRel: String): String = {
+    val p = "2305843009213693951::HUGEINT" // 2^61 - 1
+    val rows = DedupOps.NumPerm / DedupOps.Bands
+    val sigCols = (0 until DedupOps.NumPerm).map { i =>
+      s"list_min(list_transform(xs, x -> (${Hashing.permA(i)}::HUGEINT * x + ${Hashing.permB(i)}::HUGEINT) % $p)) AS m$i"
+    }.mkString(",\n    ")
+    val keyList = (0 until DedupOps.Bands).map { b =>
+      (0 until rows).map(r => s"m${b * rows + r}").mkString("concat(", ", ',', ", ")")
+    }.mkString("[", ",\n    ", "]")
+    s"""tok AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
-      |  FROM documents
+      |  FROM $srcRel
       |), sh AS (
       |  SELECT doc_id,
       |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
       |      ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
       |  FROM tok WHERE len(toks) > 0
+      |), xs AS (
+      |  SELECT doc_id, list_transform(sh, s -> md5_number_lower(s)::HUGEINT % $p) AS xs FROM sh
+      |), sig AS (
+      |  SELECT doc_id,
+      |    $sigCols
+      |  FROM xs
+      |), bkeys AS (
+      |  SELECT doc_id,
+      |    $keyList AS ks
+      |  FROM sig
+      |), banded AS (
+      |  SELECT doc_id, band_idx, ks[band_idx + 1] AS band_key
+      |  FROM bkeys, (SELECT unnest(range(${DedupOps.Bands})) AS band_idx) bi
+      |), bsz AS (
+      |  SELECT band_idx, band_key, count(*) AS n FROM banded GROUP BY band_idx, band_key
+      |), cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM banded x
+      |  JOIN banded y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+      |    AND x.doc_id < y.doc_id
+      |  JOIN bsz z ON z.band_idx = x.band_idx AND z.band_key = x.band_key
+      |  WHERE z.n BETWEEN 2 AND 64
       |), pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  SELECT c.id_a, c.id_b,
       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
       |    CAST(len(a.sh) + len(b.sh) AS BIGINT) AS sum_len
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |), edges AS (
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.id_a
+      |  JOIN sh b ON b.doc_id = c.id_b
+      |)""".stripMargin
+  }
+
+  /** Oracle for q55: the mirrored candidate pairs ([[minhashPairsCtes]])
+    * thresholded, closed transitively with a recursive CTE. */
+  def componentsOracle: String =
+    s"""WITH RECURSIVE ${minhashPairsCtes("documents")}, edges AS (
       |  SELECT id_a AS a, id_b AS b FROM pairs WHERE n_inter >= 0.5 * (sum_len - n_inter)
       |  UNION ALL
       |  SELECT id_b AS a, id_a AS b FROM pairs WHERE n_inter >= 0.5 * (sum_len - n_inter)
@@ -136,11 +183,11 @@ object DataPipeQueries {
 
   /** Composed curation funnel (q54): language gate → quality gate →
     * minhash near-dup survivors → 50% deterministic sample, with the
-    * whole composition recomputed by the DuckDB oracle. The oracle's
-    * brute-force pair stage carries the same LSH-recall assumption as
-    * q55 — see [[componentsOracle]]. */
+    * whole composition recomputed by the DuckDB oracle, including the
+    * mirrored LSH candidate set ([[minhashPairsCtes]] over the
+    * quality-gated subset). */
   def curationFunnel(s: SparkSession, d: String): DataFrame =
-    Curation.curate(Tables.documents(s, d))
+    Curation.curate(Tables.documents(s, d), md5Based = true)
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
@@ -152,22 +199,9 @@ object DataPipeQueries {
       |  WHERE len(string_split_regex(trim(text), '${Tok.WS}')) >= 30
       |    AND (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
       |        < 0.2 * length(text)
-      |), tok AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
-      |  FROM qual
-      |), sh AS (
-      |  SELECT doc_id,
-      |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-      |      ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
-      |  FROM tok WHERE len(toks) > 0
-      |), pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    len(list_intersect(a.sh, b.sh)) AS n_inter,
-      |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |), surv AS (
+      |), ${minhashPairsCtes("qual")}, surv AS (
       |  SELECT * FROM qual WHERE doc_id NOT IN (
-      |    SELECT id_b FROM pairs WHERE n_inter >= 0.5 * n_union)
+      |    SELECT id_b FROM pairs WHERE n_inter >= 0.5 * (sum_len - n_inter))
       |)
       |SELECT doc_id, lang, n_chars FROM surv
       |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
@@ -221,29 +255,14 @@ object DataPipeQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
-  /** DuckDB oracle for dedupMinhash (q13): brute-force all-pairs exact
-    * 3-gram word-shingle Jaccard. Sound because LSH candidate recall on
-    * this surface is total: pairs above the 0.5 threshold sit at
-    * J ≥ 0.96 (planted near-dups) while the densest non-dup pair is at
-    * J ≈ 0.04 — a 0.96-similar pair escapes 32 bands of 4 rows with
-    * probability (1-0.96⁴)³² ≈ 1e-48. Counts (not a float ratio) are
-    * compared, and the threshold predicate is the same exact integer
-    * test both engines evaluate. */
+  /** DuckDB oracle for dedupMinhash (q13): the mirrored LSH candidate
+    * set ([[minhashPairsCtes]]) verified with exact 3-gram word-shingle
+    * Jaccard — the identical candidate-then-verify computation the
+    * engine runs, so no recall assumption. Counts (not a float ratio)
+    * are compared, and the threshold predicate is the same exact
+    * integer test both engines evaluate. */
   def minhashOracle: String =
-    s"""WITH tok AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
-      |  FROM documents
-      |), sh AS (
-      |  SELECT doc_id,
-      |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-      |      ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
-      |  FROM tok WHERE len(toks) > 0
-      |), pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
-      |    CAST(len(a.sh) + len(b.sh) AS BIGINT) AS sum_len
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |)
+    s"""WITH ${minhashPairsCtes("documents")}
       |SELECT id_a, id_b, n_inter, sum_len - n_inter AS n_union
       |FROM pairs
       |WHERE n_inter >= 0.5 * (sum_len - n_inter)

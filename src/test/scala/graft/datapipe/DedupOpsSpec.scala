@@ -28,6 +28,45 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(pairs.exists(r => r.getAs[Long]("id_a") == 98L && r.getAs[Long]("id_b") == 290L))
   }
 
+  test("md5-based minhash: same planted pairs, engine == driver-side band brute force") {
+    // the md5Based path (q13/q54/q55's oracle-portable variant) must
+    // produce exactly the candidate-verified pairs a driver-side
+    // recomputation of Hashing.minhashBandsMd5 predicts
+    val pairs = DedupOps.minhashNearDupPairs(docs, 0.5, md5Based = true)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val local = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+      .filter(_._2.trim.nonEmpty)
+    // driver-side banding: (band_idx, key) -> members, buckets 2..64
+    val buckets = scala.collection.mutable.HashMap.empty[(Int, String), List[Long]]
+    local.foreach { case (id, text) =>
+      Hashing.minhashBandsMd5(text, 128, 3, 32).zipWithIndex.foreach {
+        case (k, b) => buckets((b, k)) = id :: buckets.getOrElse((b, k), Nil)
+      }
+    }
+    val shingleSets = local.toMap.map { case (id, t) => id -> Hashing.shingleSet(t, 3) }
+    val expected = buckets.values
+      .filter(m => m.size >= 2 && m.size <= 64)
+      .flatMap(m => m.combinations(2).map(p => (p.min, p.max)))
+      .toSet[(Long, Long)]
+      .filter { case (a, b) =>
+        val (i, u) = Hashing.jaccardCounts(shingleSets(a), shingleSets(b))
+        i >= 0.5 * u
+      }
+    assert(pairs == expected)
+    assert(pairs.contains((98L, 290L))) // known planted pair
+  }
+
+  test("mulmodP61 matches BigInt arithmetic across the operand range") {
+    val p = BigInt(Hashing.P61)
+    val vals = Seq(0L, 1L, 2L, Hashing.P61 - 1, Hashing.P61 / 2,
+      0x1234_5678_9abc_def0L & (Hashing.P61 - 1), 0x0fff_ffff_ffff_fff7L)
+    for (a <- vals; x <- vals) {
+      val want = (BigInt(a) * BigInt(x)) % p
+      assert(BigInt(Hashing.mulmodP61(a, x)) == want, s"a=$a x=$x")
+    }
+  }
+
   test("minhash survivors drop one side of each pair") {
     val nPairs = DedupOps.minhashNearDupPairs(docs, 0.5).count()
     val survivors = DedupOps.minhashDedupSurvivors(docs, 0.5).count()
