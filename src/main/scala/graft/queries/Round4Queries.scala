@@ -209,7 +209,8 @@ object Round4Queries {
     * (postings join) instead of a corpus scan; the oracle recomputes
     * the analyzer per document and tests token membership — equality
     * proves index search ≡ scan search. Query terms exercise the
-    * plural stemming ("windows batches" → window, batch). */
+    * minimal_english stemming ("windows batches" → window, batche —
+    * Lucene's EnglishMinimalStemmer really maps batches → batche). */
   val searchQuery = "windows batches"
 
   def invertedSearch(s: SparkSession, d: String): DataFrame =
@@ -241,16 +242,7 @@ object Round4Queries {
       .mkString(" + ")
     val anyMatch = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
     s"""WITH tok AS (
-       |  SELECT doc_id, list_transform(
-       |    list_filter(
-       |      string_split_regex(regexp_replace(lower(text), '''s\\b', '', 'g'), '[^\\p{L}\\p{N}]+'),
-       |      t -> t <> '' AND NOT list_contains($stopListSql, t)),
-       |    t -> CASE
-       |      WHEN length(t) > 4 AND regexp_matches(t, 'ies$$') THEN regexp_replace(t, 'ies$$', 'y')
-       |      WHEN regexp_matches(t, '(sses|ches|shes|xes)$$') THEN regexp_replace(t, 'es$$', '')
-       |      WHEN length(t) > 3 AND regexp_matches(t, '[^su]s$$') THEN regexp_replace(t, 's$$', '')
-       |      ELSE t END) AS toks
-       |  FROM documents
+       |  $analyzerTokSql
        |), pertok AS (
        |  SELECT doc_id, len(toks) AS dl,
        |    $tfExprs
@@ -593,10 +585,29 @@ object Round4Queries {
 
   /** Stopword list as a DuckDB list literal (analyzer parity: the
     * Spark analyzer drops stopwords BEFORE stemming — dl must count
-    * post-stopword tokens). */
+    * post-stopword tokens). The list is the ES mapping's exact
+    * english_stop table (reference es-mapping/publication.json:9-780),
+    * same resource [[SearchFacade.analyzeEnglish]] embeds. */
   private def stopListSql: String =
-    graft.text.StopWords.glasgow.toSeq.sorted
+    graft.text.StopWords.esEnglish.toSeq.sorted
       .map(w => s"'${w.replace("'", "''")}'").mkString("[", ",", "]")
+
+  /** Shared `tok` CTE body: the DuckDB mirror of
+    * [[SearchFacade.analyzeEnglish]] — possessive strip, non-alnum
+    * tokenize, ES english_stop list, then Lucene minimal_english
+    * rule-for-rule (same WHEN order as the Column version). */
+  private def analyzerTokSql: String =
+    s"""SELECT doc_id, list_transform(
+       |    list_filter(
+       |      string_split_regex(regexp_replace(lower(text), '[''’＇]s\\b', '', 'g'), '[^\\p{L}\\p{N}]+'),
+       |      t -> t <> '' AND NOT list_contains($stopListSql, t)),
+       |    t -> CASE
+       |      WHEN length(t) < 3 OR NOT regexp_matches(t, 's$$') THEN t
+       |      WHEN regexp_matches(t, '(us|ss)$$') THEN t
+       |      WHEN regexp_matches(t, '[^ae]ies$$') THEN regexp_replace(t, 'ies$$', 'y')
+       |      WHEN regexp_matches(t, '[iaoe]es$$') THEN t
+       |      ELSE substring(t, 1, length(t) - 1) END) AS toks
+       |  FROM documents""".stripMargin
 
   def invertedSearchOracle: String = {
     val terms = SearchFacade.analyzeQueryTerms(searchQuery).distinct
@@ -605,16 +616,7 @@ object Round4Queries {
     // does — otherwise a stopword whose stem equals a query term would
     // make the oracle a superset of the implementation
     s"""WITH tok AS (
-       |  SELECT doc_id, list_transform(
-       |    list_filter(
-       |      string_split_regex(regexp_replace(lower(text), '''s\\b', '', 'g'), '[^\\p{L}\\p{N}]+'),
-       |      t -> t <> '' AND NOT list_contains($stopListSql, t)),
-       |    t -> CASE
-       |      WHEN length(t) > 4 AND regexp_matches(t, 'ies$$') THEN regexp_replace(t, 'ies$$', 'y')
-       |      WHEN regexp_matches(t, '(sses|ches|shes|xes)$$') THEN regexp_replace(t, 'es$$', '')
-       |      WHEN length(t) > 3 AND regexp_matches(t, '[^su]s$$') THEN regexp_replace(t, 's$$', '')
-       |      ELSE t END) AS toks
-       |  FROM documents
+       |  $analyzerTokSql
        |)
        |SELECT doc_id FROM tok WHERE $conds ORDER BY doc_id""".stripMargin
   }

@@ -22,23 +22,64 @@ import graft.text.StopWords
   */
 object SearchFacade {
 
-  /** english-analyzed token array for a text column: lowercase,
-    * tokenize on non-letters/digits, drop stopwords + possessives,
-    * minimal plural stemming (S-stemmer, approximating ES's
-    * `minimal_english`). Pure built-ins — fully codegen'd. */
+  /** english-analyzed token array for a text column, mirroring the
+    * reference's `english` analyzer (es-mapping/publication.json:782-808:
+    * classic tokenizer → icu_normalizer → english_possessive_stemmer →
+    * english_stop → english_minimal_stemmer) with TABLE-LEVEL parity:
+    *  - stopwords: the mapping's exact 768-entry english_stop list
+    *    (es-mapping/publication.json:9-780), verbatim resource;
+    *  - minimal_english: Lucene's EnglishMinimalStemmer rules EXACTLY
+    *    (see [[minimalEnglishStem]]) — including its quirks
+    *    ("classes" → "classe", "boxes" → "boxe");
+    *  - possessive_english: strip trailing 's with any of the three
+    *    apostrophes Lucene's EnglishPossessiveFilter accepts.
+    * Documented DEVIATIONS (SearchAnalyzerParitySpec pins all of this):
+    *  - tokenizer: split on non-letter/digit instead of Lucene
+    *    `classic` (classic keeps interior apostrophes, dotted acronyms
+    *    and hostnames as single tokens — so the mapping's apostrophe
+    *    stopwords 'll/'ve can never match here);
+    *  - icu_normalizer: approximated by lower() (full NFKC case-fold
+    *    differs only on non-ASCII compatibility chars).
+    * Pure built-ins — fully codegen'd. */
   def analyzeEnglish(text: Column): Column = {
-    // stopword test as In(600 literals): the optimizer rewrites it to a
+    // stopword test as In(768 literals): the optimizer rewrites it to a
     // hashed InSet (O(1) per token) — array_contains over a literal
-    // array would scan all 600 entries per token
-    val stopList = StopWords.glasgow.toSeq.sorted
-    val toks = split(regexp_replace(lower(text), "'s\\b", ""), "[^\\p{L}\\p{N}]+")
+    // array would scan the whole list per token
+    val stopList = StopWords.esEnglish.toSeq.sorted
+    val toks = split(regexp_replace(lower(text), "['’＇]s\\b", ""),
+      "[^\\p{L}\\p{N}]+")
     val filtered = filter(toks, t =>
       length(t) > 0 && !t.isin(stopList: _*))
-    transform(filtered, t =>
-      when(t.rlike("ies$") && length(t) > 4, regexp_replace(t, "ies$", "y"))
-        .when(t.rlike("(sses|ches|shes|xes)$"), regexp_replace(t, "es$", ""))
-        .when(t.rlike("[^su]s$") && length(t) > 3, regexp_replace(t, "s$", ""))
-        .otherwise(t))
+    transform(filtered, t => minimalEnglishStem(t))
+  }
+
+  /** Lucene EnglishMinimalStemmer (the ES `minimal_english` filter),
+    * rule-for-rule: tokens shorter than 3 or not ending in s are kept;
+    * -us/-ss are kept; -ies → -y when preceded by a letter other than
+    * a/e; other -[iaoe]es are kept; anything else drops the final s
+    * (which is how Lucene really behaves on "classes" → "classe"). */
+  def minimalEnglishStem(t: Column): Column =
+    when(length(t) < 3 || !t.rlike("s$"), t)
+      .when(t.rlike("(us|ss)$"), t)
+      .when(t.rlike("[^ae]ies$"), regexp_replace(t, "ies$", "y"))
+      .when(t.rlike("[iaoe]es$"), t)
+      .otherwise(t.substr(lit(1), length(t) - 1))
+
+  /** String twin of [[minimalEnglishStem]] for driver-side query terms;
+    * SearchAnalyzerParitySpec pins the two to agree token-by-token. */
+  def minimalEnglishStemStr(t: String): String = {
+    val len = t.length
+    if (len < 3 || t.charAt(len - 1) != 's') t
+    else t.charAt(len - 2) match {
+      case 'u' | 's' => t
+      case 'e' =>
+        if (len > 3 && t.charAt(len - 3) == 'i' &&
+            t.charAt(len - 4) != 'a' && t.charAt(len - 4) != 'e')
+          t.substring(0, len - 3) + "y"
+        else if ("iaoe".indexOf(t.charAt(len - 3)) >= 0) t
+        else t.substring(0, len - 1)
+      case _ => t.substring(0, len - 1)
+    }
   }
 
   /** Add a `tokens` column with the analyzed text. */
@@ -208,18 +249,11 @@ object SearchFacade {
     * analyzed document tokens. Kept adjacent to the column version;
     * SearchFacadeSpec pins their agreement. */
   def analyzeQueryTerms(query: String): Seq[String] =
-    query.toLowerCase.replaceAll("'s\\b", "")
+    query.toLowerCase.replaceAll("['’＇]s\\b", "")
       .split("[^\\p{L}\\p{N}]+").toIndexedSeq
       .filter(_.nonEmpty)
-      .filterNot(StopWords.glasgow.contains)
-      .map { t =>
-        if (t.length > 4 && t.endsWith("ies")) t.dropRight(3) + "y"
-        else if (t.endsWith("sses") || t.endsWith("ches") ||
-          t.endsWith("shes") || t.endsWith("xes")) t.dropRight(2)
-        else if (t.length > 3 && t.endsWith("s") && !t.endsWith("ss") &&
-          !t.endsWith("us")) t.dropRight(1)
-        else t
-      }
+      .filterNot(StopWords.esEnglish.contains)
+      .map(minimalEnglishStemStr)
 
   /** Inverted index over a document table: one (term, id) posting per
     * distinct analyzed token per document — the scale path for the

@@ -13,6 +13,11 @@ import scala.io.Source
   *  - brown_common_words.txt — common-English word list (Brown corpus
   *    vocabulary), reference BioStopWords.py:796, used by the
   *    short/common-word tag filter (reference NLP.py:622-641).
+  *  - es_english_stopwords.txt — the 768-entry custom stopword list of
+  *    the reference's `english_stop` filter, extracted verbatim from
+  *    reference es-mapping/publication.json:9-780; drives the search
+  *    analyzer (SearchFacade.analyzeEnglish) for token-level parity
+  *    with the ES `english` analyzer.
   */
 object StopWords {
   private def load(name: String): Set[String] = {
@@ -23,6 +28,7 @@ object StopWords {
   }
 
   lazy val glasgow: Set[String] = load("glasgow_stop_words.txt")
+  lazy val esEnglish: Set[String] = load("es_english_stopwords.txt")
   lazy val domain: Set[String] = load("domain_stop_words.txt")
   lazy val brownCommon: Set[String] = load("brown_common_words.txt")
 
