@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * IMAGES decode for real: PNG/JPEG/BMP/GIF through the JDK's own
   * `javax.imageio` ([[decodeImage]] — metadata + a luminance-byte
-  * payload; [[resize]] re-renders pixels). AUDIO/VIDEO stay stubbed
-  * ([[decodeStub]], a deterministic fake container) because their
-  * codecs are not in the base JDK; [[decode]] dispatches on the
-  * container magic, so a real codec binding drops in by extending one
-  * function.
+  * payload; [[resize]] re-renders pixels). AUDIO decodes for real for
+  * WAV/AIFF/AU: `javax.sound.sampled` ships in the base JDK
+  * ([[decodeAudio]] — metadata + an 8-bit-unsigned sample payload).
+  * VIDEO stays stubbed ([[decodeStub]], a deterministic fake
+  * container) because no video codec ships in the JDK; [[decode]]
+  * dispatches on the container magic, so a real codec binding drops
+  * in by extending one function.
   */
 object Multimodal {
 
@@ -107,12 +109,56 @@ object Multimodal {
     finally if (iis != null) iis.close()
   }
 
+  /** Real audio decode via the JDK's `javax.sound.sampled` (WAV, AIFF,
+    * AU readers ship in the base JDK). The stream is converted to
+    * 16-bit signed PCM, then each sample is projected to its unsigned
+    * high byte ((s >> 8) + 128) — one byte per sample, channels
+    * interleaved — the audio analog of [[decodeImage]]'s luminance
+    * payload: deterministic, integer-exact, codec-agnostic downstream.
+    * Meta: width := channel count (audio has no pixel dims), nFrames =
+    * per-channel frame count, sampleRate from the header. Undecodable
+    * bytes → None (corrupt rows drop, never throw). */
+  def decodeAudio(data: Array[Byte]): Option[(MediaMeta, Array[Byte])] = {
+    if (data == null || data.length < 12) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(data))
+      try {
+        val fmt = ais.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels, fmt.getChannels * 2,
+          fmt.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+        val raw = pcm.readAllBytes()
+        val nSamples = raw.length / 2
+        val payload = new Array[Byte](nSamples)
+        var i = 0
+        while (i < nSamples) {
+          // little-endian signed 16-bit sample -> unsigned high byte
+          val s = (raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff)
+          payload(i) = (((s >> 8) + 128) & 0xff).toByte
+          i += 1
+        }
+        Some((MediaMeta("audio", "wav", fmt.getChannels, 0,
+          nSamples / fmt.getChannels, fmt.getSampleRate.toInt), payload))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
   /** Decode dispatch: the deterministic fake container (magic 0x7f —
-    * no real format starts with it) parses via [[decodeStub]]; any
-    * other bytes try the real image path ([[decodeImage]]). */
+    * no real format starts with it) parses via [[decodeStub]]; RIFF
+    * ("RIFF" magic), AIFF ("FORM") and AU (".snd") containers go to the
+    * real audio path ([[decodeAudio]]); any other bytes try the real
+    * image path ([[decodeImage]]). Only video remains stubbed. */
   def decode(data: Array[Byte]): Option[(MediaMeta, Array[Byte])] =
     if (data != null && data.length >= 16 && data(0) == 0x7f.toByte)
       decodeStub(data)
+    else if (data != null && data.length >= 12 && (
+        (data(0) == 'R' && data(1) == 'I' && data(2) == 'F' && data(3) == 'F') ||
+        (data(0) == 'F' && data(1) == 'O' && data(2) == 'R' && data(3) == 'M') ||
+        (data(0) == '.' && data(1) == 's' && data(2) == 'n' && data(3) == 'd')))
+      decodeAudio(data)
     else decodeImage(data)
 
   /** Build a deterministic fake media table derived from the documents

@@ -91,6 +91,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
   }
 
+  /** 16-bit mono little-endian PCM WAV with a deterministic sample
+    * ramp, written through javax.sound.sampled itself. */
+  def rampWav(n: Int, sampleRate: Int = 8000): (Array[Byte], Array[Int]) = {
+    val samples = Array.tabulate(n)(i => ((i * 37) % 65536) - 32768)
+    val raw = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    (bos.toByteArray, samples)
+  }
+
+  test("real WAV bytes decode through javax.sound.sampled with exact samples") {
+    val (wav, samples) = rampWav(500)
+    assert(wav.take(4).map(_.toChar).mkString == "RIFF")
+    val Some((meta, payload)) = Multimodal.decodeAudio(wav)
+    assert(meta.modality == "audio" && meta.format == "wav")
+    assert(meta.width == 1 && meta.nFrames == 500 && meta.sampleRate == 8000)
+    assert(payload.length == 500)
+    // payload byte i is exactly the unsigned high byte of sample i
+    for (i <- 0 until 500)
+      assert((payload(i) & 0xff) == ((samples(i) >> 8) + 128),
+        s"sample $i: ${samples(i)}")
+    // dispatch: decode() routes RIFF to the audio decoder
+    assert(Multimodal.decode(wav).get._1.modality == "audio")
+    assert(Multimodal.decodeAudio("RIFFgarbagegarbage".getBytes).isEmpty)
+  }
+
+  test("real WAV rows flow through the batched feature/stats stages") {
+    import spark.implicits._
+    val (wav, samples) = rampWav(256)
+    val rows = Seq(Multimodal.MediaRow(200L, wav,
+      Multimodal.MediaMeta("audio", "wav", 1, 0, 256, 8000)))
+    val stats = Multimodal.mediaStats(spark, spark.createDataset(rows)).collect()
+    assert(stats.length == 1)
+    val expectedSum = samples.map(s => (s >> 8) + 128).map(_.toLong).sum
+    assert(stats(0).getString(1) == "audio")
+    assert(stats(0).getLong(3) == expectedSum)
+    assert(stats(0).getLong(4) == 256L)
+  }
+
   test("real images flow through the batched feature/stats/resize stages") {
     import spark.implicits._
     val rows = Seq(
