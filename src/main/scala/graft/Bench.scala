@@ -39,8 +39,31 @@ object Bench {
       "autism", "cancer", "inflammation", "depression", "bipolar disorder")
       .map(d => d -> VocabEntry(Seq(s"EFO_$d"), d)).toMap))
 
+  /** Host-contention sentinel: wall time of a FIXED single-thread
+    * integer spin loop (xorshift64, 5e8 iterations ≈ 1 s idle). The work is
+    * constant, so this number moves only with host load / CPU
+    * frequency — per-query times from a bench whose calibration is
+    * well above the documented idle-host value (see COVERAGE.md) are
+    * contention-contaminated and must not be compared across rounds
+    * (BENCH_r07 and BENCH_r08 were exactly that: identical code, 3×
+    * recorded totals). Measured before and after the query loop; both
+    * values are emitted in the JSON. */
+  def spinCalibration(): Double = {
+    val t0 = System.nanoTime()
+    var h = 0x9e3779b97f4a7c15L
+    var i = 0L
+    while (i < 500_000_000L) {
+      h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+      i += 1
+    }
+    // observable side effect so the JIT cannot eliminate the loop
+    if (h == 42L) System.err.println(h)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val calibStart = spinCalibration()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -128,12 +151,14 @@ object Bench {
     results("medline_pipeline") = medSec
     val medDocsPerSec = nCitations / medSec
 
+    val calibEnd = spinCalibration()
+    val calib = f""""calib_spin_sec_start":$calibStart%.3f,"calib_spin_sec_end":$calibEnd%.3f"""
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"enrich_docs_per_sec":$docsPerSec%.1f,"enrich_docs":$nDocs,"medline_docs_per_sec":$medDocsPerSec%.1f,"medline_docs":$nCitations,"failed":$failedJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$calib,"enrich_docs_per_sec":$docsPerSec%.1f,"enrich_docs":$nDocs,"medline_docs_per_sec":$medDocsPerSec%.1f,"medline_docs":$nCitations,"failed":$failedJson,"sf":"$sfDir"}""")
     // The full line above grew past the collector's tail-capture window
     // (~2.2 KB) once the query count passed ~75, leaving only a
     // head-truncated (unparseable) fragment in the captured tail. Print
@@ -143,7 +168,7 @@ object Bench {
       .flatMap(k => results.get(k).map(v => "\"" + k + f"\":$v%.3f"))
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$headline,"n_queries":${results.size},"enrich_docs_per_sec":$docsPerSec%.1f,"enrich_docs":$nDocs,"medline_docs_per_sec":$medDocsPerSec%.1f,"medline_docs":$nCitations,"failed":$failedJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$headline,"n_queries":${results.size},$calib,"enrich_docs_per_sec":$docsPerSec%.1f,"enrich_docs":$nDocs,"medline_docs_per_sec":$medDocsPerSec%.1f,"medline_docs":$nCitations,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
