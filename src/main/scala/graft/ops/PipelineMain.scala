@@ -18,8 +18,7 @@ import org.apache.spark.sql.functions._
   *
   * Graph: read XML(.gz) → parse fragments → union baseline+updates →
   * latest-per-PMID dedup + tombstones → write `publication` parquet
-  * (and, with --enrich once the NLP stage lands, the enriched
-  * collections).
+  * (and, with --vocab, the NLP-enriched 4-collection fan-out).
   */
 object PipelineMain {
   def main(args: Array[String]): Unit = {
