@@ -209,9 +209,13 @@ object Round4Queries {
     * (postings join) instead of a corpus scan; the oracle recomputes
     * the analyzer per document and tests token membership — equality
     * proves index search ≡ scan search. Query terms exercise the
-    * minimal_english stemming ("windows batches" → window, batche —
-    * Lucene's EnglishMinimalStemmer really maps batches → batche). */
-  val searchQuery = "windows batches"
+    * analyzer chain: "the" drops via the ES english_stop table,
+    * "windows" stems to window via minimal_english, "query" passes
+    * through — so the analyzed query is (window, query), both present
+    * in the corpus vocabulary. (The corpus is all-singular, so a
+    * plural query term like "batches" — minimal_english stem "batche"
+    * — would match zero documents.) */
+  val searchQuery = "the windows query"
 
   def invertedSearch(s: SparkSession, d: String): DataFrame =
     SearchFacade.searchIndexAll(Tables.documents(s, d), "doc_id", "text",
