@@ -90,6 +90,7 @@ object SparkEntry {
     "q71_sampled_quantiles" -> (Round4Queries.sampledQuantiles _),
     "q72_resample_ffill" -> (Round4Queries.resampleFfill _),
     "q73_contamination" -> (Round4Queries.contamination _),
+    "q74_audio_decode" -> (DataPipeQueries.audioDecode _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -417,5 +418,6 @@ object SparkEntry {
     "q71_sampled_quantiles" -> Round4Queries.sampledQuantilesOracle,
     "q72_resample_ffill" -> Round4Queries.resampleOracle,
     "q73_contamination" -> Round4Queries.contaminationOracle,
+    "q74_audio_decode" -> DataPipeQueries.audioDecodeOracle,
   )
 }

@@ -147,10 +147,15 @@ object Hashing {
     * identically. Slightly slower than the fnv/mix64 fast path
     * ([[minhash]] + [[bandKeys]]); use that when oracle portability is
     * not needed. */
+  private lazy val PermA128 = Array.tabulate(128)(permA)
+  private lazy val PermB128 = Array.tabulate(128)(permB)
+
   def minhashBandsMd5(text: String, numPerm: Int, shingleN: Int, bands: Int): Array[String] = {
     val sh = shingleStrings(text, shingleN)
-    val as = Array.tabulate(numPerm)(permA)
-    val bs = Array.tabulate(numPerm)(permB)
+    // hoisted coefficient arrays for the common numPerm (per-row
+    // tabulate would allocate 2x128 longs for every document)
+    val as = if (numPerm <= 128) PermA128 else Array.tabulate(numPerm)(permA)
+    val bs = if (numPerm <= 128) PermB128 else Array.tabulate(numPerm)(permB)
     val md = java.security.MessageDigest.getInstance("MD5")
     val sig = Array.fill(numPerm)(Long.MaxValue)
     var si = 0

@@ -161,6 +161,41 @@ object Multimodal {
       decodeAudio(data)
     else decodeImage(data)
 
+  /** Deterministic 16-bit mono PCM sample for (id, i): engine-portable
+    * arithmetic (no overflow in the composed range), so an SQL oracle
+    * can recompute the decoded stats without parsing WAV bytes. */
+  def synthSample(id: Long, i: Long): Int =
+    (((id * 7 + i * 37) % 65536) - 32768).toInt
+
+  /** Real-WAV media table: one RIFF/PCM file per document, samples
+    * from [[synthSample]], container written by `javax.sound.sampled`
+    * itself. Decoding these rows exercises the REAL audio path
+    * end-to-end while the expected per-file sample statistics remain
+    * recomputable in SQL (q74's oracle). */
+  def synthWavTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val n = (200 + id % 100).toInt
+      val raw = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = synthSample(id, i)
+        raw(2 * i) = (s & 0xff).toByte
+        raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      MediaRow(id, bos.toByteArray, MediaMeta("audio", "wav", 1, 0, n, 8000))
+    }
+  }
+
   /** Build a deterministic fake media table derived from the documents
     * table (binary payload = the text bytes; modality round-robins). */
   def fakeMediaTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

@@ -80,6 +80,36 @@ object DataPipeQueries {
     Multimodal.mediaStats(s, media).orderBy(col("media_id"))
   }
 
+  /** REAL audio decode end-to-end (q74): one RIFF/PCM WAV per document
+    * (samples from the engine-portable [[Multimodal.synthSample]]
+    * formula, container written by javax.sound.sampled), decoded back
+    * through the REAL `javax.sound.sampled` path inside the batched
+    * mapPartitions stage. The oracle never parses WAV — it recomputes
+    * the expected per-file sample statistics arithmetically, so any
+    * drift in the decode (sample order, endianness, scaling) breaks
+    * the hash compare. */
+  def audioDecode(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.synthWavTable(s, Tables.documents(s, d))
+    Multimodal.mediaStats(s, media)
+      .select(col("media_id"), col("n_payload").as("n_samples"),
+        col("sum_bytes"))
+      .orderBy(col("media_id"))
+  }
+
+  /** DuckDB oracle for q74: payload byte i of file id is
+    * ((synthSample(id,i) >> 8) + 128); the arithmetic shift equals
+    * floor division by 256 over the full 16-bit range. */
+  def audioDecodeOracle: String =
+    """WITH n AS (
+      |  SELECT doc_id, 200 + doc_id % 100 AS n FROM documents
+      |), s AS (
+      |  SELECT doc_id, n, unnest(range(n)) AS i FROM n
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST(any_value(n) AS BIGINT) AS n_samples,
+      |  CAST(SUM(CAST(floor((((doc_id * 7 + i * 37) % 65536) - 32768) / 256.0) AS BIGINT) + 128) AS BIGINT) AS sum_bytes
+      |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   /** Stratified deterministic sampling (q53): per-language data-mix
     * weights over the documents corpus — en kept at 50%, zh at 12.5%,
     * everything else at 25%. The oracle recomputes the identical
