@@ -56,10 +56,6 @@ object DedupOps {
     (inter.toLong, union.toLong)
   })
 
-  private val minhashBandsMd5Udf =
-    udf((text: String, numPerm: Int, shingleN: Int, bands: Int) =>
-      Hashing.minhashBandsMd5(if (text == null) "" else text, numPerm, shingleN, bands))
-
   /** Candidate near-duplicate pairs via MinHash LSH banding.
     * Output: (id_a, id_b) with id_a < id_b, distinct.
     *
@@ -88,8 +84,10 @@ object DedupOps {
       .select(
         col(idCol).as("id"),
         if (md5Based)
-          minhashBandsMd5Udf(col(textCol), lit(numPerm), lit(shingleN),
-            lit(bands)).as("bands")
+          // same native-expression shape as the fnv path (no ScalaUDF
+          // boundary); string band keys, oracle-recomputable
+          graft.functions.Expressions.minhash_bands_md5(
+            col(textCol), numPerm, shingleN, bands).as("bands")
         else
           // native fused expression: shingle → 128-perm sig → band keys
           // in one call, no ScalaUDF boundary (MinHashBandsExpr)

@@ -183,6 +183,15 @@ object Hashing {
     }
   }
 
+  /** [[minhashBandsMd5]] wrapped for the native Catalyst expression
+    * (MinHashBandsMd5Expr): UTF8String in, ArrayData of UTF8String out
+    * — same call shape as [[minhashBandsArrayData]]. */
+  def minhashBandsMd5ArrayData(text: org.apache.spark.unsafe.types.UTF8String,
+      numPerm: Int, shingleN: Int, bands: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      minhashBandsMd5(text.toString, numPerm, shingleN, bands)
+        .map(org.apache.spark.unsafe.types.UTF8String.fromString))
+
   /** LSH band keys: hash each of `bands` signature slices of length
     * rows = numPerm/bands. Same band key ⇒ candidate pair. */
   def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {

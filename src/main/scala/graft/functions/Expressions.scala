@@ -87,6 +87,31 @@ case class MinHashBandsExpr(child: Expression, numPerm: Int, shingleN: Int,
     copy(child = newChild)
 }
 
+/** md5-portable variant of [[MinHashBandsExpr]]: band keys from the
+  * engine-portable md5 signature (Hashing.minhashBandsMd5 — one
+  * md5_number_lower-compatible hash per shingle, (a·x+b) mod 2^61−1
+  * permutations), emitted as comma-joined strings the DuckDB oracle
+  * recomputes bit-for-bit. Same native, no-UDF call shape as the fnv
+  * fast path. */
+case class MinHashBandsMd5Expr(child: Expression, numPerm: Int, shingleN: Int,
+    bands: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "minhash_bands_md5"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.datapipe.Hashing.minhashBandsMd5ArrayData(
+      input.asInstanceOf[UTF8String], numPerm, shingleN, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.datapipe.Hashing.minhashBandsMd5ArrayData($c, $numPerm, $shingleN, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandsMd5Expr =
+    copy(child = newChild)
+}
+
 /** Cosine similarity of two float-array columns, codegen'd as a static
   * call over ArrayData — no ScalaUDF encoder boundary, no Seq boxing of
   * the vectors (the hot inner op of every KNN path). Bit-identical to
@@ -178,6 +203,8 @@ object Expressions {
     Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
   def minhash_bands(c: Column, numPerm: Int, shingleN: Int, bands: Int): Column =
     Bridge.column(MinHashBandsExpr(Bridge.expression(c), numPerm, shingleN, bands))
+  def minhash_bands_md5(c: Column, numPerm: Int, shingleN: Int, bands: Int): Column =
+    Bridge.column(MinHashBandsMd5Expr(Bridge.expression(c), numPerm, shingleN, bands))
   def zorder2(a: Column, b: Column): Column =
     Bridge.column(ZOrder2Expr(Bridge.expression(a), Bridge.expression(b)))
 }
