@@ -135,6 +135,22 @@ class PackingSpec extends AnyFunSuite {
       root.toString.take(3000))
   }
 
+  test("mixture schedule is nBands-invariant (banding never changes values)") {
+    // band count is an execution knob: any nBands must produce the
+    // identical schedule (both the per-source hash-band rank and the
+    // position-band mix_rank fold their offsets exactly)
+    import spark.implicits._
+    val docs = (1 to 601).map(i =>
+      (i.toLong, Seq("hot", "cold", "base")(i % 3))).toDF("id", "src")
+    def run(n: Int) = Packing.mixtureSchedule(docs, "src", "id",
+        Map("hot" -> 2.0, "cold" -> 0.5), defaultWeight = 1.0, nBands = n)
+      .select("id", "mix_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = run(1)
+    assert(run(7) == base)
+    assert(run(64) == base)
+  }
+
   test("mixture schedule plan: no row-data exchange hash-partitions on source alone") {
     // a hash exchange on the source column alone is a single task PER
     // SOURCE — with O(10) sources one of which dominates a 100 TB
