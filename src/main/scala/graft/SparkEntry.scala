@@ -91,6 +91,7 @@ object SparkEntry {
     "q72_resample_ffill" -> (Round4Queries.resampleFfill _),
     "q73_contamination" -> (Round4Queries.contamination _),
     "q74_audio_decode" -> (DataPipeQueries.audioDecode _),
+    "q75_incremental_dedup" -> (DataPipeQueries.incrementalDedup _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -419,5 +420,6 @@ object SparkEntry {
     "q72_resample_ffill" -> Round4Queries.resampleOracle,
     "q73_contamination" -> Round4Queries.contaminationOracle,
     "q74_audio_decode" -> DataPipeQueries.audioDecodeOracle,
+    "q75_incremental_dedup" -> DataPipeQueries.incrementalDedupOracle,
   )
 }

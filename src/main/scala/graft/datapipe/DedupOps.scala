@@ -133,6 +133,82 @@ object DedupOps {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Persisted LSH postings index of a corpus: one (band_idx,
+    * band_key, id) row per band per document — the table a 100 TB
+    * pipeline materializes ONCE (partitioned/bucketed by band_key) so
+    * each incoming batch probes postings instead of re-banding the
+    * corpus. md5Based=true makes the keys engine-portable (the q75
+    * oracle recomputes them). */
+  def minhashIndex(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      numPerm: Int = NumPerm,
+      bands: Int = Bands,
+      md5Based: Boolean = false): DataFrame = {
+    val base = graft.util.Par.ensure(docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0))
+    base.select(
+        col(idCol).as("id"),
+        if (md5Based)
+          graft.functions.Expressions.minhash_bands_md5(
+            col(textCol), numPerm, shingleN, bands).as("bands")
+        else
+          graft.functions.Expressions.minhash_bands(
+            col(textCol), numPerm, shingleN, bands).as("bands"))
+      .select(col("id"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      .select(col("band_idx"), col("band_key"), col("id"))
+  }
+
+  /** INCREMENTAL near-dup pairs: a new batch against an indexed corpus
+    * plus within the batch itself — the steady-state shape of dedup at
+    * 100 TB (the corpus is never re-banded; each batch's work is
+    * proportional to the batch, not the corpus).
+    *
+    *  - cross candidates: batch band keys joined against the postings
+    *    index; degenerate corpus keys (> maxBucket postings — shared
+    *    boilerplate) are dropped whole, same cap philosophy as
+    *    [[minhashCandidates]];
+    *  - intra candidates: standard banding within the batch;
+    *  - both verified with exact Jaccard against `allTexts`.
+    * Output: (id_a, id_b, n_inter, n_union), id_a < id_b, distinct. */
+  def minhashNearDupIncremental(
+      newDocs: DataFrame,
+      corpusIndex: DataFrame,
+      allTexts: DataFrame,
+      minJaccard: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      maxBucket: Int = 64,
+      md5Based: Boolean = false): DataFrame = {
+    val batchBands = minhashIndex(newDocs, idCol, textCol, shingleN,
+      md5Based = md5Based)
+    val okKeys = corpusIndex.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select(col("band_idx"), col("band_key"))
+    val cross = batchBands.as("b")
+      .join(corpusIndex.as("c"), Seq("band_idx", "band_key"))
+      .join(okKeys, Seq("band_idx", "band_key"), "left_semi")
+      .select(least(col("b.id"), col("c.id")).as("id_a"),
+        greatest(col("b.id"), col("c.id")).as("id_b"))
+      .distinct()
+    val intra = minhashCandidates(newDocs, idCol, textCol, shingleN,
+      maxBucket = maxBucket, md5Based = md5Based)
+    val cands = cross.unionByName(intra).distinct()
+    val txt = allTexts.select(col(idCol).as("jid"), col(textCol).as("jtext"))
+    cands
+      .join(txt, col("id_a") === col("jid")).withColumnRenamed("jtext", "text_a").drop("jid")
+      .join(txt, col("id_b") === col("jid")).withColumnRenamed("jtext", "text_b").drop("jid")
+      .withColumn("jc", jaccardCountsUdf(col("text_a"), col("text_b"), lit(shingleN)))
+      .select(col("id_a"), col("id_b"),
+        col("jc._1").as("n_inter"), col("jc._2").as("n_union"))
+      .filter(col("n_inter") >= lit(minJaccard) * col("n_union"))
+  }
+
   /** Connected-component style dedup: keep the min id of each near-dup
     * cluster (single-pass union via smallest-neighbor — documents whose
     * id equals the cluster min survive). For full transitive closure at

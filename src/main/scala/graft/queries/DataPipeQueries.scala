@@ -80,6 +80,63 @@ object DataPipeQueries {
     Multimodal.mediaStats(s, media).orderBy(col("media_id"))
   }
 
+  /** Incremental near-dup dedup (q75): the steady-state 100 TB shape —
+    * the corpus (doc_id % 10 ≠ 0) is banded ONCE into a postings
+    * index; the incoming batch (doc_id % 10 = 0) probes the index for
+    * cross candidates and bands only itself for intra candidates; both
+    * verify with exact Jaccard. Per-batch work is proportional to the
+    * batch, never the corpus. The oracle recomputes the identical
+    * band keys, the corpus-side degenerate-key cap, and the batch-side
+    * bucket rule — the same candidate set, no recall assumption. */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val idx = DedupOps.minhashIndex(corpus, md5Based = true)
+    DedupOps.minhashNearDupIncremental(batch, idx, docs, minJaccard = 0.5,
+        md5Based = true)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def incrementalDedupOracle: String =
+    s"""WITH ${minhashBandedCtes("documents")}, corp AS (
+      |  SELECT * FROM banded WHERE doc_id % 10 <> 0
+      |), bat AS (
+      |  SELECT * FROM banded WHERE doc_id % 10 = 0
+      |), corpok AS (
+      |  SELECT band_idx, band_key FROM corp
+      |  GROUP BY band_idx, band_key HAVING count(*) <= 64
+      |), crossc AS (
+      |  SELECT DISTINCT least(b.doc_id, c.doc_id) AS id_a,
+      |    greatest(b.doc_id, c.doc_id) AS id_b
+      |  FROM bat b
+      |  JOIN corp c ON b.band_idx = c.band_idx AND b.band_key = c.band_key
+      |  JOIN corpok o ON o.band_idx = b.band_idx AND o.band_key = b.band_key
+      |), batsz AS (
+      |  SELECT band_idx, band_key, count(*) AS n FROM bat
+      |  GROUP BY band_idx, band_key
+      |), intra AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM bat x
+      |  JOIN bat y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+      |    AND x.doc_id < y.doc_id
+      |  JOIN batsz z ON z.band_idx = x.band_idx AND z.band_key = x.band_key
+      |  WHERE z.n BETWEEN 2 AND 64
+      |), cand AS (
+      |  SELECT id_a, id_b FROM crossc UNION SELECT id_a, id_b FROM intra
+      |), pairs AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+      |    CAST(len(a.sh) + len(b.sh) AS BIGINT) AS sum_len
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.id_a
+      |  JOIN sh b ON b.doc_id = c.id_b
+      |)
+      |SELECT id_a, id_b, n_inter, sum_len - n_inter AS n_union
+      |FROM pairs
+      |WHERE n_inter >= 0.5 * (sum_len - n_inter)
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** REAL audio decode end-to-end (q74): one RIFF/PCM WAV per document
     * (samples from the engine-portable [[Multimodal.synthSample]]
     * formula, container written by javax.sound.sampled), decoded back
@@ -147,7 +204,9 @@ object DataPipeQueries {
     * borderline pair (J ≈ 0.5) that escapes banding escapes both
     * engines identically, so correctness no longer assumes total LSH
     * recall. */
-  private def minhashPairsCtes(srcRel: String): String = {
+  /** The tok → sh → signature → band-key → banded chain alone (shared
+    * by [[minhashPairsCtes]] and the q75 incremental oracle). */
+  private def minhashBandedCtes(srcRel: String): String = {
     val p = "2305843009213693951::HUGEINT" // 2^61 - 1
     val rows = DedupOps.NumPerm / DedupOps.Bands
     val sigCols = (0 until DedupOps.NumPerm).map { i =>
@@ -177,7 +236,11 @@ object DataPipeQueries {
       |), banded AS (
       |  SELECT doc_id, band_idx, ks[band_idx + 1] AS band_key
       |  FROM bkeys, (SELECT unnest(range(${DedupOps.Bands})) AS band_idx) bi
-      |), bsz AS (
+      |)""".stripMargin
+  }
+
+  private def minhashPairsCtes(srcRel: String): String = {
+    s"""${minhashBandedCtes(srcRel)}, bsz AS (
       |  SELECT band_idx, band_key, count(*) AS n FROM banded GROUP BY band_idx, band_key
       |), cand AS (
       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b

@@ -67,6 +67,47 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup equals driver-side recomputation over the same index") {
+    import spark.implicits._
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val idx = DedupOps.minhashIndex(corpus, md5Based = true)
+    val got = DedupOps.minhashNearDupIncremental(batch, idx, docs, 0.5,
+        md5Based = true)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // driver-side: band every doc, replay the engine's exact rules
+    val local = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+      .filter(_._2.trim.nonEmpty)
+    val bands = local.map { case (id, t) =>
+      id -> Hashing.minhashBandsMd5(t, 128, 3, 32) }.toMap
+    val inBatch = (id: Long) => id % 10 == 0
+    val byKey = scala.collection.mutable.HashMap
+      .empty[(Int, String), (List[Long], List[Long])] // (corpus, batch)
+    bands.foreach { case (id, ks) =>
+      ks.zipWithIndex.foreach { case (k, b) =>
+        val e = byKey.getOrElse((b, k), (Nil, Nil))
+        byKey((b, k)) = if (inBatch(id)) (e._1, id :: e._2) else (id :: e._1, e._2)
+      }
+    }
+    val shingleSets = local.toMap.map { case (id, t) => id -> Hashing.shingleSet(t, 3) }
+    def verified(p: (Long, Long)) = {
+      val (i, u) = Hashing.jaccardCounts(shingleSets(p._1), shingleSets(p._2))
+      i >= 0.5 * u
+    }
+    val cross = byKey.values.collect {
+      case (corp, bat) if corp.nonEmpty && corp.size <= 64 && bat.nonEmpty =>
+        for (c <- corp; b <- bat) yield (math.min(c, b), math.max(c, b))
+    }.flatten.toSet
+    val intra = byKey.values.collect {
+      case (_, bat) if bat.size >= 2 && bat.size <= 64 =>
+        bat.combinations(2).map(p => (p.min, p.max))
+    }.flatten.toSet
+    assert(got == (cross ++ intra).filter(verified))
+    // the planted near-dups that span the batch/corpus split are found
+    assert(got.nonEmpty)
+  }
+
   test("minhash survivors drop one side of each pair") {
     val nPairs = DedupOps.minhashNearDupPairs(docs, 0.5).count()
     val survivors = DedupOps.minhashDedupSurvivors(docs, 0.5).count()
