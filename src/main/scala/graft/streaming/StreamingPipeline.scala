@@ -76,6 +76,96 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("__text_md5")
       .drop("__text_md5")
 
+  /** Streaming FUZZY (near-dup) deduplication: the streaming twin of
+    * the batch incremental dedup (q75,
+    * [[graft.datapipe.DedupOps.minhashNearDupIncremental]]). Per
+    * micro-batch:
+    *  1. probe the persisted LSH postings index under `stateDir` for
+    *     near-dups of the incoming docs (cross) and band the batch
+    *     against itself (intra);
+    *  2. suppress batch docs that near-duplicate an ALREADY-ACCEPTED
+    *     doc (the corpus doc wins regardless of id order) and keep
+    *     only the min-id member of each intra-batch dup set;
+    *  3. append the survivors' rows, texts, and postings to the state
+    *     dirs (suppressed dups never pollute the index).
+    * State is on-disk parquet partitioned by batch (`batch_id=N`
+    * subdirs), so replay of a committed batch is detected and skipped
+    * — the same idempotence contract as [[upsertStream]]. Per-batch
+    * work ∝ batch size + matched postings, never the corpus. */
+  def nearDupStream(docs: DataFrame, stateDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      minJaccard: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyNearDupBatch(batch, batchId, stateDir, idCol, textCol, minJaccard)
+    }
+
+  /** One [[nearDupStream]] micro-batch, factored out (same pattern as
+    * [[applyUpsertBatch]]) so replay recovery is directly testable. */
+  private[streaming] def applyNearDupBatch(batch: DataFrame, batchId: Long,
+      stateDir: String, idCol: String, textCol: String,
+      minJaccard: Double): Unit = {
+    import graft.datapipe.DedupOps
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val novelDir = new org.apache.hadoop.fs.Path(root, s"novel/batch_id=$batchId")
+    if (fs.exists(new org.apache.hadoop.fs.Path(novelDir, "_SUCCESS")))
+      return // replayed batch: already fully applied
+    val postingsRoot = new org.apache.hadoop.fs.Path(root, "postings")
+    val textsRoot = new org.apache.hadoop.fs.Path(root, "texts")
+    val hasCorpus = fs.exists(postingsRoot) &&
+      fs.listStatus(postingsRoot).nonEmpty
+    val b = batch.select(col(idCol), col(textCol)).cache()
+    // batch_id < current: a crashed attempt may have left THIS batch's
+    // own postings behind (the novel dir is the commit marker, written
+    // last) — probing them would make every batch doc a near-dup of
+    // itself on replay
+    val index =
+      if (hasCorpus) spark.read.parquet(postingsRoot.toString)
+        .filter(col("batch_id") < batchId)
+        .select(col("band_idx"), col("band_key"), col("id"))
+      else DedupOps.minhashIndex(b.limit(0), idCol, textCol, md5Based = true)
+    val corpusTexts =
+      if (hasCorpus) spark.read.parquet(textsRoot.toString)
+        .filter(col("batch_id") < batchId)
+        .select(col(idCol), col(textCol))
+      else b.limit(0)
+    // dropDuplicates: a re-delivered id may appear in both corpus and
+    // batch; the verify join must see one text per id
+    val allTexts = corpusTexts.unionByName(b).dropDuplicates(idCol)
+    val pairs = DedupOps.minhashNearDupIncremental(b, index, allTexts,
+      minJaccard, idCol, textCol, md5Based = true)
+    // which endpoint drops: batch∩corpus pair → the batch side;
+    // batch-internal pair → the max id (min-id member survives)
+    val batchIds = b.select(col(idCol).as("__bid"))
+    val dropped = pairs
+      .join(batchIds, col("id_a") === col("__bid"), "left_semi")
+      .join(batchIds.withColumnRenamed("__bid", "__bid2"),
+        col("id_b") === col("__bid2"), "left_semi")
+      .select(col("id_b").as(idCol)) // both in batch: max (=id_b) drops
+      .unionByName(pairs
+        .join(batchIds, col("id_a") === col("__bid"), "left_anti")
+        .select(col("id_b").as(idCol))) // id_a is corpus → batch side id_b drops
+      .unionByName(pairs
+        .join(batchIds.withColumnRenamed("__bid", "__bid2"),
+          col("id_b") === col("__bid2"), "left_anti")
+        .select(col("id_a").as(idCol))) // id_b is corpus → batch side id_a drops
+      .distinct()
+    val novel = b.join(dropped, Seq(idCol), "left_anti").cache()
+    // novel is the COMMIT MARKER (checked above), so it writes LAST:
+    // a crash mid-way leaves postings/texts for this batch that the
+    // replay overwrites (and never probes, per the batch_id filter)
+    DedupOps.minhashIndex(novel, idCol, textCol, md5Based = true)
+      .write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(root, s"postings/batch_id=$batchId").toString)
+    novel.write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(root, s"texts/batch_id=$batchId").toString)
+    novel.write.mode("overwrite").parquet(novelDir.toString)
+    b.unpersist()
+    novel.unpersist()
+  }
+
   /** Watermarked tumbling-window event aggregation (generic streaming
     * agg; mirrors RelationalQueries.q8EventsHourly as a stream). */
   def eventsWindowed(events: DataFrame,

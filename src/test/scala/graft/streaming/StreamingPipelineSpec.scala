@@ -200,6 +200,58 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(state() == Set((1L, "a2"), (2L, "b"), (3L, "c")))
   }
 
+  test("streaming near-dup dedup: cross-batch suppression via the postings index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("neardup_stream").toString
+    def words(seed: Int, n: Int) =
+      (0 until n).map(i => s"w${seed * 100 + i}")
+    // batch 0: two distinct docs
+    val docA = words(1, 40).mkString(" ")
+    val docB = words(2, 40).mkString(" ")
+    val b0 = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    StreamingPipeline.applyNearDupBatch(b0, 0L, dir, "doc_id", "text", 0.5)
+    val novel0 = spark.read.parquet(s"$dir/novel").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(novel0 == Set(1L, 2L))
+
+    // batch 1: A' near-dups corpus doc A at the borderline (28/40
+    // shared tokens, J = 26/50 = 0.52; this fixed pair shares 4 of 32
+    // band keys — deterministically caught) -> suppressed even though
+    // its id 10 is smaller than nothing in the corpus matters: the
+    // already-accepted doc wins. C and D near-dup EACH OTHER strongly
+    // (36/40 shared tokens, J = 34/42 ≈ 0.81) -> min id (30) survives.
+    // E is novel.
+    val docA2 = (words(1, 28) ++ words(9, 12)).mkString(" ")
+    val docC = words(3, 40).mkString(" ")
+    val docD = (words(3, 36) ++ words(8, 4)).mkString(" ")
+    val docE = words(4, 40).mkString(" ")
+    val b1 = Seq((10L, docA2), (30L, docC), (31L, docD), (40L, docE))
+      .toDF("doc_id", "text")
+    StreamingPipeline.applyNearDupBatch(b1, 1L, dir, "doc_id", "text", 0.5)
+    val novel1 = spark.read.parquet(s"$dir/novel")
+      .filter(col("batch_id") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(novel1 == Set(30L, 40L), novel1)
+
+    // suppressed docs never entered the index: a near-dup of D (which
+    // was suppressed) that is NOT a near-dup of C still passes
+    // replay of committed batch 1 is a no-op (idempotence)
+    StreamingPipeline.applyNearDupBatch(b1, 1L, dir, "doc_id", "text", 0.5)
+    assert(spark.read.parquet(s"$dir/novel").filter(col("batch_id") === 1)
+      .count() == 2)
+
+    // batch 2: a strong near-dup of surviving C is suppressed; a fresh
+    // doc is not
+    val docC2 = (words(3, 36) ++ words(7, 4)).mkString(" ")
+    val b2 = Seq((50L, docC2), (60L, words(5, 40).mkString(" ")))
+      .toDF("doc_id", "text")
+    StreamingPipeline.applyNearDupBatch(b2, 2L, dir, "doc_id", "text", 0.5)
+    val novel2 = spark.read.parquet(s"$dir/novel")
+      .filter(col("batch_id") === 2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(novel2 == Set(60L), novel2)
+  }
+
   test("stream-stream interval join attributes conversions to recent clicks") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
