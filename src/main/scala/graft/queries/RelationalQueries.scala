@@ -245,7 +245,16 @@ object RelationalQueries {
 
   /** Ranking window family: ntile, rank, dense_rank, percent_rank.
     * percent_rank = (rank-1)/(n-1) — the same two-integer division on
-    * both engines, hence bit-identical. */
+    * both engines, hence bit-identical.
+    *
+    * Scale note: these windows are deliberately GLOBAL — the query
+    * demonstrates the native form of whole-table ranking, which Spark
+    * executes as a single-task sort. At 100 TB a global rank goes
+    * through deterministic value bands + per-band count offsets
+    * instead — [[graft.datapipe.Packing.mixtureSchedule]] implements
+    * exactly that decomposition (rank = band-local row_number +
+    * offset), and the same trick applies to any of these functions
+    * (ntile/percent_rank additionally need the O(1) global count). */
   def q31RankNtile(s: SparkSession, d: String): DataFrame = {
     val byPrice = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
     val byPrio = Window.orderBy(col("o_orderpriority"))
