@@ -92,6 +92,23 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(row.getLong(1) == graft.datapipe.Hashing.simhashMd5("a b c"))
     assert(row.getInt(2) == 4)
     assert(row.getLong(3) == ZOrder2Expr.interleave(3, 5))
+    // band-key functions take literal shape params (same extraction the
+    // GraftExtensions builders perform)
+    def lit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      e.eval().asInstanceOf[Number].intValue()
+    reg.createOrReplaceTempFunction("minhash_bands",
+      exprs => MinHashBandsExpr(exprs.head, lit(exprs(1)), lit(exprs(2)),
+        lit(exprs(3))), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_bands_md5",
+      exprs => MinHashBandsMd5Expr(exprs.head, lit(exprs(1)), lit(exprs(2)),
+        lit(exprs(3))), "scala_udf")
+    val bands = spark.sql(
+      "SELECT minhash_bands('a b c d e', 128, 3, 32) AS b, minhash_bands_md5('a b c d e', 128, 3, 32) AS bm").head()
+    assert(bands.getSeq[Long](0) ==
+      graft.datapipe.Hashing.bandKeys(graft.datapipe.Hashing.minhash(
+        graft.datapipe.Hashing.shingleSet("a b c d e", 3), 128), 32).toSeq)
+    assert(bands.getSeq[String](1) ==
+      graft.datapipe.Hashing.minhashBandsMd5("a b c d e", 128, 3, 32).toSeq)
   }
 
   test("codegen plan contains the native expression, not a ScalaUDF") {
