@@ -92,6 +92,7 @@ object SparkEntry {
     "q73_contamination" -> (Round4Queries.contamination _),
     "q74_audio_decode" -> (DataPipeQueries.audioDecode _),
     "q75_incremental_dedup" -> (DataPipeQueries.incrementalDedup _),
+    "q76_repetition" -> (DataPipeQueries.repetition _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -421,5 +422,6 @@ object SparkEntry {
     "q73_contamination" -> Round4Queries.contaminationOracle,
     "q74_audio_decode" -> DataPipeQueries.audioDecodeOracle,
     "q75_incremental_dedup" -> DataPipeQueries.incrementalDedupOracle,
+    "q76_repetition" -> DataPipeQueries.repetitionOracle,
   )
 }

@@ -37,6 +37,46 @@ object QualityScore {
       .orderBy(col(idCol))
   }
 
+  /** Repetition metrics — the Gopher/MassiveText repetition-filter
+    * family (Rae et al. 2021 §A1.1: documents dominated by repeated
+    * n-grams are boilerplate/spam): per document, total / distinct /
+    * max-count word n-gram statistics, integer-exact so the DuckDB
+    * oracle recomputes them (q76). Downstream filters derive the
+    * published ratios from the ints (dup fraction = (n_grams −
+    * n_distinct_grams)/n_grams; top-gram fraction = max_gram_count /
+    * n_grams).
+    *
+    * Scale shape: explode → count per (doc, gram) → per-doc aggregate;
+    * two keyed shuffles whose rows are (id, hashed-gram) pairs, the
+    * same shape as corpus token counting — no per-row quadratic
+    * histogram, no driver state. Docs with fewer than n tokens (or
+    * null text) emit zero rows of grams and surface with zeroed
+    * metrics via the left join. */
+  def repetitionMetrics(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 2): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1: $n")
+    val base = graft.util.Par.ensure(docs).select(col(idCol),
+      expr(s"filter(split(lower($textCol), '${Tok.WS}'), t -> t <> '')")
+        .as("__toks"))
+    val grams = base
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(0, size(__toks) - $n),
+           |  i -> concat_ws(' ', slice(__toks, i + 1, $n)))""".stripMargin))
+        .as("__gram"))
+    val perGram = grams.groupBy(col(idCol), col("__gram"))
+      .agg(count(lit(1)).as("__n"))
+    val perDoc = perGram.groupBy(col(idCol)).agg(
+      sum(col("__n")).as("__total"),
+      count(lit(1)).as("__distinct"),
+      max(col("__n")).as("__max"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__total"), lit(0L)).as("n_grams"),
+        coalesce(col("__distinct"), lit(0L)).as("n_distinct_grams"),
+        coalesce(col("__max"), lit(0L)).as("max_gram_count"))
+  }
+
   /** Composite [0,1] score from the integer metrics (heuristic weights:
     * reward stopword presence & sane length; punish punct/digit excess
     * and very long tokens). */

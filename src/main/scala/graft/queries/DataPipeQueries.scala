@@ -137,6 +137,31 @@ object DataPipeQueries {
       |WHERE n_inter >= 0.5 * (sum_len - n_inter)
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Repetition metrics (q76): Gopher/MassiveText duplicate-bigram
+    * statistics per document — the repetition-filter signal of the
+    * quality family, integer-exact for the oracle. */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    QualityScore.repetitionMetrics(Tables.documents(s, d))
+      .orderBy(col("doc_id"))
+
+  def repetitionOracle: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, concat(toks[i], ' ', toks[i + 1]) AS gram
+      |  FROM tok, UNNEST(range(1, len(toks))) t(i)
+      |  WHERE len(toks) >= 2
+      |), c AS (
+      |  SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram
+      |)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS n_grams,
+      |  CAST(COALESCE(COUNT(c.gram), 0) AS BIGINT) AS n_distinct_grams,
+      |  CAST(COALESCE(MAX(c.n), 0) AS BIGINT) AS max_gram_count
+      |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** REAL audio decode end-to-end (q74): one RIFF/PCM WAV per document
     * (samples from the engine-portable [[Multimodal.synthSample]]
     * formula, container written by javax.sound.sampled), decoded back

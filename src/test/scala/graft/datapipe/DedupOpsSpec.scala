@@ -347,6 +347,26 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(LangId.detect("12345 67890 !!!") == "und")
   }
 
+  test("repetition metrics count duplicate bigrams exactly") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b a b"),       // bigrams: ab,ba,ab,ba,ab -> 5 total, 2 distinct, max 3
+      (2L, "x y z"),             // xy,yz -> 2 total, 2 distinct, max 1
+      (3L, "solo"),              // < 2 tokens -> zeros
+      (4L, null.asInstanceOf[String]), // null text -> zeros
+    ).toDF("doc_id", "text")
+    val got = QualityScore.repetitionMetrics(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((5L, 2L, 3L)), got(1L))
+    assert(got(2L) == ((2L, 2L, 1L)), got(2L))
+    assert(got(3L) == ((0L, 0L, 0L)))
+    assert(got(4L) == ((0L, 0L, 0L)))
+    // the derived Gopher ratios: doc 1 dup fraction 3/5, top-gram 3/5
+    val (t, dist, mx) = got(1L)
+    assert((t - dist).toDouble / t == 0.6 && mx.toDouble / t == 0.6)
+  }
+
   test("quality metrics are integer-exact and score bounded") {
     val m = QualityScore.scored(docs).collect()
     assert(m.length == 500)
