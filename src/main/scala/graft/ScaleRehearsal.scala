@@ -80,7 +80,8 @@ object ScaleRehearsal {
       "q12_dedup_exact", "q13_dedup_minhash", "q14_dedup_simhash",
       "q15_knn_cosine", "q16_knn_ivf", "q20_cosine_neardup",
       "q55_neardup_components", "q61_inverted_search", "q62_bm25_search",
-      "q64_sequence_packing", "q65_mixture_schedule", "q73_contamination")
+      "q64_sequence_packing", "q65_mixture_schedule", "q73_contamination",
+      "q75_incremental_dedup", "q76_repetition")
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     headline.foreach { name =>
