@@ -93,6 +93,9 @@ object SparkEntry {
     "q74_audio_decode" -> (DataPipeQueries.audioDecode _),
     "q75_incremental_dedup" -> (DataPipeQueries.incrementalDedup _),
     "q76_repetition" -> (DataPipeQueries.repetition _),
+    "q77_split_manifest" -> (DataPipeQueries.splitManifest _),
+    "q78_weighted_sample" -> (DataPipeQueries.weightedSample _),
+    "q79_topk_per_group" -> (DataPipeQueries.topkPerGroup _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -423,5 +426,8 @@ object SparkEntry {
     "q74_audio_decode" -> DataPipeQueries.audioDecodeOracle,
     "q75_incremental_dedup" -> DataPipeQueries.incrementalDedupOracle,
     "q76_repetition" -> DataPipeQueries.repetitionOracle,
+    "q77_split_manifest" -> DataPipeQueries.splitManifestOracle,
+    "q78_weighted_sample" -> DataPipeQueries.weightedSampleOracle,
+    "q79_topk_per_group" -> DataPipeQueries.topkPerGroupOracle,
   )
 }

@@ -50,6 +50,47 @@ object Sampling {
     df.filter(hashKey(col(idCol), salt) >= lit(hexThreshold(lo)) &&
       hashKey(col(idCol), salt) < lit(hexThreshold(hi)))
 
+  /** Split ASSIGNMENT (vs [[band]]'s split FILTER): label every row
+    * with the name of the keyspace band it falls in, in one scan —
+    * the train/val/test manifest op. `cuts` are (name, cumulative
+    * upper fraction) with the last hi covering 1.0; bands are
+    * [prev, hi) over the same hash keyspace as [[band]], so
+    * `assignSplit(df, id, cuts)(split = "train")` ==
+    * `band(df, id, 0, 0.8)` row-for-row. Per-row `when` chain over one
+    * md5 — no shuffle, no join, nothing to skew at any scale. */
+  def assignSplit(df: DataFrame, idCol: String,
+                  cuts: Seq[(String, Double)], salt: String = "",
+                  splitCol: String = "split"): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 >= 1.0,
+      "cuts must be cumulative fractions ending at 1.0")
+    val key = hashKey(col(idCol), salt)
+    val assigned = cuts.init.foldLeft(lit(null).cast("string")) {
+      case (acc, (name, hi)) =>
+        coalesce(acc, when(key < lit(hexThreshold(hi)), name))
+    }
+    df.withColumn(splitCol, coalesce(assigned, lit(cuts.last._1)))
+  }
+
+  /** Weighted sampling WITHOUT replacement as a top-k: Efraimidis–
+    * Spirakis A-ES keys. u = (h + ½)/2³² from the row's [[hashKey]]
+    * (uniform in (0,1), deterministic, engine-portable), priority =
+    * ln(u)/w — the k largest priorities are a weighted sample where
+    * P[selected] scales with w (exactly the u^(1/w) order, log'd).
+    * Plans as TakeOrderedAndProject: each partition keeps a local
+    * k-heap and only k rows per partition reach the driver-side
+    * merge — no global sort, no shuffle of the corpus. Rows with
+    * w <= 0 are excluded (zero weight = never sampled). */
+  def weightedTopK(df: DataFrame, idCol: String, weightCol: String,
+                   k: Int, salt: String = ""): DataFrame = {
+    val u = (conv(hashKey(col(idCol), salt), 16, 10).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    df.filter(col(weightCol).cast("double") > 0)
+      .withColumn("__pri", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__pri").desc, col(idCol))
+      .limit(k)
+      .drop("__pri")
+  }
+
   /** Stratified sample: per-stratum fractions (the data-mix weighting
     * op — up-/down-weight sources or languages), unlisted strata get
     * `defaultFraction`. The fractions dim is broadcast; the filter

@@ -1,0 +1,109 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Per-group top-k WITHOUT a window sort — the 100 TB replacement for
+  * `row_number() over (partition by g order by s desc) <= k`.
+  *
+  * The window form shuffles EVERY row of every group and sorts whole
+  * groups just to keep k of them; a skewed group (one source with 80%
+  * of a corpus) sorts on one task. This Aggregator keeps a bounded
+  * (score, id) buffer of at most k pairs, so it runs as a map-side
+  * partial aggregate: each partition contributes at most k pairs per
+  * group to the exchange, the shuffle carries O(groups·k·partitions)
+  * pairs instead of the corpus, and no task ever holds more than k
+  * pairs per group. Merge = merge-two-sorted-truncate, associative and
+  * commutative — safe under AQE re-partitioning.
+  *
+  * Ordering is (score desc, id asc) with ids unique, so the result is
+  * total-ordered and deterministic — the q79 DuckDB oracle recomputes
+  * it with a plain `row_number()` window.
+  *
+  * Buffer layout: interleaved [s₀,i₀,s₁,i₁,…] sorted by the pair
+  * order, which encodes as a flat `Array[Long]` (no struct encoder on
+  * the shuffle path).
+  */
+object TopK {
+
+  /** true iff pair (s1,i1) orders strictly before (s2,i2). */
+  private def before(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  /** Aggregator over (group, score, id) tuples; group is ignored here
+    * (it is the groupByKey key). */
+  final class TopKPairsAgg(k: Int)
+      extends Aggregator[(String, Long, Long), Array[Long], Array[Long]] {
+    require(k >= 1, "top-k needs k >= 1")
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    override def reduce(buf: Array[Long], row: (String, Long, Long)): Array[Long] = {
+      val s = row._2; val i = row._3
+      val n = buf.length / 2
+      // find insert slot (k is small: linear scan beats branchy binary
+      // search on an 2k-long primitive array)
+      var p = 0
+      while (p < n && !before(s, i, buf(2 * p), buf(2 * p + 1))) p += 1
+      if (p >= k) buf
+      else {
+        val m = math.min(n + 1, k)
+        val out = new Array[Long](2 * m)
+        System.arraycopy(buf, 0, out, 0, 2 * p)
+        out(2 * p) = s; out(2 * p + 1) = i
+        System.arraycopy(buf, 2 * p, out, 2 * p + 2,
+          2 * m - 2 * p - 2)
+        out
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val m = math.min(a.length / 2 + b.length / 2, k)
+      val out = new Array[Long](2 * m)
+      var i = 0; var j = 0; var o = 0
+      while (o < m) {
+        val takeA = j >= b.length / 2 || (i < a.length / 2 &&
+          !before(b(2 * j), b(2 * j + 1), a(2 * i), a(2 * i + 1)))
+        if (takeA) { out(2 * o) = a(2 * i); out(2 * o + 1) = a(2 * i + 1); i += 1 }
+        else { out(2 * o) = b(2 * j); out(2 * o + 1) = b(2 * j + 1); j += 1 }
+        o += 1
+      }
+      out
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = Enc.arrayLong
+    override def outputEncoder: Encoder[Array[Long]] = Enc.arrayLong
+  }
+
+  private object Enc {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val arrayLong: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Top `k` rows per `groupCol` by (`scoreCol` desc, `idCol` asc) →
+    * (group, rank, id, score) with rank 1-based. One keyed exchange;
+    * partial aggregation below it. */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                   idCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df
+      .filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol).cast("string"),
+        col(scoreCol).cast("long"), col(idCol).cast("long"))
+      .as[(String, Long, Long)]
+    ds.groupByKey(_._1)
+      .agg(new TopKPairsAgg(k).toColumn.name("top"))
+      .toDF(groupCol, "top")
+      // buf is never empty (every group has >= 1 reduced row), so the
+      // sequence bound size/2 - 1 is >= 0
+      .select(col(groupCol), posexplode(expr(
+        "transform(sequence(0, int(size(top)/2) - 1), " +
+          "j -> struct(top[2*j] AS s, top[2*j+1] AS i))")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col.i").as(idCol), col("col.s").as(scoreCol))
+  }
+}

@@ -202,6 +202,68 @@ object DataPipeQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Train/val/test split manifest (q77): every document labeled with
+    * its keyspace band in ONE scan (no per-split filter+union, no
+    * shuffle) — the split-assignment op a training pipeline materializes
+    * next to the corpus. The oracle recomputes the identical md5-prefix
+    * CASE chain, so assignment is engine-portable by construction. */
+  def splitManifest(s: SparkSession, d: String): DataFrame =
+    Sampling.assignSplit(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0), salt = "split")
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id"))
+
+  def splitManifestOracle: String = {
+    val key = "substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)"
+    s"""SELECT doc_id, source,
+       |  CASE WHEN $key < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+       |       WHEN $key < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Weighted sample without replacement (q78): 50 documents drawn
+    * with probability ∝ n_chars via Efraimidis–Spirakis priorities
+    * ln(u)/w on the deterministic hash uniform u — upweighting long
+    * documents the way a data-mix samples by token count. Plans as
+    * TakeOrderedAndProject (per-partition k-heaps), never a global
+    * sort. The oracle recomputes the identical priority; the nearest
+    * rank-50/51 priority gap is ~1e-4 vs ~1e-16 cross-engine ln ULP
+    * drift, so the selected set is stable. */
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    Sampling.weightedTopK(Tables.documents(s, d), "doc_id", "n_chars",
+        k = 50, salt = "wt")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  def weightedSampleOracle: String =
+    """SELECT doc_id, n_chars FROM (
+      |  SELECT doc_id, n_chars,
+      |    ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'wt'), 1, 8) AS BIGINT) + 0.5)
+      |        / 4294967296.0) / CAST(n_chars AS DOUBLE) AS pri
+      |  FROM documents WHERE n_chars > 0
+      |  ORDER BY pri DESC, doc_id LIMIT 50
+      |) ORDER BY doc_id""".stripMargin
+
+  /** Per-group top-k (q79): the 5 longest documents per source via the
+    * bounded-buffer [[TopK]] Aggregator — map-side combine, one keyed
+    * exchange carrying ≤ k pairs per (group, partition) — instead of
+    * the window-sort form that shuffles and sorts the whole corpus.
+    * The oracle IS the window form: both produce the identical
+    * (score desc, id asc) total order. */
+  def topkPerGroup(s: SparkSession, d: String): DataFrame =
+    TopK.topKPerGroup(Tables.documents(s, d), "source", "n_chars",
+        "doc_id", k = 5)
+      .orderBy(col("source"), col("rank"))
+
+  def topkPerGroupOracle: String =
+    """SELECT source, rank, doc_id, n_chars FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+      |  FROM documents WHERE n_chars IS NOT NULL
+      |) WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+
   /** Near-dup clusters (q55): transitive closure of the minhash
     * near-dup pairs via large-star/small-star connected components —
     * every document labeled with the min doc_id of its cluster,

@@ -61,6 +61,51 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs((a & b).size - 2000) < 200, s"${(a & b).size}")
   }
 
+  test("assignSplit labels agree with band filters row-for-row") {
+    val df = ids(6000)
+    val cuts = Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0)
+    val got = Sampling.assignSplit(df, "id", cuts, salt = "s")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 6000) // every row labeled, exactly once
+    val train = Sampling.band(df, "id", 0.0, 0.8, salt = "s")
+      .collect().map(_.getLong(0)).toSet
+    val valid = Sampling.band(df, "id", 0.8, 0.9, salt = "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._2 == "train").keySet == train)
+    assert(got.filter(_._2 == "val").keySet == valid)
+    assert(got.filter(_._2 == "test").keySet ==
+      (1 to 6000).map(_.toLong).toSet -- train -- valid)
+  }
+
+  test("weightedTopK is deterministic and partition-invariant") {
+    import spark.implicits._
+    val df = (1 to 4000).map(i => (i.toLong, (i % 100 + 1).toLong))
+      .toDF("id", "w")
+    val a = Sampling.weightedTopK(df, "id", "w", k = 200)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedTopK(df.repartition(11), "id", "w", k = 200)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(a.size == 200)
+  }
+
+  test("weightedTopK selection probability scales with weight") {
+    import spark.implicits._
+    // two weight classes 10:1 — heavy rows should dominate the sample
+    val df = (1 to 4000).map(i => (i.toLong, if (i <= 2000) 10L else 1L))
+      .toDF("id", "w")
+    val got = Sampling.weightedTopK(df, "id", "w", k = 400)
+      .collect().map(_.getLong(0))
+    val heavy = got.count(_ <= 2000)
+    assert(heavy > 300, s"heavy=$heavy of 400") // E[heavy] ≈ 385
+    // zero/negative weights are never sampled
+    val withZero = (1 to 100).map(i => (i.toLong, if (i % 2 == 0) 0L else 5L))
+      .toDF("id", "w")
+    val z = Sampling.weightedTopK(withZero, "id", "w", k = 100)
+      .collect().map(_.getLong(0))
+    assert(z.length == 50 && z.forall(_ % 2 == 1))
+  }
+
   test("stratified fractions apply per stratum with default fallback") {
     import spark.implicits._
     val df = (1 to 9000).map(i => (i.toLong, Seq("en", "de", "zh")(i % 3)))

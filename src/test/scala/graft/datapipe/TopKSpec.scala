@@ -1,0 +1,72 @@
+package graft.datapipe
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+class TopKSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** deterministic pseudo-random rows: (group, score, id) with ties. */
+  def rows(n: Int) = {
+    import spark.implicits._
+    (1 to n).map { i =>
+      (s"g${i % 7}", (i * 2654435761L) % 50, i.toLong)
+    }.toDF("g", "s", "i")
+  }
+
+  def windowForm(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.withColumn("rank", row_number().over(
+        Window.partitionBy("g").orderBy(col("s").desc, col("i"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("g", "rank", "i", "s")
+
+  def canon(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("matches the window form, ties broken by id") {
+    val df = rows(500)
+    val got = TopK.topKPerGroup(df, "g", "s", "i", 5)
+    assert(canon(got) == canon(windowForm(df, 5)))
+  }
+
+  test("partitioning does not change the result (merge path)") {
+    val df = rows(400)
+    val a = canon(TopK.topKPerGroup(df.repartition(13), "g", "s", "i", 3))
+    val b = canon(TopK.topKPerGroup(df.coalesce(1), "g", "s", "i", 3))
+    assert(a == b)
+    assert(a == canon(windowForm(df, 3)))
+  }
+
+  test("k larger than any group returns whole groups, ranked") {
+    val df = rows(20) // groups of ~3
+    val got = TopK.topKPerGroup(df, "g", "s", "i", 100)
+    assert(got.count() == 20)
+    assert(canon(got) == canon(windowForm(df, 100)))
+  }
+
+  test("k = 1 keeps exactly the per-group max") {
+    val df = rows(300)
+    val got = TopK.topKPerGroup(df, "g", "s", "i", 1)
+    assert(canon(got) == canon(windowForm(df, 1)))
+    assert(got.count() == 7)
+  }
+
+  test("aggregator reduce/merge agree with a sort at every size") {
+    val agg = new TopK.TopKPairsAgg(4)
+    val pairs = (1 to 40).map(i => ((i * 48271L) % 17, i.toLong))
+    val expectAll = pairs.sortBy { case (s, i) => (-s, i) }
+    // reduce in arbitrary order
+    val reduced = pairs.foldLeft(agg.zero) { case (b, (s, i)) => agg.reduce(b, ("g", s, i)) }
+    // merge of two halves, each reduced separately
+    val (h1, h2) = pairs.splitAt(23)
+    val merged = agg.merge(
+      h1.foldLeft(agg.zero) { case (b, (s, i)) => agg.reduce(b, ("g", s, i)) },
+      h2.foldLeft(agg.zero) { case (b, (s, i)) => agg.reduce(b, ("g", s, i)) })
+    for (buf <- Seq(reduced, merged)) {
+      val got = buf.grouped(2).map(a => (a(0), a(1))).toSeq
+      assert(got == expectAll.take(4), got.toString)
+    }
+  }
+}

@@ -136,6 +136,22 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q78 weighted sample is a TakeOrderedAndProject, not a global sort") {
+    val p = plan("q78_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject(limit=50"), p.take(2000))
+    // per-row priority over a pruned two-column scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"), p.take(2000))
+  }
+
+  test("q79 per-group top-k partially aggregates before its one exchange") {
+    val p = plan("q79_topk_per_group")
+    // bounded-buffer aggregator combines map-side: at most k pairs per
+    // (group, partition) cross the wire — never the corpus rows
+    assert(p.contains("partial_topkpairsagg"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Window"), p.take(2000)) // not the window-sort form
+  }
+
   test("q61 term filter sits below the first aggregate exchange") {
     // only postings matching the query terms are shuffled; the filter
     // must not migrate above the exchange
