@@ -81,7 +81,9 @@ object ScaleRehearsal {
       "q15_knn_cosine", "q16_knn_ivf", "q20_cosine_neardup",
       "q55_neardup_components", "q61_inverted_search", "q62_bm25_search",
       "q64_sequence_packing", "q65_mixture_schedule", "q73_contamination",
-      "q75_incremental_dedup", "q76_repetition")
+      "q75_incremental_dedup", "q76_repetition", "q77_split_manifest",
+      "q78_weighted_sample", "q79_topk_per_group", "q80_tfidf_keywords",
+      "q81_heavy_hitters")
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     headline.foreach { name =>

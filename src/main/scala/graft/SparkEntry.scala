@@ -96,6 +96,8 @@ object SparkEntry {
     "q77_split_manifest" -> (DataPipeQueries.splitManifest _),
     "q78_weighted_sample" -> (DataPipeQueries.weightedSample _),
     "q79_topk_per_group" -> (DataPipeQueries.topkPerGroup _),
+    "q80_tfidf_keywords" -> (DataPipeQueries.tfidfKeywords _),
+    "q81_heavy_hitters" -> (DataPipeQueries.heavyHitters _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -429,5 +431,7 @@ object SparkEntry {
     "q77_split_manifest" -> DataPipeQueries.splitManifestOracle,
     "q78_weighted_sample" -> DataPipeQueries.weightedSampleOracle,
     "q79_topk_per_group" -> DataPipeQueries.topkPerGroupOracle,
+    "q80_tfidf_keywords" -> DataPipeQueries.tfidfKeywordsOracle,
+    "q81_heavy_hitters" -> DataPipeQueries.heavyHittersOracle,
   )
 }

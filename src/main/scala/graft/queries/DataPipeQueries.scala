@@ -264,6 +264,67 @@ object DataPipeQueries {
       |  FROM documents WHERE n_chars IS NOT NULL
       |) WHERE rank <= 5 ORDER BY source, rank""".stripMargin
 
+  /** Keyword extraction (q80): top-3 distinctive terms per document —
+    * (tf desc, df asc, term asc), the TF-IDF order restricted to
+    * integer comparisons so both engines rank identically (see
+    * [[graft.datapipe.Keywords]] for why the ln-based float score is
+    * deliberately not emitted). Stopwords are the same generated
+    * Glasgow list the quality oracle uses. */
+  def tfidfKeywords(s: SparkSession, d: String): DataFrame =
+    Keywords.topKeywords(Tables.documents(s, d), "doc_id", "text",
+        k = 3, stopwords = StopWords.glasgow)
+      .orderBy(col("doc_id"), col("rank"))
+
+  def tfidfKeywordsOracle: String = {
+    val stopList = StopWords.glasgow.toSeq.sorted
+      .map(w => s"'${w.replace("'", "''")}'").mkString("[", ",", "]")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '${Tok.WS}'),
+       |    t -> t <> '' AND NOT list_contains($stopList, t))) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY doc_id, term
+       |), df AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+       |), r AS (
+       |  SELECT doc_id, term, tf.tf, df.df,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY tf.tf DESC, df.df ASC, term ASC) AS BIGINT) AS rank
+       |  FROM tf JOIN df USING (term)
+       |)
+       |SELECT doc_id, rank, term, tf, df FROM r
+       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+  }
+
+  /** Heavy hitters (q81): every token that is ≥ 0.5% of all token
+    * occurrences, EXACT — candidates from a bounded-state Misra-Gries
+    * partial aggregate (O(k) per partition crosses the wire, never the
+    * vocabulary), then exact counts for candidates only. The integer
+    * cross-multiplied threshold and the no-false-negative MG bound
+    * make the output independent of partitioning, so the oracle is a
+    * plain GROUP BY ... HAVING. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), Tok.WS)).as("term"))
+      .filter(col("term") =!= "")
+    HeavyHitters.frequentTerms(toks, "term", num = 1, denom = 200,
+        sketchK = 512)
+      .orderBy(col("n").desc, col("term"))
+  }
+
+  def heavyHittersOracle: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '${Tok.WS}'),
+       |    t -> t <> '')) AS term
+       |  FROM documents
+       |), tot AS (SELECT count(*) AS total FROM tok)
+       |SELECT term, CAST(count(*) AS BIGINT) AS n
+       |FROM tok, tot
+       |GROUP BY term, tot.total
+       |HAVING count(*) * 200 >= tot.total
+       |ORDER BY n DESC, term""".stripMargin
+
   /** Near-dup clusters (q55): transitive closure of the minhash
     * near-dup pairs via large-star/small-star connected components —
     * every document labeled with the min doc_id of its cluster,

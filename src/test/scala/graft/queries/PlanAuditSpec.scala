@@ -152,6 +152,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(2000)) // not the window-sort form
   }
 
+  test("q80 keywords: broadcast stopword anti-join, partial tf agg, no cross product") {
+    val p = plan("q80_tfidf_keywords")
+    // stopword removal = broadcast hashed anti-join (single build side),
+    // not an O(|stoplist|)-per-token scan and never a nested loop
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(2000))
+    // tf combines map-side before its (doc, term) exchange
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
+  test("q81 heavy hitters: bounded MG state crosses the wire, candidates broadcast") {
+    val p = plan("q81_heavy_hitters")
+    // pass 1: partial Misra-Gries below its exchange — O(k) summaries
+    // shuffle, never the vocabulary
+    assert(p.contains("partial_mgagg"), p.take(3000))
+    // pass 2: candidate filter is a broadcast hash join on term
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // exact counts combine map-side
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
   test("q61 term filter sits below the first aggregate exchange") {
     // only postings matching the query terms are shuffled; the filter
     // must not migrate above the exchange
