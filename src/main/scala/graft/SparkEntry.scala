@@ -98,6 +98,7 @@ object SparkEntry {
     "q79_topk_per_group" -> (DataPipeQueries.topkPerGroup _),
     "q80_tfidf_keywords" -> (DataPipeQueries.tfidfKeywords _),
     "q81_heavy_hitters" -> (DataPipeQueries.heavyHitters _),
+    "q82_dup_spans" -> (DataPipeQueries.dupSpans _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -433,5 +434,6 @@ object SparkEntry {
     "q79_topk_per_group" -> DataPipeQueries.topkPerGroupOracle,
     "q80_tfidf_keywords" -> DataPipeQueries.tfidfKeywordsOracle,
     "q81_heavy_hitters" -> DataPipeQueries.heavyHittersOracle,
+    "q82_dup_spans" -> DataPipeQueries.dupSpansOracle,
   )
 }

@@ -325,6 +325,36 @@ object DataPipeQueries {
        |HAVING count(*) * 200 >= tot.total
        |ORDER BY n DESC, term""".stripMargin
 
+  /** Duplicated-span metrics (q82): for every document, how many of
+    * its 8-token spans occur more than once in the corpus — the exact
+    * substring-duplication signal (Lee et al. 2022) that drives
+    * span-level dedup, measured without a suffix array: one md5 per
+    * span, a partial-aggregated per-hash count, one span⇄count join.
+    * Integer-exact; the oracle recomputes the identical md5 span
+    * hashes. */
+  def dupSpans(s: SparkSession, d: String): DataFrame =
+    Spans.dupSpanMetrics(Tables.documents(s, d), "doc_id", "text", n = 8)
+      .orderBy(col("doc_id"))
+
+  def dupSpansOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
+       |  FROM documents
+       |), sp AS (
+       |  SELECT doc_id, substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16) AS h
+       |  FROM tok, UNNEST(range(1, len(toks) - 6)) t(i)
+       |  WHERE len(toks) >= 8
+       |), c AS (
+       |  SELECT h, count(*) AS occ FROM sp GROUP BY h
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COUNT(sp.h) AS BIGINT) AS n_spans,
+       |  CAST(COALESCE(SUM(CASE WHEN c.occ > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_spans
+       |FROM documents d
+       |LEFT JOIN sp ON sp.doc_id = d.doc_id
+       |LEFT JOIN c ON c.h = sp.h
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** Near-dup clusters (q55): transitive closure of the minhash
     * near-dup pairs via large-star/small-star connected components —
     * every document labeled with the min doc_id of its cluster,

@@ -1,0 +1,51 @@
+package graft.datapipe
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class SpansSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "text")
+  }
+
+  def run(df: org.apache.spark.sql.DataFrame, n: Int) =
+    Spans.dupSpanMetrics(df, "id", "text", n)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("cross-document shared span is counted dup on both sides") {
+    // docs 1 and 2 share the 3-token span "b c d"; doc 3 is disjoint
+    val df = docs(
+      (1L, "a b c d"),
+      (2L, "b c d e"),
+      (3L, "x y z w"))
+    val got = run(df, 3)
+    // doc 1 spans: "a b c", "b c d"(dup); doc 2: "b c d"(dup), "c d e"
+    assert(got(1L) == ((2L, 1L)))
+    assert(got(2L) == ((2L, 1L)))
+    assert(got(3L) == ((2L, 0L)))
+  }
+
+  test("within-document repeats count as dups") {
+    val df = docs((1L, "p q p q p q"))
+    // 2-token spans: pq qp pq qp pq → "p q"×3, "q p"×2 — all 5 dup
+    assert(run(df, 2)(1L) == ((5L, 5L)))
+  }
+
+  test("documents shorter than n have zero spans but stay in the output") {
+    val df = docs((1L, "one two"), (2L, "a b c d e"), (3L, "   "))
+    val got = run(df, 4)
+    assert(got(1L) == ((0L, 0L)))
+    assert(got(2L) == ((2L, 0L)))
+    assert(got(3L) == ((0L, 0L)))
+    assert(got.size == 3)
+  }
+
+  test("case folding and whitespace runs do not split spans") {
+    val df = docs((1L, "A  b\tC d"), (2L, "a b c d"))
+    val got = run(df, 4)
+    assert(got(1L) == ((1L, 1L)) && got(2L) == ((1L, 1L)))
+  }
+}

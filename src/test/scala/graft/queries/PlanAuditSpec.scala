@@ -174,6 +174,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p.take(3000))
   }
 
+  test("q82 span metrics: codegen'd span hashing, partial count, no cross product") {
+    val p = plan("q82_dup_spans")
+    // one md5 per span via built-ins — no UDF/encoder boundary
+    assert(!p.contains("ScalaUDF") && !p.contains("DeserializeToObject"), p.take(2000))
+    // per-hash counts combine map-side before their exchange
+    assert(p.contains("partial_count"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("q61 term filter sits below the first aggregate exchange") {
     // only postings matching the query terms are shuffled; the filter
     // must not migrate above the exchange
