@@ -99,6 +99,7 @@ object SparkEntry {
     "q80_tfidf_keywords" -> (DataPipeQueries.tfidfKeywords _),
     "q81_heavy_hitters" -> (DataPipeQueries.heavyHitters _),
     "q82_dup_spans" -> (DataPipeQueries.dupSpans _),
+    "q83_token_budget" -> (DataPipeQueries.tokenBudget _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -435,5 +436,6 @@ object SparkEntry {
     "q80_tfidf_keywords" -> DataPipeQueries.tfidfKeywordsOracle,
     "q81_heavy_hitters" -> DataPipeQueries.heavyHittersOracle,
     "q82_dup_spans" -> DataPipeQueries.dupSpansOracle,
+    "q83_token_budget" -> DataPipeQueries.tokenBudgetOracle,
   )
 }

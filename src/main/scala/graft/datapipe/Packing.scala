@@ -69,6 +69,62 @@ object Packing {
       .toDF(shardCol, idCol, tokensCol, "batch_id")
   }
 
+  /** Token-BUDGET sampling: keep each source's documents, in
+    * deterministic [[Sampling.hashKey]] order, until the source's
+    * cumulative token count reaches its quota — the "take N billion
+    * tokens from source s" op that builds a training mix by token
+    * mass, not document count. A document is kept iff the running sum
+    * INCLUDING it is ≤ the budget, so a kept set never exceeds quota
+    * and is a prefix of the source's hash order (reproducible on any
+    * engine / partitioning, leak-free across budget changes: raising a
+    * quota only ADDS documents).
+    *
+    * The per-source running sum is NOT a per-source window (one task
+    * per source — the q65 skew trap): it reuses the value-band trick
+    * of [[mixtureSchedule]], as a banded prefix SUM — per-(source,
+    * band) token totals (a small aggregate) cumsum into band offsets,
+    * and only the within-band running sum is a window, whose partition
+    * is a balanced ~1/bands slice of a source. */
+  def tokenBudgetSample(df: DataFrame, sourceCol: String, idCol: String,
+      tokensCol: String, budgets: Map[String, Long], defaultBudget: Long,
+      salt: String = "", nBands: Int = 0): DataFrame = {
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
+      s"token budgets must be non-negative: $budgets default=$defaultBudget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bands: Long =
+      if (nBands > 0) nBands.toLong
+      else spark.sessionState.conf.numShufflePartitions.toLong * 4
+    val dim = budgets.toSeq.toDF("__bsrc", "__budget")
+    val withBand = df
+      .withColumn("__hk", Sampling.hashKey(col(idCol), salt))
+      .withColumn("__hband",
+        least(floor(conv(col("__hk"), 16, 10).cast("long") /
+          lit(4294967296.0 / bands)), lit(bands - 1)).cast("long"))
+    // per-(source, band) token totals → per-source EXCLUSIVE cumulative
+    // offsets; the window runs on O(nSources·nBands) aggregate rows
+    val srcOffsets = withBand
+      .groupBy(col(sourceCol).as("__osrc"), col("__hband").as("__oband"))
+      .agg(sum(col(tokensCol)).as("__bw"))
+      .withColumn("__soffset",
+        coalesce(sum(col("__bw")).over(Window.partitionBy(col("__osrc"))
+          .orderBy(col("__oband"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__osrc"), col("__oband"), col("__soffset"))
+    withBand
+      .withColumn("__local", sum(col(tokensCol)).over(
+        Window.partitionBy(col(sourceCol), col("__hband"))
+          .orderBy(col("__hk"), col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(srcOffsets),
+        col(sourceCol) === col("__osrc") && col("__hband") === col("__oband"))
+      .join(broadcast(dim), col(sourceCol) === col("__bsrc"), "left_outer")
+      .filter(col("__soffset") + col("__local") <=
+        coalesce(col("__budget"), lit(defaultBudget)))
+      .drop("__hk", "__hband", "__local", "__osrc", "__oband",
+        "__soffset", "__bsrc", "__budget")
+  }
+
   /** Deterministic weighted-mixture schedule: each source's rows are
     * ranked by a stable content hash, and row r of source s is placed
     * at virtual position r / weight(s) — a source with weight 2w

@@ -355,6 +355,35 @@ object DataPipeQueries {
        |LEFT JOIN c ON c.h = sp.h
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** Token-budget sampling (q83): per-source token quotas filled in
+    * deterministic hash order — src0 gets 6000 chars, src1 2000,
+    * everything else 4000. The banded prefix sum keeps the running
+    * total off any single task (see [[graft.datapipe.Packing]]); the
+    * oracle is the plain per-source cumulative-sum window, which must
+    * select the identical prefix. */
+  def tokenBudget(s: SparkSession, d: String): DataFrame =
+    Packing.tokenBudgetSample(Tables.documents(s, d), "source", "doc_id",
+        "n_chars", Map("src0" -> 6000L, "src1" -> 2000L),
+        defaultBudget = 4000L, salt = "tb")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  def tokenBudgetOracle: String =
+    """WITH h AS (
+      |  SELECT doc_id, source, n_chars,
+      |    substring(md5(CAST(doc_id AS VARCHAR) || 'tb'), 1, 8) AS hk
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, source, n_chars,
+      |    SUM(n_chars) OVER (PARTITION BY source ORDER BY hk, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM h
+      |)
+      |SELECT doc_id, source, n_chars FROM c
+      |WHERE cum <= CASE source WHEN 'src0' THEN 6000
+      |                         WHEN 'src1' THEN 2000 ELSE 4000 END
+      |ORDER BY doc_id""".stripMargin
+
   /** Near-dup clusters (q55): transitive closure of the minhash
     * near-dup pairs via large-star/small-star connected components —
     * every document labeled with the min doc_id of its cluster,

@@ -189,4 +189,81 @@ class PackingSpec extends AnyFunSuite {
       !w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).contains("src")),
       winExecs.map(w => w.partitionSpec.mkString(",")).mkString("\n"))
   }
+
+  def budgetDocs(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i =>
+      (i.toLong, s"s${i % 5}", (i % 37 + 3).toLong)).toDF("id", "src", "tok")
+  }
+
+  /** naive per-source cumsum-window form of tokenBudgetSample. */
+  def naiveBudget(df: org.apache.spark.sql.DataFrame,
+      budgets: Map[String, Long], dflt: Long): Set[Long] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("src"))
+      .orderBy(Sampling.hashKey(col("id"), "s"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val quota = budgets.foldLeft(lit(dflt)) { case (e, (s, b)) =>
+      when(col("src") === s, lit(b)).otherwise(e)
+    }
+    df.withColumn("__cum", sum(col("tok")).over(w))
+      .filter(col("__cum") <= quota)
+      .select("id").collect().map(_.getLong(0)).toSet
+  }
+
+  test("token budget: equals the naive cumsum window, never exceeds quota") {
+    import org.apache.spark.sql.functions._
+    val df = budgetDocs(400)
+    val budgets = Map("s0" -> 300L, "s1" -> 100L)
+    val got = Packing.tokenBudgetSample(df, "src", "id", "tok",
+      budgets, defaultBudget = 200L, salt = "s")
+    val ids = got.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == naiveBudget(df, budgets, 200L))
+    // per-source kept token mass respects the quota
+    val mass = got.groupBy("src").agg(sum("tok").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    mass.foreach { case (s, m) => assert(m <= budgets.getOrElse(s, 200L), s"$s=$m") }
+  }
+
+  test("token budget is partitioning-invariant and monotone in the quota") {
+    val df = budgetDocs(300)
+    def run(d: org.apache.spark.sql.DataFrame, b: Long) =
+      Packing.tokenBudgetSample(d, "src", "id", "tok", Map.empty, b, salt = "s")
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(run(df.repartition(13), 250L) == run(df.coalesce(1), 250L))
+    // raising the quota only ADDS documents (prefix property)
+    assert(run(df, 150L).subsetOf(run(df, 400L)))
+  }
+
+  test("token budget plan: no row-data exchange hash-partitions on source alone") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val df = budgetDocs(200)
+    val got = Packing.tokenBudgetSample(df, "src", "id", "tok",
+      Map("s0" -> 100L), defaultBudget = 200L, salt = "s")
+    val root: SparkPlan = got.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val srcAlone = root.collect {
+      case s: ShuffleExchangeExec => s.outputPartitioning match {
+        case h: HashPartitioning if h.expressions.size == 1 &&
+            h.expressions.flatMap(_.references.toSeq.map(_.name))
+              .forall(n => n == "src" || n == "__osrc") => Some(s)
+        case _ => None
+      }
+    }.flatten
+    assert(srcAlone.forall(_.child.toString.contains("HashAggregate")),
+      srcAlone.map(_.toString.take(800)).mkString("\n---\n"))
+    val winExecs = root.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(winExecs.forall(w => w.partitionSpec.size != 1 ||
+      w.child.toString.contains("HashAggregate") ||
+      !w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).contains("src")),
+      winExecs.map(w => w.partitionSpec.mkString(",")).mkString("\n"))
+  }
 }
