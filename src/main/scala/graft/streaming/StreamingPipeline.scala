@@ -166,6 +166,38 @@ object StreamingPipeline {
     novel.unpersist()
   }
 
+  /** Per-shard Misra-Gries summary state (counts bounded to k pairs). */
+  final case class MgShardState(counts: Map[String, Long])
+
+  /** Streaming heavy hitters: sharded Misra-Gries summaries held in
+    * `flatMapGroupsWithState` — O(nShards·k) TOTAL state for an
+    * unbounded term stream, where exact streaming counts would grow
+    * with the vocabulary. Terms shard by a stable hash, so each term's
+    * whole history accumulates in ONE shard's summary and the MG
+    * no-false-negative bound applies shard-locally: any term with
+    * shard-local frequency > n_shard/(k+1) is guaranteed retained
+    * (the batch twin [[graft.datapipe.HeavyHitters]] documents the
+    * bound; this reuses its reduce step verbatim). Every trigger emits
+    * each updated shard's refreshed candidate set (Update mode) as
+    * (shard, term, mg_count), mg_count being the MG LOWER bound of the
+    * true count — drive an exact re-count of candidates downstream for
+    * exact results, as the batch op does. */
+  def heavyHittersStream(spark: SparkSession, terms: Dataset[String],
+      k: Int, nShards: Int): Dataset[(Int, String, Long)] = {
+    import spark.implicits._
+    val agg = new graft.datapipe.HeavyHitters.MgAgg(k)
+    terms
+      .groupByKey(t => math.floorMod(t.##, nShards))
+      .flatMapGroupsWithState[MgShardState, (Int, String, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (shard, ts, state: GroupState[MgShardState]) =>
+          val buf = ts.foldLeft(
+            state.getOption.map(_.counts).getOrElse(Map.empty))(agg.reduce)
+          state.update(MgShardState(buf))
+          buf.iterator.map { case (t, c) => (shard, t, c) }
+      }
+  }
+
   /** Watermarked tumbling-window event aggregation (generic streaming
     * agg; mirrors RelationalQueries.q8EventsHourly as a stream). */
   def eventsWindowed(events: DataFrame,

@@ -9,6 +9,41 @@ import org.apache.spark.sql.functions._
 class StreamingPipelineSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("streaming heavy hitters: sharded MG state persists and stays bounded") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val k = 8
+    val input = MemoryStream[String]
+    val out = StreamingPipeline.heavyHittersStream(spark, input.toDS(), k, nShards = 4)
+    val query = out.toDF("shard", "term", "mg_count").writeStream
+      .format("memory").queryName("stream_hh")
+      .outputMode("update").start()
+
+    // batch 1: "hot" dominates among many one-off fillers
+    input.addData(Seq.fill(30)("hot") ++ (1 to 40).map(i => s"f$i"): _*)
+    query.processAllAvailable()
+    val b1 = spark.table("stream_hh").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val hot1 = b1.filter(_._2 == "hot").map(_._3).max
+    // MG bound even if every item hashed to hot's shard: 30 - 70/(k+1)
+    assert(hot1 >= 30 - 70 / (k + 1), b1.mkString(","))
+    // batch 2: more hot arrivals accumulate into the SAME shard state
+    input.addData(Seq.fill(25)("hot") ++ (41 to 60).map(i => s"f$i"): _*)
+    query.processAllAvailable()
+    val b2 = spark.table("stream_hh").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val hot2 = b2.filter(_._2 == "hot").map(_._3).max
+    assert(hot2 > hot1, s"$hot1 -> $hot2") // state carried across batches
+    // every emission respects the per-shard bound: ≤ k terms per
+    // (shard, trigger) — O(nShards·k) state, vocabulary-independent
+    val perShard = b2.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.map(_._2).distinct.size }
+    assert(perShard.values.forall(_ <= 2 * k), perShard.toString)
+    // a term's history lives in exactly one shard
+    assert(b2.filter(_._2 == "hot").map(_._1).distinct.length == 1)
+    query.stop()
+  }
+
   test("streaming latest-version with tombstones via flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
