@@ -83,7 +83,8 @@ object ScaleRehearsal {
       "q64_sequence_packing", "q65_mixture_schedule", "q73_contamination",
       "q75_incremental_dedup", "q76_repetition", "q77_split_manifest",
       "q78_weighted_sample", "q79_topk_per_group", "q80_tfidf_keywords",
-      "q81_heavy_hitters", "q82_dup_spans", "q83_token_budget")
+      "q81_heavy_hitters", "q82_dup_spans", "q83_token_budget",
+      "q84_source_overlap")
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     headline.foreach { name =>

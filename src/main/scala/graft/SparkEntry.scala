@@ -100,6 +100,7 @@ object SparkEntry {
     "q81_heavy_hitters" -> (DataPipeQueries.heavyHitters _),
     "q82_dup_spans" -> (DataPipeQueries.dupSpans _),
     "q83_token_budget" -> (DataPipeQueries.tokenBudget _),
+    "q84_source_overlap" -> (DataPipeQueries.sourceOverlap _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -437,5 +438,6 @@ object SparkEntry {
     "q81_heavy_hitters" -> DataPipeQueries.heavyHittersOracle,
     "q82_dup_spans" -> DataPipeQueries.dupSpansOracle,
     "q83_token_budget" -> DataPipeQueries.tokenBudgetOracle,
+    "q84_source_overlap" -> DataPipeQueries.sourceOverlapOracle,
   )
 }

@@ -227,9 +227,10 @@ object DataPipeQueries {
     * ln(u)/w on the deterministic hash uniform u — upweighting long
     * documents the way a data-mix samples by token count. Plans as
     * TakeOrderedAndProject (per-partition k-heaps), never a global
-    * sort. The oracle recomputes the identical priority; the nearest
-    * rank-50/51 priority gap is ~1e-4 vs ~1e-16 cross-engine ln ULP
-    * drift, so the selected set is stable. */
+    * sort. The oracle recomputes the identical priority; the measured
+    * rank-50/51 priority gap at sf0.01 is 6e-6 absolute (2e-2
+    * relative) vs ~1e-16 relative cross-engine ln ULP drift — 14
+    * orders of margin, so the selected set is stable. */
   def weightedSample(s: SparkSession, d: String): DataFrame =
     Sampling.weightedTopK(Tables.documents(s, d), "doc_id", "n_chars",
         k = 50, salt = "wt")
@@ -383,6 +384,31 @@ object DataPipeQueries {
       |WHERE cum <= CASE source WHEN 'src0' THEN 6000
       |                         WHEN 'src1' THEN 2000 ELSE 4000 END
       |ORDER BY doc_id""".stripMargin
+
+  /** Cross-source overlap matrix (q84): distinct shared 3-token
+    * shingles per source pair — the curation diagnostic behind dedup
+    * priorities and mixture double-counting. Bounded fan-out: a
+    * shingle contributes at most C(nSources, 2) pairs however often
+    * it repeats. Integer-exact; oracle recomputes the identical md5
+    * shingle hashes. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame =
+    Spans.sourceOverlapMatrix(Tables.documents(s, d), "source", "text", n = 3)
+      .orderBy(col("src_a"), col("src_b"))
+
+  def sourceOverlapOracle: String =
+    s"""WITH tok AS (
+       |  SELECT source, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
+       |  FROM documents
+       |), sp AS (
+       |  SELECT DISTINCT source, substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 16) AS h
+       |  FROM tok, UNNEST(range(1, len(toks) - 1)) t(i)
+       |  WHERE len(toks) >= 3
+       |)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM sp a JOIN sp b ON a.h = b.h AND a.source < b.source
+       |GROUP BY a.source, b.source
+       |ORDER BY src_a, src_b""".stripMargin
 
   /** Near-dup clusters (q55): transitive closure of the minhash
     * near-dup pairs via large-star/small-star connected components —

@@ -43,6 +43,26 @@ class SpansSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("source overlap counts DISTINCT shared shingles once per pair") {
+    import spark.implicits._
+    // srcA and srcB share "a b c" (srcA has it in two docs — distinct
+    // per source, so it counts ONCE); srcC shares nothing
+    val df = Seq(
+      ("A", "a b c x"), ("A", "a b c y"),
+      ("B", "z a b c"), ("C", "p q r s")).toDF("src", "text")
+    val got = Spans.sourceOverlapMatrix(df, "src", "text", 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("A", "B") -> 1L))
+  }
+
+  test("source overlap pair order is canonical (src_a < src_b)") {
+    import spark.implicits._
+    val df = Seq(("zz", "a b c"), ("aa", "a b c")).toDF("src", "text")
+    val got = Spans.sourceOverlapMatrix(df, "src", "text", 3).collect()
+    assert(got.length == 1)
+    assert(got.head.getString(0) == "aa" && got.head.getString(1) == "zz")
+  }
+
   test("case folding and whitespace runs do not split spans") {
     val df = docs((1L, "A  b\tC d"), (2L, "a b c d"))
     val got = run(df, 4)
