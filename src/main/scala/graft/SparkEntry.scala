@@ -101,6 +101,7 @@ object SparkEntry {
     "q82_dup_spans" -> (DataPipeQueries.dupSpans _),
     "q83_token_budget" -> (DataPipeQueries.tokenBudget _),
     "q84_source_overlap" -> (DataPipeQueries.sourceOverlap _),
+    "q85_exact_quantiles" -> (DataPipeQueries.exactQuantiles _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -439,5 +440,6 @@ object SparkEntry {
     "q82_dup_spans" -> DataPipeQueries.dupSpansOracle,
     "q83_token_budget" -> DataPipeQueries.tokenBudgetOracle,
     "q84_source_overlap" -> DataPipeQueries.sourceOverlapOracle,
+    "q85_exact_quantiles" -> DataPipeQueries.exactQuantilesOracle,
   )
 }

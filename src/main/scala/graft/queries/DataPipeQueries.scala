@@ -410,6 +410,38 @@ object DataPipeQueries {
        |GROUP BY a.source, b.source
        |ORDER BY src_a, src_b""".stripMargin
 
+  /** Exact quantiles (q85): p50/p90/p99 of lineitem price cents by
+    * radix selection — 8 byte-histogram passes, no sort, no row-data
+    * shuffle (see [[graft.datapipe.Quantiles]]). Cents are exact:
+    * both engines compute round(price·100) on the identical parquet
+    * doubles. The oracle finds the same rank via row_number; the rank
+    * expression ceil(q·n) is the same IEEE arithmetic on both sides. */
+  def exactQuantiles(s: SparkSession, d: String): DataFrame =
+    Quantiles.exactQuantiles(
+      Tables.lineitem(s, d)
+        .select(round(col("l_extendedprice") * 100).cast("long").as("cents")),
+      "cents", Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .orderBy(col("q"))
+
+  def exactQuantilesOracle: String =
+    """WITH v AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+      |), o AS (
+      |  SELECT c, row_number() OVER (ORDER BY c) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM v
+      |)
+      |SELECT q, k, cents FROM (
+      |  SELECT 'p50' AS q, rn AS k, c AS cents FROM o
+      |  WHERE rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT))
+      |  UNION ALL
+      |  SELECT 'p90' AS q, rn AS k, c AS cents FROM o
+      |  WHERE rn = GREATEST(1, CAST(ceil(0.9 * n) AS BIGINT))
+      |  UNION ALL
+      |  SELECT 'p99' AS q, rn AS k, c AS cents FROM o
+      |  WHERE rn = GREATEST(1, CAST(ceil(0.99 * n) AS BIGINT))
+      |) ORDER BY q""".stripMargin
+
   /** Near-dup clusters (q55): transitive closure of the minhash
     * near-dup pairs via large-star/small-star connected components —
     * every document labeled with the min doc_id of its cluster,
