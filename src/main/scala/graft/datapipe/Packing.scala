@@ -96,7 +96,11 @@ object Packing {
       if (nBands > 0) nBands.toLong
       else spark.sessionState.conf.numShufflePartitions.toLong * 4
     val dim = budgets.toSeq.toDF("__bsrc", "__budget")
+    // a row with a null token count has no defined place in a token
+    // budget (window sum would skip it but still emit the row);
+    // exclude such rows up front — "no measurable mass, never sampled"
     val withBand = df
+      .filter(col(tokensCol).isNotNull)
       .withColumn("__hk", Sampling.hashKey(col(idCol), salt))
       .withColumn("__hband",
         least(floor(conv(col("__hk"), 16, 10).cast("long") /

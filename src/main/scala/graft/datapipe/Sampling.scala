@@ -63,6 +63,10 @@ object Sampling {
                   splitCol: String = "split"): DataFrame = {
     require(cuts.nonEmpty && cuts.last._2 >= 1.0,
       "cuts must be cumulative fractions ending at 1.0")
+    // the when-chain takes the FIRST matching band: unsorted cuts
+    // would silently shadow later bands, so reject them
+    require(cuts.map(_._2).sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+      s"cuts must be strictly increasing cumulative fractions: $cuts")
     val key = hashKey(col(idCol), salt)
     val assigned = cuts.init.foldLeft(lit(null).cast("string")) {
       case (acc, (name, hi)) =>

@@ -236,6 +236,16 @@ class PackingSpec extends AnyFunSuite {
     assert(run(df, 150L).subsetOf(run(df, 400L)))
   }
 
+  test("token budget excludes null-weight rows instead of emitting them") {
+    import spark.implicits._
+    val df = Seq((1L, "s", Some(5L)), (2L, "s", None), (3L, "s", Some(5L)))
+      .toDF("id", "src", "tok")
+    val got = Packing.tokenBudgetSample(df, "src", "id", "tok",
+        Map.empty, defaultBudget = 100L, salt = "s")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+  }
+
   test("token budget plan: no row-data exchange hash-partitions on source alone") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -77,6 +77,17 @@ class SamplingSpec extends AnyFunSuite {
       (1 to 6000).map(_.toLong).toSet -- train -- valid)
   }
 
+  test("assignSplit rejects unsorted or incomplete cuts") {
+    val df = ids(10)
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(df, "id", Seq("val" -> 0.9, "train" -> 0.8,
+        "test" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(df, "id", Seq("train" -> 0.8))
+    }
+  }
+
   test("weightedTopK is deterministic and partition-invariant") {
     import spark.implicits._
     val df = (1 to 4000).map(i => (i.toLong, (i % 100 + 1).toLong))
