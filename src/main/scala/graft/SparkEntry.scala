@@ -102,6 +102,7 @@ object SparkEntry {
     "q83_token_budget" -> (DataPipeQueries.tokenBudget _),
     "q84_source_overlap" -> (DataPipeQueries.sourceOverlap _),
     "q85_exact_quantiles" -> (DataPipeQueries.exactQuantiles _),
+    "q86_curated_mix" -> (DataPipeQueries.curatedMix _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -441,5 +442,6 @@ object SparkEntry {
     "q83_token_budget" -> DataPipeQueries.tokenBudgetOracle,
     "q84_source_overlap" -> DataPipeQueries.sourceOverlapOracle,
     "q85_exact_quantiles" -> DataPipeQueries.exactQuantilesOracle,
+    "q86_curated_mix" -> DataPipeQueries.curatedMixOracle,
   )
 }

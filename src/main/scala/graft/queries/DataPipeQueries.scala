@@ -442,6 +442,47 @@ object DataPipeQueries {
       |  WHERE rn = GREATEST(1, CAST(ceil(0.99 * n) AS BIGINT))
       |) ORDER BY q""".stripMargin
 
+  /** Composed training-data funnel (q86): the round-9 ops chained on
+    * top of the q54 curation — curate (lang → quality → near-dup
+    * survivors → 50% sample) → assign train/val/test bands → trim the
+    * TRAIN split to a 2000-char-per-source token budget. val/test ride
+    * through untrimmed (evaluation sets are never quota-cut). The
+    * ENTIRE composition is recomputed by the oracle — band keys,
+    * split CASE, budget cumsum — proving the operators compose without
+    * any engine-specific semantics leaking between stages. */
+  def curatedMix(s: SparkSession, d: String): DataFrame = {
+    val curated = Curation.curate(Tables.documents(s, d), md5Based = true)
+    val withSplit = Sampling.assignSplit(curated, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0), salt = "split")
+    val train = Packing.tokenBudgetSample(
+      withSplit.filter(col("split") === "train"), "source", "doc_id",
+      "n_chars", Map.empty, defaultBudget = 2000L, salt = "tb")
+    train.unionByName(withSplit.filter(col("split") =!= "train"))
+      .select(col("doc_id"), col("source"), col("split"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  def curatedMixOracle: String = {
+    val key = "substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)"
+    s"""WITH $curationCtes, sp AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CASE WHEN $key < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+       |         WHEN $key < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM samp
+       |), tr AS (
+       |  SELECT doc_id,
+       |    SUM(n_chars) OVER (PARTITION BY source
+       |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || 'tb'), 1, 8), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM sp WHERE split = 'train'
+       |)
+       |SELECT doc_id, source, split, n_chars FROM sp
+       |WHERE split <> 'train'
+       |   OR doc_id IN (SELECT doc_id FROM tr WHERE cum <= 2000)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Near-dup clusters (q55): transitive closure of the minhash
     * near-dup pairs via large-star/small-star connected components —
     * every document labeled with the min doc_id of its cluster,
@@ -549,8 +590,11 @@ object DataPipeQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
-  def curationOracle: String =
-    s"""WITH gated AS (
+  /** The q54 curation chain as reusable CTE text ending in `samp`
+    * (lang gate → quality gate → minhash survivors → 50% sample) —
+    * shared by [[curationOracle]] and the q86 composition oracle. */
+  private def curationCtes: String =
+    s"""gated AS (
       |  SELECT * FROM documents WHERE lang = 'en' AND length(trim(text)) > 0
       |), qual AS (
       |  SELECT * FROM gated
@@ -560,9 +604,14 @@ object DataPipeQueries {
       |), ${minhashPairsCtes("qual")}, surv AS (
       |  SELECT * FROM qual WHERE doc_id NOT IN (
       |    SELECT id_b FROM pairs WHERE n_inter >= 0.5 * (sum_len - n_inter))
-      |)
-      |SELECT doc_id, lang, n_chars FROM surv
-      |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+      |), samp AS (
+      |  SELECT * FROM surv
+      |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+      |)""".stripMargin
+
+  def curationOracle: String =
+    s"""WITH $curationCtes
+      |SELECT doc_id, lang, n_chars FROM samp
       |ORDER BY doc_id""".stripMargin
 
   /** Gaps-and-islands sessionization over the events stream table
