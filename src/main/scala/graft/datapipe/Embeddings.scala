@@ -1,0 +1,171 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** PCA dimensionality reduction for the embedding family — the
+  * "shrink 64-d vectors to 8-d before ANN / clustering" preprocessing
+  * step of an embedding pipeline.
+  *
+  * The distributed part — the covariance accumulation — is EXACT and
+  * partition-order-independent: each vector's contribution is scaled
+  * to fixed point (×2²⁰) and accumulated as LONG sums (integer
+  * addition commutes; float sums would make the basis depend on
+  * partition order and AQE re-plans). State is one long array of
+  * d + d(d+1)/2 + 1 entries per partition, merged associatively — a
+  * map-side-combining typed Aggregator, same scale shape as the KMV
+  * sketch. Overflow headroom: unit-scale components in fixed point are
+  * ~2²⁰, pair products ~2⁴⁰, so ~2²³ rows fit in a signed long — at
+  * larger corpora raise the bound by sharding the sum (not needed at
+  * this SF; asserted in the aggregator).
+  *
+  * The eigensolve runs on the driver over the d×d matrix (d = 64 →
+  * trivial): cyclic Jacobi rotations, deterministic given the exact
+  * integer covariance, eigenvectors sign-normalized so the basis is
+  * reproducible bit-for-bit across runs and partitionings.
+  *
+  * Projection is built-ins only (`transform` + `aggregate` over the
+  * vector column against literal basis rows) — no UDF, no encoder
+  * boundary.
+  *
+  * No DuckDB oracle (an eigensolve is not portably expressible in
+  * SQL); pinned by specs instead, like the PQ/IVF-PQ/LSH ANN variants:
+  * exact covariance vs brute force, partition invariance of the BASIS,
+  * orthonormality, variance ordering, and reconstruction-error
+  * monotonicity.
+  */
+object Embeddings {
+
+  val Fp: Long = 1L << 20
+
+  /** Accumulated exact moments: [n, s_0..s_{d-1}, upper-tri p_ij]
+    * in fixed point (s ×2²⁰, p ×2⁴⁰). */
+  final class MomentsAgg(d: Int)
+      extends Aggregator[Seq[Float], Array[Long], Array[Long]] {
+    private val len = 1 + d + d * (d + 1) / 2
+    override def zero: Array[Long] = new Array[Long](len)
+
+    override def reduce(buf: Array[Long], v: Seq[Float]): Array[Long] = {
+      require(v.length == d, s"expected $d dims, got ${v.length}")
+      val f = new Array[Long](d)
+      var i = 0
+      while (i < d) { f(i) = math.round(v(i).toDouble * Fp); i += 1 }
+      buf(0) += 1L
+      i = 0
+      var o = 1 + d
+      while (i < d) {
+        buf(1 + i) += f(i)
+        var j = i
+        while (j < d) { buf(o) += f(i) * f(j); o += 1; j += 1 }
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < len) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = Enc.arrayLong
+    override def outputEncoder: Encoder[Array[Long]] = Enc.arrayLong
+  }
+
+  private object Enc {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val arrayLong: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
+  /** (mean, covariance) from the exact fixed-point moments. */
+  def meanCovariance(emb: DataFrame, vecCol: String, d: Int)
+      : (Array[Double], Array[Array[Double]]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val m: Array[Long] = emb.select(col(vecCol)).as[Seq[Float]]
+      .select(new MomentsAgg(d).toColumn.name("m"))
+      .head()
+    val n = m(0).toDouble
+    require(n >= 2, "PCA needs at least 2 vectors")
+    val mean = Array.tabulate(d)(i => m(1 + i).toDouble / Fp / n)
+    val cov = Array.ofDim[Double](d, d)
+    var o = 1 + d
+    val fp2 = Fp.toDouble * Fp.toDouble
+    for (i <- 0 until d; j <- i until d) {
+      val e = m(o).toDouble / fp2 / n - mean(i) * mean(j)
+      cov(i)(j) = e; cov(j)(i) = e
+      o += 1
+    }
+    (mean, cov)
+  }
+
+  /** Top-k eigenvectors of a symmetric matrix by cyclic Jacobi —
+    * deterministic, rows are unit eigenvectors ordered by descending
+    * eigenvalue, sign-normalized (largest-|component| positive). */
+  def topEigenvectors(a0: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val d = a0.length
+    val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-14) {
+      off = 0.0
+      for (p <- 0 until d - 1; q <- p + 1 until d) {
+        off = math.max(off, math.abs(a(p)(q)))
+        if (math.abs(a(p)(q)) > 1e-15) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (i <- 0 until d) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+          }
+          for (i <- 0 until d) {
+            val api = a(p)(i); val aqi = a(q)(i)
+            a(p)(i) = c * api - s * aqi
+            a(q)(i) = s * api + c * aqi
+          }
+          for (i <- 0 until d) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    order.take(k).map { e =>
+      val vec = Array.tabulate(d)(i => v(i)(e))
+      // sign rule: the largest-|x| component is positive
+      val m = vec.indices.maxBy(i => math.abs(vec(i)))
+      if (vec(m) < 0) vec.map(x => -x) else vec
+    }.toArray
+  }
+
+  /** Append `outCol` = the k-dim PCA projection of `vecCol` (centered,
+    * `Array[Float]`), computed with built-in expressions against the
+    * literal basis. */
+  def project(emb: DataFrame, vecCol: String, outCol: String,
+              mean: Array[Double], basis: Array[Array[Double]]): DataFrame = {
+    val comps = basis.map { row =>
+      val terms = row.iterator.zipWithIndex.map { case (b, i) =>
+        // (v[i] - mean_i) * basis_i, all in double
+        s"(CAST($vecCol[$i] AS DOUBLE) - ${mean(i)}) * $b"
+      }.mkString(" + ")
+      expr(s"CAST(($terms) AS FLOAT)")
+    }
+    emb.withColumn(outCol, array(comps: _*))
+  }
+
+  /** End-to-end: fit the exact-covariance PCA basis and project. */
+  def pcaProject(emb: DataFrame, vecCol: String, d: Int, k: Int,
+                 outCol: String = "pca"): DataFrame = {
+    val (mean, cov) = meanCovariance(emb, vecCol, d)
+    project(emb, vecCol, outCol, mean, topEigenvectors(cov, k))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.datapipe
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+
+class EmbeddingsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** deterministic pseudo-random vectors with real covariance
+    * structure: dim 0 and 1 strongly correlated, rest small noise. */
+  def vecs(n: Int, d: Int = 8) = {
+    import spark.implicits._
+    (1 to n).map { r =>
+      val base = ((r * 2654435761L) % 1000).toFloat / 500f - 1f
+      (r.toLong, Seq.tabulate(d) { i =>
+        val noise = (((r * 48271L + i * 7919L) % 997).toFloat / 997f - 0.5f) * 0.1f
+        if (i == 0) base + noise
+        else if (i == 1) 0.8f * base + noise
+        else noise
+      })
+    }.toDF("id", "vec")
+  }
+
+  test("fixed-point covariance equals brute force and ignores partitioning") {
+    val df = vecs(300)
+    val rows: Array[Seq[Float]] = df.collect().map(_.getSeq[Float](1))
+    val (mean, cov) = Embeddings.meanCovariance(df, "vec", 8)
+    val (mean13, cov13) = Embeddings.meanCovariance(df.repartition(13), "vec", 8)
+    // partition invariance is EXACT (integer sums)
+    assert(mean.sameElements(mean13))
+    assert(cov.flatten[Double].sameElements(cov13.flatten[Double]))
+    // vs driver brute force in double precision, within fixed-point quantization
+    val n = rows.length.toDouble
+    val bfMean = Array.tabulate(8)(i => rows.map(_(i).toDouble).sum / n)
+    for (i <- 0 until 8) assert(math.abs(mean(i) - bfMean(i)) < 1e-5, s"mean $i")
+    for (i <- 0 until 8; j <- 0 until 8) {
+      val bf = rows.map(r => r(i).toDouble * r(j).toDouble).sum / n - bfMean(i) * bfMean(j)
+      assert(math.abs(cov(i)(j) - bf) < 1e-5, s"cov $i $j")
+    }
+  }
+
+  test("jacobi basis is orthonormal with descending captured variance") {
+    val df = vecs(400)
+    val (_, cov) = Embeddings.meanCovariance(df, "vec", 8)
+    val basis = Embeddings.topEigenvectors(cov, 4)
+    for (i <- 0 until 4; j <- i until 4) {
+      val dot = (0 until 8).map(t => basis(i)(t) * basis(j)(t)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9, s"dot $i $j")
+    }
+    // captured variance vᵀΣv descends with rank
+    val vars = basis.map(v => (0 until 8).map(i =>
+      (0 until 8).map(j => v(i) * cov(i)(j) * v(j)).sum).sum)
+    assert(vars.sliding(2).forall(w => w(0) >= w(1) - 1e-12), vars.mkString(","))
+    // the correlated (0,1) plane dominates: PC1 lives there
+    assert(math.abs(basis(0)(0)) > 0.5 && math.abs(basis(0)(1)) > 0.3,
+      basis(0).mkString(","))
+  }
+
+  test("projection is deterministic and reconstruction improves with k") {
+    val df = vecs(200)
+    def reconErr(k: Int): Double = {
+      val (mean, cov) = Embeddings.meanCovariance(df, "vec", 8)
+      val basis = Embeddings.topEigenvectors(cov, k)
+      val proj = Embeddings.project(df, "vec", "p", mean, basis)
+        .select("id", "vec", "p").collect()
+      proj.map { r =>
+        val v = r.getSeq[Float](1); val p = r.getSeq[Float](2)
+        (0 until 8).map { i =>
+          val rec = mean(i) + (0 until k).map(c => p(c) * basis(c)(i)).sum
+          val e = v(i) - rec; e * e
+        }.sum
+      }.sum
+    }
+    val e2 = reconErr(2); val e4 = reconErr(4); val e8 = reconErr(8)
+    assert(e2 >= e4 && e4 >= e8, s"$e2 $e4 $e8")
+    assert(e8 < 1e-6 * 200, s"full-rank reconstruction should be ~exact: $e8")
+    // end-to-end pcaProject: identical output on a different partitioning
+    val a = Embeddings.pcaProject(df, "vec", 8, 3).select("id", "pca")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = Embeddings.pcaProject(df.repartition(7), "vec", 8, 3).select("id", "pca")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a == b)
+  }
+
+  test("projection plan stays UDF-free") {
+    val df = vecs(50)
+    val p = Embeddings.pcaProject(df, "vec", 8, 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF") && !p.contains("DeserializeToObject"),
+      p.take(2000))
+  }
+
+  test("real embeddings table: 64-d basis fits and projects") {
+    val emb = graft.util.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Embeddings.pcaProject(emb, "embedding", 64, 8)
+    val rows = out.select("pca").collect()
+    assert(rows.forall(_.getSeq[Float](0).length == 8))
+    assert(rows.length == emb.count())
+  }
+}
