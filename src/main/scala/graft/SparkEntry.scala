@@ -103,6 +103,7 @@ object SparkEntry {
     "q84_source_overlap" -> (DataPipeQueries.sourceOverlap _),
     "q85_exact_quantiles" -> (DataPipeQueries.exactQuantiles _),
     "q86_curated_mix" -> (DataPipeQueries.curatedMix _),
+    "q87_stratified_weighted" -> (DataPipeQueries.stratifiedWeighted _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -443,5 +444,6 @@ object SparkEntry {
     "q84_source_overlap" -> DataPipeQueries.sourceOverlapOracle,
     "q85_exact_quantiles" -> DataPipeQueries.exactQuantilesOracle,
     "q86_curated_mix" -> DataPipeQueries.curatedMixOracle,
+    "q87_stratified_weighted" -> DataPipeQueries.stratifiedWeightedOracle,
   )
 }

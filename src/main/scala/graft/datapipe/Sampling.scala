@@ -95,6 +95,24 @@ object Sampling {
       .drop("__pri")
   }
 
+  /** Stratified WEIGHTED sampling: the per-stratum weighted top-k —
+    * "k documents per source, drawn ∝ weight" — combining [[weightedTopK]]'s
+    * A-ES priorities with the bounded-buffer [[TopK]] aggregator, so
+    * no per-stratum window sorts a whole (skewed) stratum on one task:
+    * ≤ k pairs per (stratum, partition) cross the one keyed exchange.
+    * Output (strataCol, rank, idCol); the float priority is internal
+    * only (not emitted — it is selection machinery, not data). */
+  def stratifiedWeightedTopK(df: DataFrame, strataCol: String, idCol: String,
+                             weightCol: String, k: Int,
+                             salt: String = ""): DataFrame = {
+    val u = (conv(hashKey(col(idCol), salt), 16, 10).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val scored = df.filter(col(weightCol).cast("double") > 0)
+      .withColumn("__pri", log(u) / col(weightCol).cast("double"))
+    TopK.topKPerGroupByScore(scored, strataCol, "__pri", idCol, k)
+      .drop("__pri")
+  }
+
   /** Stratified sample: per-stratum fractions (the data-mix weighting
     * op — up-/down-weight sources or languages), unlisted strata get
     * `defaultFraction`. The fractions dim is broadcast; the filter

@@ -81,6 +81,65 @@ object TopK {
   private object Enc {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val arrayLong: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    val pairs: Encoder[Seq[(Double, Long)]] = ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** Double-score sibling of [[TopKPairsAgg]] for scores that are not
+    * integers (sampling priorities, similarity scores). Same bounded
+    * buffer and (score desc, id asc) total order; the buffer encodes
+    * as array<struct<double,bigint>>. */
+  final class TopKDoubleAgg(k: Int)
+      extends Aggregator[(String, Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    require(k >= 1, "top-k needs k >= 1")
+    private def beforeD(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+      s1 > s2 || (s1 == s2 && i1 < i2)
+    override def zero: Seq[(Double, Long)] = Vector.empty
+
+    override def reduce(buf: Seq[(Double, Long)], row: (String, Double, Long)): Seq[(Double, Long)] = {
+      val s = row._2; val i = row._3
+      val p = buf.indexWhere { case (bs, bi) => beforeD(s, i, bs, bi) }
+      if (p < 0) { if (buf.size < k) buf :+ ((s, i)) else buf }
+      else (buf.take(p) :+ ((s, i))) ++ buf.drop(p).take(k - p - 1)
+    }
+
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val out = Vector.newBuilder[(Double, Long)]
+      var i = 0; var j = 0; var o = 0
+      val m = math.min(a.size + b.size, k)
+      while (o < m) {
+        val takeA = j >= b.size || (i < a.size &&
+          !beforeD(b(j)._1, b(j)._2, a(i)._1, a(i)._2))
+        if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
+        o += 1
+      }
+      out.result()
+    }
+
+    override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] = Enc.pairs
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] = Enc.pairs
+  }
+
+  /** Top `k` rows per group by a DOUBLE score (desc, id asc) →
+    * (group, rank, id, score). Same one-exchange partial-agg shape as
+    * [[topKPerGroup]]. */
+  def topKPerGroupByScore(df: DataFrame, groupCol: String, scoreCol: String,
+                          idCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df
+      .filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol).cast("string"),
+        col(scoreCol).cast("double"), col(idCol).cast("long"))
+      .as[(String, Double, Long)]
+    ds.groupByKey(_._1)
+      .agg(new TopKDoubleAgg(k).toColumn.name("top"))
+      .toDF(groupCol, "top")
+      .select(col(groupCol), posexplode(col("top")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as(idCol), col("col._1").as(scoreCol))
   }
 
   /** Top `k` rows per `groupCol` by (`scoreCol` desc, `idCol` asc) →

@@ -483,6 +483,28 @@ object DataPipeQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Stratified weighted sample (q87): 3 documents per source drawn
+    * ∝ n_chars — per-stratum A-ES priorities selected by the bounded
+    * double-score [[graft.datapipe.TopK]] aggregator (one keyed
+    * exchange, never a per-source window sort). Float margin: per
+    * source the rank-3/4 priority gap is orders above ln's cross-
+    * engine ULP drift (same argument as q78, verified by the hash
+    * gate at sf0.01 and sf0.1). */
+  def stratifiedWeighted(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedWeightedTopK(Tables.documents(s, d), "source",
+        "doc_id", "n_chars", k = 3, salt = "sw")
+      .orderBy(col("source"), col("rank"))
+
+  def stratifiedWeightedOracle: String =
+    """SELECT source, rank, doc_id FROM (
+      |  SELECT source, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY
+      |      ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'sw'), 1, 8) AS BIGINT) + 0.5)
+      |          / 4294967296.0) / CAST(n_chars AS DOUBLE) DESC, doc_id)
+      |      AS BIGINT) AS rank
+      |  FROM documents WHERE n_chars > 0
+      |) WHERE rank <= 3 ORDER BY source, rank""".stripMargin
+
   /** Near-dup clusters (q55): transitive closure of the minhash
     * near-dup pairs via large-star/small-star connected components —
     * every document labeled with the min doc_id of its cluster,

@@ -53,6 +53,31 @@ class TopKSpec extends AnyFunSuite {
     assert(got.count() == 7)
   }
 
+  test("double-score variant matches the window form across partitionings") {
+    import spark.implicits._
+    val df = (1 to 300).map { i =>
+      (s"g${i % 5}", ((i * 2654435761L) % 1000).toDouble / 7.0, i.toLong)
+    }.toDF("g", "s", "i")
+    val wf = df.withColumn("rank", row_number().over(
+        Window.partitionBy("g").orderBy(col("s").desc, col("i"))).cast("long"))
+      .filter(col("rank") <= 4).select("g", "rank", "i", "s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TopK.topKPerGroupByScore(d, "g", "s", "i", 4)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(run(df) == wf)
+    assert(run(df.repartition(11)) == wf)
+  }
+
+  test("double-score ties break by id") {
+    import spark.implicits._
+    val df = Seq(("g", 1.5, 9L), ("g", 1.5, 2L), ("g", 1.5, 5L))
+      .toDF("g", "s", "i")
+    val got = TopK.topKPerGroupByScore(df, "g", "s", "i", 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq.sortBy(_._1) == Seq((1L, 2L), (2L, 5L)))
+  }
+
   test("aggregator reduce/merge agree with a sort at every size") {
     val agg = new TopK.TopKPairsAgg(4)
     val pairs = (1 to 40).map(i => ((i * 48271L) % 17, i.toLong))

@@ -184,6 +184,12 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("q87 stratified weighted sample: partial agg, no per-source window") {
+    val p = plan("q87_stratified_weighted")
+    assert(p.contains("partial_topkdoubleagg"), p.take(3000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("q61 term filter sits below the first aggregate exchange") {
     // only postings matching the query terms are shuffled; the filter
     // must not migrate above the exchange
