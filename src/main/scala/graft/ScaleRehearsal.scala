@@ -84,7 +84,8 @@ object ScaleRehearsal {
       "q75_incremental_dedup", "q76_repetition", "q77_split_manifest",
       "q78_weighted_sample", "q79_topk_per_group", "q80_tfidf_keywords",
       "q81_heavy_hitters", "q82_dup_spans", "q83_token_budget",
-      "q84_source_overlap", "q86_curated_mix", "q87_stratified_weighted")
+      "q84_source_overlap", "q86_curated_mix", "q87_stratified_weighted",
+      "q88_split_leakage")
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     headline.foreach { name =>

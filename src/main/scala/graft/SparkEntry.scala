@@ -104,6 +104,7 @@ object SparkEntry {
     "q85_exact_quantiles" -> (DataPipeQueries.exactQuantiles _),
     "q86_curated_mix" -> (DataPipeQueries.curatedMix _),
     "q87_stratified_weighted" -> (DataPipeQueries.stratifiedWeighted _),
+    "q88_split_leakage" -> (DataPipeQueries.splitLeakage _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -445,5 +446,6 @@ object SparkEntry {
     "q85_exact_quantiles" -> DataPipeQueries.exactQuantilesOracle,
     "q86_curated_mix" -> DataPipeQueries.curatedMixOracle,
     "q87_stratified_weighted" -> DataPipeQueries.stratifiedWeightedOracle,
+    "q88_split_leakage" -> DataPipeQueries.splitLeakageOracle,
   )
 }

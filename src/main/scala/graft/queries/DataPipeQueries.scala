@@ -505,6 +505,49 @@ object DataPipeQueries {
       |  FROM documents WHERE n_chars > 0
       |) WHERE rank <= 3 ORDER BY source, rank""".stripMargin
 
+  /** Split-leakage audit (q88): near-duplicate pairs that STRADDLE
+    * the train/eval boundary — the eval-hygiene check a split manifest
+    * must pass (a test doc with a train near-dup inflates eval).
+    * Composition: the q13 exact-verified LSH pairs joined to the q77
+    * split assignment, keeping pairs whose sides land in different
+    * splits. Hash-band splits make this auditable BEFORE training;
+    * the oracle recomputes pairs AND assignment. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val pairs = DedupOps.minhashNearDupPairs(Tables.documents(s, d),
+      minJaccard = 0.5, md5Based = true)
+    val splits = Sampling.assignSplit(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0), salt = "split")
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "split_a"), Seq("id_a"))
+      .join(splits.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "split_b"), Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def splitLeakageOracle: String = {
+    val key = "substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)"
+    s"""WITH ${minhashPairsCtes("documents")}, np AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  WHERE n_inter >= 0.5 * (sum_len - n_inter)
+       |), sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $key < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+       |         WHEN $key < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |)
+       |SELECT p.id_a, p.id_b, a.split AS split_a, b.split AS split_b
+       |FROM np p
+       |JOIN sp a ON a.doc_id = p.id_a
+       |JOIN sp b ON b.doc_id = p.id_b
+       |WHERE a.split <> b.split
+       |ORDER BY p.id_a, p.id_b""".stripMargin
+  }
+
   /** Near-dup clusters (q55): transitive closure of the minhash
     * near-dup pairs via large-star/small-star connected components —
     * every document labeled with the min doc_id of its cluster,
