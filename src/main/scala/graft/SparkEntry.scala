@@ -105,6 +105,7 @@ object SparkEntry {
     "q86_curated_mix" -> (DataPipeQueries.curatedMix _),
     "q87_stratified_weighted" -> (DataPipeQueries.stratifiedWeighted _),
     "q88_split_leakage" -> (DataPipeQueries.splitLeakage _),
+    "q89_span_removal" -> (DataPipeQueries.spanRemoval _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -447,5 +448,6 @@ object SparkEntry {
     "q86_curated_mix" -> DataPipeQueries.curatedMixOracle,
     "q87_stratified_weighted" -> DataPipeQueries.stratifiedWeightedOracle,
     "q88_split_leakage" -> DataPipeQueries.splitLeakageOracle,
+    "q89_span_removal" -> DataPipeQueries.spanRemovalOracle,
   )
 }

@@ -61,6 +61,70 @@ object Spans {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Exact-substring span REMOVAL (Lee et al. 2022's dedup action,
+    * not just the measurement): every occurrence of a duplicated
+    * `n`-token span except the corpus-wide FIRST is removed from the
+    * text. "First" is the deterministic keep-first policy: for each
+    * duplicated span hash, the keeper occurrence is the minimum
+    * (doc, offset) pair — so intra-document repeats after the first
+    * are removed too, and the output is independent of partitioning.
+    * A token is dropped iff at least one non-keeper occurrence of a
+    * duplicated span covers it.
+    *
+    * Returns (idCol, n_tokens, n_kept, clean_text) where clean_text
+    * is the surviving tokens (lowercased, whitespace-normalized — the
+    * shared corpus token space) joined by single spaces; documents
+    * shorter than `n` tokens pass through untouched (in token space).
+    *
+    * Shape — fully relational, no per-document quadratic work: span
+    * hashing is codegen'd (`transform`/`md5`/`slice`), the keeper is
+    * one `min(struct(doc, offset))` partial aggregate per span hash,
+    * removed token positions explode from non-keeper occurrences
+    * (fan-out exactly n per occurrence), and survivors come from a
+    * LEFT ANTI join on (doc, position) — every stage shuffles on a
+    * key (span hash or doc id) with per-key state bounded by document
+    * length. At 100 TB this is the same span⇄count topology as
+    * [[dupSpanMetrics]] plus one keyed anti-join; boilerplate-heavy
+    * hot spans are the AQE skew-join case, never a driver problem. */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String,
+                           textCol: String, n: Int): DataFrame = {
+    require(n >= 2, "span length must be >= 2 tokens")
+    val withToks = docs.select(col(idCol), toks(col(textCol)).as("ts"))
+    val spanStructs = when(size(col("ts")) >= n,
+      transform(sequence(lit(1), size(col("ts")) - (n - 1)),
+        i => struct(i.as("i"),
+          substring(md5(concat_ws(" ", slice(col("ts"), i, lit(n)))), 1, 16)
+            .as("h"))))
+      .otherwise(expr("CAST(array() AS array<struct<i:int,h:string>>)"))
+    val occ = withToks
+      .select(col(idCol).as("__d"), explode(spanStructs).as("s"))
+      .select(col("__d"), col("s.i").as("i"), col("s.h").as("h"))
+    // Keeper per duplicated hash: global min (doc, offset). One
+    // partial-aggregated pass over the span stream.
+    val keep = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ_n"),
+        min(struct(col("__d"), col("i"))).as("k"))
+    // Token positions covered by a non-keeper occurrence of a dup span.
+    val removed = occ.join(keep, Seq("h"))
+      .filter(col("occ_n") > 1 &&
+        !(col("__d") === col("k.__d") && col("i") === col("k.i")))
+      .select(col("__d"), explode(sequence(col("i"), col("i") + (n - 1)))
+        .as("j"))
+    val tokenPos = withToks
+      .select(col(idCol).as("__d"), posexplode(col("ts")).as(Seq("j0", "tok")))
+      .select(col("__d"), (col("j0") + 1).as("j"), col("tok"))
+    val kept = tokenPos.join(removed, Seq("__d", "j"), "left_anti")
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("j"),
+          col("tok")))), p => p("tok"))).as("clean_text"))
+    withToks.select(col(idCol), size(col("ts")).cast("long").as("n_tokens"))
+      .join(kept.withColumnRenamed("__d", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Per-document span duplication metrics: (idCol, n_spans,
     * n_dup_spans) where spans are all `n`-token windows and a span is
     * dup if its hash occurs more than once in the whole corpus

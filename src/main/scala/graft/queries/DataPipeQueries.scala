@@ -356,6 +356,52 @@ object DataPipeQueries {
        |LEFT JOIN c ON c.h = sp.h
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** Span REMOVAL (q89): the dedup ACTION behind q82's measurement —
+    * every occurrence of a duplicated 8-token span after the corpus-
+    * wide first (keep-first by min (doc_id, offset)) is dropped and
+    * the surviving tokens re-joined. The oracle replays the identical
+    * policy with window functions over the same md5 span hashes;
+    * clean text is compared via md5 so the gate stays compact. */
+  def spanRemoval(s: SparkSession, d: String): DataFrame =
+    Spans.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+        n = 8)
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  def spanRemovalOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
+       |  FROM documents
+       |), sp AS (
+       |  SELECT doc_id, i, substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16) AS h
+       |  FROM tok, UNNEST(range(1, len(toks) - 6)) t(i)
+       |  WHERE len(toks) >= 8
+       |), k AS (
+       |  SELECT doc_id, i,
+       |    count(*) OVER (PARTITION BY h) AS occ,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+       |  FROM sp
+       |), rem AS (
+       |  SELECT DISTINCT doc_id, i + d AS j
+       |  FROM k, UNNEST(range(0, 8)) o(d)
+       |  WHERE occ > 1 AND rn > 1
+       |), tp AS (
+       |  SELECT doc_id, j, toks[j] AS tok
+       |  FROM tok, UNNEST(range(1, len(toks) + 1)) t(j)
+       |), kept AS (
+       |  SELECT tp.doc_id, tp.j, tp.tok
+       |  FROM tp LEFT JOIN rem ON rem.doc_id = tp.doc_id AND rem.j = tp.j
+       |  WHERE rem.j IS NULL
+       |)
+       |SELECT t.doc_id,
+       |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(count(kept.j), 0) AS BIGINT) AS n_kept,
+       |  md5(COALESCE(string_agg(kept.tok, ' ' ORDER BY kept.j), '')) AS clean_md5
+       |FROM tok t LEFT JOIN kept ON kept.doc_id = t.doc_id
+       |GROUP BY t.doc_id, t.toks
+       |ORDER BY t.doc_id""".stripMargin
+
   /** Token-budget sampling (q83): per-source token quotas filled in
     * deterministic hash order — src0 gets 6000 chars, src1 2000,
     * everything else 4000. The banded prefix sum keeps the running

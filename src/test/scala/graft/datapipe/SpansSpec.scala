@@ -68,4 +68,49 @@ class SpansSpec extends AnyFunSuite {
     val got = run(df, 4)
     assert(got(1L) == ((1L, 1L)) && got(2L) == ((1L, 1L)))
   }
+
+  def runRemoval(df: org.apache.spark.sql.DataFrame, n: Int) =
+    Spans.removeDuplicateSpans(df, "id", "text", n)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+
+  test("removal keeps the corpus-wide first occurrence, drops the rest") {
+    // "b c d" occurs at (doc1, off2) and (doc2, off1); keeper is doc1
+    val df = docs((1L, "a b c d"), (2L, "b c d e"), (3L, "x y z w"))
+    val got = runRemoval(df, 3)
+    assert(got(1L) == ((4L, 4L, "a b c d")))
+    assert(got(2L) == ((4L, 1L, "e")))
+    assert(got(3L) == ((4L, 4L, "x y z w")))
+  }
+
+  test("intra-document repeats after the first are removed") {
+    // spans(n=2): "p q"@1,3,5 and "q p"@2,4 — keepers @1 and @2, so
+    // removable occurrences cover positions {3,4,5,6} (overlapping)
+    val df = docs((1L, "p q p q p q"))
+    assert(runRemoval(df, 2)(1L) == ((6L, 2L, "p q")))
+  }
+
+  test("overlapping duplicated spans union their covered positions") {
+    // doc2 shares abc/bcd/cde with doc1 (all kept in doc1); the three
+    // overlapping removable occurrences in doc2 cover positions 1-5
+    val df = docs((1L, "a b c d e"), (2L, "a b c d e x"))
+    val got = runRemoval(df, 3)
+    assert(got(1L) == ((5L, 5L, "a b c d e")))
+    assert(got(2L) == ((6L, 1L, "x")))
+  }
+
+  test("a fully-duplicated document empties out; keeper doc survives") {
+    val df = docs((1L, "a b c"), (2L, "a b c"))
+    val got = runRemoval(df, 3)
+    assert(got(1L) == ((3L, 3L, "a b c")))
+    assert(got(2L) == ((3L, 0L, "")))
+  }
+
+  test("documents shorter than n pass through in normalized token space") {
+    val df = docs((1L, "One  Two"), (2L, ""))
+    val got = runRemoval(df, 3)
+    assert(got(1L) == ((2L, 2L, "one two")))
+    assert(got(2L) == ((0L, 0L, "")))
+  }
 }
