@@ -106,6 +106,7 @@ object SparkEntry {
     "q87_stratified_weighted" -> (DataPipeQueries.stratifiedWeighted _),
     "q88_split_leakage" -> (DataPipeQueries.splitLeakage _),
     "q89_span_removal" -> (DataPipeQueries.spanRemoval _),
+    "q90_bpe_encode" -> (DataPipeQueries.bpeEncode _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -449,5 +450,6 @@ object SparkEntry {
     "q87_stratified_weighted" -> DataPipeQueries.stratifiedWeightedOracle,
     "q88_split_leakage" -> DataPipeQueries.splitLeakageOracle,
     "q89_span_removal" -> DataPipeQueries.spanRemovalOracle,
+    "q90_bpe_encode" -> DataPipeQueries.bpeEncodeOracle,
   )
 }

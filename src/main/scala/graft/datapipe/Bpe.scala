@@ -1,0 +1,155 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained byte-pair-encoding tokenizer (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units"):
+  * learn a bounded merge table from corpus word frequencies, then
+  * encode every document with it — so token-budget operators can
+  * budget in REAL learned subword tokens instead of whitespace / char
+  * proxies.
+  *
+  * Scale shape (the HuggingFace-trainer topology, Spark-first):
+  *  - ONE distributed exact word-count shuffle builds the histogram;
+  *    the merge loop then runs on the top-`topK` (count desc, word
+  *    asc) rows only — a bounded `TakeOrderedAndProject` collect
+  *    (same discipline as the ANN training samples), never the
+  *    corpus. Per-iteration work is O(topK · word-len) driver-local.
+  *  - Encode is fully DISTRIBUTED and codegen'd, no UDF: a word's
+  *    segmentation is a U+0001-delimited symbol string where EVERY
+  *    symbol carries its own separator pair (`⟨S⟩a⟨S⟩⟨S⟩b⟨S⟩`…), and
+  *    applying merge (a,b) is a literal `replace` of `⟨S⟩a⟨S⟩⟨S⟩b⟨S⟩`
+  *    with `⟨S⟩ab⟨S⟩` — string replace's left-to-right
+  *    non-overlapping scan IS greedy BPE application. The per-symbol
+  *    separator PAIR matters: with a single shared boundary
+  *    separator the scan would consume it and the next adjacent
+  *    occurrence could not match (replace scans the original string,
+  *    not its output), silently diverging from greedy semantics —
+  *    spec-pinned on `aaaa`. The whole merge table becomes a chain
+  *    of `replace` calls inside one whole-stage-codegen projection.
+  *  - Encode cost is ∝ DISTINCT words, not corpus tokens: the chain
+  *    runs once per histogram row, then a keyed join fans the
+  *    encodings back onto the token stream.
+  *
+  * Deterministic by construction: exact integer counts, (count desc,
+  * word asc) top-K, (count desc, pair asc) merge choice — the merge
+  * table is independent of partitioning (spec-pinned). The DuckDB
+  * oracle replays the identical procedure stage by stage.
+  *
+  * Deviations from classic BPE, both documented and mirrored in the
+  * oracle: no end-of-word marker (merges never cross word
+  * boundaries, so the marker only relabels final symbols), and
+  * merging stops when no pair reaches corpus weight 2 (a weight-1
+  * merge could never recur). Precondition: tokens must not contain
+  * U+0001/U+0002 (true of the whitespace-tokenized corpus space).
+  */
+object Bpe {
+
+  /** Symbol-boundary separator for the delimited segmentation
+    * string; U+0002 serves as a never-matching replace pattern when
+    * the merge table is exhausted mid-chain (oracle side only). */
+  val Sep = "\u0001"
+
+  /** Lowercased whitespace tokens — the corpus token space every
+    * text op here shares. */
+  private def toks(textCol: Column): Column =
+    filter(split(lower(textCol), graft.util.Tok.WS), t => t =!= "")
+
+  /** Exact (word, cnt) histogram — the one corpus-wide shuffle. */
+  def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(toks(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Greedy left-to-right application of one merge to a symbol
+    * sequence — exactly the semantics of a non-overlapping string
+    * `replace` on the delimited form (the encode path and the DuckDB
+    * oracle both use the replace form; this is its vector twin for
+    * the driver-local training loop). */
+  private[datapipe] def applyMerge(syms: Vector[String], a: String,
+                                   b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Learn up to `numMerges` merges from the top-`topK` histogram
+    * rows. Returns the ordered merge table. */
+  def train(hist: DataFrame, topK: Int, numMerges: Int)
+      : Seq[(String, String)] = {
+    require(topK > 0 && numMerges >= 0)
+    val top = hist.orderBy(col("cnt").desc, col("word").asc)
+      .limit(topK).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var segs: Array[(Vector[String], Long)] =
+      top.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val merges = Seq.newBuilder[(String, String)]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      val counts = collection.mutable.LinkedHashMap
+        .empty[(String, String), Long]
+      segs.foreach { case (sy, c) =>
+        var i = 0
+        while (i + 1 < sy.length) {
+          val p = (sy(i), sy(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      val eligible = counts.iterator.filter(_._2 >= 2L).toVector
+      if (eligible.isEmpty) exhausted = true
+      else {
+        // ORDER BY n DESC, a ASC, b ASC LIMIT 1 — the oracle's pick
+        val ((a, b), _) = eligible.minBy { case ((pa, pb), n) =>
+          (-n, pa, pb)
+        }
+        merges += ((a, b))
+        segs = segs.map { case (sy, c) => (applyMerge(sy, a, b), c) }
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Delimited segmentation string for `wordCol` after applying the
+    * whole merge table — a codegen'd chain of literal replaces. */
+  def segmentExpr(wordCol: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(
+      regexp_replace(wordCol, "(.)", Sep + "$1" + Sep)) {
+      case (c, (a, b)) =>
+        replace(c, lit(Sep + a + Sep + Sep + b + Sep), lit(Sep + a + b + Sep))
+    }
+
+  /** Encode every document: (idCol, n_words, n_bpe_tokens, bpe_text)
+    * where bpe_text is the space-joined subword stream. Distinct
+    * words are encoded once (the replace chain runs per histogram
+    * row), then joined back onto the positional token stream. */
+  def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
+                 merges: Seq[(String, String)]): DataFrame = {
+    val withToks = docs.select(col(idCol), toks(col(textCol)).as("ts"))
+    val tokenPos = withToks
+      .select(col(idCol).as("__d"), posexplode(col("ts")).as(Seq("j", "word")))
+    val syms = filter(split(segmentExpr(col("word"), merges), Sep),
+      x => x =!= "")
+    val enc = withToks.select(explode(col("ts")).as("word")).distinct()
+      .select(col("word"), concat_ws(" ", syms).as("symstr"),
+        size(syms).cast("long").as("n_syms"))
+    val perDoc = tokenPos.join(enc, Seq("word"))
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("j"),
+          col("symstr")))), p => p("symstr"))).as("bpe_text"))
+    docs.select(col(idCol))
+      .join(perDoc.withColumnRenamed("__d", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("bpe_text"), lit("")).as("bpe_text"))
+  }
+}

@@ -402,6 +402,85 @@ object DataPipeQueries {
        |GROUP BY t.doc_id, t.toks
        |ORDER BY t.doc_id""".stripMargin
 
+  /** Trained BPE (q90): learn a 24-merge table from the exact corpus
+    * word histogram (top-256 words train) and encode every document
+    * with it — real learned subword tokens, not a proxy count. The
+    * oracle REPLAYS THE ENTIRE TRAINING in DuckDB: a generated chain
+    * of 24 CTE stages, each counting symbol pairs over the previous
+    * segmentation, picking the same (count desc, pair asc) merge, and
+    * applying it with the same boundary-delimited string replace the
+    * engine codegen uses — so a single bit of divergence anywhere in
+    * training or encode flips every downstream hash. BMP fidelity
+    * note: Java regex `(.)` and RE2 `(.)` both split per codepoint;
+    * the corpus token space is ASCII (see MinhashMirrorSql for the
+    * same convention). */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = Bpe.train(Bpe.wordHistogram(docs, "text"),
+      topK = BpeTopK, numMerges = BpeMerges)
+    Bpe.encodeDocs(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        md5(col("bpe_text")).as("bpe_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val BpeTopK = 256
+  private val BpeMerges = 24
+
+  def bpeEncodeOracle: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
+       |  FROM documents
+       |), w AS MATERIALIZED (
+       |  SELECT doc_id, i, toks[i] AS word
+       |  FROM tok, UNNEST(range(1, len(toks) + 1)) t(i)
+       |), hist AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+       |    row_number() OVER (ORDER BY count(*) DESC, word ASC) AS rank
+       |  FROM w GROUP BY word
+       |), seg0 AS MATERIALIZED (
+       |  SELECT word, cnt, rank,
+       |    regexp_replace(word, '(.)', chr(1) || '\\1' || chr(1), 'g') AS s
+       |  FROM hist
+       |)""".stripMargin
+    for (k <- 0 until BpeMerges) {
+      sb ++= s"""
+       |, p$k AS (
+       |  SELECT sy[i] AS a, sy[i+1] AS b, SUM(cnt) AS n
+       |  FROM (SELECT cnt, list_filter(string_split(s, chr(1)), x -> x <> '') AS sy
+       |        FROM seg$k WHERE rank <= $BpeTopK),
+       |    UNNEST(range(1, len(sy))) t(i)
+       |  GROUP BY 1, 2 HAVING SUM(cnt) >= 2
+       |), m$k AS MATERIALIZED (
+       |  SELECT chr(1) || a || chr(1) || chr(1) || b || chr(1) AS pat,
+       |         chr(1) || a || b || chr(1) AS rep
+       |  FROM p$k ORDER BY n DESC, a ASC, b ASC LIMIT 1
+       |), seg${k + 1} AS MATERIALIZED (
+       |  SELECT word, cnt, rank,
+       |    replace(s, COALESCE((SELECT pat FROM m$k), chr(2)),
+       |               COALESCE((SELECT rep FROM m$k), chr(2))) AS s
+       |  FROM seg$k
+       |)""".stripMargin
+    }
+    sb ++= s"""
+       |, enc AS MATERIALIZED (
+       |  SELECT word,
+       |    array_to_string(list_filter(string_split(s, chr(1)), x -> x <> ''), ' ') AS symstr,
+       |    CAST(len(list_filter(string_split(s, chr(1)), x -> x <> '')) AS BIGINT) AS n_syms
+       |  FROM seg$BpeMerges
+       |)
+       |SELECT t.doc_id,
+       |  CAST(COUNT(w.word) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(SUM(enc.n_syms), 0) AS BIGINT) AS n_bpe_tokens,
+       |  md5(COALESCE(string_agg(enc.symstr, ' ' ORDER BY w.i), '')) AS bpe_md5
+       |FROM tok t
+       |LEFT JOIN w ON w.doc_id = t.doc_id
+       |LEFT JOIN enc ON enc.word = w.word
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+    sb.result()
+  }
+
   /** Token-budget sampling (q83): per-source token quotas filled in
     * deterministic hash order — src0 gets 6000 chars, src1 2000,
     * everything else 4000. The banded prefix sum keeps the running
