@@ -42,6 +42,30 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("batched ranks agree with the sorted order statistics") {
+    val vs = (1 to 400).map(i => (i * 40503L) % 9001 - 4500)
+    val sorted = vs.sorted
+    val ks = Seq(1L, 7L, 200L, 399L, 400L)
+    val got = Quantiles.kthSmallestBatch(df(vs), "v", ks)
+    for (k <- ks) assert(got(k) == sorted(k.toInt - 1), s"k=$k")
+  }
+
+  test("three quantiles share one walk: 8 histogram rounds, not 24") {
+    val d = df((1 to 1000).map(_.toLong))
+    val sc = spark.sparkContext
+    sc.setJobGroup("quantile-walk-spec", "shared-walk job count", false)
+    try {
+      Quantiles.exactQuantiles(d, "v",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)).collect()
+    } finally sc.clearJobGroup()
+    val jobs = sc.statusTracker.getJobIdsForGroup("quantile-walk-spec").length
+    // 1 count + 8 shared rounds, with AQE splitting each aggregate
+    // into ~2 jobs (map stage + result) → ~19 observed. The un-batched
+    // walk was 1 count + 3×8 rounds → ~50 jobs under the same
+    // accounting, so <=20 pins the 3× reduction.
+    assert(jobs <= 20, s"expected a shared walk (<=20 jobs), saw $jobs")
+  }
+
   test("exactQuantiles ranks at ceil(q*n)") {
     val vs = (1 to 100).map(_.toLong)
     val got = Quantiles.exactQuantiles(df(vs), "v",
