@@ -39,19 +39,38 @@ object Embeddings {
 
   val Fp: Long = 1L << 20
 
-  /** Accumulated exact moments: [n, s_0..s_{d-1}, upper-tri p_ij]
-    * in fixed point (s ×2²⁰, p ×2⁴⁰). */
+  /** Accumulated exact moments: [n, s_0..s_{d-1}, upper-tri p_ij,
+    * max|f|] in fixed point (s ×2²⁰, p ×2⁴⁰). The trailing slot
+    * tracks the largest |component| seen (fixed-point), which makes
+    * the scaladoc'd overflow bound an enforced invariant: every
+    * accumulated pair sum is bounded by n·max|f|², so requiring
+    * n·max|f|² < 2⁶² guarantees no Long overflow anywhere in the
+    * buffer (with 2× headroom). Larger corpora must shard the sum. */
   final class MomentsAgg(d: Int)
       extends Aggregator[Seq[Float], Array[Long], Array[Long]] {
-    private val len = 1 + d + d * (d + 1) / 2
+    private val len = 2 + d + d * (d + 1) / 2
+    private val maxSlot = len - 1
     override def zero: Array[Long] = new Array[Long](len)
+
+    private def checkHeadroom(n: Long, maxAbs: Long): Unit =
+      require(
+        maxAbs < (1L << 31) &&
+          (maxAbs == 0L || n < (1L << 62) / maxAbs / maxAbs),
+        s"MomentsAgg overflow bound exceeded (n=$n, max|f|=$maxAbs fixed-point): " +
+          "n*max|f|^2 must stay below 2^62 — shard the covariance sum")
 
     override def reduce(buf: Array[Long], v: Seq[Float]): Array[Long] = {
       require(v.length == d, s"expected $d dims, got ${v.length}")
       val f = new Array[Long](d)
       var i = 0
-      while (i < d) { f(i) = math.round(v(i).toDouble * Fp); i += 1 }
+      while (i < d) {
+        f(i) = math.round(v(i).toDouble * Fp)
+        val a = math.abs(f(i))
+        if (a > buf(maxSlot)) buf(maxSlot) = a
+        i += 1
+      }
       buf(0) += 1L
+      checkHeadroom(buf(0), buf(maxSlot))
       i = 0
       var o = 1 + d
       while (i < d) {
@@ -65,7 +84,9 @@ object Embeddings {
 
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
       var i = 0
-      while (i < len) { a(i) += b(i); i += 1 }
+      while (i < maxSlot) { a(i) += b(i); i += 1 }
+      a(maxSlot) = math.max(a(maxSlot), b(maxSlot))
+      checkHeadroom(a(0), a(maxSlot))
       a
     }
 

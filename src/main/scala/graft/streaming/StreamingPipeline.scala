@@ -114,13 +114,19 @@ object StreamingPipeline {
       return // replayed batch: already fully applied
     val postingsRoot = new org.apache.hadoop.fs.Path(root, "postings")
     val textsRoot = new org.apache.hadoop.fs.Path(root, "texts")
+    // a crashed attempt may have left THIS batch's own (uncommitted —
+    // the novel dir above is the commit marker, written last) postings/
+    // texts behind, possibly with truncated part-files that would fail
+    // the root reads below; clear them before reading state
+    for (stale <- Seq(new org.apache.hadoop.fs.Path(postingsRoot, s"batch_id=$batchId"),
+        new org.apache.hadoop.fs.Path(textsRoot, s"batch_id=$batchId")))
+      if (fs.exists(stale)) fs.delete(stale, true)
     val hasCorpus = fs.exists(postingsRoot) &&
       fs.listStatus(postingsRoot).nonEmpty
     val b = batch.select(col(idCol), col(textCol)).cache()
-    // batch_id < current: a crashed attempt may have left THIS batch's
-    // own postings behind (the novel dir is the commit marker, written
-    // last) — probing them would make every batch doc a near-dup of
-    // itself on replay
+    // batch_id < current: defense in depth on top of the cleanup above
+    // — probing this batch's own leftovers would make every batch doc
+    // a near-dup of itself on replay
     val index =
       if (hasCorpus) spark.read.parquet(postingsRoot.toString)
         .filter(col("batch_id") < batchId)

@@ -40,6 +40,22 @@ class EmbeddingsSpec extends AnyFunSuite {
     }
   }
 
+  test("moments aggregator rejects inputs past the Long-overflow bound") {
+    import spark.implicits._
+    // |f| = 2^21·2^20 = 2^41 fixed-point ⇒ one pair product 2^82 would
+    // silently wrap; the headroom guard must throw instead
+    val big = Seq((1L, Seq.tabulate(4)(_ => (1 << 21).toFloat))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      Embeddings.meanCovariance(big, "vec", 4)
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("overflow bound")), msgs(e).mkString(" | "))
+    // unit-scale vectors stay comfortably inside the bound
+    val ok = vecs(50, 4)
+    Embeddings.meanCovariance(ok, "vec", 4)
+  }
+
   test("jacobi basis is orthonormal with descending captured variance") {
     val df = vecs(400)
     val (_, cov) = Embeddings.meanCovariance(df, "vec", 8)

@@ -285,6 +285,23 @@ class StreamingPipelineSpec extends AnyFunSuite {
       .filter(col("batch_id") === 2).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(novel2 == Set(60L), novel2)
+
+    // crash recovery: a batch-3 attempt that died mid-write left a
+    // TRUNCATED parquet part-file in its uncommitted postings/texts
+    // dirs (no novel/_SUCCESS) — replay must clear them, not choke on
+    // the root read
+    for (sub <- Seq("postings", "texts")) {
+      val stale = java.nio.file.Paths.get(dir, sub, "batch_id=3")
+      java.nio.file.Files.createDirectories(stale)
+      java.nio.file.Files.write(stale.resolve("part-00000.snappy.parquet"),
+        Array[Byte]('P', 'A', 'R', '1', 0x13, 0x37))
+    }
+    val b3 = Seq((70L, words(6, 40).mkString(" "))).toDF("doc_id", "text")
+    StreamingPipeline.applyNearDupBatch(b3, 3L, dir, "doc_id", "text", 0.5)
+    val novel3 = spark.read.parquet(s"$dir/novel")
+      .filter(col("batch_id") === 3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(novel3 == Set(70L), novel3)
   }
 
   test("stream-stream interval join attributes conversions to recent clicks") {
