@@ -107,6 +107,8 @@ object SparkEntry {
     "q88_split_leakage" -> (DataPipeQueries.splitLeakage _),
     "q89_span_removal" -> (DataPipeQueries.spanRemoval _),
     "q90_bpe_encode" -> (DataPipeQueries.bpeEncode _),
+    "q91_nonascii_minhash" -> (DataPipeQueries.nonAsciiMinhash _),
+    "q92_image_neardup" -> (DataPipeQueries.imageNearDup _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -451,5 +453,7 @@ object SparkEntry {
     "q88_split_leakage" -> DataPipeQueries.splitLeakageOracle,
     "q89_span_removal" -> DataPipeQueries.spanRemovalOracle,
     "q90_bpe_encode" -> DataPipeQueries.bpeEncodeOracle,
+    "q91_nonascii_minhash" -> DataPipeQueries.nonAsciiMinhashOracle,
+    "q92_image_neardup" -> DataPipeQueries.imageNearDupOracle,
   )
 }

@@ -330,16 +330,26 @@ object DedupOps {
       idCol: String = "doc_id",
       textCol: String = "text",
       md5Based: Boolean = false): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 31, s"maxHamming out of range: $maxHamming")
-    val blocks = maxHamming + 1
-    val width = 64 / blocks
-    // 1L << 64 wraps to 1 in JVM shift semantics; width==64 needs -1L
-    val mask = if (width == 64) -1L else (1L << width) - 1
     // null-text docs have a null simhash: drop them (the oracle's sim
     // CTE filters them identically); token-less non-null docs keep
     // simhash 0 on both engines
     val sh = simhashes(docs, idCol, textCol, md5Based)
       .filter(col("simhash").isNotNull)
+    hammingNearDupPairs(sh, maxHamming)
+  }
+
+  /** Hash-agnostic core of [[simhashNearDupPairs]]: all (id_a, id_b,
+    * hamming ≤ maxHamming) pairs over a `(id, simhash)` relation of
+    * 64-bit hashes — simhash, perceptual dHash ([[Perceptual]]), or
+    * any other hamming-space fingerprint. Same exact pigeonhole
+    * blocking, shared so every hamming-space family gets the
+    * no-all-pairs scale shape for free. */
+  def hammingNearDupPairs(sh: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31, s"maxHamming out of range: $maxHamming")
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    // 1L << 64 wraps to 1 in JVM shift semantics; width==64 needs -1L
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val groups = sh.groupBy(col("simhash")).agg(collect_list(col("id")).as("ids"))
 
     // 1) intra-group: identical simhash ⇒ hamming 0

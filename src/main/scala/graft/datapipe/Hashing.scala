@@ -17,12 +17,28 @@ object Hashing {
     z ^ (z >>> 31)
   }
 
-  /** FNV-1a 64-bit over a string's UTF-16 chars (no allocation). */
+  /** FNV-1a 64-bit over a string's Unicode CODEPOINTS (no allocation).
+    * Codepoint folding — a surrogate pair folds as one value — keeps
+    * the hash identical to the DuckDB oracle mirror's `ord()` fold
+    * ([[graft.queries.MinhashMirrorSql]]) on ALL text, astral plane
+    * included; for BMP text it coincides with the historical UTF-16
+    * per-char fold, so every ASCII-corpus hash is unchanged.
+    * Unpaired surrogates fold as their own char value (same as
+    * String#codePointAt's lenient contract). */
   def fnv64(s: CharSequence): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) {
-      h ^= s.charAt(i)
+      val c = s.charAt(i)
+      var cp: Int = c
+      if (Character.isHighSurrogate(c) && i + 1 < s.length) {
+        val lo = s.charAt(i + 1)
+        if (Character.isLowSurrogate(lo)) {
+          cp = Character.toCodePoint(c, lo)
+          i += 1
+        }
+      }
+      h ^= cp
       h *= 0x100000001b3L
       i += 1
     }

@@ -192,6 +192,49 @@ object DataPipeQueries {
       |  CAST(SUM(CAST(floor((((doc_id * 7 + i * 37) % 65536) - 32768) / 256.0) AS BIGINT) + 128) AS BIGINT) AS sum_bytes
       |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** Perceptual image near-dup (q92): one REAL PNG per document
+    * (xor-mixed synthetic pixels, docs id % 10 == 1 planted as noisy
+    * near-dups of id − 1), decoded through the real `javax.imageio`
+    * path, dHashed, and paired by the exact hamming pigeonhole
+    * blocking at maxHamming = 8 (planted pairs measure ≤ 3, unrelated
+    * pairs ≥ 14). The oracle never parses PNG — the RGB-gray encode →
+    * BT.601 luminance loop is integer-lossless, so it recomputes the
+    * pixels, 9×8 cell sums, dHash bits, and brute-force hamming
+    * arithmetically ([[graft.datapipe.Perceptual]]). */
+  def imageNearDup(s: SparkSession, d: String): DataFrame =
+    Perceptual.imageNearDupPairs(
+      Perceptual.synthPngTable(s, Tables.documents(s, d)), maxHamming = 8)
+
+  def imageNearDupOracle: String = {
+    def base(id: String) =
+      s"16 + (xor(($id + 1) * 2654435761 + x * 40503, y * 65027 + x * y * 2246822519) % 224)"
+    s"""WITH px AS (
+      |  SELECT doc_id, x, y,
+      |    CASE WHEN doc_id % 10 = 1 THEN
+      |      ${base("(doc_id - 1)")}
+      |        + CASE WHEN (x * 64 + y) % 37 = 0 THEN 5 ELSE 0 END
+      |    ELSE
+      |      ${base("doc_id")}
+      |    END AS v
+      |  FROM documents, UNNEST(range(72)) tx(x), UNNEST(range(64)) ty(y)
+      |), cell AS (
+      |  SELECT doc_id, x // 8 AS cx, y // 8 AS cy, SUM(v) AS s
+      |  FROM px GROUP BY doc_id, x // 8, y // 8
+      |), bits AS (
+      |  SELECT a.doc_id, a.cy * 8 + a.cx AS b, (b2.s > a.s) AS bit
+      |  FROM cell a JOIN cell b2 ON b2.doc_id = a.doc_id
+      |    AND b2.cy = a.cy AND b2.cx = a.cx + 1
+      |  WHERE a.cx < 8
+      |), ham AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+      |    CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+      |  FROM bits x JOIN bits y ON x.b = y.b AND x.doc_id < y.doc_id
+      |  GROUP BY x.doc_id, y.doc_id
+      |)
+      |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Stratified deterministic sampling (q53): per-language data-mix
     * weights over the documents corpus — en kept at 50%, zh at 12.5%,
     * everything else at 25%. The oracle recomputes the identical
@@ -498,7 +541,7 @@ object DataPipeQueries {
     """WITH h AS (
       |  SELECT doc_id, source, n_chars,
       |    substring(md5(CAST(doc_id AS VARCHAR) || 'tb'), 1, 8) AS hk
-      |  FROM documents
+      |  FROM documents WHERE n_chars IS NOT NULL
       |), c AS (
       |  SELECT doc_id, source, n_chars,
       |    SUM(n_chars) OVER (PARTITION BY source ORDER BY hk, doc_id
@@ -600,7 +643,7 @@ object DataPipeQueries {
        |    SUM(n_chars) OVER (PARTITION BY source
        |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || 'tb'), 1, 8), doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |  FROM sp WHERE split = 'train'
+       |  FROM sp WHERE split = 'train' AND n_chars IS NOT NULL
        |)
        |SELECT doc_id, source, split, n_chars FROM sp
        |WHERE split <> 'train'
@@ -864,6 +907,66 @@ object DataPipeQueries {
       |FROM pairs
       |WHERE n_inter >= 0.5 * (sum_len - n_inter)
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q91 literal non-ASCII corpus — shared VERBATIM between the engine
+    * DataFrame and the oracle VALUES list: lowercase Cyrillic, CJK,
+    * Latin-1 BMP, and astral-plane emoji token stems (lower() is
+    * identity on all of them, so case folding cannot diverge). Docs
+    * 1/2, 3/4, 5/6 are planted near-dup pairs (32 of 40 shared
+    * tokens, J ≈ 0.65); 7 and 8 are unpaired. */
+  private def naToks(stem: String, seed: Int, n: Int): Seq[String] =
+    (0 until n).map(i => s"$stem${seed * 100 + i}")
+
+  private val nonAsciiDocs: Seq[(Long, String)] = Seq(
+    1L -> naToks("ки", 1, 40),
+    2L -> (naToks("ки", 1, 32) ++ naToks("ки", 9, 8)),
+    3L -> naToks("中", 3, 40),
+    4L -> (naToks("中", 3, 32) ++ naToks("中", 8, 8)),
+    5L -> naToks("😀", 5, 40),
+    6L -> (naToks("😀", 5, 32) ++ naToks("😀", 7, 8)),
+    7L -> naToks("é", 6, 40),
+    8L -> (naToks("ки", 2, 20) ++ naToks("中", 2, 10) ++ naToks("😀", 2, 10))
+  ).map { case (id, ts) => (id, ts.mkString(" ")) }
+
+  /** Non-ASCII minhash fidelity (q91): the FNV fast-path LSH chain —
+    * fnv64 tokens → mix64 shingle fold → 128-perm signature → 32 band
+    * keys → bucketed candidates → exact-Jaccard verify — run on the
+    * literal non-ASCII corpus above and oracled by the full
+    * [[MinhashMirrorSql]] HUGEINT mirror over the same literals.
+    * Closes the round-9 fidelity loophole: fnv64 folds CODEPOINTS on
+    * both engines now (HashingFidelitySpec pins the convention), so
+    * the mirror is driver-verified for BMP and astral text every
+    * round instead of assumed for ASCII. */
+  def nonAsciiMinhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    DedupOps.minhashNearDupPairs(nonAsciiDocs.toDF("doc_id", "text"),
+      minJaccard = 0.5)
+  }
+
+  def nonAsciiMinhashOracle: String = {
+    val values = nonAsciiDocs
+      .map { case (id, t) => s"($id, '$t')" }.mkString(",\n      |    ")
+    s"""WITH nacorp AS (
+      |  SELECT * FROM (VALUES
+      |    $values) AS t(doc_id, text)
+      |), ${MinhashMirrorSql.tokCte("nacorp")},
+      |${MinhashMirrorSql.candidateCtes("mh_tok")}, jsh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+      |  FROM mh_tok WHERE len(toks) > 0
+      |), napairs AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+      |    CAST(len(a.sh) + len(b.sh) AS BIGINT) AS sum_len
+      |  FROM mh_cand c
+      |  JOIN jsh a ON a.doc_id = c.id_a
+      |  JOIN jsh b ON b.doc_id = c.id_b
+      |)
+      |SELECT id_a, id_b, n_inter, sum_len - n_inter AS n_union
+      |FROM napairs
+      |WHERE n_inter >= 0.5 * (sum_len - n_inter)
+      |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** DuckDB oracle for dedupSimhash (q14): recomputes the md5-based
     * simhash (token hash = md5_number_lower, exactly

@@ -23,10 +23,12 @@ import graft.util.Tok
   * textual expression duplication); the short per-shingle and per-band
   * folds run as `list_reduce` lambdas with the finalizer inlined.
   *
-  * Fidelity constraint: fnv64 folds UTF-16 chars on the engine side
-  * and Unicode codepoints here — identical for the BMP text these
-  * corpora hold (the synthetic documents are pure ASCII; same
-  * assumption q52's byte-sum oracle already documents).
+  * Fidelity invariant: fnv64 folds Unicode CODEPOINTS on BOTH sides —
+  * the engine iterates codepoints (surrogate pairs fold as one value,
+  * [[graft.datapipe.Hashing.fnv64]]) and this mirror folds
+  * `ord(char)`, so the hashes agree for ANY text, BMP and astral
+  * plane alike (pinned by HashingFidelitySpec and the q91 non-ASCII
+  * corpus oracle, not just assumed for ASCII corpora).
   */
 object MinhashMirrorSql {
 
