@@ -109,6 +109,7 @@ object SparkEntry {
     "q90_bpe_encode" -> (DataPipeQueries.bpeEncode _),
     "q91_nonascii_minhash" -> (DataPipeQueries.nonAsciiMinhash _),
     "q92_image_neardup" -> (DataPipeQueries.imageNearDup _),
+    "q93_video_meta" -> (DataPipeQueries.videoMeta _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -455,5 +456,6 @@ object SparkEntry {
     "q90_bpe_encode" -> DataPipeQueries.bpeEncodeOracle,
     "q91_nonascii_minhash" -> DataPipeQueries.nonAsciiMinhashOracle,
     "q92_image_neardup" -> DataPipeQueries.imageNearDupOracle,
+    "q93_video_meta" -> DataPipeQueries.videoMetaOracle,
   )
 }

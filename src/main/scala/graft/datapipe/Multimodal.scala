@@ -148,9 +148,12 @@ object Multimodal {
 
   /** Decode dispatch: the deterministic fake container (magic 0x7f —
     * no real format starts with it) parses via [[decodeStub]]; RIFF
-    * ("RIFF" magic), AIFF ("FORM") and AU (".snd") containers go to the
-    * real audio path ([[decodeAudio]]); any other bytes try the real
-    * image path ([[decodeImage]]). Only video remains stubbed. */
+    * ("RIFF" magic), AIFF ("FORM") and AU (".snd") containers try the
+    * real audio path ([[decodeAudio]]) first, then fall back to the
+    * real image path — RIFF is also an image container family (WebP),
+    * so an audio-parse failure must not drop a payload an installed
+    * `ImageIO` plugin could read; any other bytes go straight to
+    * [[decodeImage]]. Only video remains stubbed. */
   def decode(data: Array[Byte]): Option[(MediaMeta, Array[Byte])] =
     if (data != null && data.length >= 16 && data(0) == 0x7f.toByte)
       decodeStub(data)
@@ -158,7 +161,7 @@ object Multimodal {
         (data(0) == 'R' && data(1) == 'I' && data(2) == 'F' && data(3) == 'F') ||
         (data(0) == 'F' && data(1) == 'O' && data(2) == 'R' && data(3) == 'M') ||
         (data(0) == '.' && data(1) == 's' && data(2) == 'n' && data(3) == 'd')))
-      decodeAudio(data)
+      decodeAudio(data).orElse(decodeImage(data))
     else decodeImage(data)
 
   /** Deterministic 16-bit mono PCM sample for (id, i): engine-portable

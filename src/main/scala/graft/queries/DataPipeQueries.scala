@@ -235,6 +235,41 @@ object DataPipeQueries {
       |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Video container metadata (q93): one REAL container per document —
+    * RIFF/AVI for even ids, ISO-BMFF MP4 for odd — written with
+    * spec-correct chunk/box sizes and parsed back through the
+    * bounds-checked header walks in [[graft.datapipe.VideoContainer]]
+    * (avih/strh for AVI; mvhd/tkhd/hdlr/stsd/stts for MP4). Frame
+    * payloads are never read: this is the O(header) filter/bucket/
+    * budget pass a curation pipeline runs before any GPU decode sees
+    * the bytes. The oracle never parses a container — every field
+    * derives from doc_id arithmetic ([[VideoContainer.fieldsFor]]), so
+    * any drift in either walk (offset, endianness, track dispatch,
+    * stts summation, duration rescale) breaks the hash compare. */
+  def videoMeta(s: SparkSession, d: String): DataFrame = {
+    val media = VideoContainer.synthVideoTable(s, Tables.documents(s, d))
+    VideoContainer.videoMeta(s, media)
+      .select(col("media_id"), col("container"), col("codec"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames"), col("duration_ms"),
+        col("n_tracks").cast("long").as("n_tracks"))
+      .orderBy(col("media_id"))
+  }
+
+  def videoMetaOracle: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'avi' ELSE 'mp4' END AS container,
+      |  CASE doc_id % 3 WHEN 0 THEN 'mjpg' WHEN 1 THEN 'h264' ELSE 'vp80' END AS codec,
+      |  CAST(160 + (doc_id % 16) * 16 AS BIGINT) AS width,
+      |  CAST(120 + (doc_id % 9) * 8 AS BIGINT) AS height,
+      |  CAST(24 + doc_id % 240 AS BIGINT) AS n_frames,
+      |  CAST((24 + doc_id % 240)
+      |    * (CASE doc_id % 3 WHEN 0 THEN 40000 WHEN 1 THEN 33333 ELSE 20000 END)
+      |    // 1000 AS BIGINT) AS duration_ms,
+      |  CAST(1 + (doc_id // 2) % 2 AS BIGINT) AS n_tracks
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** Stratified deterministic sampling (q53): per-language data-mix
     * weights over the documents corpus — en kept at 50%, zh at 12.5%,
     * everything else at 25%. The oracle recomputes the identical

@@ -1,0 +1,87 @@
+package graft.datapipe
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+
+class VideoContainerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("AVI roundtrip: every derived field survives the chunk walk") {
+    for (id <- Seq(0L, 2L, 4L, 6L, 120L, 9998L)) {
+      val expect = VideoContainer.fieldsFor(id)
+      val parsed = VideoContainer.parseAvi(VideoContainer.synthAvi(id))
+      assert(parsed.contains(expect), s"id=$id")
+    }
+  }
+
+  test("MP4 roundtrip: every derived field survives the box walk") {
+    for (id <- Seq(1L, 3L, 5L, 7L, 121L, 9999L)) {
+      val expect = VideoContainer.fieldsFor(id)
+      val parsed = VideoContainer.parseMp4(VideoContainer.synthMp4(id))
+      assert(parsed.contains(expect), s"id=$id")
+    }
+  }
+
+  test("audio trak never supplies the codec; dims come from the vide trak") {
+    // id = 3: nTracks = 2 (3/2 = 1, odd), mp4 with a trailing soun trak
+    val m = VideoContainer.parseMp4(VideoContainer.synthMp4(3L)).get
+    assert(m.nTracks == 2)
+    assert(m.codec != "mp4a")
+    assert(m.width == VideoContainer.fieldsFor(3L).width)
+    // id = 6: nTracks = 2 on the AVI side (auds strl present)
+    val a = VideoContainer.parseAvi(VideoContainer.synthAvi(6L)).get
+    assert(a.nTracks == 2)
+    assert(a.codec == VideoContainer.fieldsFor(6L).codec)
+  }
+
+  test("corrupt and truncated containers parse to None, never throw") {
+    val avi = VideoContainer.synthAvi(2L)
+    val mp4 = VideoContainer.synthMp4(3L)
+    assert(VideoContainer.parseVideoMeta(null).isEmpty)
+    assert(VideoContainer.parseVideoMeta(Array[Byte](1, 2, 3)).isEmpty)
+    assert(VideoContainer.parseVideoMeta("not a container at all".getBytes).isEmpty)
+    for (cut <- Seq(4, 11, 16, avi.length / 2))
+      assert(VideoContainer.parseVideoMeta(avi.take(cut)).isEmpty, s"avi cut=$cut")
+    for (cut <- Seq(4, 11, 16, mp4.length / 2)) {
+      val p = VideoContainer.parseVideoMeta(mp4.take(cut))
+      // a cut landing after moov's header region may still parse; it
+      // must never throw and never invent a codec it didn't see
+      assert(p.isEmpty || p.get.codec.nonEmpty, s"mp4 cut=$cut")
+    }
+    // corrupt avih chunk size: claims more bytes than the hdrl LIST
+    // holds -> inner walk stops before any header field is read
+    val idx = avi.indexOfSlice("avih".getBytes("US-ASCII"))
+    assert(idx > 0)
+    val bad = avi.clone()
+    bad(idx + 4) = 0xff.toByte; bad(idx + 5) = 0xff.toByte; bad(idx + 6) = 0xff.toByte
+    assert(VideoContainer.parseVideoMeta(bad).isEmpty)
+  }
+
+  test("distributed videoMeta matches fieldsFor on every document") {
+    val media = VideoContainer.synthVideoTable(spark, docs)
+    val out = VideoContainer.videoMeta(spark, media).collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val e = VideoContainer.fieldsFor(id)
+      assert(r.getString(1) == e.container, s"container id=$id")
+      assert(r.getString(2) == e.codec, s"codec id=$id")
+      assert(r.getInt(3) == e.width && r.getInt(4) == e.height, s"dims id=$id")
+      assert(r.getLong(5) == e.nFrames, s"frames id=$id")
+      assert(r.getLong(6) == e.durationMs, s"duration id=$id")
+      assert(r.getInt(7) == e.nTracks, s"tracks id=$id")
+    }
+  }
+
+  test("RIFF AVI bytes route to the video walk, not the audio decoder") {
+    val avi = VideoContainer.synthAvi(2L)
+    // Multimodal.decode must not misread an AVI as audio: the audio
+    // path fails on the AVI form type and the image fallback has no
+    // RIFF reader, so the decode contract for AVI bytes is None (the
+    // video metadata surface is VideoContainer.parseVideoMeta)
+    assert(Multimodal.decodeAudio(avi).isEmpty)
+    assert(VideoContainer.parseVideoMeta(avi).nonEmpty)
+  }
+}
