@@ -85,7 +85,8 @@ object ScaleRehearsal {
       "q78_weighted_sample", "q79_topk_per_group", "q80_tfidf_keywords",
       "q81_heavy_hitters", "q82_dup_spans", "q83_token_budget",
       "q84_source_overlap", "q86_curated_mix", "q87_stratified_weighted",
-      "q88_split_leakage")
+      "q88_split_leakage", "q89_span_removal", "q90_bpe_encode",
+      "q92_image_neardup", "q93_video_meta", "q94_bpe_budget")
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     headline.foreach { name =>

@@ -110,6 +110,7 @@ object SparkEntry {
     "q91_nonascii_minhash" -> (DataPipeQueries.nonAsciiMinhash _),
     "q92_image_neardup" -> (DataPipeQueries.imageNearDup _),
     "q93_video_meta" -> (DataPipeQueries.videoMeta _),
+    "q94_bpe_budget" -> (DataPipeQueries.bpeTokenBudget _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -457,5 +458,6 @@ object SparkEntry {
     "q91_nonascii_minhash" -> DataPipeQueries.nonAsciiMinhashOracle,
     "q92_image_neardup" -> DataPipeQueries.imageNearDupOracle,
     "q93_video_meta" -> DataPipeQueries.videoMetaOracle,
+    "q94_bpe_budget" -> DataPipeQueries.bpeTokenBudgetOracle,
   )
 }

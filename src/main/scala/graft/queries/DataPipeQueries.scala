@@ -505,9 +505,13 @@ object DataPipeQueries {
   private val BpeTopK = 256
   private val BpeMerges = 24
 
-  def bpeEncodeOracle: String = {
+  /** The q90 training-replay CTE chain (tok/w/hist/seg0 … enc),
+    * shared verbatim by [[bpeEncodeOracle]] and the q94 budget
+    * composition — one definition, so the two oracles can never
+    * disagree about what "the trained tokenizer" means. */
+  private def bpeCtes: String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH tok AS MATERIALIZED (
+    sb ++= s"""tok AS MATERIALIZED (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
        |  FROM documents
        |), w AS MATERIALIZED (
@@ -547,7 +551,12 @@ object DataPipeQueries {
        |    array_to_string(list_filter(string_split(s, chr(1)), x -> x <> ''), ' ') AS symstr,
        |    CAST(len(list_filter(string_split(s, chr(1)), x -> x <> '')) AS BIGINT) AS n_syms
        |  FROM seg$BpeMerges
-       |)
+       |)""".stripMargin
+    sb.result()
+  }
+
+  def bpeEncodeOracle: String =
+    s"""WITH $bpeCtes
        |SELECT t.doc_id,
        |  CAST(COUNT(w.word) AS BIGINT) AS n_words,
        |  CAST(COALESCE(SUM(enc.n_syms), 0) AS BIGINT) AS n_bpe_tokens,
@@ -556,8 +565,54 @@ object DataPipeQueries {
        |LEFT JOIN w ON w.doc_id = t.doc_id
        |LEFT JOIN enc ON enc.word = w.word
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
-    sb.result()
+
+  /** BPE-token budget sampling (q94): the q83 quota sampler running
+    * on REAL learned subword counts — train the q90 tokenizer, count
+    * each document's BPE tokens, then fill per-source quotas (src0
+    * 3000 tokens, src1 1000, default 2000) in deterministic hash
+    * order through the banded prefix sum. This is what "token budget"
+    * means in a training pipeline: the budget is in the tokens the
+    * model will actually consume, not a char/whitespace proxy. The
+    * oracle replays the ENTIRE composition — BPE training (the shared
+    * q90 CTE chain), encode counts, and the per-source cumsum — so
+    * the gate covers tokenizer and sampler as one system. */
+  def bpeTokenBudget(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = Bpe.train(Bpe.wordHistogram(docs, "text"),
+      topK = BpeTopK, numMerges = BpeMerges)
+    val counts = Bpe.encodeDocs(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+    val withCounts = docs.select(col("doc_id"), col("source"))
+      .join(counts, Seq("doc_id"))
+    Packing.tokenBudgetSample(withCounts, "source", "doc_id",
+        "n_bpe_tokens", Map("src0" -> 3000L, "src1" -> 1000L),
+        defaultBudget = 2000L, salt = "bpetb")
+      .select(col("doc_id"), col("source"), col("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
   }
+
+  def bpeTokenBudgetOracle: String =
+    s"""WITH $bpeCtes, cnt AS (
+       |  SELECT t.doc_id,
+       |    CAST(COALESCE(SUM(enc.n_syms), 0) AS BIGINT) AS n_bpe_tokens
+       |  FROM tok t
+       |  LEFT JOIN w ON w.doc_id = t.doc_id
+       |  LEFT JOIN enc ON enc.word = w.word
+       |  GROUP BY t.doc_id
+       |), h AS (
+       |  SELECT d.doc_id, d.source, c.n_bpe_tokens,
+       |    substring(md5(CAST(d.doc_id AS VARCHAR) || 'bpetb'), 1, 8) AS hk
+       |  FROM documents d JOIN cnt c ON c.doc_id = d.doc_id
+       |), cum AS (
+       |  SELECT doc_id, source, n_bpe_tokens,
+       |    SUM(n_bpe_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM h
+       |)
+       |SELECT doc_id, source, n_bpe_tokens FROM cum
+       |WHERE cum <= CASE source WHEN 'src0' THEN 3000
+       |                         WHEN 'src1' THEN 1000 ELSE 2000 END
+       |ORDER BY doc_id""".stripMargin
 
   /** Token-budget sampling (q83): per-source token quotas filled in
     * deterministic hash order — src0 gets 6000 chars, src1 2000,
