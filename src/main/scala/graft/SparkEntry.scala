@@ -111,6 +111,8 @@ object SparkEntry {
     "q92_image_neardup" -> (DataPipeQueries.imageNearDup _),
     "q93_video_meta" -> (DataPipeQueries.videoMeta _),
     "q94_bpe_budget" -> (DataPipeQueries.bpeTokenBudget _),
+    "q95_kmeans" -> (DataPipeQueries.kmeans _),
+    "q96_semantic_dedup" -> (DataPipeQueries.semanticDedup _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -459,5 +461,7 @@ object SparkEntry {
     "q92_image_neardup" -> DataPipeQueries.imageNearDupOracle,
     "q93_video_meta" -> DataPipeQueries.videoMetaOracle,
     "q94_bpe_budget" -> DataPipeQueries.bpeTokenBudgetOracle,
+    "q95_kmeans" -> DataPipeQueries.kmeansOracle,
+    "q96_semantic_dedup" -> DataPipeQueries.semanticDedupOracle,
   )
 }

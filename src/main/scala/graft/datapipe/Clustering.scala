@@ -1,0 +1,132 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Deterministic distributed k-means (Lloyd) over embedding columns —
+  * the clustering stage of a semantic-dedup / domain-discovery
+  * pipeline (SemDeDup, Abbas et al. 2023: cluster the corpus, then
+  * near-dup only WITHIN a cluster).
+  *
+  * Everything is computed in fixed point so the result is bit-exact
+  * on any engine, any partitioning, any run:
+  *
+  *  - vectors quantize to Long components (floor(x·2²⁰) — float→
+  *    double widening and a power-of-two scale are both exact, so
+  *    Spark and an SQL oracle agree on every quantized component);
+  *  - distances are integer sums of squared component diffs (no float
+  *    accumulation order to drift);
+  *  - centroid updates are exact Long sums + floor division
+  *    (`Math.floorDiv` ≡ the SQL positive-mod form), so centroids
+  *    stay integer vectors — replayable verbatim in DuckDB;
+  *  - init is the k smallest ids' vectors (no RNG), assignment ties
+  *    break to the lowest centroid index, an emptied cluster keeps
+  *    its previous centroid.
+  *
+  * Scale shape (the part that must survive 100 TB): each Lloyd round
+  * is ONE corpus scan with the k centroids folded in as literal
+  * arrays (codegen'd `zip_with`/`aggregate` — no UDF, no join), then
+  * ONE partial-aggregated (cluster, pos) sum whose exchange carries
+  * ≤ k·d rows per partition; driver state is k·d longs per round —
+  * the same bounded-driver-walk discipline as the radix-selection
+  * quantiles. The quantized projection is persisted across rounds so
+  * iterations don't re-read the source. Assignment itself never
+  * shuffles row data.
+  *
+  * Overflow bounds (enforced): distances need (2·max|q|)²·d < 2⁶²;
+  * update sums need n·max|q| < 2⁶². Unit-scale embeddings quantize
+  * to ~2²⁰, so ~2⁴¹ rows fit — shard the sum beyond that.
+  */
+object Clustering {
+
+  val Fp: Long = 1L << 20
+
+  /** floor(x·2²⁰) over the float embedding, as exact Long components. */
+  def quantize(vecCol: Column): Column =
+    transform(vecCol, x => floor(x.cast("double") * lit(Fp.toDouble)).cast("long"))
+
+  private def sqDistTo(qv: Column, centroid: Array[Long]): Column =
+    aggregate(
+      zip_with(qv, typedLit(centroid.toSeq), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** (cluster, sq_dist) columns for the argmin centroid — first
+    * occurrence of the array min, i.e. ties go to the lowest index. */
+  private def assignCols(qv: Column, cs: Array[Array[Long]]): (Column, Column) = {
+    val dists = array(cs.map(c => sqDistTo(qv, c)).toIndexedSeq: _*)
+    val best = array_min(dists)
+    (array_position(dists, best).cast("long") - lit(1L), best)
+  }
+
+  /** Lloyd iterations; returns (id, cluster, sq_dist) under the
+    * centroids AFTER `iters` updates. Output is deterministic and
+    * partition-invariant (integer arithmetic throughout). */
+  def kmeansAssign(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = 8, iters: Int = 3): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    val qdf = df.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__qv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = qdf.agg(
+      count(lit(1)),
+      max(aggregate(col("__qv"), lit(0L), (m, x) => greatest(m, abs(x))))).head()
+    val n = stats.getLong(0)
+    val maxAbs = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val d = if (n == 0) 0 else qdf.select(size(col("__qv"))).head().getInt(0)
+    require(n >= k, s"k=$k exceeds corpus size $n")
+    require(maxAbs < (1L << 30) && 4 * maxAbs * maxAbs * math.max(d, 1) < (1L << 62),
+      s"kmeans distance overflow bound exceeded (max|q|=$maxAbs, d=$d)")
+    require(maxAbs == 0L || n < (1L << 62) / maxAbs,
+      s"kmeans centroid-sum overflow bound exceeded (n=$n, max|q|=$maxAbs) — shard the sum")
+
+    // init: the k smallest ids' quantized vectors, in id order
+    var centroids: Array[Array[Long]] = qdf.orderBy(col("__id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+
+    for (_ <- 0 until iters) {
+      val (cl, _) = assignCols(col("__qv"), centroids)
+      // (cluster, pos) partial-agg sums: ≤ k·d rows cross the exchange
+      val sums = qdf.select(cl.as("__cl"), posexplode(col("__qv")).as(Seq("__pos", "__c")))
+        .groupBy("__cl", "__pos")
+        .agg(sum(col("__c")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      val touched = new Array[Boolean](k)
+      sums.foreach { r =>
+        val c = r.getLong(0).toInt
+        touched(c) = true
+        next(c)(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3))
+      }
+      // an emptied cluster keeps its previous centroid (deterministic)
+      centroids = next.indices.map(i => if (touched(i)) next(i) else centroids(i)).toArray
+    }
+
+    val (cl, dist) = assignCols(col("__qv"), centroids)
+    qdf.select(col("__id").as(idCol), cl.as("cluster"), dist.as("sq_dist"))
+  }
+
+  /** SemDeDup: semantic near-dup removal restricted to k-means
+    * clusters — a document is dropped iff it has a SAME-CLUSTER
+    * cosine neighbor (sim ≥ threshold) with a smaller id (keep-first,
+    * the same deterministic policy as exact dedup and q89 span
+    * removal). Composes [[kmeansAssign]] with the cell-pruned exact
+    * pair search of [[Similarity.cosineNearDupPairs]] — the cluster
+    * gate FILTERS the provably-complete pair set rather than running
+    * a quadratic within-cluster scan, so the pair stage keeps its
+    * bounded per-task state and the cluster stage never shuffles row
+    * data. Survivors carry their cluster id. */
+  def semanticDedupSurvivors(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", threshold: Double = 0.45,
+      k: Int = 8, iters: Int = 3, nCells: Int = 16): DataFrame = {
+    val assign = kmeansAssign(df, idCol, vecCol, k, iters)
+      .select(col(idCol), col("cluster"))
+    val pairs = Similarity.cosineNearDupPairs(df, threshold, nCells, idCol, vecCol)
+    val sameCluster = pairs
+      .join(assign.withColumnRenamed(idCol, "id_a").withColumnRenamed("cluster", "cl_a"), "id_a")
+      .join(assign.withColumnRenamed(idCol, "id_b").withColumnRenamed("cluster", "cl_b"), "id_b")
+      .filter(col("cl_a") === col("cl_b"))
+    // id_b is always the larger id (pairs emit id_a < id_b)
+    val removed = sameCluster.select(col("id_b").as(idCol)).distinct()
+    assign.join(removed, Seq(idCol), "left_anti")
+  }
+}

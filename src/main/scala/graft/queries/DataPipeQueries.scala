@@ -1138,4 +1138,97 @@ object DataPipeQueries {
        |     t -> length(t) > 15)) AS BIGINT) AS n_long_tokens
        |FROM documents WHERE length(trim(text)) > 0 ORDER BY doc_id""".stripMargin
   }
+
+  private val KmK = 8
+  private val KmIters = 3
+
+  /** Deterministic k-means cluster assignment (q95): 3 Lloyd rounds
+    * over the fixed-point-quantized embeddings, k = 8, init = the 8
+    * smallest vec_ids. Integer arithmetic end-to-end, so the DuckDB
+    * oracle replays the ENTIRE training loop bit-for-bit. */
+  def kmeans(s: SparkSession, d: String): DataFrame =
+    Clustering.kmeansAssign(Tables.embeddings(s, d), k = KmK, iters = KmIters)
+      .orderBy(col("vec_id"))
+
+  /** The q95/q96 shared k-means replay CTE chain (q → qe → c0 →
+    * a1/c1 … → af): quantize, init, `KmIters` unrolled Lloyd rounds
+    * (assignment = per-(vec, cluster) integer distance + lowest-index
+    * argmin; update = exact sums + positive-mod floor division ≡
+    * `Math.floorDiv`; emptied clusters keep their previous centroid),
+    * final assignment `af` under the post-update centroids. One
+    * definition shared by both oracles, so the clustering the
+    * SemDeDup gate replays is exactly the q95 clustering. */
+  private def kmeansCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""q AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * ${Clustering.Fp}) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), qe AS MATERIALIZED (
+       |  SELECT vec_id, unnest(qv) AS comp, generate_subscripts(qv, 1) - 1 AS pos FROM q
+       |), c0 AS MATERIALIZED (
+       |  SELECT CAST(s.rn - 1 AS BIGINT) AS cl, qe.pos, qe.comp
+       |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+       |        FROM q ORDER BY vec_id LIMIT $KmK) s
+       |  JOIN qe ON qe.vec_id = s.vec_id
+       |)""".stripMargin
+    def assignSql(prev: String): String =
+      s"""    SELECT dd.vec_id, dd.cl, dd.dist,
+         |      row_number() OVER (PARTITION BY dd.vec_id ORDER BY dd.dist, dd.cl) AS rn
+         |    FROM (SELECT qe.vec_id, c.cl, SUM((qe.comp - c.comp)*(qe.comp - c.comp)) AS dist
+         |          FROM qe JOIN $prev c ON c.pos = qe.pos GROUP BY 1, 2) dd""".stripMargin
+    for (i <- 1 to KmIters) {
+      sb ++= s""", a$i AS MATERIALIZED (
+         |  SELECT vec_id, cl FROM (
+         |${assignSql(s"c${i - 1}")})
+         |  WHERE rn = 1
+         |), c$i AS MATERIALIZED (
+         |  SELECT cl, pos, CAST((s - ((s % n) + n) % n) / n AS BIGINT) AS comp FROM (
+         |    SELECT a.cl, qe.pos, SUM(qe.comp) AS s, COUNT(*) AS n
+         |    FROM a$i a JOIN qe ON qe.vec_id = a.vec_id GROUP BY 1, 2) t
+         |  UNION ALL
+         |  SELECT cl, pos, comp FROM c${i - 1}
+         |  WHERE cl NOT IN (SELECT DISTINCT cl FROM a$i)
+         |)""".stripMargin
+    }
+    sb ++= s""", af AS MATERIALIZED (
+       |  SELECT vec_id, cl AS cluster, CAST(dist AS BIGINT) AS sq_dist FROM (
+       |${assignSql(s"c$KmIters")})
+       |  WHERE rn = 1
+       |)""".stripMargin
+    sb.result()
+  }
+
+  def kmeansOracle: String =
+    s"""WITH $kmeansCtes
+       |SELECT vec_id, cluster, sq_dist FROM af ORDER BY vec_id""".stripMargin
+
+  /** SemDeDup (q96): drop every vector with a SAME-CLUSTER cosine
+    * neighbor (sim ≥ 0.45, the q20 threshold with its documented
+    * cross-engine margin) of smaller id; survivors keep their q95
+    * cluster. The oracle replays k-means training AND the brute-force
+    * same-cluster pair gate. */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val nCells = math.max(8, math.sqrt(emb.count().toDouble).toInt)
+    Clustering.semanticDedupSurvivors(emb, threshold = 0.45,
+        k = KmK, iters = KmIters, nCells = nCells)
+      .orderBy(col("vec_id"))
+  }
+
+  def semanticDedupOracle: String =
+    s"""WITH $kmeansCtes, pr AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+       |), rem AS (
+       |  SELECT DISTINCT p.id_b AS vec_id
+       |  FROM pr p
+       |  JOIN af x ON x.vec_id = p.id_a
+       |  JOIN af y ON y.vec_id = p.id_b
+       |  WHERE x.cluster = y.cluster
+       |)
+       |SELECT af.vec_id, af.cluster FROM af
+       |WHERE af.vec_id NOT IN (SELECT vec_id FROM rem)
+       |ORDER BY af.vec_id""".stripMargin
 }
