@@ -113,6 +113,7 @@ object SparkEntry {
     "q94_bpe_budget" -> (DataPipeQueries.bpeTokenBudget _),
     "q95_kmeans" -> (DataPipeQueries.kmeans _),
     "q96_semantic_dedup" -> (DataPipeQueries.semanticDedup _),
+    "q97_ngram_novelty" -> (DataPipeQueries.ngramNovelty _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -463,5 +464,6 @@ object SparkEntry {
     "q94_bpe_budget" -> DataPipeQueries.bpeTokenBudgetOracle,
     "q95_kmeans" -> DataPipeQueries.kmeansOracle,
     "q96_semantic_dedup" -> DataPipeQueries.semanticDedupOracle,
+    "q97_ngram_novelty" -> DataPipeQueries.ngramNoveltyOracle,
   )
 }

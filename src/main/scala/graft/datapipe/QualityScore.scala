@@ -77,6 +77,42 @@ object QualityScore {
         coalesce(col("__max"), lit(0L)).as("max_gram_count"))
   }
 
+  /** Per-doc n-gram NOVELTY vs the whole corpus — the cheap LM-proxy
+    * quality/dedup signal (CCNet-family): a document whose bigrams all
+    * appear in other documents is boilerplate-like; one whose bigrams
+    * are mostly corpus-unique is novel text. df(gram) = number of
+    * DISTINCT documents containing the gram; a doc's novel grams are
+    * those with df == 1. Integer counts only (no ln-perplexity — ln is
+    * not bit-portable across engines; consumers derive ratios).
+    *
+    * Scale shape: doc-distinct (doc, gram) pairs, gram-keyed df
+    * partial agg, one gram-keyed join back, one doc-keyed agg — the
+    * vocabulary is never broadcast or collected, and every exchange
+    * carries partial-aggregated rows. Same two-gram-shuffle posture as
+    * [[repetitionMetrics]]. */
+  def ngramNovelty(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 2): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1: $n")
+    val base = graft.util.Par.ensure(docs).select(col(idCol),
+      expr(s"filter(split(lower($textCol), '${Tok.WS}'), t -> t <> '')")
+        .as("__toks"))
+    val pairs = base
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(0, size(__toks) - $n),
+           |  i -> concat_ws(' ', slice(__toks, i + 1, $n)))""".stripMargin))
+        .as("__gram"))
+      .distinct()
+    val dfreq = pairs.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+    val perDoc = pairs.join(dfreq, "__gram").groupBy(col(idCol)).agg(
+      count(lit(1)).as("__distinct"),
+      sum(when(col("__df") === 1, 1L).otherwise(0L)).as("__novel"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__distinct"), lit(0L)).as("n_distinct_grams"),
+        coalesce(col("__novel"), lit(0L)).as("n_novel_grams"))
+  }
+
   /** Composite [0,1] score from the integer metrics (heuristic weights:
     * reward stopword presence & sane length; punish punct/digit excess
     * and very long tokens). */

@@ -1231,4 +1231,31 @@ object DataPipeQueries {
        |SELECT af.vec_id, af.cluster FROM af
        |WHERE af.vec_id NOT IN (SELECT vec_id FROM rem)
        |ORDER BY af.vec_id""".stripMargin
+
+  /** n-gram novelty vs the corpus (q97): per-doc distinct-bigram and
+    * corpus-unique-bigram counts — the integer LM-proxy signal. */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame =
+    QualityScore.ngramNovelty(Tables.documents(s, d))
+      .orderBy(col("doc_id"))
+
+  def ngramNoveltyOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
+       |  FROM documents
+       |), g AS (
+       |  SELECT DISTINCT doc_id, concat(toks[i], ' ', toks[i + 1]) AS gram
+       |  FROM tok, UNNEST(range(1, len(toks))) t(i)
+       |  WHERE len(toks) >= 2
+       |), f AS (
+       |  SELECT gram, count(*) AS df FROM g GROUP BY gram
+       |), j AS (
+       |  SELECT g.doc_id,
+       |    CAST(count(*) AS BIGINT) AS nd,
+       |    CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+       |  FROM g JOIN f USING (gram) GROUP BY g.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(j.nd, 0) AS n_distinct_grams,
+       |  COALESCE(j.nn, 0) AS n_novel_grams
+       |FROM documents d LEFT JOIN j USING (doc_id) ORDER BY d.doc_id""".stripMargin
 }

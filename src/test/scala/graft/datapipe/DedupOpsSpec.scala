@@ -367,6 +367,22 @@ class DedupOpsSpec extends AnyFunSuite {
     assert((t - dist).toDouble / t == 0.6 && mx.toDouble / t == 0.6)
   }
 
+  test("ngram novelty: df==1 grams are novel, shared grams are not, short/null docs zero") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c"),      // bigrams: "a b" (shared with doc 2), "b c" (unique)
+      (2L, "a b a b"),    // distinct bigrams: "a b" (shared), "b a" (unique)
+      (3L, "solo"),       // < 2 tokens -> zeros
+      (4L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val got = QualityScore.ngramNovelty(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2L, 1L)), got(1L))
+    assert(got(2L) == ((2L, 1L)), got(2L))
+    assert(got(3L) == ((0L, 0L)))
+    assert(got(4L) == ((0L, 0L)))
+  }
+
   test("quality metrics are integer-exact and score bounded") {
     val m = QualityScore.scored(docs).collect()
     assert(m.length == 500)
