@@ -114,6 +114,7 @@ object SparkEntry {
     "q95_kmeans" -> (DataPipeQueries.kmeans _),
     "q96_semantic_dedup" -> (DataPipeQueries.semanticDedup _),
     "q97_ngram_novelty" -> (DataPipeQueries.ngramNovelty _),
+    "q98_decontaminate" -> (Round4Queries.decontaminated _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -465,5 +466,6 @@ object SparkEntry {
     "q95_kmeans" -> DataPipeQueries.kmeansOracle,
     "q96_semantic_dedup" -> DataPipeQueries.semanticDedupOracle,
     "q97_ngram_novelty" -> DataPipeQueries.ngramNoveltyOracle,
+    "q98_decontaminate" -> Round4Queries.decontaminatedOracle,
   )
 }

@@ -45,4 +45,20 @@ object Contamination {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** The decontamination ACTION: the training corpus with every
+    * document sharing ≥ `minShared` distinct eval shingles REMOVED —
+    * what a pipeline actually feeds the trainer after the q73-style
+    * scan. Detection is [[contaminated]]; removal is one broadcastable
+    * anti-join on the (small) flagged-id set, so the action adds no
+    * new scale risk: survivors keep all their columns and the corpus
+    * is never shuffled. */
+  def decontaminate(train: DataFrame, eval_ : DataFrame, idCol: String,
+      textCol: String, n: Int, minShared: Long = 1L): DataFrame = {
+    require(minShared >= 1L, s"minShared must be >= 1: $minShared")
+    val flagged = contaminated(train, eval_, idCol, textCol, n)
+      .filter(col("n_shared") >= minShared)
+      .select(col(idCol))
+    train.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
 }

@@ -587,6 +587,42 @@ object Round4Queries {
       |FROM train_post t JOIN eval_sh e ON t.s = e.s
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  /** Decontamination ACTION (q98): the q73 scan's complement — the
+    * training corpus with documents sharing ≥ 2 distinct eval
+    * 3-gram shingles removed (minShared = 2 exercises the threshold,
+    * not just the any-overlap complement of q73). */
+  def decontaminated(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Contamination.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3, minShared = 2L)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  def decontaminatedOracle: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+      |  FROM tok
+      |), eval_sh AS (
+      |  SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0
+      |), train_post AS (
+      |  SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 97 <> 0
+      |), flagged AS (
+      |  SELECT t.doc_id FROM train_post t JOIN eval_sh e ON t.s = e.s
+      |  GROUP BY t.doc_id HAVING COUNT(*) >= 2
+      |)
+      |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+      |WHERE d.doc_id % 97 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Stopword list as a DuckDB list literal (analyzer parity: the
     * Spark analyzer drops stopwords BEFORE stemming — dl must count
     * post-stopword tokens). The list is the ES mapping's exact
