@@ -204,6 +204,44 @@ object StreamingPipeline {
       }
   }
 
+  final case class BudgetState(cum: Long)
+
+  /** Streaming token-budget admission: the q83/q94 quota sampler's
+    * streaming twin — per-source cumulative token mass accumulates in
+    * keyed state and a document is ADMITTED iff the running total
+    * INCLUDING it stays within the source's budget. Rejected mass
+    * still accrues, so admission stops permanently once a source's
+    * quota is crossed — the same strict-prefix semantics as the batch
+    * [[graft.datapipe.Packing.tokenBudgetSample]], with the stream's
+    * arrival order standing in for the batch op's hash order (within
+    * one micro-batch, a source's documents process in id order, so a
+    * replayed stream admits an identical set). Null token counts are
+    * excluded up front, mirroring the batch op's null-mass rule.
+    * State is ONE long per source. */
+  def tokenBudgetStream(docs: DataFrame, budgets: Map[String, Long],
+      defaultBudget: Long, idCol: String = "doc_id",
+      sourceCol: String = "source", tokensCol: String = "n_tokens"): Dataset[(Long, String, Long)] = {
+    import docs.sparkSession.implicits._
+    docs
+      .filter(col(tokensCol).isNotNull)
+      .select(col(sourceCol).cast("string"), col(idCol).cast("long"),
+        col(tokensCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BudgetState, (Long, String, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (src, rows, state: GroupState[BudgetState]) =>
+          val budget = budgets.getOrElse(src, defaultBudget)
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val admitted = rows.toSeq.sortBy(_._2).flatMap { case (_, id, n) =>
+            cum += n
+            if (cum <= budget) Some((id, src, n)) else None
+          }
+          state.update(BudgetState(cum))
+          admitted.iterator
+      }
+  }
+
   /** Watermarked tumbling-window event aggregation (generic streaming
     * agg; mirrors RelationalQueries.q8EventsHourly as a stream). */
   def eventsWindowed(events: DataFrame,

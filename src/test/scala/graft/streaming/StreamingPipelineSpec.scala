@@ -44,6 +44,37 @@ class StreamingPipelineSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("streaming token-budget admission mirrors the batch strict-prefix rule") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val out = StreamingPipeline.tokenBudgetStream(
+      input.toDS().toDF("doc_id", "source", "n_tokens"),
+      budgets = Map("a" -> 100L), defaultBudget = 50L)
+    val query = out.toDF("doc_id", "source", "n_tokens").writeStream
+      .format("memory").queryName("stream_budget")
+      .outputMode("update").start()
+
+    // batch 1: source a admits 40+50 (cum 90 ≤ 100); the 20-token doc
+    // crosses the quota (cum 110) and is rejected
+    input.addData((1L, "a", 40L), (2L, "a", 50L), (3L, "a", 20L),
+      (10L, "b", 45L))
+    query.processAllAvailable()
+    val b1 = spark.table("stream_budget").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(b1 == Set((1L, "a"), (2L, "a"), (10L, "b")))
+
+    // batch 2: rejected mass accrued — a 5-token doc that WOULD fit
+    // the remaining 10 is still rejected (cum already 110); source b
+    // crosses its default quota (45 + 10 > 50) and rejects too
+    input.addData((4L, "a", 5L), (11L, "b", 10L))
+    query.processAllAvailable()
+    val b2 = spark.table("stream_budget").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(b2 == b1, s"expected no new admissions, got ${b2 -- b1}")
+    query.stop()
+  }
+
   test("streaming latest-version with tombstones via flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
