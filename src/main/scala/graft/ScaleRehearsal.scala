@@ -86,7 +86,9 @@ object ScaleRehearsal {
       "q81_heavy_hitters", "q82_dup_spans", "q83_token_budget",
       "q84_source_overlap", "q86_curated_mix", "q87_stratified_weighted",
       "q88_split_leakage", "q89_span_removal", "q90_bpe_encode",
-      "q92_image_neardup", "q93_video_meta", "q94_bpe_budget")
+      "q92_image_neardup", "q93_video_meta", "q94_bpe_budget",
+      "q95_kmeans", "q96_semantic_dedup", "q97_ngram_novelty",
+      "q98_decontaminate")
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     headline.foreach { name =>

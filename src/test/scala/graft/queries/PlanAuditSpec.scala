@@ -201,4 +201,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(filterIdx > exchangeIdx,
       s"term IN-filter should print BELOW (after) its exchange in tree order\n${p.take(3000)}")
   }
+
+  test("q97 novelty: partial aggs on every exchange, no cross product, no UDF") {
+    val p = plan("q97_ngram_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") && !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    // df agg and per-doc agg both partial-aggregate below their exchange
+    assert("partial_count".r.findAllIn(p).nonEmpty, p.take(3000))
+  }
+
+  test("q98 decontamination: flagged ids broadcast into the anti-join") {
+    val p = plan("q98_decontaminate")
+    // the corpus side must not shuffle for the removal join
+    assert(p.contains("BroadcastHashJoin") && p.toLowerCase.contains("leftanti"),
+      p.take(3000))
+  }
+
+  test("q95 kmeans final assignment is a narrow map (no exchange, no UDF)") {
+    val p = plan("q95_kmeans")
+    // orderBy for the oracle adds a rangepartitioning exchange; the
+    // assignment itself must add no hashpartitioning exchange
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(!p.contains("BatchEvalPython"), p.take(2000))
+  }
 }
