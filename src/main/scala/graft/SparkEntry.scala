@@ -115,6 +115,7 @@ object SparkEntry {
     "q96_semantic_dedup" -> (DataPipeQueries.semanticDedup _),
     "q97_ngram_novelty" -> (DataPipeQueries.ngramNovelty _),
     "q98_decontaminate" -> (Round4Queries.decontaminated _),
+    "q99_contamination_bloom" -> (Round4Queries.contaminationBloom _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -467,5 +468,6 @@ object SparkEntry {
     "q96_semantic_dedup" -> DataPipeQueries.semanticDedupOracle,
     "q97_ngram_novelty" -> DataPipeQueries.ngramNoveltyOracle,
     "q98_decontaminate" -> Round4Queries.decontaminatedOracle,
+    "q99_contamination_bloom" -> Round4Queries.contaminationOracle,
   )
 }

@@ -46,6 +46,46 @@ object Contamination {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[contaminated]]'s 100 TB shape: when the eval set is too big
+    * for its exact shingle set to broadcast (a 100k-doc eval suite ×
+    * hundreds of shingles each ≈ GBs of strings), broadcast a BLOOM
+    * FILTER of it instead (~1% of the size at fpp 0.01) and prune the
+    * training postings BEFORE the exact join — candidate-then-verify,
+    * the same philosophy as the LSH dedup family:
+    *
+    *  1. build the bloom over eval's distinct shingles (Spark's
+    *     deterministic mergeable sketch — built distributed, collected
+    *     once to the driver, broadcast read-only);
+    *  2. filter train postings through the broadcast probe — ~(1-fpp)
+    *     of non-matching postings never reach a shuffle;
+    *  3. exact-verify the survivors with a SHUFFLE join against the
+    *     (unbroadcastable) eval shingle table — false positives die
+    *     here, so the result is bit-identical to [[contaminated]]
+    *     regardless of bloom parameters.
+    *
+    * The probe is a Scala UDF by necessity (the bloom bitset probe has
+    * no Column built-in); it sits on the already-exploded postings and
+    * prunes work, never creates it. */
+  def contaminatedBloomPruned(train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String, n: Int, fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    val evalShingles = eval_
+      .filter(length(trim(col(textCol))) > 0)
+      .select(explode(shingles(col(textCol), n)).as("__sh"))
+      .distinct()
+    val nEval = evalShingles.count()
+    val bloom = evalShingles.stat.bloomFilter("__sh", math.max(nEval, 1L), fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
+    train
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("__sh"))
+      .filter(mightContain(col("__sh")))
+      .join(evalShingles, Seq("__sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** The decontamination ACTION: the training corpus with every
     * document sharing ≥ `minShared` distinct eval shingles REMOVED —
     * what a pipeline actually feeds the trainer after the q73-style

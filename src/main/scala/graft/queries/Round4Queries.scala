@@ -587,6 +587,21 @@ object Round4Queries {
       |FROM train_post t JOIN eval_sh e ON t.s = e.s
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** Bloom-pruned contamination scan (q99): the q73 computation
+    * through the broadcast-bloom + exact-verify path — same eval
+    * split, same output, SAME oracle as q73 (the bloom is a pure
+    * pruning stage, so the result is bit-identical by construction;
+    * the gate proves it cross-engine). */
+  def contaminationBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Contamination.contaminatedBloomPruned(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- q98
   /** Decontamination ACTION (q98): the q73 scan's complement — the
     * training corpus with documents sharing ≥ 2 distinct eval
