@@ -85,17 +85,25 @@ object Clustering {
 
     for (_ <- 0 until iters) {
       val (cl, _) = assignCols(col("__qv"), centroids)
-      // (cluster, pos) partial-agg sums: ≤ k·d rows cross the exchange
-      val sums = qdf.select(cl.as("__cl"), posexplode(col("__qv")).as(Seq("__pos", "__c")))
-        .groupBy("__cl", "__pos")
-        .agg(sum(col("__c")).as("__s"), count(lit(1)).as("__n"))
+      // per-cluster component sums as d codegen'd element_at aggregates
+      // (NOT a posexplode: a projection above a Generate re-evaluates
+      // the assignment expression per exploded row — a d× blowup of
+      // the interpreted higher-order distance lambdas. Here the
+      // assignment runs once per row as the grouping key and the
+      // exchange carries ≤ k·(d+1) partial-agg values per partition.)
+      val aggCols = count(lit(1)).as("__n") +:
+        (0 until d).map(i => sum(element_at(col("__qv"), i + 1)).as(s"__s$i"))
+      val sums = qdf.groupBy(cl.as("__cl"))
+        .agg(aggCols.head, aggCols.tail: _*)
         .collect()
       val next = centroids.map(_.clone())
       val touched = new Array[Boolean](k)
       sums.foreach { r =>
         val c = r.getLong(0).toInt
+        val n = r.getLong(1)
         touched(c) = true
-        next(c)(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3))
+        var i = 0
+        while (i < d) { next(c)(i) = Math.floorDiv(r.getLong(2 + i), n); i += 1 }
       }
       // an emptied cluster keeps its previous centroid (deterministic)
       centroids = next.indices.map(i => if (touched(i)) next(i) else centroids(i)).toArray
