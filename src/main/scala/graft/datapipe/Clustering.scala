@@ -25,14 +25,16 @@ import org.apache.spark.storage.StorageLevel
   *    its previous centroid.
   *
   * Scale shape (the part that must survive 100 TB): each Lloyd round
-  * is ONE corpus scan with the k centroids folded in as literal
-  * arrays (codegen'd `zip_with`/`aggregate` — no UDF, no join), then
-  * ONE partial-aggregated (cluster, pos) sum whose exchange carries
-  * ≤ k·d rows per partition; driver state is k·d longs per round —
-  * the same bounded-driver-walk discipline as the radix-selection
-  * quantiles. The quantized projection is persisted across rounds so
-  * iterations don't re-read the source. Assignment itself never
-  * shuffles row data.
+  * is ONE corpus scan — assignment is a closure-captured-centroid
+  * primitive loop (a justified UDF: interpreted higher-order
+  * functions cost ~50× more per row, and there is no codegen built-in
+  * for an argmin over k array distances), then ONE partial-aggregated
+  * per-cluster component sum (d `element_at` sums, codegen'd) whose
+  * exchange carries ≤ k rows of d+1 longs per partition; driver state
+  * is k·d longs per round — the same bounded-driver-walk discipline
+  * as the radix-selection quantiles. The quantized projection is
+  * persisted across rounds so iterations don't re-read the source.
+  * Assignment itself never shuffles row data.
   *
   * Overflow bounds (enforced): distances need (2·max|q|)²·d < 2⁶²;
   * update sums need n·max|q| < 2⁶². Unit-scale embeddings quantize
@@ -46,17 +48,33 @@ object Clustering {
   def quantize(vecCol: Column): Column =
     transform(vecCol, x => floor(x.cast("double") * lit(Fp.toDouble)).cast("long"))
 
-  private def sqDistTo(qv: Column, centroid: Array[Long]): Column =
-    aggregate(
-      zip_with(qv, typedLit(centroid.toSeq), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+  /** (cluster, sq_dist) struct for the argmin centroid, ties to the
+    * lowest index (strict `<`). A primitive-loop UDF over the k
+    * centroids — same justified-UDF precedent as
+    * [[Similarity]]'s cell assignment: the `zip_with`/`aggregate`
+    * built-ins are interpreted (higher-order functions don't codegen)
+    * and cost ~50 µs/row at k=8·d=64 where this loop costs ~1 µs; the
+    * arithmetic is the identical integer math either way, so the
+    * oracle replay is unaffected. */
+  private def assignUdf(cs: Array[Array[Long]]) =
+    udf((v: Seq[Long]) => {
+      var best = 0
+      var bestD = Long.MaxValue
+      var j = 0
+      while (j < cs.length) {
+        val c = cs(j)
+        var s = 0L
+        var i = 0
+        while (i < c.length) { val t = v(i) - c(i); s += t * t; i += 1 }
+        if (s < bestD) { bestD = s; best = j }
+        j += 1
+      }
+      (best.toLong, bestD)
+    })
 
-  /** (cluster, sq_dist) columns for the argmin centroid — first
-    * occurrence of the array min, i.e. ties go to the lowest index. */
   private def assignCols(qv: Column, cs: Array[Array[Long]]): (Column, Column) = {
-    val dists = array(cs.map(c => sqDistTo(qv, c)).toIndexedSeq: _*)
-    val best = array_min(dists)
-    (array_position(dists, best).cast("long") - lit(1L), best)
+    val a = assignUdf(cs)(qv)
+    (a.getField("_1"), a.getField("_2"))
   }
 
   /** Lloyd iterations; returns (id, cluster, sq_dist) under the
