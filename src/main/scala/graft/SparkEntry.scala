@@ -116,6 +116,7 @@ object SparkEntry {
     "q97_ngram_novelty" -> (DataPipeQueries.ngramNovelty _),
     "q98_decontaminate" -> (Round4Queries.decontaminated _),
     "q99_contamination_bloom" -> (Round4Queries.contaminationBloom _),
+    "q100_rank_normalize" -> (DataPipeQueries.rankNormalized _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -469,5 +470,6 @@ object SparkEntry {
     "q97_ngram_novelty" -> DataPipeQueries.ngramNoveltyOracle,
     "q98_decontaminate" -> Round4Queries.decontaminatedOracle,
     "q99_contamination_bloom" -> Round4Queries.contaminationOracle,
+    "q100_rank_normalize" -> DataPipeQueries.rankNormalizedOracle,
   )
 }

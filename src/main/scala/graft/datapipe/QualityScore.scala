@@ -1,6 +1,7 @@
 package graft.datapipe
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.StopWords
 import graft.util.Tok
@@ -75,6 +76,45 @@ object QualityScore {
         coalesce(col("__total"), lit(0L)).as("n_grams"),
         coalesce(col("__distinct"), lit(0L)).as("n_distinct_grams"),
         coalesce(col("__max"), lit(0L)).as("max_gram_count"))
+  }
+
+  /** Per-source RANK NORMALIZATION of an integer quality score — the
+    * cross-source calibration step before quantile-based filtering
+    * ("keep each source's best 30%"): raw scores aren't comparable
+    * across sources, ranks are. Emits each row's 1-based rank within
+    * its source (order = (score, id) — the id tiebreak makes the rank
+    * total and reproducible) plus the source's row count; consumers
+    * derive percentile = (rank-1)/(n-1) — the float never crosses an
+    * engine boundary.
+    *
+    * NOT a per-source window (one task per source — the q65 skew
+    * trap). The score itself is the band key: per-(source, score)
+    * counts cumsum into exclusive offsets — a window over
+    * O(nSources · distinct-scores) AGGREGATE rows — and only the
+    * within-(source, score) tie-break ranks row data, partitioned by
+    * a key that subdivides every source. Integer quality metrics have
+    * bounded cardinality (a few thousand distinct values), which
+    * bounds the aggregate window; quantize first for continuous
+    * scores. */
+  def rankNormalize(df: DataFrame, sourceCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    val offsets = df
+      .groupBy(col(sourceCol).as("__rsrc"), col(scoreCol).as("__rscore"))
+      .agg(count(lit(1)).as("__rn"))
+      .withColumn("__roffset",
+        coalesce(sum(col("__rn")).over(Window.partitionBy(col("__rsrc"))
+          .orderBy(col("__rscore"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__rsrc"), col("__rscore"), col("__roffset"))
+    val totals = df.groupBy(col(sourceCol).as("__tsrc"))
+      .agg(count(lit(1)).as("n_src"))
+    df.withColumn("__tie", row_number().over(
+        Window.partitionBy(col(sourceCol), col(scoreCol)).orderBy(col(idCol))))
+      .join(broadcast(offsets),
+        col(sourceCol) === col("__rsrc") && col(scoreCol) === col("__rscore"))
+      .join(broadcast(totals), col(sourceCol) === col("__tsrc"))
+      .withColumn("src_rank", col("__roffset") + col("__tie"))
+      .drop("__tie", "__rsrc", "__rscore", "__roffset", "__tsrc")
   }
 
   /** Per-doc n-gram NOVELTY vs the whole corpus — the cheap LM-proxy

@@ -1232,6 +1232,26 @@ object DataPipeQueries {
        |WHERE af.vec_id NOT IN (SELECT vec_id FROM rem)
        |ORDER BY af.vec_id""".stripMargin
 
+  /** Per-source rank normalization (q100): each document's n_chars
+    * rank within its source + the source size — the cross-source
+    * score calibration table (percentiles derive as (rank-1)/(n-1)
+    * downstream; null-score rows are excluded, mirroring the token-
+    * budget null-mass rule). */
+  def rankNormalized(s: SparkSession, d: String): DataFrame =
+    QualityScore.rankNormalize(
+        Tables.documents(s, d).filter(col("n_chars").isNotNull),
+        "source", "doc_id", "n_chars")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("src_rank"), col("n_src"))
+      .orderBy(col("doc_id"))
+
+  def rankNormalizedOracle: String =
+    s"""SELECT doc_id, source, n_chars,
+       |  CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS src_rank,
+       |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+       |FROM documents WHERE n_chars IS NOT NULL
+       |ORDER BY doc_id""".stripMargin
+
   /** n-gram novelty vs the corpus (q97): per-doc distinct-bigram and
     * corpus-unique-bigram counts — the integer LM-proxy signal. */
   def ngramNovelty(s: SparkSession, d: String): DataFrame =

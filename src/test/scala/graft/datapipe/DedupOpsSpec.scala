@@ -383,6 +383,39 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, 0L)))
   }
 
+  test("rank normalization equals the per-source window form, ties broken by id") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", 10L), (2L, "a", 5L), (3L, "a", 10L), (4L, "a", 1L),
+      (5L, "b", 7L), (6L, "b", 7L),
+    ).toDF("doc_id", "source", "score")
+    val got = QualityScore.rankNormalize(d, "source", "doc_id", "score")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("src_rank"), r.getAs[Long]("n_src")))).toMap
+    // source a order by (score, id): 4(1), 2(5), 1(10), 3(10)
+    assert(got(4L) == ((1L, 4L)) && got(2L) == ((2L, 4L)))
+    assert(got(1L) == ((3L, 4L)) && got(3L) == ((4L, 4L)))
+    assert(got(5L) == ((1L, 2L)) && got(6L) == ((2L, 2L)))
+    // invariant under physical repartitioning
+    val again = QualityScore.rankNormalize(d.repartition(5), "source", "doc_id", "score")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("src_rank"), r.getAs[Long]("n_src")))).toMap
+    assert(again == got)
+  }
+
+  test("rank normalization never windows over a bare source partition") {
+    import spark.implicits._
+    val d = Seq((1L, "a", 10L)).toDF("doc_id", "source", "score")
+    val p = QualityScore.rankNormalize(d, "source", "doc_id", "score")
+      .queryExecution.executedPlan.toString
+    // every row-data window partitions by (source, score), never source
+    // alone; the source-only cumsum runs on aggregate rows upstream
+    val rowWindows = "Window \\[row_number\\(\\)[^\\n]*".r.findAllIn(p).toList
+    assert(rowWindows.nonEmpty)
+    rowWindows.foreach(w => assert(w.contains("__rscore") || w.contains("score"),
+      s"row_number window must include the score in its partition key: $w"))
+  }
+
   test("quality metrics are integer-exact and score bounded") {
     val m = QualityScore.scored(docs).collect()
     assert(m.length == 500)
