@@ -117,6 +117,7 @@ object SparkEntry {
     "q98_decontaminate" -> (Round4Queries.decontaminated _),
     "q99_contamination_bloom" -> (Round4Queries.contaminationBloom _),
     "q100_rank_normalize" -> (DataPipeQueries.rankNormalized _),
+    "q101_leakfree_split" -> (DataPipeQueries.leakFreeSplit _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -471,5 +472,6 @@ object SparkEntry {
     "q98_decontaminate" -> Round4Queries.decontaminatedOracle,
     "q99_contamination_bloom" -> Round4Queries.contaminationOracle,
     "q100_rank_normalize" -> DataPipeQueries.rankNormalizedOracle,
+    "q101_leakfree_split" -> DataPipeQueries.leakFreeSplitOracle,
   )
 }

@@ -806,6 +806,46 @@ object DataPipeQueries {
        |ORDER BY p.id_a, p.id_b""".stripMargin
   }
 
+  /** Leakage-FREE split (q101): the action that fixes what q88
+    * audits. Split assignment hashes the near-dup COMPONENT id (q55's
+    * transitive closure), not the doc id — every member of a near-dup
+    * cluster shares its component's hash, so no near-dup pair can
+    * straddle train/val/test BY CONSTRUCTION (the q88 audit returns
+    * zero rows on this assignment; spec-asserted). Singletons hash
+    * their own id, so the non-duplicated mass keeps the usual
+    * proportions. */
+  def leakFreeSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = DedupOps.minhashNearDupPairs(docs, minJaccard = 0.5,
+        md5Based = true)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    val comp = ConnectedComponents.componentsWithSingletons(docs, "doc_id", pairs)
+    Sampling.assignSplit(comp, "component",
+        Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0), salt = "split")
+      .select(col("doc_id"), col("component"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  def leakFreeSplitOracle: String = {
+    val key = "substring(md5(CAST(component AS VARCHAR) || 'split'), 1, 8)"
+    s"""WITH RECURSIVE ${minhashPairsCtes("documents")}, edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs WHERE n_inter >= 0.5 * (sum_len - n_inter)
+       |  UNION ALL
+       |  SELECT id_b AS a, id_a AS b FROM pairs WHERE n_inter >= 0.5 * (sum_len - n_inter)
+       |), reach(node, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+       |), comp AS (
+       |  SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+       |)
+       |SELECT doc_id, component,
+       |  CASE WHEN $key < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+       |       WHEN $key < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM comp ORDER BY doc_id""".stripMargin
+  }
+
   /** Near-dup clusters (q55): transitive closure of the minhash
     * near-dup pairs via large-star/small-star connected components —
     * every document labeled with the min doc_id of its cluster,
