@@ -77,11 +77,41 @@ object Clustering {
     (a.getField("_1"), a.getField("_2"))
   }
 
+  /** Assignment of any (id, vector) relation under FIXED trained
+    * centroids — the "score data with a trained model" form. Stateless
+    * narrow map, so it runs unchanged on a STREAMING DataFrame (see
+    * [[graft.streaming.StreamingPipeline.clusterAssignStream]]). */
+  def assignWithCentroids(df: DataFrame, centroids: Array[Array[Long]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (cl, dist) = assignCols(quantize(col(vecCol)), centroids)
+    df.select(col(idCol), cl.as("cluster"), dist.as("sq_dist"))
+  }
+
+  /** Lloyd training alone: the centroids after `iters` updates —
+    * feed [[assignWithCentroids]] to score other data (or a stream)
+    * with the trained model. */
+  def kmeansCentroids(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = 8,
+      iters: Int = 3): Array[Array[Long]] = {
+    val out = kmeansTrain(df, idCol, vecCol, k, iters)
+    out._2.unpersist()
+    out._1
+  }
+
   /** Lloyd iterations; returns (id, cluster, sq_dist) under the
     * centroids AFTER `iters` updates. Output is deterministic and
     * partition-invariant (integer arithmetic throughout). */
   def kmeansAssign(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", k: Int = 8, iters: Int = 3): DataFrame = {
+    val (centroids, qdf) = kmeansTrain(df, idCol, vecCol, k, iters)
+    val (cl, dist) = assignCols(col("__qv"), centroids)
+    qdf.select(col("__id").as(idCol), cl.as("cluster"), dist.as("sq_dist"))
+  }
+
+  /** Shared training loop: (final centroids, persisted quantized
+    * projection keyed __id/__qv). */
+  private def kmeansTrain(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int): (Array[Array[Long]], DataFrame) = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     val qdf = df.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__qv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -126,9 +156,7 @@ object Clustering {
       // an emptied cluster keeps its previous centroid (deterministic)
       centroids = next.indices.map(i => if (touched(i)) next(i) else centroids(i)).toArray
     }
-
-    val (cl, dist) = assignCols(col("__qv"), centroids)
-    qdf.select(col("__id").as(idCol), cl.as("cluster"), dist.as("sq_dist"))
+    (centroids, qdf)
   }
 
   /** SemDeDup: semantic near-dup removal restricted to k-means

@@ -242,6 +242,17 @@ object StreamingPipeline {
       }
   }
 
+  /** Streaming cluster scoring: assign arriving embedding rows to the
+    * nearest centroid of a BATCH-trained k-means model
+    * ([[graft.datapipe.Clustering.kmeansCentroids]]) — the standard
+    * train-offline / score-online split. Stateless narrow map (the
+    * centroids ride the closure), so any output mode works and there
+    * is no state store. Exactly the batch assignment semantics:
+    * integer distances, lowest-index ties. */
+  def clusterAssignStream(vecs: DataFrame, centroids: Array[Array[Long]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    graft.datapipe.Clustering.assignWithCentroids(vecs, centroids, idCol, vecCol)
+
   /** Watermarked tumbling-window event aggregation (generic streaming
     * agg; mirrors RelationalQueries.q8EventsHourly as a stream). */
   def eventsWindowed(events: DataFrame,

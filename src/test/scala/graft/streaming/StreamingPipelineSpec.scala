@@ -75,6 +75,32 @@ class StreamingPipelineSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("streaming cluster scoring equals the batch assignment under the trained model") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val emb = graft.util.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = graft.datapipe.Clustering.kmeansCentroids(emb, k = 4, iters = 2)
+    val batchExpected = graft.datapipe.Clustering
+      .assignWithCentroids(emb, centroids).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().take(50)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val out = StreamingPipeline.clusterAssignStream(
+      input.toDS().toDF("vec_id", "embedding"), centroids)
+    val query = out.writeStream.format("memory").queryName("stream_cluster")
+      .outputMode("append").start()
+    input.addData(rows.take(20): _*)
+    input.addData(rows.drop(20): _*)
+    query.processAllAvailable()
+    val got = spark.table("stream_cluster").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == 50)
+    got.foreach { case (id, a) => assert(a == batchExpected(id), s"vec $id") }
+    query.stop()
+  }
+
   test("streaming latest-version with tombstones via flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
