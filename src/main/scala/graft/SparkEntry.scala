@@ -118,6 +118,7 @@ object SparkEntry {
     "q99_contamination_bloom" -> (Round4Queries.contaminationBloom _),
     "q100_rank_normalize" -> (DataPipeQueries.rankNormalized _),
     "q101_leakfree_split" -> (DataPipeQueries.leakFreeSplit _),
+    "q102_dataset_card" -> (DataPipeQueries.datasetCard _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -473,5 +474,6 @@ object SparkEntry {
     "q99_contamination_bloom" -> Round4Queries.contaminationOracle,
     "q100_rank_normalize" -> DataPipeQueries.rankNormalizedOracle,
     "q101_leakfree_split" -> DataPipeQueries.leakFreeSplitOracle,
+    "q102_dataset_card" -> DataPipeQueries.datasetCardOracle,
   )
 }

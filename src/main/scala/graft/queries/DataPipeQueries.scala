@@ -846,6 +846,54 @@ object DataPipeQueries {
        |FROM comp ORDER BY doc_id""".stripMargin
   }
 
+  /** Dataset card (q102): the per-source summary panel a curation run
+    * publishes — doc/char/token mass, language spread, and near-dup
+    * incidence (docs participating in any exact-verified q13 pair),
+    * all integer-exact. One scan for the base stats + the q13 pair
+    * chain for the dup column; the oracle recomputes BOTH. */
+  def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(size(filter(split(lower(col("text")), Tok.WS), t => t =!= "")))
+        .as("total_tokens"),
+      countDistinct(col("lang")).as("n_langs"))
+    val pairIds = DedupOps.minhashNearDupPairs(docs, minJaccard = 0.5,
+        md5Based = true)
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    val dup = docs.join(pairIds, Seq("doc_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("__nd"))
+    base.join(dup, Seq("source"), "left_outer")
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("total_tokens"), col("n_langs"),
+        coalesce(col("__nd"), lit(0L)).as("n_neardup_docs"))
+      .orderBy(col("source"))
+  }
+
+  def datasetCardOracle: String =
+    s"""WITH ${minhashPairsCtes("documents")}, np AS (
+       |  SELECT id_a, id_b FROM pairs WHERE n_inter >= 0.5 * (sum_len - n_inter)
+       |), ids AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT id_a AS doc_id FROM np UNION ALL SELECT id_b AS doc_id FROM np)
+       |), base AS (
+       |  SELECT source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |    CAST(sum(len(list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> ''))) AS BIGINT) AS total_tokens,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       |  FROM documents GROUP BY source
+       |), dup AS (
+       |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_neardup_docs
+       |  FROM documents d JOIN ids ON ids.doc_id = d.doc_id GROUP BY d.source
+       |)
+       |SELECT b.source, b.n_docs, b.total_chars, b.total_tokens, b.n_langs,
+       |  COALESCE(dup.n_neardup_docs, 0) AS n_neardup_docs
+       |FROM base b LEFT JOIN dup ON dup.source = b.source
+       |ORDER BY b.source""".stripMargin
+
   /** Near-dup clusters (q55): transitive closure of the minhash
     * near-dup pairs via large-star/small-star connected components —
     * every document labeled with the min doc_id of its cluster,
