@@ -88,7 +88,8 @@ object ScaleRehearsal {
       "q88_split_leakage", "q89_span_removal", "q90_bpe_encode",
       "q92_image_neardup", "q93_video_meta", "q94_bpe_budget",
       "q95_kmeans", "q96_semantic_dedup", "q97_ngram_novelty",
-      "q98_decontaminate")
+      "q98_decontaminate", "q99_contamination_bloom", "q100_rank_normalize",
+      "q101_leakfree_split", "q102_dataset_card")
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     headline.foreach { name =>
