@@ -119,6 +119,7 @@ object SparkEntry {
     "q100_rank_normalize" -> (DataPipeQueries.rankNormalized _),
     "q101_leakfree_split" -> (DataPipeQueries.leakFreeSplit _),
     "q102_dataset_card" -> (DataPipeQueries.datasetCard _),
+    "q103_llm_funnel" -> (DataPipeQueries.llmFunnel _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -475,5 +476,6 @@ object SparkEntry {
     "q100_rank_normalize" -> DataPipeQueries.rankNormalizedOracle,
     "q101_leakfree_split" -> DataPipeQueries.leakFreeSplitOracle,
     "q102_dataset_card" -> DataPipeQueries.datasetCardOracle,
+    "q103_llm_funnel" -> DataPipeQueries.llmFunnelOracle,
   )
 }

@@ -846,6 +846,140 @@ object DataPipeQueries {
        |FROM comp ORDER BY doc_id""".stripMargin
   }
 
+  /** The full LLM-curation funnel (q103) — the capstone composition:
+    * every stage of a production training-data pipeline chained from
+    * this package's verified operators, and the ENTIRE six-stage
+    * composition recomputed by one DuckDB oracle:
+    *
+    *  1. language gate + quality gate (the q54 predicates);
+    *  2. decontamination vs the held-out eval slice (doc_id ≡ 0
+    *     mod 97; ≥ 2 shared 3-gram shingles removes — q98);
+    *  3. fuzzy dedup: md5-portable minhash survivors (q13/q54);
+    *  4. semantic dedup under the GLOBAL q95 k-means model: among the
+    *     remaining docs' embeddings, drop the larger id of every
+    *     same-cluster cosine pair ≥ 0.45 (q96); docs without an
+    *     embedding skip this stage (cluster −1);
+    *  5. leak-free split: the cosine pairs STILL standing among the
+    *     final survivors (cross-cluster near-dups stage 4 deliberately
+    *     keeps) define the component graph, and the split hashes the
+    *     component id (q101) — so nothing that survived dedup can
+    *     straddle train/val/test;
+    *  6. publish (doc_id, cluster, component, split).
+    */
+  def llmFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val gated = docs.filter(col("lang") === "en")
+    val okIds = QualityScore.metrics(gated)
+      .filter(col("n_tokens") >= 30 &&
+        col("n_punct") < lit(0.2) * col("n_chars_measured"))
+      .select(col("doc_id"))
+    val qual = gated.join(okIds, Seq("doc_id"), "left_semi")
+    val decon = Contamination.decontaminate(
+      qual.filter(col("doc_id") % 97 =!= 0),
+      qual.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 3, minShared = 2L)
+    val surv = DedupOps.minhashDedupSurvivors(decon, minJaccard = 0.5,
+      md5Based = true)
+
+    val emb = Tables.embeddings(s, d)
+    val assign = Clustering.kmeansAssign(emb, k = KmK, iters = KmIters)
+      .select(col("vec_id"), col("cluster"))
+    val embSurv = emb.join(surv.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val nCells = math.max(8, math.sqrt(embSurv.count().toDouble).toInt)
+    val cosPairs = Similarity.cosineNearDupPairs(embSurv, threshold = 0.45,
+      nCells = nCells)
+    val sameCluster = cosPairs
+      .join(assign.withColumnRenamed("vec_id", "id_a")
+        .withColumnRenamed("cluster", "cl_a"), Seq("id_a"))
+      .join(assign.withColumnRenamed("vec_id", "id_b")
+        .withColumnRenamed("cluster", "cl_b"), Seq("id_b"))
+      .filter(col("cl_a") === col("cl_b"))
+    val removed = sameCluster.select(col("id_b").as("doc_id")).distinct()
+    val fin = surv.join(removed, Seq("doc_id"), "left_anti")
+
+    val finIds = fin.select(col("doc_id"))
+    val finPairs = cosPairs
+      .join(finIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+      .join(finIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    val comp = ConnectedComponents.componentsWithSingletons(fin, "doc_id", finPairs)
+    Sampling.assignSplit(comp, "component",
+        Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0), salt = "split")
+      .join(assign.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("cluster"), lit(-1L)).as("cluster"),
+        col("component"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  def llmFunnelOracle: String = {
+    val key = "substring(md5(CAST(component AS VARCHAR) || 'split'), 1, 8)"
+    s"""WITH RECURSIVE gated AS (
+       |  SELECT * FROM documents WHERE lang = 'en' AND length(trim(text)) > 0
+       |), qual AS (
+       |  SELECT * FROM gated
+       |  WHERE len(string_split_regex(trim(text), '${Tok.WS}')) >= 30
+       |    AND (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+       |        < 0.2 * length(text)
+       |), ctok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
+       |  FROM qual
+       |), csh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |      ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+       |  FROM ctok
+       |), eval_sh AS (
+       |  SELECT DISTINCT unnest(sh) AS s FROM csh WHERE doc_id % 97 = 0
+       |), flagged AS (
+       |  SELECT t.doc_id FROM (
+       |    SELECT doc_id, unnest(sh) AS s FROM csh WHERE doc_id % 97 <> 0) t
+       |  JOIN eval_sh e ON t.s = e.s
+       |  GROUP BY t.doc_id HAVING COUNT(*) >= 2
+       |), decon AS (
+       |  SELECT * FROM qual
+       |  WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+       |), ${minhashPairsCtes("decon")}, surv AS (
+       |  SELECT doc_id FROM decon WHERE doc_id NOT IN (
+       |    SELECT id_b FROM pairs WHERE n_inter >= 0.5 * (sum_len - n_inter))
+       |), $kmeansCtes, pr AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE a.vec_id IN (SELECT doc_id FROM surv)
+       |    AND b.vec_id IN (SELECT doc_id FROM surv)
+       |    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+       |), removed AS (
+       |  SELECT DISTINCT p.id_b AS doc_id
+       |  FROM pr p
+       |  JOIN af x ON x.vec_id = p.id_a
+       |  JOIN af y ON y.vec_id = p.id_b
+       |  WHERE x.cluster = y.cluster
+       |), fin AS (
+       |  SELECT doc_id FROM surv
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+       |), fedges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pr
+       |  WHERE id_a IN (SELECT doc_id FROM fin) AND id_b IN (SELECT doc_id FROM fin)
+       |  UNION ALL
+       |  SELECT id_b AS a, id_a AS b FROM pr
+       |  WHERE id_a IN (SELECT doc_id FROM fin) AND id_b IN (SELECT doc_id FROM fin)
+       |), reach(node, label) AS (
+       |  SELECT doc_id, doc_id FROM fin
+       |  UNION
+       |  SELECT e.b, r.label FROM reach r JOIN fedges e ON e.a = r.node
+       |), comp AS (
+       |  SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+       |)
+       |SELECT c.doc_id,
+       |  COALESCE(af.cluster, -1) AS cluster,
+       |  c.component,
+       |  CASE WHEN $key < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+       |       WHEN $key < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM comp c LEFT JOIN af ON af.vec_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   /** Dataset card (q102): the per-source summary panel a curation run
     * publishes — doc/char/token mass, language spread, and near-dup
     * incidence (docs participating in any exact-verified q13 pair),
