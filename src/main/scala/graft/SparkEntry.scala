@@ -120,6 +120,7 @@ object SparkEntry {
     "q101_leakfree_split" -> (DataPipeQueries.leakFreeSplit _),
     "q102_dataset_card" -> (DataPipeQueries.datasetCard _),
     "q103_llm_funnel" -> (DataPipeQueries.llmFunnel _),
+    "q104_bpe_merges" -> (DataPipeQueries.bpeMergeTable _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -477,5 +478,6 @@ object SparkEntry {
     "q101_leakfree_split" -> DataPipeQueries.leakFreeSplitOracle,
     "q102_dataset_card" -> DataPipeQueries.datasetCardOracle,
     "q103_llm_funnel" -> DataPipeQueries.llmFunnelOracle,
+    "q104_bpe_merges" -> DataPipeQueries.bpeMergeTableOracle,
   )
 }

@@ -535,7 +535,8 @@ object DataPipeQueries {
        |    UNNEST(range(1, len(sy))) t(i)
        |  GROUP BY 1, 2 HAVING SUM(cnt) >= 2
        |), m$k AS MATERIALIZED (
-       |  SELECT chr(1) || a || chr(1) || chr(1) || b || chr(1) AS pat,
+       |  SELECT a, b,
+       |         chr(1) || a || chr(1) || chr(1) || b || chr(1) AS pat,
        |         chr(1) || a || b || chr(1) AS rep
        |  FROM p$k ORDER BY n DESC, a ASC, b ASC LIMIT 1
        |), seg${k + 1} AS MATERIALIZED (
@@ -565,6 +566,32 @@ object DataPipeQueries {
        |LEFT JOIN w ON w.doc_id = t.doc_id
        |LEFT JOIN enc ON enc.word = w.word
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  /** BPE merge table (q104): the TRAINING ARTIFACT itself on the
+    * oracle surface — q90/q94 gate encode COUNTS; this gates the
+    * learned merges one by one (rank, left symbol, right symbol), so
+    * a tie-break or histogram drift shows up as the exact divergent
+    * merge, not a downstream count mismatch. */
+  def bpeMergeTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val merges = Bpe.train(
+      Bpe.wordHistogram(Tables.documents(s, d), "text"),
+      topK = BpeTopK, numMerges = BpeMerges)
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("merge_rank", "a", "b")
+      .orderBy(col("merge_rank"))
+  }
+
+  def bpeMergeTableOracle: String = {
+    val union = (0 until BpeMerges)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS merge_rank, a, b FROM m$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $bpeCtes
+       |SELECT merge_rank, a, b FROM (
+       |  $union
+       |) ORDER BY merge_rank""".stripMargin
+  }
 
   /** BPE-token budget sampling (q94): the q83 quota sampler running
     * on REAL learned subword counts — train the q90 tokenizer, count
