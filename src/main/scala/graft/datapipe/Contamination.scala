@@ -86,6 +86,42 @@ object Contamination {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Driver-side twin of [[shingles]] (same lower/WS/n-gram/whole-
+    * text-under-n/distinct semantics), for closures that hold the
+    * eval set as a broadcast Scala Set — parity pinned by spec. */
+  def shingleSet(text: String, n: Int): Set[String] = {
+    if (text == null) return Set.empty
+    val toks = graft.util.Tok.WsRegex.split(text.toLowerCase)
+      .filter(_.nonEmpty).toSeq
+    if (toks.isEmpty) Set.empty
+    else if (toks.length < n) Set(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  /** Streaming decontamination: the [[decontaminate]] action as a
+    * STATELESS stream filter — the (batch) eval set's distinct
+    * shingles collect once to a broadcast Set, and each arriving
+    * document is admitted iff it shares fewer than `minShared`
+    * distinct shingles with it. No state store, append mode, same
+    * admission rule as the batch op (spec-pinned equality). The
+    * broadcast set is the exact-set small-eval regime; for an eval
+    * suite too big to broadcast exactly, swap in the bloom +
+    * downstream exact verify of [[contaminatedBloomPruned]]. */
+  def decontaminateStream(docs: DataFrame, eval_ : DataFrame,
+      textCol: String, n: Int, minShared: Long = 1L): DataFrame = {
+    require(minShared >= 1L, s"minShared must be >= 1: $minShared")
+    val spark = eval_.sparkSession
+    import spark.implicits._
+    val evalSh = eval_
+      .filter(length(trim(col(textCol))) > 0)
+      .select(explode(shingles(col(textCol), n)).as("__sh"))
+      .distinct().as[String].collect().toSet
+    val bc = spark.sparkContext.broadcast(evalSh)
+    val nShared = udf((text: String) =>
+      shingleSet(text, n).count(bc.value.contains).toLong)
+    docs.filter(nShared(col(textCol)) < minShared)
+  }
+
   /** The decontamination ACTION: the training corpus with every
     * document sharing ≥ `minShared` distinct eval shingles REMOVED —
     * what a pipeline actually feeds the trainer after the q73-style

@@ -14,4 +14,8 @@ package graft.util
 object Tok {
   /** Whitespace-run split pattern, valid in both Java regex and RE2. */
   val WS: String = "[ \\t\\n\\r\\f]+"
+
+  /** The same pattern pre-compiled for driver/closure-side twins of
+    * the Column tokenizers. */
+  val WsRegex: scala.util.matching.Regex = WS.r
 }

@@ -64,6 +64,47 @@ class ContaminationSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("driver-side shingleSet matches the Column shingles on edge inputs") {
+    import spark.implicits._
+    val texts = Seq("x y z w", "a", "", "  ", "A  B\tC", "one two three four five",
+      null.asInstanceOf[String])
+    val viaColumn = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("id"), Contamination.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val local = Contamination.shingleSet(t, 3)
+      viaColumn.get(i.toLong) match {
+        case Some(sh) => assert(local == sh, s"input ${i}: $local vs $sh")
+        case None => assert(local.isEmpty, s"input ${i} filtered but local=$local")
+      }
+    }
+  }
+
+  test("streaming decontamination admits exactly the batch survivors") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val eval_ = docs.filter(col("doc_id") % 97 === 0)
+    val batchKept = Contamination.decontaminate(train, eval_,
+      "doc_id", "text", 3, minShared = 2L).collect().map(_.getLong(0)).toSet
+
+    val rows = train.select("doc_id", "text").as[(Long, String)].collect()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = Contamination.decontaminateStream(
+      input.toDS().toDF("doc_id", "text"), eval_, "text", 3, minShared = 2L)
+    val query = out.writeStream.format("memory").queryName("stream_decon")
+      .outputMode("append").start()
+    input.addData(rows.take(100): _*)
+    input.addData(rows.drop(100): _*)
+    query.processAllAvailable()
+    val got = spark.table("stream_decon").collect().map(_.getLong(0)).toSet
+    assert(got == batchKept)
+    query.stop()
+  }
+
   test("the corpus side of the removal anti-join never shuffles") {
     val (train, eval_) = corpus()
     val plan = Contamination.decontaminate(train, eval_, "doc_id", "text", 3)
