@@ -126,6 +126,27 @@ object Bpe {
         replace(c, lit(Sep + a + Sep + Sep + b + Sep), lit(Sep + a + b + Sep))
     }
 
+  /** STATELESS per-row encode: (idCol, n_words, n_bpe_tokens,
+    * bpe_text) computed entirely inside one projection — the replace
+    * chain runs per token occurrence instead of once per distinct
+    * word, trading the [[encodeDocs]] dictionary reuse for zero
+    * shuffles and zero state. That trade is exactly what a STREAMING
+    * encode needs (runs unchanged on a streaming DataFrame, append
+    * mode, no state store; spec-pinned equal to [[encodeDocs]]), and
+    * is also the right batch shape when the corpus is so wide that
+    * the distinct-word relation rivals the corpus itself. */
+  def encodePerRow(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val ts = toks(col(textCol))
+    val symsOf = (w: Column) =>
+      filter(split(segmentExpr(w, merges), Sep), x => x =!= "")
+    docs.select(col(idCol),
+      size(ts).cast("long").as("n_words"),
+      aggregate(transform(ts, w => size(symsOf(w)).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("n_bpe_tokens"),
+      concat_ws(" ", flatten(transform(ts, w => symsOf(w)))).as("bpe_text"))
+  }
+
   /** Encode every document: (idCol, n_words, n_bpe_tokens, bpe_text)
     * where bpe_text is the space-joined subword stream. Distinct
     * words are encoded once (the replace chain runs per histogram

@@ -63,6 +63,37 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.train(Bpe.wordHistogram(df, "text"), 256, 10).isEmpty)
   }
 
+  test("per-row encode equals the dictionary-join encode on the real table") {
+    val real = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.train(Bpe.wordHistogram(real, "text"), 256, 24)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val joined = canon(Bpe.encodeDocs(real, "doc_id", "text", merges))
+    val perRow = canon(Bpe.encodePerRow(real, "doc_id", "text", merges))
+    assert(perRow == joined)
+  }
+
+  test("per-row encode runs on a stream, matching the batch counts") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val d = docs((1L, "ab ab ab cd"), (2L, "ab cd cd"), (3L, ""))
+    val merges = Bpe.train(Bpe.wordHistogram(d, "text"), 16, 4)
+    val expected = Bpe.encodePerRow(d, "id", "text", merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = Bpe.encodePerRow(input.toDS().toDF("id", "text"), "id", "text", merges)
+    val query = out.writeStream.format("memory").queryName("stream_bpe")
+      .outputMode("append").start()
+    input.addData((1L, "ab ab ab cd"), (2L, "ab cd cd"))
+    input.addData((3L, ""))
+    query.processAllAvailable()
+    val got = spark.table("stream_bpe").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expected)
+    query.stop()
+  }
+
   test("empty and sub-length docs survive encode with zero tokens") {
     val df = docs((1L, "x y"), (2L, "   "))
     val merges = Bpe.train(Bpe.wordHistogram(df, "text"), 256, 4)
