@@ -89,7 +89,8 @@ object ScaleRehearsal {
       "q92_image_neardup", "q93_video_meta", "q94_bpe_budget",
       "q95_kmeans", "q96_semantic_dedup", "q97_ngram_novelty",
       "q98_decontaminate", "q99_contamination_bloom", "q100_rank_normalize",
-      "q101_leakfree_split", "q102_dataset_card", "q103_llm_funnel")
+      "q101_leakfree_split", "q102_dataset_card", "q103_llm_funnel",
+      "q104_bpe_merges")
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     headline.foreach { name =>
