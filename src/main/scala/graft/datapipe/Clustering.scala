@@ -100,12 +100,14 @@ object Clustering {
 
   /** Lloyd iterations; returns (id, cluster, sq_dist) under the
     * centroids AFTER `iters` updates. Output is deterministic and
-    * partition-invariant (integer arithmetic throughout). */
+    * partition-invariant (integer arithmetic throughout). The final
+    * assignment re-reads the SOURCE (a narrow map) rather than the
+    * training cache, so the cache can be released eagerly here instead
+    * of leaking for the session lifetime. */
   def kmeansAssign(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", k: Int = 8, iters: Int = 3): DataFrame = {
-    val (centroids, qdf) = kmeansTrain(df, idCol, vecCol, k, iters)
-    val (cl, dist) = assignCols(col("__qv"), centroids)
-    qdf.select(col("__id").as(idCol), cl.as("cluster"), dist.as("sq_dist"))
+    val centroids = kmeansCentroids(df, idCol, vecCol, k, iters)
+    assignWithCentroids(df, centroids, idCol, vecCol)
   }
 
   /** Shared training loop: (final centroids, persisted quantized

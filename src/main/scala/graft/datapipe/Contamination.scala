@@ -91,7 +91,9 @@ object Contamination {
     * eval set as a broadcast Scala Set — parity pinned by spec. */
   def shingleSet(text: String, n: Int): Set[String] = {
     if (text == null) return Set.empty
-    val toks = graft.util.Tok.WsRegex.split(text.toLowerCase)
+    // Locale.ROOT: the engine/oracle lower() is locale-independent;
+    // default toLowerCase would break parity on e.g. a Turkish JVM
+    val toks = graft.util.Tok.WsRegex.split(text.toLowerCase(java.util.Locale.ROOT))
       .filter(_.nonEmpty).toSeq
     if (toks.isEmpty) Set.empty
     else if (toks.length < n) Set(toks.mkString(" "))

@@ -24,7 +24,15 @@ object Hashing {
     * included; for BMP text it coincides with the historical UTF-16
     * per-char fold, so every ASCII-corpus hash is unchanged.
     * Unpaired surrogates fold as their own char value (same as
-    * String#codePointAt's lenient contract). */
+    * String#codePointAt's lenient contract).
+    *
+    * HASH-CONVENTION BREAK (round 10): the switch from UTF-16 char
+    * folding to codepoint folding changed hash values for astral-plane
+    * text. Persisted artifacts keyed by the OLD hashes — e.g. the
+    * incremental near-dup postings index written by a pre-round-10
+    * build ([[DedupOps]] persisted index, streaming near-dup state) —
+    * must be rebuilt before probing with new-code hashes; old state is
+    * NOT silently compatible unless the corpus is BMP-only. */
   def fnv64(s: CharSequence): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0

@@ -175,6 +175,9 @@ object VideoContainer {
     ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
       ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
 
+  private def rdBe64(d: Array[Byte], o: Int): Long =
+    (rdBe32(d, o) << 32) | rdBe32(d, o + 4)
+
   private def cc(d: Array[Byte], o: Int): String =
     new String(d, o, 4, "US-ASCII")
 
@@ -235,28 +238,38 @@ object VideoContainer {
     def walk(from: Int, to: Int, depth: Int): Unit = {
       var o = from
       while (o + 8 <= to) {
-        val sz = rdBe32(data, o)
-        if (sz < 8 || o + sz > to) return
+        val sz32 = rdBe32(data, o)
         val kind = cc(data, o + 4)
-        val body = o + 8
-        val bodyEnd = (o + sz).toInt
+        // ISO 14496-12 §4.2 size forms: 1 → 64-bit largesize follows
+        // the type; 0 → box extends to the end of the enclosing region
+        var body = o + 8
+        val boxEnd: Long =
+          if (sz32 == 1L) {
+            if (o + 16 > to) return
+            body = o + 16
+            o + rdBe64(data, o + 8)
+          } else if (sz32 == 0L) to.toLong
+          else o + sz32
+        if (boxEnd < body || boxEnd > to) return
+        val bodyEnd = boxEnd.toInt
+        val psz = bodyEnd - body // payload bytes, whichever header form
         kind match {
           case "moov" => walk(body, bodyEnd, depth + 1)
-          case "mvhd" if sz >= 28 =>
+          case "mvhd" if psz >= 20 =>
             timescale = rdBe32(data, body + 12)
             duration = rdBe32(data, body + 16)
           case "trak" =>
             nTracks += 1; inVide = false
             walk(body, bodyEnd, depth + 1)
           case "mdia" | "minf" | "stbl" => walk(body, bodyEnd, depth + 1)
-          case "hdlr" if sz >= 20 =>
+          case "hdlr" if psz >= 12 =>
             inVide = cc(data, body + 8) == "vide"
-          case "tkhd" if sz >= 92 =>
+          case "tkhd" if psz >= 84 =>
             pendW = (rdBe32(data, body + 76) >> 16).toInt
             pendH = (rdBe32(data, body + 80) >> 16).toInt
-          case "stsd" if sz >= 24 =>
+          case "stsd" if psz >= 16 =>
             if (inVide && codec == null) codec = cc(data, body + 12)
-          case "stts" if sz >= 16 =>
+          case "stts" if psz >= 8 =>
             if (inVide) {
               val n = rdBe32(data, body + 4)
               var i = 0L

@@ -1432,7 +1432,7 @@ object DataPipeQueries {
          |${assignSql(s"c${i - 1}")})
          |  WHERE rn = 1
          |), c$i AS MATERIALIZED (
-         |  SELECT cl, pos, CAST((s - ((s % n) + n) % n) / n AS BIGINT) AS comp FROM (
+         |  SELECT cl, pos, (s - ((s % n) + n) % n) // n AS comp FROM (
          |    SELECT a.cl, qe.pos, SUM(qe.comp) AS s, COUNT(*) AS n
          |    FROM a$i a JOIN qe ON qe.vec_id = a.vec_id GROUP BY 1, 2) t
          |  UNION ALL

@@ -75,6 +75,28 @@ class VideoContainerSpec extends AnyFunSuite {
     }
   }
 
+  test("MP4 spec size forms: largesize (size==1) and to-EOF (size==0) boxes parse") {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    for (id <- Seq(1L, 3L, 7L)) {
+      val mp4 = VideoContainer.synthMp4(id)
+      val expected = VideoContainer.parseVideoMeta(mp4)
+      assert(expected.nonEmpty)
+      val off = mp4.indexOfSlice("moov".getBytes("US-ASCII")) - 4
+      val sz = ((mp4(off) & 0xffL) << 24) | ((mp4(off + 1) & 0xffL) << 16) |
+        ((mp4(off + 2) & 0xffL) << 8) | (mp4(off + 3) & 0xffL)
+      // size==1: 64-bit largesize follows the type; box grows by 8
+      val large = mp4.take(off) ++ be32(1) ++ "moov".getBytes("US-ASCII") ++
+        be32((sz + 8) >> 32) ++ be32((sz + 8) & 0xffffffffL) ++ mp4.drop(off + 8)
+      assert(VideoContainer.parseVideoMeta(large) == expected, s"largesize id=$id")
+      // size==0: moov (the last top-level box) extends to EOF
+      val toEof = mp4.clone()
+      toEof(off) = 0; toEof(off + 1) = 0; toEof(off + 2) = 0; toEof(off + 3) = 0
+      assert(VideoContainer.parseVideoMeta(toEof) == expected, s"to-EOF id=$id")
+    }
+  }
+
   test("RIFF AVI bytes route to the video walk, not the audio decoder") {
     val avi = VideoContainer.synthAvi(2L)
     // Multimodal.decode must not misread an AVI as audio: the audio
