@@ -10,12 +10,16 @@ import org.apache.spark.sql.functions._
   * budget in REAL learned subword tokens instead of whitespace / char
   * proxies.
   *
-  * Scale shape (the HuggingFace-trainer topology, Spark-first):
+  * Scale shape (the Sennrich trainer topology, Spark-first):
   *  - ONE distributed exact word-count shuffle builds the histogram;
-  *    the merge loop then runs on the top-`topK` (count desc, word
-  *    asc) rows only — a bounded `TakeOrderedAndProject` collect
-  *    (same discipline as the ANN training samples), never the
-  *    corpus. Per-iteration work is O(topK · word-len) driver-local.
+  *    each merge round then runs as ONE distributed pair-count
+  *    aggregate over the FULL histogram relation (adjacent-symbol
+  *    pairs weighted by word count, map-side combined), and the
+  *    round's winner is a `TakeOrderedAndProject` of exactly one row
+  *    — driver state is one (a, b) pair per round, never a segment
+  *    table. Per-round work is ∝ DISTINCT words (the persisted
+  *    histogram), never the corpus, so a rare-but-mergeable tail
+  *    word counts exactly like a head word.
   *  - Encode is fully DISTRIBUTED and codegen'd, no UDF: a word's
   *    segmentation is a U+0001-delimited symbol string where EVERY
   *    symbol carries its own separator pair (`⟨S⟩a⟨S⟩⟨S⟩b⟨S⟩`…), and
@@ -32,10 +36,10 @@ import org.apache.spark.sql.functions._
   *    runs once per histogram row, then a keyed join fans the
   *    encodings back onto the token stream.
   *
-  * Deterministic by construction: exact integer counts, (count desc,
-  * word asc) top-K, (count desc, pair asc) merge choice — the merge
-  * table is independent of partitioning (spec-pinned). The DuckDB
-  * oracle replays the identical procedure stage by stage.
+  * Deterministic by construction: exact integer counts and a
+  * (count desc, pair asc) merge choice — the merge table is
+  * independent of partitioning (spec-pinned at vocab ≥ 1k). The
+  * DuckDB oracle replays the identical procedure stage by stage.
   *
   * Deviations from classic BPE, both documented and mirrored in the
   * oracle: no end-of-word marker (merges never cross word
@@ -64,8 +68,8 @@ object Bpe {
   /** Greedy left-to-right application of one merge to a symbol
     * sequence — exactly the semantics of a non-overlapping string
     * `replace` on the delimited form (the encode path and the DuckDB
-    * oracle both use the replace form; this is its vector twin for
-    * the driver-local training loop). */
+    * oracle both use the replace form; this vector twin backs the
+    * spec suite's independent driver-local replay of training). */
   private[datapipe] def applyMerge(syms: Vector[String], a: String,
                                    b: String): Vector[String] = {
     val out = Vector.newBuilder[String]
@@ -78,43 +82,50 @@ object Bpe {
     out.result()
   }
 
-  /** Learn up to `numMerges` merges from the top-`topK` histogram
-    * rows. Returns the ordered merge table. */
-  def train(hist: DataFrame, topK: Int, numMerges: Int)
-      : Seq[(String, String)] = {
-    require(topK > 0 && numMerges >= 0)
-    val top = hist.orderBy(col("cnt").desc, col("word").asc)
-      .limit(topK).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    var segs: Array[(Vector[String], Long)] =
-      top.map { case (w, c) => (w.map(_.toString).toVector, c) }
-    val merges = Seq.newBuilder[(String, String)]
-    var k = 0
-    var exhausted = false
-    while (k < numMerges && !exhausted) {
-      val counts = collection.mutable.LinkedHashMap
-        .empty[(String, String), Long]
-      segs.foreach { case (sy, c) =>
-        var i = 0
-        while (i + 1 < sy.length) {
-          val p = (sy(i), sy(i + 1))
-          counts.update(p, counts.getOrElse(p, 0L) + c)
-          i += 1
+  /** Learn up to `numMerges` merges from the FULL (word, cnt)
+    * histogram. Returns the ordered merge table.
+    *
+    * Each round is one distributed job over the persisted histogram:
+    * segment every word under the merges chosen so far (the same
+    * codegen'd replace chain the encode path uses), explode adjacent
+    * symbol pairs weighted by word count, partial-aggregate, and take
+    * the single (count desc, pair asc) winner with corpus weight ≥ 2.
+    * Driver state per round is exactly that one pair — no top-K
+    * truncation, no driver-side segment table. */
+  def train(hist: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0)
+    import org.apache.spark.storage.StorageLevel
+    val base = hist.select(col("word"), col("cnt").cast("long").as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val acc = collection.mutable.ArrayBuffer.empty[(String, String)]
+      var k = 0
+      var exhausted = false
+      while (k < numMerges && !exhausted) {
+        val syms = filter(split(segmentExpr(col("word"), acc.toSeq), Sep),
+          x => x =!= "")
+        // explode(null) on sub-pair words emits nothing; sequence must
+        // be guarded (Spark generates DESCENDING ranges when stop<start)
+        val best = base
+          .select(col("cnt"), syms.as("__sy"))
+          .select(col("cnt"), col("__sy"),
+            explode(when(size(col("__sy")) >= 2,
+              sequence(lit(1), size(col("__sy")) - 1))).as("__i"))
+          .select(col("cnt"),
+            element_at(col("__sy"), col("__i")).as("a"),
+            element_at(col("__sy"), col("__i") + 1).as("b"))
+          .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("n"))
+          .filter(col("n") >= 2L)
+          .orderBy(col("n").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          acc += ((best(0).getString(0), best(0).getString(1)))
+          k += 1
         }
       }
-      val eligible = counts.iterator.filter(_._2 >= 2L).toVector
-      if (eligible.isEmpty) exhausted = true
-      else {
-        // ORDER BY n DESC, a ASC, b ASC LIMIT 1 — the oracle's pick
-        val ((a, b), _) = eligible.minBy { case ((pa, pb), n) =>
-          (-n, pa, pb)
-        }
-        merges += ((a, b))
-        segs = segs.map { case (sy, c) => (applyMerge(sy, a, b), c) }
-        k += 1
-      }
-    }
-    merges.result()
+      acc.toList
+    } finally { base.unpersist(); () }
   }
 
   /** Delimited segmentation string for `wordCol` after applying the

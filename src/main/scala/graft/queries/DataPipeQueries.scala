@@ -481,8 +481,9 @@ object DataPipeQueries {
        |ORDER BY t.doc_id""".stripMargin
 
   /** Trained BPE (q90): learn a 24-merge table from the exact corpus
-    * word histogram (top-256 words train) and encode every document
-    * with it — real learned subword tokens, not a proxy count. The
+    * word histogram (the FULL histogram — every distinct word counts,
+    * no top-K truncation) and encode every document with it — real
+    * learned subword tokens, not a proxy count. The
     * oracle REPLAYS THE ENTIRE TRAINING in DuckDB: a generated chain
     * of 24 CTE stages, each counting symbol pairs over the previous
     * segmentation, picking the same (count desc, pair asc) merge, and
@@ -495,14 +496,13 @@ object DataPipeQueries {
   def bpeEncode(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val merges = Bpe.train(Bpe.wordHistogram(docs, "text"),
-      topK = BpeTopK, numMerges = BpeMerges)
+      numMerges = BpeMerges)
     Bpe.encodeDocs(docs, "doc_id", "text", merges)
       .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
         md5(col("bpe_text")).as("bpe_md5"))
       .orderBy(col("doc_id"))
   }
 
-  private val BpeTopK = 256
   private val BpeMerges = 24
 
   /** The q90 training-replay CTE chain (tok/w/hist/seg0 … enc),
@@ -518,11 +518,10 @@ object DataPipeQueries {
        |  SELECT doc_id, i, toks[i] AS word
        |  FROM tok, UNNEST(range(1, len(toks) + 1)) t(i)
        |), hist AS MATERIALIZED (
-       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
-       |    row_number() OVER (ORDER BY count(*) DESC, word ASC) AS rank
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
        |  FROM w GROUP BY word
        |), seg0 AS MATERIALIZED (
-       |  SELECT word, cnt, rank,
+       |  SELECT word, cnt,
        |    regexp_replace(word, '(.)', chr(1) || '\\1' || chr(1), 'g') AS s
        |  FROM hist
        |)""".stripMargin
@@ -531,7 +530,7 @@ object DataPipeQueries {
        |, p$k AS (
        |  SELECT sy[i] AS a, sy[i+1] AS b, SUM(cnt) AS n
        |  FROM (SELECT cnt, list_filter(string_split(s, chr(1)), x -> x <> '') AS sy
-       |        FROM seg$k WHERE rank <= $BpeTopK),
+       |        FROM seg$k),
        |    UNNEST(range(1, len(sy))) t(i)
        |  GROUP BY 1, 2 HAVING SUM(cnt) >= 2
        |), m$k AS MATERIALIZED (
@@ -540,7 +539,7 @@ object DataPipeQueries {
        |         chr(1) || a || b || chr(1) AS rep
        |  FROM p$k ORDER BY n DESC, a ASC, b ASC LIMIT 1
        |), seg${k + 1} AS MATERIALIZED (
-       |  SELECT word, cnt, rank,
+       |  SELECT word, cnt,
        |    replace(s, COALESCE((SELECT pat FROM m$k), chr(2)),
        |               COALESCE((SELECT rep FROM m$k), chr(2))) AS s
        |  FROM seg$k
@@ -576,7 +575,7 @@ object DataPipeQueries {
     import s.implicits._
     val merges = Bpe.train(
       Bpe.wordHistogram(Tables.documents(s, d), "text"),
-      topK = BpeTopK, numMerges = BpeMerges)
+      numMerges = BpeMerges)
     merges.zipWithIndex
       .map { case ((a, b), i) => (i.toLong, a, b) }
       .toDF("merge_rank", "a", "b")
@@ -606,7 +605,7 @@ object DataPipeQueries {
   def bpeTokenBudget(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val merges = Bpe.train(Bpe.wordHistogram(docs, "text"),
-      topK = BpeTopK, numMerges = BpeMerges)
+      numMerges = BpeMerges)
     val counts = Bpe.encodeDocs(docs, "doc_id", "text", merges)
       .select(col("doc_id"), col("n_bpe_tokens"))
     val withCounts = docs.select(col("doc_id"), col("source"))

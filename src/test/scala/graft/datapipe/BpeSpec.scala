@@ -11,6 +11,38 @@ class BpeSpec extends AnyFunSuite {
     rows.toDF("id", "text")
   }
 
+  /** Independent driver-local replay of full-histogram BPE training
+    * (the classic Sennrich segment-table loop) — the distributed
+    * trainer must agree with it merge for merge. */
+  private def refTrain(hist: Seq[(String, Long)],
+                       numMerges: Int): Seq[(String, String)] = {
+    var segs = hist.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val merges = Seq.newBuilder[(String, String)]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      segs.foreach { case (sy, c) =>
+        var i = 0
+        while (i + 1 < sy.length) {
+          val p = (sy(i), sy(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      val eligible = counts.iterator.filter(_._2 >= 2L).toVector
+      if (eligible.isEmpty) exhausted = true
+      else {
+        val ((a, b), _) =
+          eligible.minBy { case ((pa, pb), n) => (-n, pa, pb) }
+        merges += ((a, b))
+        segs = segs.map { case (sy, c) => (Bpe.applyMerge(sy, a, b), c) }
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
   test("merge table matches the hand-computed greedy choice") {
     // words: low x2, lower x1, west x3 → pair weights:
     //   (w,e)=1+3=4  (l,o)=3  (o,w)=3  (e,r)=1  (e,s)=3  (s,t)=3
@@ -18,16 +50,38 @@ class BpeSpec extends AnyFunSuite {
     //   l o we r → (o,w)=2, (o,we)=1, (e,s) gone → (we,s)=3, (s,t)=3
     // merge 2 candidates at n=3: (l,o),(s,t),(we,s) → pair-asc picks (l,o)
     val df = docs((1L, "low low lower"), (2L, "west west west"))
-    val merges = Bpe.train(Bpe.wordHistogram(df, "text"), 256, 2)
+    val merges = Bpe.train(Bpe.wordHistogram(df, "text"), 2)
     assert(merges == Seq(("w", "e"), ("l", "o")))
   }
 
-  test("merge table is identical across partitionings") {
-    val base = docs((1L, "alpha beta beta gamma"), (2L, "beta gamma gamma delta"),
-      (3L, "alpha alpha epsilon zeta"), (4L, "eta theta beta alpha"))
-    val m1 = Bpe.train(Bpe.wordHistogram(base.repartition(1), "text"), 256, 12)
-    val m8 = Bpe.train(Bpe.wordHistogram(base.repartition(8), "text"), 256, 12)
+  test("merge table is partition-invariant at vocab ≥ 1k and matches the driver replay") {
+    import spark.implicits._
+    // 1,300 distinct words with overlapping character structure so
+    // merges actually compete across the whole histogram tail
+    val words = (0 until 1300).map(i => s"w${i % 13}q${i}z")
+    val base = words.grouped(50).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("id", "text")
+    val hist = Bpe.wordHistogram(base, "text")
+    assert(hist.count() == 1300)
+    val m1 = Bpe.train(Bpe.wordHistogram(base.repartition(1), "text"), 12)
+    val m8 = Bpe.train(Bpe.wordHistogram(base.repartition(8), "text"), 12)
     assert(m1.nonEmpty && m1 == m8)
+    val ref = refTrain(hist.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, 12)
+    assert(m1 == ref)
+  }
+
+  test("a mergeable pair living only in the histogram tail is learned") {
+    // 256 two-char filler words with pairwise-distinct symbol pairs
+    // (each pair weight 1 → ineligible) that all sort BEFORE the two
+    // tail words "zya"/"zyb", whose shared (z,y) pair reaches weight 2
+    // only when the tail of the histogram counts. A top-256 trainer
+    // (count desc, word asc) would see only fillers and learn nothing.
+    val alpha = "abcdefghijklmnop" // 16 chars → 256 distinct pairs
+    val fillers = for (a <- alpha; b <- alpha) yield s"$a$b"
+    val df = docs((1L, fillers.mkString(" ")), (2L, "zya zyb"))
+    val merges = Bpe.train(Bpe.wordHistogram(df, "text"), 4)
+    assert(merges == Seq(("z", "y")))
   }
 
   test("encode applies merges greedily left-to-right") {
@@ -35,23 +89,22 @@ class BpeSpec extends AnyFunSuite {
     // (aa,aa) is learned, → "aaaa"
     val df = docs((1L, "aaaa aaaa"))
     val hist = Bpe.wordHistogram(df, "text")
-    val m1 = Bpe.train(hist, 256, 1)
+    val m1 = Bpe.train(hist, 1)
     assert(m1 == Seq(("a", "a")))
     val e1 = Bpe.encodeDocs(df, "id", "text", m1).collect().head
     assert(e1.getString(3) == "aa aa aa aa" && e1.getLong(2) == 4L)
-    val m2 = Bpe.train(hist, 256, 2)
+    val m2 = Bpe.train(hist, 2)
     assert(m2 == Seq(("a", "a"), ("aa", "aa")))
     val e2 = Bpe.encodeDocs(df, "id", "text", m2).collect().head
     assert(e2.getString(3) == "aaaa aaaa" && e2.getLong(2) == 2L)
   }
 
-  test("words outside the training top-K are still encoded") {
-    // train on a 1-word top-K ("the" dominates); rare word "there"
-    // still gets the learned merges applied. (t,h) and (h,e) tie at
-    // n=4 — pair-asc tie-break picks (h,e) first.
+  test("rare words train AND encode with the learned merges") {
+    // "the" ×4 dominates; rare "there" contributes its own weight-1
+    // pairs plus (t,h)/(h,e). (t,h) and (h,e) tie at n=5 — pair-asc
+    // tie-break picks (h,e) first, then (t,he) at n=5.
     val df = docs((1L, "the the the the there"))
-    val merges = Bpe.train(Bpe.wordHistogram(df, "text"), topK = 1,
-      numMerges = 2)
+    val merges = Bpe.train(Bpe.wordHistogram(df, "text"), numMerges = 2)
     assert(merges == Seq(("h", "e"), ("t", "he")))
     val enc = Bpe.encodeDocs(df, "id", "text", merges).collect().head
     assert(enc.getString(3) == "the the the the the r e")
@@ -60,12 +113,12 @@ class BpeSpec extends AnyFunSuite {
   test("stops merging when no pair reaches weight 2") {
     // every word unique, every pair weight 1 → zero merges
     val df = docs((1L, "ab cd ef"))
-    assert(Bpe.train(Bpe.wordHistogram(df, "text"), 256, 10).isEmpty)
+    assert(Bpe.train(Bpe.wordHistogram(df, "text"), 10).isEmpty)
   }
 
   test("per-row encode equals the dictionary-join encode on the real table") {
     val real = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
-    val merges = Bpe.train(Bpe.wordHistogram(real, "text"), 256, 24)
+    val merges = Bpe.train(Bpe.wordHistogram(real, "text"), 24)
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
       .toMap
@@ -78,7 +131,7 @@ class BpeSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     val d = docs((1L, "ab ab ab cd"), (2L, "ab cd cd"), (3L, ""))
-    val merges = Bpe.train(Bpe.wordHistogram(d, "text"), 16, 4)
+    val merges = Bpe.train(Bpe.wordHistogram(d, "text"), 4)
     val expected = Bpe.encodePerRow(d, "id", "text", merges).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
@@ -96,7 +149,7 @@ class BpeSpec extends AnyFunSuite {
 
   test("empty and sub-length docs survive encode with zero tokens") {
     val df = docs((1L, "x y"), (2L, "   "))
-    val merges = Bpe.train(Bpe.wordHistogram(df, "text"), 256, 4)
+    val merges = Bpe.train(Bpe.wordHistogram(df, "text"), 4)
     val got = Bpe.encodeDocs(df, "id", "text", merges)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(got(1L) == ((2L, 2L, "x y")))

@@ -40,7 +40,7 @@ class BpeBudgetSpec extends AnyFunSuite {
     // shrinking every budget must select a subset of the kept set
     val docs = graft.util.Tables.documents(spark, sfDir)
     val merges = graft.datapipe.Bpe.train(
-      graft.datapipe.Bpe.wordHistogram(docs, "text"), 256, 24)
+      graft.datapipe.Bpe.wordHistogram(docs, "text"), 24)
     val withCounts = docs.select(col("doc_id"), col("source"))
       .join(graft.datapipe.Bpe.encodeDocs(docs, "doc_id", "text", merges)
         .select(col("doc_id"), col("n_bpe_tokens")), Seq("doc_id"))
