@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   *  - brute force is a broadcast nested-loop of Q queries × N corpus —
   *    correct baseline, O(Q·N·d); the corpus side streams (never
   *    collected), queries broadcast, so it scales to any N with small Q;
-  *  - IVF: k-means-style centroids (deterministically seeded sample,
-  *    Lloyd refinement on a sample), corpus partitioned once by nearest
-  *    centroid; a query probes only `nProbe` nearest cells — the
-  *    classic Faiss IVF layout expressed relationally (cell id = join
-  *    key, so Catalyst turns the probe into a hash join on cell id).
+  *  - IVF: coarse k-means centroids trained on the FULL corpus by the
+  *    deterministic fixed-point distributed Lloyd trainer
+  *    ([[Clustering.kmeansCentroids]] — integer arithmetic, so the
+  *    centroid table is bit-identical on any partitioning), corpus
+  *    partitioned once by nearest centroid; a query probes only
+  *    `nProbe` nearest cells — the classic Faiss IVF layout expressed
+  *    relationally (cell id = join key, so Catalyst turns the probe
+  *    into a hash join on cell id).
   */
 object Similarity {
 
@@ -93,45 +96,29 @@ object Similarity {
         col("s.id").as("neighbor_id"))
       .orderBy(col("query_id"), col("rank"))
 
-  /** Deterministic k-means-lite centroid training: seed with a
-    * hash-ordered pseudo-random sample, then run `lloydIters` Lloyd
-    * refinement passes over a bounded training sample (assignment +
-    * per-cell mean). Everything is deterministic — same corpus ⇒ same
-    * centroids. cellId = index. */
+  /** Unit-normalized vector column (zero vectors pass through) — the
+    * FAISS cosine-metric convention: normalize, then train/score with
+    * L2 machinery. */
+  private val unitUdf = udf((v: Seq[Float]) => unit(v.toArray).toSeq)
+
+  /** Deterministic coarse-quantizer training on the FULL corpus:
+    * unit-normalize, run the fixed-point distributed Lloyd trainer
+    * ([[Clustering.kmeansCentroids]] — integer distances/centroids, one
+    * scan + one bounded partial agg per round), then de-quantize to
+    * floats. Replaces the historical 4096-row sampled collect: every
+    * corpus vector now weighs on the centroids, and the table is
+    * bit-identical on any partitioning (spec-pinned). Downstream cell
+    * assignment by cosine argmax is scale-invariant in the centroid, so
+    * de-quantization only rescales. Requires corpus rows ≥ nCells.
+    * cellId = index. */
   def trainCentroids(corpus: DataFrame, nCells: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      lloydIters: Int = 2, sampleSize: Int = 4096): Array[Array[Float]] = {
-    import corpus.sparkSession.implicits._
-    val sample = corpus
-      .select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol))) // deterministic pseudo-random order
-      .limit(math.max(nCells, sampleSize))
-      .select(col(vecCol)).as[Seq[Float]].collect()
-      .map(_.toArray)
-    var centroids = sample.take(nCells)
-    var iter = 0
-    while (iter < lloydIters) {
-      val dim = centroids.head.length
-      val sums = Array.fill(nCells)(new Array[Double](dim))
-      val counts = new Array[Int](nCells)
-      sample.foreach { v =>
-        val c = nearestCell(centroids, v)
-        counts(c) += 1
-        var i = 0
-        while (i < dim) { sums(c)(i) += v(i); i += 1 }
-      }
-      centroids = centroids.indices.map { c =>
-        if (counts(c) == 0) centroids(c) // keep empty cells' seeds
-        else {
-          val m = new Array[Float](dim)
-          var i = 0
-          while (i < dim) { m(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
-          m
-        }
-      }.toArray
-      iter += 1
-    }
-    centroids
+      lloydIters: Int = 2): Array[Array[Float]] = {
+    val unitized = corpus.select(col(idCol).as("__id"),
+      unitUdf(col(vecCol)).as("__uv"))
+    Clustering.kmeansCentroids(unitized, "__id", "__uv",
+        k = nCells, iters = lloydIters)
+      .map(_.map(q => (q.toDouble / Clustering.Fp).toFloat))
   }
 
   private def nearestCell(centroids: Array[Array[Float]], v: Array[Float]): Int = {
@@ -440,54 +427,29 @@ object Similarity {
   // ---------------------------------------------------------------
 
   /** Per-subspace codebooks over UNIT vectors: [m][ks][d/m] floats.
-    * Deterministic: hash-ordered sample seeds + Lloyd refinement, the
-    * same recipe as [[trainCentroids]]. */
+    * Each subspace trains on the FULL corpus with the fixed-point
+    * distributed Lloyd trainer (slice the persisted unit projection,
+    * run [[Clustering.kmeansCentroids]]) — deterministic and
+    * partition-invariant, same recipe as [[trainCentroids]]. Requires
+    * corpus rows ≥ ks. */
   def trainPq(corpus: DataFrame, m: Int, ks: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      lloydIters: Int = 3, sampleSize: Int = 4096): Array[Array[Array[Float]]] = {
-    import corpus.sparkSession.implicits._
-    val sample = corpus
-      .select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol)))
-      .limit(math.max(ks, sampleSize))
-      .select(col(vecCol)).as[Seq[Float]].collect()
-      .map(s => unit(s.toArray))
-    val d = sample.head.length
-    require(d % m == 0, s"dim $d not divisible by m=$m")
-    val dsub = d / m
-    Array.tabulate(m) { j =>
-      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
-      var cents = sub.take(ks)
-      var iter = 0
-      while (iter < lloydIters) {
-        val sums = Array.fill(ks)(new Array[Double](dsub))
-        val counts = new Array[Int](ks)
-        sub.foreach { v =>
-          var best = 0
-          var bestD = Double.MaxValue
-          var c = 0
-          while (c < cents.length) {
-            val dd = euclid(cents(c), v)
-            if (dd < bestD) { bestD = dd; best = c }
-            c += 1
-          }
-          counts(best) += 1
-          var i = 0
-          while (i < dsub) { sums(best)(i) += v(i); i += 1 }
-        }
-        cents = cents.indices.map { c =>
-          if (counts(c) == 0) cents(c)
-          else {
-            val mean = new Array[Float](dsub)
-            var i = 0
-            while (i < dsub) { mean(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
-            mean
-          }
-        }.toArray
-        iter += 1
+      lloydIters: Int = 3): Array[Array[Array[Float]]] = {
+    val unitized = corpus.select(col(idCol).as("__id"),
+        unitUdf(col(vecCol)).as("__uv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val d = unitized.select(size(col("__uv"))).head().getInt(0)
+      require(d % m == 0, s"dim $d not divisible by m=$m")
+      val dsub = d / m
+      Array.tabulate(m) { j =>
+        val sub = unitized.select(col("__id"),
+          slice(col("__uv"), j * dsub + 1, dsub).as("__sv"))
+        Clustering.kmeansCentroids(sub, "__id", "__sv",
+            k = ks, iters = lloydIters)
+          .map(_.map(q => (q.toDouble / Clustering.Fp).toFloat))
       }
-      cents
-    }
+    } finally { unitized.unpersist(); () }
   }
 
   /** Encode each corpus vector as m codebook ids (id, code:binary). */

@@ -186,6 +186,17 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall") // nProbe=4 of 8 cells
   }
 
+  test("IVF coarse centroids are bit-identical across partitionings (full-corpus trainer)") {
+    val c1 = Similarity.trainCentroids(emb.repartition(1), nCells = 8)
+    val c8 = Similarity.trainCentroids(emb.repartition(8), nCells = 8)
+    assert(c1.length == 8)
+    assert(c1.map(_.toSeq).toSeq == c8.map(_.toSeq).toSeq)
+    // PQ codebooks train through the same fixed-point machinery
+    val p1 = Similarity.trainPq(emb.repartition(1), m = 8, ks = 16)
+    val p8 = Similarity.trainPq(emb.repartition(8), m = 8, ks = 16)
+    assert(p1.map(_.map(_.toSeq).toSeq).toSeq == p8.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("lsh knn recalls brute-force neighbors and is deterministic") {
     val queries = emb.filter(col("vec_id") < 5)
     val exact = Similarity.knnBruteForce(emb, queries, k = 5).collect()
