@@ -121,6 +121,7 @@ object SparkEntry {
     "q102_dataset_card" -> (DataPipeQueries.datasetCard _),
     "q103_llm_funnel" -> (DataPipeQueries.llmFunnel _),
     "q104_bpe_merges" -> (DataPipeQueries.bpeMergeTable _),
+    "q105_text_featurize" -> (DataPipeQueries.textFeaturizeKmeans _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -479,5 +480,6 @@ object SparkEntry {
     "q102_dataset_card" -> DataPipeQueries.datasetCardOracle,
     "q103_llm_funnel" -> DataPipeQueries.llmFunnelOracle,
     "q104_bpe_merges" -> DataPipeQueries.bpeMergeTableOracle,
+    "q105_text_featurize" -> DataPipeQueries.textFeaturizeKmeansOracle,
   )
 }

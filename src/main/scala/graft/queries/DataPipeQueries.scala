@@ -1406,12 +1406,16 @@ object DataPipeQueries {
     * final assignment `af` under the post-update centroids. One
     * definition shared by both oracles, so the clustering the
     * SemDeDup gate replays is exactly the q95 clustering. */
-  private def kmeansCtes: String = {
+  private def kmeansCtes: String = kmeansCtesFrom("embeddings")
+
+  /** Same chain, seeded from any (vec_id, embedding) relation — the
+    * q105 oracle feeds it a TEXT-DERIVED embedding CTE. */
+  private def kmeansCtesFrom(src: String): String = {
     val sb = new StringBuilder
     sb ++= s"""q AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * ${Clustering.Fp}) AS BIGINT)) AS qv
-       |  FROM embeddings
+       |  FROM $src
        |), qe AS MATERIALIZED (
        |  SELECT vec_id, unnest(qv) AS comp, generate_subscripts(qv, 1) - 1 AS pos FROM q
        |), c0 AS MATERIALIZED (
@@ -1479,6 +1483,60 @@ object DataPipeQueries {
        |SELECT af.vec_id, af.cluster FROM af
        |WHERE af.vec_id NOT IN (SELECT vec_id FROM rem)
        |ORDER BY af.vec_id""".stripMargin
+
+  /** Text featurizer → k-means (q105): the q95 clustering shape
+    * running on embeddings DERIVED FROM TEXT by the deterministic
+    * hashed char-3-gram projection ([[Featurize]], 32 buckets) — the
+    * proof that the semantic path needs no model-produced embedding
+    * column. The oracle recomputes the projection ARITHMETICALLY
+    * (codepoint 3-grams → fnv64 mod 32 → counts → c/√Σc² rounded to
+    * float) and then replays the full fixed-point Lloyd chain on the
+    * computed vectors, so a single bit of divergence in either the
+    * featurizer or the clustering flips the hash. */
+  def textFeaturizeKmeans(s: SparkSession, d: String): DataFrame =
+    Clustering.kmeansAssign(
+        Featurize.embedDocuments(Tables.documents(s, d), "doc_id", "text",
+          dim = FeatDim, n = 3),
+        k = KmK, iters = KmIters)
+      .orderBy(col("vec_id"))
+
+  private val FeatDim = 32
+
+  def textFeaturizeKmeansOracle: String = {
+    val femb =
+      s"""flow AS (
+         |  SELECT doc_id, lower(text) AS t FROM documents
+         |), fg AS (
+         |  SELECT doc_id, CASE
+         |    WHEN t IS NULL OR length(t) = 0 THEN []
+         |    WHEN length(t) < 3 THEN [t]
+         |    ELSE list_transform(range(1, length(t) - 1), gi -> t[gi:gi+2])
+         |    END AS grams
+         |  FROM flow
+         |), fgx AS (
+         |  SELECT doc_id, unnest(grams) AS gram FROM fg
+         |), fcnt AS (
+         |  SELECT doc_id, CAST(${MinhashMirrorSql.fnvSql("gram")} % $FeatDim AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM fgx GROUP BY 1, 2
+         |), fful AS (
+         |  SELECT d.doc_id, b.bucket, COALESCE(fcnt.c, 0) AS c
+         |  FROM (SELECT doc_id FROM documents) d
+         |  CROSS JOIN (SELECT unnest(range(0, $FeatDim)) AS bucket) b
+         |  LEFT JOIN fcnt ON fcnt.doc_id = d.doc_id AND fcnt.bucket = b.bucket
+         |), fs AS (
+         |  SELECT doc_id, SUM(c * c) AS s2 FROM fful GROUP BY doc_id
+         |), femb AS (
+         |  SELECT f.doc_id AS vec_id,
+         |    list_transform(list(f.c ORDER BY f.bucket),
+         |      fc -> CASE WHEN s.s2 = 0 THEN CAST(0 AS REAL)
+         |            ELSE CAST(CAST(fc AS DOUBLE) / sqrt(CAST(s.s2 AS DOUBLE)) AS REAL) END) AS embedding
+         |  FROM fful f JOIN fs s USING (doc_id)
+         |  GROUP BY f.doc_id, s.s2
+         |)""".stripMargin
+    s"""WITH $femb, ${kmeansCtesFrom("femb")}
+       |SELECT vec_id, cluster, sq_dist FROM af ORDER BY vec_id""".stripMargin
+  }
 
   /** Per-source rank normalization (q100): each document's n_chars
     * rank within its source + the source size — the cross-source

@@ -68,8 +68,9 @@ object MinhashMirrorSql {
   }
 
   /** fnv64 of a token `t` (lambda var): fold codepoints with
-    * h = (h ^ c) * prime, seeded with the FNV offset basis. */
-  private def fnvSql(t: String): String =
+    * h = (h ^ c) * prime, seeded with the FNV offset basis. Shared
+    * with the q105 featurizer oracle (char-n-gram bucket hashing). */
+  private[queries] def fnvSql(t: String): String =
     s"list_reduce(list_prepend($FnvBasis, " +
       s"list_transform(range(1, length($t) + 1), " +
       s"fi -> CAST(ord($t[fi:fi]) AS UBIGINT))), " +
