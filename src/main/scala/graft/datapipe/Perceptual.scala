@@ -46,31 +46,41 @@ object Perceptual {
     else base(id)
   }
 
-  /** One real PNG per document: RGB gray pixels (r = g = b = v) so the
-    * BT.601 integer luminance in [[Multimodal.decodeImage]] recovers v
-    * EXACTLY ((v·299 + v·587 + v·114)/1000 = v) — the whole ImageIO
-    * encode→decode loop is lossless for the oracle. (TYPE_INT_RGB, not
+  /** The real PNG bytes for one document id (RGB gray pixels,
+    * r = g = b = v, so the BT.601 integer luminance in
+    * [[Multimodal.decodeImage]] recovers v EXACTLY:
+    * (v·299 + v·587 + v·114)/1000 = v — the whole ImageIO
+    * encode→decode loop is lossless for the oracle. TYPE_INT_RGB, not
     * TYPE_BYTE_GRAY: the gray color space would gamma-convert in
     * getRGB and break integer exactness.) */
+  def synthPng(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < H) {
+      var x = 0
+      while (x < W) {
+        val v = synthPixel(id, x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One real PNG per document (see [[synthPng]]). The id relation is
+    * explicitly repartitioned to the cluster parallelism: the input is
+    * a few KB of ids but the per-row work is a real codec round-trip,
+    * so inheriting the parquet scan's 1-2 partitions would serialize
+    * the whole corpus encode on a couple of cores. */
   def synthPngTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { id =>
-      val img = new java.awt.image.BufferedImage(
-        W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < H) {
-        var x = 0
-        while (x < W) {
-          val v = synthPixel(id, x, y)
-          img.setRGB(x, y, (v << 16) | (v << 8) | v)
-          x += 1
-        }
-        y += 1
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      MediaRow(id, bos.toByteArray, MediaMeta("image", "png", W, H, 1, 0))
-    }
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map(id => MediaRow(id, synthPng(id), MediaMeta("image", "png", W, H, 1, 0)))
   }
 
   /** 64-bit dHash over a row-major luminance plane: cell (cx, cy) sums
@@ -157,4 +167,33 @@ object Perceptual {
     * hamming blocking. Output (id_a, id_b, hamming ≤ maxHamming). */
   def imageNearDupPairs(media: Dataset[MediaRow], maxHamming: Int): DataFrame =
     DedupOps.hammingNearDupPairs(dhashes(media), maxHamming)
+
+  /** Decode-once fused q92 pipeline over the synthetic corpus: pixels
+    * → REAL PNG encode → REAL ImageIO decode → dHash, all inside ONE
+    * mapPartitions pass — each image is materialized exactly once and
+    * its bytes never cross an operator boundary (the composed
+    * [[synthPngTable]]→[[dhashes]] form serializes every PNG through
+    * the MediaRow encoder between the two typed operators). Output
+    * and determinism are IDENTICAL to the composed form (spec-pinned);
+    * only the plan shape differs. Same explicit repartition rationale
+    * as [[synthPngTable]]: heavy per-row codec work on a tiny input
+    * must not inherit the parquet scan's partition count. */
+  def synthDhashes(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          Multimodal.decodeImage(synthPng(id)).collect {
+            case (meta, lum) if meta.width >= 9 && meta.height >= 8 =>
+              (id, dHash64(lum, meta.width, meta.height))
+          }
+        }
+      }.toDF("id", "simhash")
+  }
+
+  /** Fused q92: [[synthDhashes]] → exact pigeonhole hamming pairs. */
+  def synthImageNearDupPairs(spark: SparkSession, docs: DataFrame,
+      maxHamming: Int): DataFrame =
+    DedupOps.hammingNearDupPairs(synthDhashes(spark, docs), maxHamming)
 }

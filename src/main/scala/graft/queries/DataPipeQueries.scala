@@ -202,8 +202,7 @@ object DataPipeQueries {
     * pixels, 9×8 cell sums, dHash bits, and brute-force hamming
     * arithmetically ([[graft.datapipe.Perceptual]]). */
   def imageNearDup(s: SparkSession, d: String): DataFrame =
-    Perceptual.imageNearDupPairs(
-      Perceptual.synthPngTable(s, Tables.documents(s, d)), maxHamming = 8)
+    Perceptual.synthImageNearDupPairs(s, Tables.documents(s, d), maxHamming = 8)
 
   def imageNearDupOracle: String = {
     def base(id: String) =
@@ -1536,6 +1535,49 @@ object DataPipeQueries {
          |)""".stripMargin
     s"""WITH $femb, ${kmeansCtesFrom("femb")}
        |SELECT vec_id, cluster, sq_dist FROM af ORDER BY vec_id""".stripMargin
+  }
+
+  /** PCA exact moment buffer (q106): the DISTRIBUTED half of
+    * [[Embeddings.pcaProject]] — the fixed-point integer moment
+    * accumulation [n, s_0..s_{d-1}, upper-tri Σf_i·f_j, max|f|] — as
+    * (slot, val) rows. This is the part of PCA that touches all 100 TB
+    * (one map-side-combined aggregate; the d×d eigensolve on top is
+    * driver-trivial and stays spec-pinned). The oracle recomputes
+    * every slot INDEPENDENTLY from the raw floats — quantize, sum,
+    * pair-product sum via self-join — not by replaying the engine's
+    * procedure, so it pins both the arithmetic (Math.round ≡
+    * floor(x·2²⁰+0.5)) and the buffer layout. */
+  def pcaMoments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d).select(col("embedding")).as[Seq[Float]]
+      .select(new Embeddings.MomentsAgg(EmbDim).toColumn.name("m"))
+      .select(posexplode(col("m")).as(Seq("slot", "val")))
+      .orderBy(col("slot"))
+  }
+
+  private val EmbDim = 64
+
+  def pcaMomentsOracle: String = {
+    val d = EmbDim
+    val pairBase = 1 + d // first pair slot; maxSlot = 1+d+d(d+1)/2
+    val maxSlot = 1 + d + d * (d + 1) / 2
+    s"""WITH f AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * ${Embeddings.Fp} + 0.5) AS BIGINT) AS f
+       |  FROM embeddings
+       |), pieces AS (
+       |  SELECT 0 AS slot, CAST(count(*) AS BIGINT) AS val FROM embeddings
+       |  UNION ALL
+       |  SELECT 1 + CAST(i AS INTEGER), CAST(SUM(f) AS BIGINT) FROM f GROUP BY i
+       |  UNION ALL
+       |  SELECT CAST($pairBase + a.i * $d - (a.i * (a.i - 1)) / 2 + (b.i - a.i) AS INTEGER),
+       |    CAST(SUM(a.f * b.f) AS BIGINT)
+       |  FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.i <= b.i
+       |  GROUP BY a.i, b.i
+       |  UNION ALL
+       |  SELECT $maxSlot, CAST(MAX(ABS(f)) AS BIGINT) FROM f
+       |)
+       |SELECT CAST(slot AS INTEGER) AS slot, val FROM pieces ORDER BY slot""".stripMargin
   }
 
   /** Per-source rank normalization (q100): each document's n_chars

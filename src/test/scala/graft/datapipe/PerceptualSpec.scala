@@ -26,6 +26,15 @@ class PerceptualSpec extends AnyFunSuite {
     }
   }
 
+  test("fused decode-once pipeline equals the composed synth->dhash form") {
+    val docs = docIds(60)
+    val composed = Perceptual.dhashes(Perceptual.synthPngTable(spark, docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = Perceptual.synthDhashes(spark, docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused.size == 60 && fused == composed)
+  }
+
   test("dHash bit definition: horizontal gradient sets all compare bits") {
     // strictly increasing columns -> every right cell sum > left
     val lum = Array.tabulate(Perceptual.H * Perceptual.W) { i =>
