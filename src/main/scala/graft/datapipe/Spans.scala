@@ -79,11 +79,17 @@ object Spans {
     * Shape — fully relational, no per-document quadratic work: span
     * hashing is codegen'd (`transform`/`md5`/`slice`), the keeper is
     * one `min(struct(doc, offset))` partial aggregate per span hash,
-    * removed token positions explode from non-keeper occurrences
-    * (fan-out exactly n per occurrence), and survivors come from a
-    * LEFT ANTI join on (doc, position) — every stage shuffles on a
-    * key (span hash or doc id) with per-key state bounded by document
-    * length. At 100 TB this is the same span⇄count topology as
+    * and survivors come from a LEFT ANTI join on (doc, position) —
+    * every stage shuffles on a key (span hash or doc id) with per-key
+    * state bounded by document length. Removed token positions are
+    * COALESCED before that anti-join: non-keeper occurrence starts are
+    * gathered per document (one keyed agg, map-side-combined) and each
+    * start emits only its newly covered suffix — for sorted starts
+    * s_0 < s_1 < …, start s_k covers [max(s_k, s_{k-1}+n), s_k+n−1],
+    * which is disjoint and complete — so the (doc, position) shuffle
+    * carries each removed position exactly ONCE instead of up to n
+    * times for overlapping duplicate runs (n× for boilerplate-heavy
+    * text). At 100 TB this is the same span⇄count topology as
     * [[dupSpanMetrics]] plus one keyed anti-join; boilerplate-heavy
     * hot spans are the AQE skew-join case, never a driver problem. */
   def removeDuplicateSpans(docs: DataFrame, idCol: String,
@@ -104,12 +110,21 @@ object Spans {
     val keep = occ.groupBy(col("h"))
       .agg(count(lit(1)).as("occ_n"),
         min(struct(col("__d"), col("i"))).as("k"))
-    // Token positions covered by a non-keeper occurrence of a dup span.
+    // Token positions covered by a non-keeper occurrence of a dup
+    // span, each emitted exactly once: gather the sorted distinct
+    // occurrence starts per document, then start s_k contributes the
+    // positions [max(s_k, s_{k-1}+n), s_k+n-1] — the part of its
+    // window no earlier start already covers (disjoint + complete
+    // since starts are sorted and windows share width n).
     val removed = occ.join(keep, Seq("h"))
       .filter(col("occ_n") > 1 &&
         !(col("__d") === col("k.__d") && col("i") === col("k.i")))
-      .select(col("__d"), explode(sequence(col("i"), col("i") + (n - 1)))
-        .as("j"))
+      .groupBy(col("__d"))
+      .agg(array_sort(collect_set(col("i"))).as("ss"))
+      .select(col("__d"), explode(expr(
+        s"""flatten(transform(ss, (s, k) -> sequence(
+           |CASE WHEN k = 0 THEN s ELSE greatest(s, element_at(ss, k) + $n) END,
+           |s + ${n - 1})))""".stripMargin)).as("j"))
     val tokenPos = withToks
       .select(col(idCol).as("__d"), posexplode(col("ts")).as(Seq("j0", "tok")))
       .select(col("__d"), (col("j0") + 1).as("j"), col("tok"))
