@@ -122,6 +122,7 @@ object SparkEntry {
     "q103_llm_funnel" -> (DataPipeQueries.llmFunnel _),
     "q104_bpe_merges" -> (DataPipeQueries.bpeMergeTable _),
     "q105_text_featurize" -> (DataPipeQueries.textFeaturizeKmeans _),
+    "q106_pca_moments" -> (DataPipeQueries.pcaMoments _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -481,5 +482,6 @@ object SparkEntry {
     "q103_llm_funnel" -> DataPipeQueries.llmFunnelOracle,
     "q104_bpe_merges" -> DataPipeQueries.bpeMergeTableOracle,
     "q105_text_featurize" -> DataPipeQueries.textFeaturizeKmeansOracle,
+    "q106_pca_moments" -> DataPipeQueries.pcaMomentsOracle,
   )
 }

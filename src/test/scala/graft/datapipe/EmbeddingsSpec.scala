@@ -56,6 +56,29 @@ class EmbeddingsSpec extends AnyFunSuite {
     Embeddings.meanCovariance(ok, "vec", 4)
   }
 
+  test("moment buffer (slot,val) rows match brute-force slot arithmetic") {
+    // pins the q106 surface: buffer layout [n, s_i, upper-tri p_ij,
+    // max|f|] and the Math.round quantization, computed independently
+    import spark.implicits._
+    val d = 4
+    val df = vecs(40, d)
+    val rows = df.collect().map(_.getSeq[Float](1))
+    val got = df.select(col("vec")).as[Seq[Float]]
+      .select(new Embeddings.MomentsAgg(d).toColumn.name("m"))
+      .select(posexplode(col("m")).as(Seq("slot", "val")))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val f = rows.map(v => v.map(x => math.round(x.toDouble * Embeddings.Fp)).toArray)
+    assert(got(0) == rows.length.toLong)
+    for (i <- 0 until d) assert(got(1 + i) == f.map(_(i)).sum, s"s_$i")
+    var o = 1 + d
+    for (i <- 0 until d; j <- i until d) {
+      assert(got(o) == f.map(r => r(i) * r(j)).sum, s"pair $i $j at slot $o")
+      o += 1
+    }
+    assert(got(o) == f.map(_.map(math.abs).max).max, "max|f| slot")
+    assert(got.size == o + 1)
+  }
+
   test("jacobi basis is orthonormal with descending captured variance") {
     val df = vecs(400)
     val (_, cov) = Embeddings.meanCovariance(df, "vec", 8)
