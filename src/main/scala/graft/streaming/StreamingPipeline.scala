@@ -253,6 +253,19 @@ object StreamingPipeline {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     graft.datapipe.Clustering.assignWithCentroids(vecs, centroids, idCol, vecCol)
 
+  /** Streaming text featurization: project arriving (id, text) rows
+    * into the hashed char-n-gram embedding space
+    * ([[graft.datapipe.Featurize]]) — the online half of the
+    * text-only semantic path (batch trains k-means on the projected
+    * corpus; the stream featurizes + scores new documents against it,
+    * composing with [[clusterAssignStream]]). Stateless narrow map:
+    * no shuffle, no state store, any output mode; bit-identical to
+    * the batch projection by construction (same codepoint fold, same
+    * single float rounding). */
+  def featurizeStream(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", dim: Int = 32, n: Int = 3): DataFrame =
+    graft.datapipe.Featurize.embedDocuments(docs, idCol, textCol, dim, n)
+
   /** Watermarked tumbling-window event aggregation (generic streaming
     * agg; mirrors RelationalQueries.q8EventsHourly as a stream). */
   def eventsWindowed(events: DataFrame,

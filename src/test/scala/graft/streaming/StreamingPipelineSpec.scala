@@ -101,6 +101,31 @@ class StreamingPipelineSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("streaming text featurization equals the batch projection") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val batchExpected = graft.datapipe.Featurize
+      .embedDocuments(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+
+    val rows = docs.as[(Long, String)].collect().take(60)
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingPipeline.featurizeStream(
+      input.toDS().toDF("doc_id", "text"))
+    val query = out.writeStream.format("memory").queryName("stream_feat")
+      .outputMode("append").start()
+    input.addData(rows.take(30): _*)
+    input.addData(rows.drop(30): _*)
+    query.processAllAvailable()
+    val got = spark.table("stream_feat").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got.size == 60)
+    got.foreach { case (id, v) => assert(v == batchExpected(id), s"doc $id") }
+    query.stop()
+  }
+
   test("streaming latest-version with tombstones via flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
