@@ -64,9 +64,15 @@ object ConnectedComponents {
     * distributed path. */
   def components(edges: DataFrame, maxIter: Int = 25,
       driverThreshold: Long = 2000000L): DataFrame = {
+    // Materialize the canonical edge set once: BOTH paths evaluate it
+    // at least twice (the size probe + either the driver collect or
+    // the first star round), and callers routinely pass edge sets
+    // derived from expensive chains (minhash banding, cosine pair
+    // search) — without a cut each evaluation re-executes that chain.
     var e = edges.select(col("u").cast("long"), col("v").cast("long"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint(true)
     val nEdges = e.count()
     if (nEdges <= driverThreshold) return unionFindLocal(e)
     var converged = false

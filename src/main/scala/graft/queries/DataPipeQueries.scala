@@ -890,6 +890,17 @@ object DataPipeQueries {
     *     component id (q101) — so nothing that survived dedup can
     *     straddle train/val/test;
     *  6. publish (doc_id, cluster, component, split).
+    *
+    * The two expensive stage boundaries — the dedup survivor set and
+    * the cosine pair set — are MATERIALIZED eagerly (localCheckpoint,
+    * the same idiom [[ConnectedComponents]] uses between star rounds):
+    * both feed several downstream consumers (the quantizer's cache
+    * fill, both chunk-join sides, and the component loop's
+    * count + solve), and without a cut each consumer would re-execute
+    * the whole gate→decontaminate→minhash chain, compounding a
+    * sum-of-stages query into a product. Blocks are reclaimed by the
+    * ContextCleaner once the result set goes unreachable; on a real
+    * cluster the same cut points take a reliable checkpoint dir.
     */
   def llmFunnel(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -904,7 +915,8 @@ object DataPipeQueries {
       qual.filter(col("doc_id") % 97 === 0),
       "doc_id", "text", n = 3, minShared = 2L)
     val surv = DedupOps.minhashDedupSurvivors(decon, minJaccard = 0.5,
-      md5Based = true)
+        md5Based = true)
+      .localCheckpoint(true)
 
     val emb = Tables.embeddings(s, d)
     val assign = Clustering.kmeansAssign(emb, k = KmK, iters = KmIters)
@@ -913,7 +925,8 @@ object DataPipeQueries {
       Seq("vec_id"), "left_semi")
     val nCells = math.max(8, math.sqrt(embSurv.count().toDouble).toInt)
     val cosPairs = Similarity.cosineNearDupPairs(embSurv, threshold = 0.45,
-      nCells = nCells)
+        nCells = nCells)
+      .localCheckpoint(true)
     val sameCluster = cosPairs
       .join(assign.withColumnRenamed("vec_id", "id_a")
         .withColumnRenamed("cluster", "cl_a"), Seq("id_a"))
