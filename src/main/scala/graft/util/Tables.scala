@@ -19,17 +19,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long, floor-divide to
-    * micros (integer DIV — a double roundtrip would lose precision at
-    * 1e18), and surface as TIMESTAMP_NTZ to match the file's
-    * isAdjustedToUTC=false semantics.
+  /** `events.parquet` has shipped `ts` in two physical forms across
+    * testdata generations: INT64 TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — read nanos as long via
+    * `nanosAsLong`, floor-divide to micros with integer DIV; a double
+    * roundtrip would lose precision at 1e18) and plain
+    * TIMESTAMP(MICROS). Branch on the type the reader actually
+    * surfaces so both normalize to the same TIMESTAMP_NTZ column
+    * (isAdjustedToUTC=false semantics either way).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr(
-        "CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+    val raw = table(s, d, "events")
+    val tsExpr = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        "CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"
+      case _ => "CAST(ts AS TIMESTAMP_NTZ)"
+    }
+    raw.withColumn("ts", org.apache.spark.sql.functions.expr(tsExpr))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
