@@ -123,6 +123,8 @@ object SparkEntry {
     "q104_bpe_merges" -> (DataPipeQueries.bpeMergeTable _),
     "q105_text_featurize" -> (DataPipeQueries.textFeaturizeKmeans _),
     "q106_pca_moments" -> (DataPipeQueries.pcaMoments _),
+    "q107_lm_score" -> (DataPipeQueries.lmScore _),
+    "q108_doc_chunks" -> (DataPipeQueries.docChunks _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -483,5 +485,7 @@ object SparkEntry {
     "q104_bpe_merges" -> DataPipeQueries.bpeMergeTableOracle,
     "q105_text_featurize" -> DataPipeQueries.textFeaturizeKmeansOracle,
     "q106_pca_moments" -> DataPipeQueries.pcaMomentsOracle,
+    "q107_lm_score" -> DataPipeQueries.lmScoreOracle,
+    "q108_doc_chunks" -> DataPipeQueries.docChunksOracle,
   )
 }

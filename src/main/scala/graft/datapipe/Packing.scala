@@ -19,6 +19,49 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Sliding-window DOCUMENT CHUNKING — the complement of packing:
+    * long documents are cut into fixed-size training windows of
+    * `chunkTokens` whitespace tokens advancing by `stride` (stride <
+    * chunkTokens ⇒ overlapping context windows, the standard LM
+    * pretraining shape). Chunk count is `1 + ceil(max(0, n_tokens −
+    * chunkTokens)/stride)` with starts `0, stride, 2·stride, …` — so
+    * every token is covered, every chunk past the first contributes
+    * at least one new token (no fully-contained trailing window), the
+    * last chunk may be short, and a doc shorter than `chunkTokens`
+    * yields exactly one chunk. Emits (id, chunk_idx, start_tok,
+    * n_chunk_tokens, chunk_text) with chunk_text rejoined on single
+    * spaces (whitespace-normalizing, deterministic on any engine).
+    *
+    * Scale shape: pure per-row generate (sequence + explode) inside
+    * whole-stage codegen — no shuffle, no window, no state; output
+    * rows ∝ input tokens / stride. Empty/whitespace-only docs emit
+    * zero rows (there is no window to train on). */
+  def chunkDocuments(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", chunkTokens: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
+    require(stride >= 1 && stride <= chunkTokens,
+      s"stride must be in [1, chunkTokens]: $stride")
+    graft.util.Par.ensure(df)
+      .select(col(idCol),
+        expr(s"filter(split($textCol, '${graft.util.Tok.WsSqlLit}'), t -> t <> '')")
+          .as("__toks"))
+      .filter(size(col("__toks")) >= 1)
+      .select(col(idCol), col("__toks"),
+        explode(expr(
+          s"""sequence(0, CAST(greatest(0,
+             |  (size(__toks) - $chunkTokens + $stride - 1) DIV $stride) AS INT))"""
+            .stripMargin))
+          .as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx").cast("long") * stride).as("start_tok"),
+        least(lit(chunkTokens.toLong),
+          size(col("__toks")).cast("long") - col("chunk_idx") * stride)
+          .as("n_chunk_tokens"),
+        expr(s"concat_ws(' ', slice(__toks, chunk_idx * $stride + 1, $chunkTokens))")
+          .as("chunk_text"))
+  }
+
   /** Greedy OFFSET packing: within each `shardCol` partition,
     * documents ordered by `idCol` fill a contiguous token stream; a
     * document belongs to the batch where its START offset falls

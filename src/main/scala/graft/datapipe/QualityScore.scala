@@ -57,7 +57,7 @@ object QualityScore {
       textCol: String = "text", n: Int = 2): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1: $n")
     val base = graft.util.Par.ensure(docs).select(col(idCol),
-      expr(s"filter(split(lower($textCol), '${Tok.WS}'), t -> t <> '')")
+      expr(s"filter(split(lower($textCol), '${Tok.WsSqlLit}'), t -> t <> '')")
         .as("__toks"))
     val grams = base
       .filter(size(col("__toks")) >= n)
@@ -134,7 +134,7 @@ object QualityScore {
       textCol: String = "text", n: Int = 2): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1: $n")
     val base = graft.util.Par.ensure(docs).select(col(idCol),
-      expr(s"filter(split(lower($textCol), '${Tok.WS}'), t -> t <> '')")
+      expr(s"filter(split(lower($textCol), '${Tok.WsSqlLit}'), t -> t <> '')")
         .as("__toks"))
     val pairs = base
       .filter(size(col("__toks")) >= n)
@@ -151,6 +151,70 @@ object QualityScore {
       .select(col(idCol),
         coalesce(col("__distinct"), lit(0L)).as("n_distinct_grams"),
         coalesce(col("__novel"), lit(0L)).as("n_novel_grams"))
+  }
+
+  /** Corpus bigram LM FLUENCY score — the perplexity-filter signal of
+    * the CCNet family (Wenzek et al. 2020) in exact integer fixed
+    * point: score each document by the maximum-likelihood transition
+    * probabilities of its bigrams under the LM defined by the corpus
+    * itself. P(w2|w1) = c(w1 w2)/c(w1·) is emitted per occurrence as
+    * `floor(c_bigram · fp / c_prefix)` (BIGINT division — exact and
+    * bit-portable, unlike ln-perplexity) and aggregated per document:
+    *
+    *   - `n_bigrams`   — transition count (n_tokens − 1 for n ≥ 2);
+    *   - `sum_p_fp`    — Σ p_fp over occurrences (mean transition
+    *                     probability = sum_p_fp / (n_bigrams · fp):
+    *                     high ⇒ typical/fluent text, low ⇒ noise);
+    *   - `min_p_fp`    — the weakest transition (a single improbable
+    *                     junction flags concatenation/boilerplate
+    *                     seams even in an otherwise fluent doc).
+    *
+    * Unlike [[ngramNovelty]] (distinct-gram document frequency) this
+    * weights by OCCURRENCE and by conditional probability, which is
+    * what separates "rare but well-formed" from "garbled".
+    *
+    * Scale shape: per-(doc, gram) counts (one map-side-combined
+    * shuffle over hashed-gram-sized rows), a gram-count relation ∝
+    * vocabulary² (bounded, sparse), a prefix-count relation ∝
+    * vocabulary derived FROM the gram counts (no second pass over
+    * occurrences), p_fp computed on the small gram relation and joined
+    * back, one doc-keyed agg. The vocabulary is never collected or
+    * broadcast; every exchange carries partial-aggregated rows.
+    * Overflow bound: c_bigram · fp ≤ 2⁶² requires corpus bigram
+    * occurrences < 2⁴², enforced; shard the corpus above that. */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", fp: Long = 1L << 20): DataFrame = {
+    require(fp > 0, s"fixed-point scale must be positive: $fp")
+    val base = graft.util.Par.ensure(docs).select(col(idCol),
+      expr(s"filter(split(lower($textCol), '${Tok.WsSqlLit}'), t -> t <> '')")
+        .as("__toks"))
+    val occ = base
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        """transform(sequence(0, size(__toks) - 2),
+          |  i -> concat_ws(' ', slice(__toks, i + 1, 2)))""".stripMargin))
+        .as("__gram"))
+    val perDocGram = occ.groupBy(col(idCol), col("__gram"))
+      .agg(count(lit(1)).as("__c_dg"))
+    val gramCounts = perDocGram.groupBy(col("__gram"))
+      .agg(sum(col("__c_dg")).as("__cb"))
+    val prefixCounts = gramCounts
+      .groupBy(substring_index(col("__gram"), " ", 1).as("__w1"))
+      .agg(sum(col("__cb")).as("__cu"))
+    val gramP = gramCounts
+      .withColumn("__w1", substring_index(col("__gram"), " ", 1))
+      .join(prefixCounts, "__w1")
+      .select(col("__gram"),
+        expr(s"CAST(__cb * $fp AS BIGINT) DIV __cu").as("__p_fp"))
+    val perDoc = perDocGram.join(gramP, "__gram").groupBy(col(idCol)).agg(
+      sum(col("__c_dg")).as("__n"),
+      sum(col("__c_dg") * col("__p_fp")).as("__sum_p"),
+      min(col("__p_fp")).as("__min_p"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_bigrams"),
+        coalesce(col("__sum_p"), lit(0L)).as("sum_p_fp"),
+        coalesce(col("__min_p"), lit(0L)).as("min_p_fp"))
   }
 
   /** Composite [0,1] score from the integer metrics (heuristic weights:

@@ -1639,4 +1639,78 @@ object DataPipeQueries {
        |  COALESCE(j.nd, 0) AS n_distinct_grams,
        |  COALESCE(j.nn, 0) AS n_novel_grams
        |FROM documents d LEFT JOIN j USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  /** Corpus bigram LM fluency score (q107): the CCNet-style
+    * perplexity-filter signal in exact fixed point
+    * ([[QualityScore.lmScore]]). The oracle recomputes the LM and the
+    * per-doc aggregation INDEPENDENTLY from the raw text (counts →
+    * integer-division probabilities → occurrence-weighted sums), not
+    * by replaying the engine's procedure. */
+  def lmScore(s: SparkSession, d: String): DataFrame =
+    QualityScore.lmScore(Tables.documents(s, d))
+      .orderBy(col("doc_id"))
+
+  private val LmFp = 1L << 20
+
+  def lmScoreOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
+       |  FROM documents
+       |), occ AS (
+       |  SELECT doc_id, concat(toks[i], ' ', toks[i + 1]) AS gram
+       |  FROM tok, UNNEST(range(1, len(toks))) t(i)
+       |  WHERE len(toks) >= 2
+       |), dg AS (
+       |  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c_dg
+       |  FROM occ GROUP BY 1, 2
+       |), gc AS (
+       |  SELECT gram, CAST(SUM(c_dg) AS BIGINT) AS cb FROM dg GROUP BY gram
+       |), pc AS (
+       |  SELECT split_part(gram, ' ', 1) AS w1, CAST(SUM(cb) AS BIGINT) AS cu
+       |  FROM gc GROUP BY 1
+       |), gp AS (
+       |  SELECT gc.gram, CAST((gc.cb * $LmFp) // pc.cu AS BIGINT) AS p_fp
+       |  FROM gc JOIN pc ON split_part(gc.gram, ' ', 1) = pc.w1
+       |), j AS (
+       |  SELECT dg.doc_id,
+       |    CAST(SUM(dg.c_dg) AS BIGINT) AS n,
+       |    CAST(SUM(dg.c_dg * gp.p_fp) AS BIGINT) AS sp,
+       |    CAST(MIN(gp.p_fp) AS BIGINT) AS mp
+       |  FROM dg JOIN gp USING (gram) GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(j.n, 0) AS n_bigrams,
+       |  COALESCE(j.sp, 0) AS sum_p_fp,
+       |  COALESCE(j.mp, 0) AS min_p_fp
+       |FROM documents d LEFT JOIN j USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  /** Sliding-window document chunking (q108): long documents cut into
+    * fixed-size training windows ([[Packing.chunkDocuments]], 64-token
+    * windows advancing by 48). The oracle recomputes the window
+    * arithmetic and the slice/rejoin independently in DuckDB list
+    * algebra. */
+  def docChunks(s: SparkSession, d: String): DataFrame =
+    Packing.chunkDocuments(Tables.documents(s, d),
+        chunkTokens = ChunkLen, stride = ChunkStride)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val ChunkLen = 64
+  private val ChunkStride = 48
+
+  def docChunksOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '${Tok.WS}'), t -> t <> '') AS toks
+       |  FROM documents
+       |), nch AS (
+       |  SELECT doc_id, toks,
+       |    1 + greatest(0, (len(toks) - $ChunkLen + $ChunkStride - 1) // $ChunkStride) AS nchunks
+       |  FROM tok WHERE len(toks) >= 1
+       |)
+       |SELECT doc_id,
+       |  CAST(k AS BIGINT) AS chunk_idx,
+       |  CAST(k * $ChunkStride AS BIGINT) AS start_tok,
+       |  CAST(least($ChunkLen, len(toks) - k * $ChunkStride) AS BIGINT) AS n_chunk_tokens,
+       |  array_to_string(toks[k * $ChunkStride + 1 : k * $ChunkStride + $ChunkLen], ' ') AS chunk_text
+       |FROM nch, UNNEST(range(0, nchunks)) t(k)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
 }

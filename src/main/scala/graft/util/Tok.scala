@@ -18,4 +18,16 @@ object Tok {
   /** The same pattern pre-compiled for driver/closure-side twins of
     * the Column tokenizers. */
   val WsRegex: scala.util.matching.Regex = WS.r
+
+  /** [[WS]] escaped for embedding in a SPARK SQL single-quoted string
+    * literal (`expr(s"split(c, '$WsSqlLit')")`). Spark's literal
+    * parser processes C-style escapes BEFORE the regex engine sees the
+    * pattern: `\t`/`\n`/`\r` become the real control characters (same
+    * regex meaning, harmless) but `\f` is not a recognized escape, so
+    * the backslash is DROPPED and the class gains a literal `f` —
+    * silently tokenizing "filter" as "ilter". Doubling the
+    * backslashes survives the literal parse intact. DuckDB literals
+    * need no escaping ([[WS]] embeds verbatim there); this constant is
+    * for Spark-side `expr(...)` strings only. */
+  val WsSqlLit: String = WS.replace("\\", "\\\\")
 }

@@ -7,6 +7,58 @@ import org.apache.spark.sql.functions._
 class PackingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("chunking: window starts, sizes, and text slices") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks -> chunks at 0,3,6
+      (2L, "a b c d"),                                 // exactly one full window
+      (3L, "a b c d e"),                               // 5 toks -> 0 and 3 (short tail)
+      (4L, "solo"),
+      (5L, ""),                                        // no tokens -> no rows
+      (6L, null: String),
+      (7L, "a  b\t c"),                                // whitespace runs normalize
+    ).toDF("doc_id", "text")
+    val got = Packing.chunkDocuments(docs, chunkTokens = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    assert(got == Set(
+      (1L, 0L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 3L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 6L, 4L, "t7 t8 t9 t10"),
+      (2L, 0L, 0L, 4L, "a b c d"),
+      (3L, 0L, 0L, 4L, "a b c d"),
+      (3L, 1L, 3L, 2L, "d e"),
+      (4L, 0L, 0L, 1L, "solo"),
+      (7L, 0L, 0L, 3L, "a b c")), got)
+  }
+
+  test("chunking invariants: full coverage, stride starts, fresh tokens per chunk") {
+    import spark.implicits._
+    val docs = (1 to 300).map(i =>
+      (i.toLong, (0 until i % 37).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Packing.chunkDocuments(docs, chunkTokens = 8, stride = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    for ((id, cs) <- chunks) {
+      val n = (id % 37).toInt // token count of this doc
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 == 0L)                               // starts at 0
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong)) // dense idx
+      assert(sorted.forall(c => c._3 == c._2 * 5))               // start = idx*stride
+      assert(sorted.last._3 + sorted.last._4 == n)               // covers the tail
+      assert(sorted.forall(c => c._4 >= 1))                      // never empty
+      // every chunk past the first ends strictly later than its predecessor
+      sorted.sliding(2).foreach {
+        case Array(p, c) => assert(c._3 + c._4 > p._3 + p._4)
+        case _ =>
+      }
+    }
+    // docs with zero tokens emit nothing
+    assert(!chunks.contains(37L * (300 / 37)))
+  }
+
   test("offset packing: batch = the batch a doc's start offset falls in") {
     import spark.implicits._
     val docs = Seq(
