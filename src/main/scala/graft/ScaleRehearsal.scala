@@ -90,7 +90,8 @@ object ScaleRehearsal {
       "q95_kmeans", "q96_semantic_dedup", "q97_ngram_novelty",
       "q98_decontaminate", "q99_contamination_bloom", "q100_rank_normalize",
       "q101_leakfree_split", "q102_dataset_card", "q103_llm_funnel",
-      "q104_bpe_merges", "q105_text_featurize", "q106_pca_moments")
+      "q104_bpe_merges", "q105_text_featurize", "q106_pca_moments",
+      "q107_lm_score", "q108_doc_chunks")
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     headline.foreach { name =>

@@ -184,6 +184,33 @@ object QualityScore {
     * occurrences < 2⁴², enforced; shard the corpus above that. */
   def lmScore(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", fp: Long = 1L << 20): DataFrame = {
+    val (perDocGram, gramP) = lmParts(docs, idCol, textCol, fp)
+    val perDoc = perDocGram.join(gramP, "__gram").groupBy(col(idCol)).agg(
+      sum(col("__c_dg")).as("__n"),
+      sum(col("__c_dg") * col("__p_fp")).as("__sum_p"),
+      min(col("__p_fp")).as("__min_p"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_bigrams"),
+        coalesce(col("__sum_p"), lit(0L)).as("sum_p_fp"),
+        coalesce(col("__min_p"), lit(0L)).as("min_p_fp"))
+  }
+
+  /** The trained bigram LM of [[lmScore]] as a standalone (gram,
+    * p_fp) relation — the train-offline artifact for online scoring
+    * ([[graft.streaming.StreamingPipeline.lmScoreStream]] probes it
+    * as a broadcast map, the way cluster scoring consumes batch
+    * centroids). */
+  def lmGramProbs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", fp: Long = 1L << 20): DataFrame =
+    lmParts(docs, idCol, textCol, fp)._2
+      .select(col("__gram").as("gram"), col("__p_fp").as("p_fp"))
+
+  /** Shared internals of [[lmScore]]/[[lmGramProbs]]: the per-(doc,
+    * gram) occurrence counts and the (gram, p_fp) probability
+    * relation. */
+  private def lmParts(docs: DataFrame, idCol: String, textCol: String,
+      fp: Long): (DataFrame, DataFrame) = {
     require(fp > 0, s"fixed-point scale must be positive: $fp")
     val base = graft.util.Par.ensure(docs).select(col(idCol),
       expr(s"filter(split(lower($textCol), '${Tok.WsSqlLit}'), t -> t <> '')")
@@ -206,15 +233,7 @@ object QualityScore {
       .join(prefixCounts, "__w1")
       .select(col("__gram"),
         expr(s"CAST(__cb * $fp AS BIGINT) DIV __cu").as("__p_fp"))
-    val perDoc = perDocGram.join(gramP, "__gram").groupBy(col(idCol)).agg(
-      sum(col("__c_dg")).as("__n"),
-      sum(col("__c_dg") * col("__p_fp")).as("__sum_p"),
-      min(col("__p_fp")).as("__min_p"))
-    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
-      .select(col(idCol),
-        coalesce(col("__n"), lit(0L)).as("n_bigrams"),
-        coalesce(col("__sum_p"), lit(0L)).as("sum_p_fp"),
-        coalesce(col("__min_p"), lit(0L)).as("min_p_fp"))
+    (perDocGram, gramP)
   }
 
   /** Composite [0,1] score from the integer metrics (heuristic weights:

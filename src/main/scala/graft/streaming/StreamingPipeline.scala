@@ -266,6 +266,51 @@ object StreamingPipeline {
       textCol: String = "text", dim: Int = 32, n: Int = 3): DataFrame =
     graft.datapipe.Featurize.embedDocuments(docs, idCol, textCol, dim, n)
 
+  /** Streaming LM fluency scoring: score arriving documents against a
+    * BATCH-trained bigram LM ([[graft.datapipe.QualityScore.lmGramProbs]]
+    * collected to a map) — the train-offline / score-online split of
+    * the q107 perplexity filter. Stateless narrow map: the model rides
+    * a broadcast, no shuffle, no state store, any output mode. A UDF
+    * is justified here for the same reason as the bloom probe: no
+    * builtin probes a broadcast hash map per gram. Exactly the batch
+    * semantics on grams the model has seen (same Tok tokenization,
+    * Locale.ROOT case fold — `TokSpec` pins SQL ≡ Scala splits);
+    * grams absent from the model contribute p_fp = 0 (and pull
+    * min_p_fp to 0), flagging out-of-distribution text — at scale,
+    * ship the model as a file-backed map or prune it to the top
+    * grams, the same size caveat the decontamination twin documents.
+    */
+  def lmScoreStream(docs: DataFrame, model: Map[String, Long],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val score = udf { (text: String) =>
+      val toks =
+        if (text == null) Array.empty[String]
+        else graft.util.Tok.WsRegex.split(
+          text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+      if (toks.length < 2) (0L, 0L, 0L)
+      else {
+        var i = 0
+        var n = 0L
+        var s = 0L
+        var m = Long.MaxValue
+        while (i < toks.length - 1) {
+          val p = bc.value.getOrElse(toks(i) + " " + toks(i + 1), 0L)
+          n += 1
+          s += p
+          if (p < m) m = p
+          i += 1
+        }
+        (n, s, m)
+      }
+    }
+    docs.select(col(idCol), score(col(textCol)).as("__s"))
+      .select(col(idCol),
+        col("__s._1").as("n_bigrams"),
+        col("__s._2").as("sum_p_fp"),
+        col("__s._3").as("min_p_fp"))
+  }
+
   /** Watermarked tumbling-window event aggregation (generic streaming
     * agg; mirrors RelationalQueries.q8EventsHourly as a stream). */
   def eventsWindowed(events: DataFrame,

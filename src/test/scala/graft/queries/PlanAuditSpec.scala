@@ -217,6 +217,24 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("q107 LM score: partial-agg shuffles only, no cross product, no UDF") {
+    val p = plan("q107_lm_score")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") && !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    // per-(doc,gram) counts, gram counts, and prefix counts all
+    // partial-aggregate below their exchanges
+    assert("partial_count|partial_sum".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("q108 chunking adds no hash exchange (pure per-row generate)") {
+    val p = plan("q108_doc_chunks")
+    // the oracle-ordering sort adds a rangepartitioning exchange; the
+    // chunking itself must not shuffle
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(p.contains("Generate explode"), p.take(2000))
+    assert(!p.contains("BatchEvalPython"), p.take(2000))
+  }
+
   test("q95 kmeans final assignment is a narrow map (no exchange, no UDF)") {
     val p = plan("q95_kmeans")
     // orderBy for the oracle adds a rangepartitioning exchange; the

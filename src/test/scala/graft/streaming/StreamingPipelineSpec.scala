@@ -101,6 +101,35 @@ class StreamingPipelineSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("streaming LM scoring against the batch-trained model equals batch lmScore") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val model = graft.datapipe.QualityScore.lmGramProbs(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchExpected = graft.datapipe.QualityScore.lmScore(docs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+    val rows = docs.as[(Long, String)].collect().take(60)
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingPipeline.lmScoreStream(
+      input.toDS().toDF("doc_id", "text"), model)
+    val query = out.writeStream.format("memory").queryName("stream_lm")
+      .outputMode("append").start()
+    input.addData(rows.take(30): _*)
+    input.addData(rows.drop(30): _*)
+    query.processAllAvailable()
+    val got = spark.table("stream_lm").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.size == 60)
+    got.foreach { case (id, v) => assert(v == batchExpected(id), s"doc $id") }
+    query.stop()
+  }
+
   test("streaming text featurization equals the batch projection") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
