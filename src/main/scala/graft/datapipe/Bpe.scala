@@ -184,4 +184,24 @@ object Bpe {
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
         coalesce(col("bpe_text"), lit("")).as("bpe_text"))
   }
+
+  /** Positional per-word subword counts: (idCol, j, n_syms) — one row
+    * per word OCCURRENCE (j = 0-based position), n_syms = the word's
+    * encoded length under `merges`. The [[encodeDocs]] dictionary
+    * shape without the text reassembly: distinct words encode once,
+    * the counts join back onto the positional stream. This is the
+    * relation BPE-budget CHUNKING consumes (a training window is a
+    * run of words whose n_syms sum fits the budget). */
+  def wordSymCounts(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    val withToks = docs.select(col(idCol), toks(col(textCol)).as("ts"))
+    val tokenPos = withToks
+      .select(col(idCol), posexplode(col("ts")).as(Seq("j", "word")))
+    val syms = filter(split(segmentExpr(col("word"), merges), Sep),
+      x => x =!= "")
+    val enc = withToks.select(explode(col("ts")).as("word")).distinct()
+      .select(col("word"), size(syms).cast("long").as("n_syms"))
+    tokenPos.join(enc, Seq("word"))
+      .select(col(idCol), col("j").cast("long").as("j"), col("n_syms"))
+  }
 }

@@ -100,6 +100,44 @@ object Embeddings {
     val arrayLong: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
+  /** Symmetric per-vector INT8 QUANTIZATION — the embedding STORAGE
+    * op at 100 TB (float32 → int8 cuts an embedding store 4×; ANN
+    * distance work runs on the codes): each vector is scaled by its
+    * own max-|component| and mapped to codes in [-127, 127]. All
+    * arithmetic is exact integer fixed point, shared with the q106
+    * moment convention (fq = floor(f·2²⁰ + 0.5)):
+    *
+    *   code_i = (fq_i + amax)·254 DIV (2·amax) − 127
+    *
+    * (the +amax shift keeps the numerator non-negative, so floor and
+    * truncate agree and Spark `DIV` ≡ DuckDB `//`; amax = 0 ⇒ all
+    * codes 0). Reconstruction error is emitted in the ×127 scale —
+    * |fq_i·127 − code_i·amax| — multiplication only, no division, so
+    * the metric is bit-portable; by construction it is ≤ amax
+    * (half a quantization step each side).
+    *
+    * Scale shape: one narrow codegen'd projection per row — no
+    * shuffle, no UDF, no state. Emits (id, amax_fp, sum_abs_err127,
+    * max_abs_err127, codes_md5) — the md5 gates the full code stream
+    * without shipping d INTs per row through the compare. */
+  def int8Quantize(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol),
+        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * $Fp + 0.5) AS BIGINT))")
+          .as("__fq"))
+      .withColumn("amax_fp",
+        expr("aggregate(__fq, 0L, (m, x) -> greatest(m, abs(x)))"))
+      .withColumn("__codes", expr(
+        """transform(__fq, x -> CAST(CASE WHEN amax_fp = 0 THEN 0
+          |  ELSE ((x + amax_fp) * 254) DIV (2 * amax_fp) - 127 END AS INT))"""
+          .stripMargin))
+      .withColumn("__err127", expr(
+        "zip_with(__fq, __codes, (f, c) -> abs(f * 127 - CAST(c AS BIGINT) * amax_fp))"))
+      .select(col(idCol), col("amax_fp"),
+        expr("aggregate(__err127, 0L, (a, x) -> a + x)").as("sum_abs_err127"),
+        expr("aggregate(__err127, 0L, (a, x) -> greatest(a, x))").as("max_abs_err127"),
+        md5(concat_ws(" ", col("__codes"))).as("codes_md5"))
+
   /** (mean, covariance) from the exact fixed-point moments. */
   def meanCovariance(emb: DataFrame, vecCol: String, d: Int)
       : (Array[Double], Array[Array[Double]]) = {
