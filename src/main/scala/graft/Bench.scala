@@ -48,11 +48,24 @@ object Bench {
     * (BENCH_r07 and BENCH_r08 were exactly that: identical code, 3×
     * recorded totals). Measured before and after the query loop; both
     * values are emitted in the JSON. */
-  def spinCalibration(): Double = {
+  def spinCalibration(): Double = spin(500_000_000L)
+
+  /** Per-query contention probe: the same fixed xorshift64 work at 1/5
+    * the iterations (~0.2 s idle) — cheap enough to bracket EVERY
+    * query. A query whose bracketing probes both sit near the idle
+    * reference ran in a clean window; one whose window probe exceeds
+    * ~1.1× the cleanest probe observed this run was measured during a
+    * host burst and gets re-run (see the query loop) so BENCH_rN.json
+    * adjudicates itself instead of needing an out-of-band narrative
+    * (BENCH_r10/r11 both recorded transient-burst numbers — q6 5.36 s
+    * vs 1.68 s clean — that only COVERAGE.md corrected). */
+  def miniSpin(): Double = spin(100_000_000L)
+
+  private def spin(iters: Long): Double = {
     val t0 = System.nanoTime()
     var h = 0x9e3779b97f4a7c15L
     var i = 0L
-    while (i < 500_000_000L) {
+    while (i < iters) {
       h ^= h << 13; h ^= h >>> 7; h ^= h << 17
       i += 1
     }
@@ -84,14 +97,55 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+
+    // Self-adjudicating query loop: every query is bracketed by mini
+    // spin probes. The idle reference is the cleanest probe seen this
+    // run (seeded from the big calibration spin, /5 for the iteration
+    // ratio) — if the WHOLE run is contended no per-query flag fires,
+    // but then calib_spin_sec_* records that and the cross-round
+    // authority rule (COVERAGE.md) applies as before. A query whose
+    // window probe exceeds ContendedFactor × the reference is re-run
+    // (up to 2 attempts), the first clean-window attempt wins, and the
+    // JSON records both the raw number and whether a clean window was
+    // obtained — no out-of-band adjudication narrative needed.
+    var refMin = calibStart / 5.0
+    def probe(): Double = {
+      val p = miniSpin(); if (p < refMin) refMin = p; p
+    }
+    (1 to 2).foreach(_ => probe()) // settle JIT + seed the reference
+    val ContendedFactor = 1.10
+    // name -> (raw contended seconds, clean-window rerun obtained)
+    val contended =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Boolean)]
+
+    var before = probe()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // min of 2: first run pays codegen/JIT for this query's operators
-      results(name) = (1 to 2).map { _ =>
+      def runOnce(): Double = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case _: Throwable => if (!failed.contains(name)) failed += name }
         (System.nanoTime() - t0) / 1e9
       }.min
+      var t = runOnce()
+      var after = probe()
+      if (math.max(before, after) > ContendedFactor * refMin) {
+        val raw = t
+        var clean = false
+        var tries = 0
+        while (!clean && tries < 2) {
+          val pb = probe()
+          val t2 = runOnce()
+          val pa = probe()
+          if (math.max(pb, pa) <= ContendedFactor * refMin) { t = t2; clean = true }
+          else t = math.min(t, t2)
+          after = pa
+          tries += 1
+        }
+        contended(name) = (raw, clean)
+      }
+      results(name) = t
+      before = after
     }
 
     // pipeline-shaped enrichment throughput: documents table → NLP
@@ -152,13 +206,19 @@ object Bench {
     val medDocsPerSec = nCitations / medSec
 
     val calibEnd = spinCalibration()
-    val calib = f""""calib_spin_sec_start":$calibStart%.3f,"calib_spin_sec_end":$calibEnd%.3f"""
+    val calib = f""""calib_spin_sec_start":$calibStart%.3f,"calib_spin_sec_end":$calibEnd%.3f,"probe_idle_sec":$refMin%.3f"""
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    // Contention record: per flagged query the raw (burst-window)
+    // seconds and whether a clean re-run window was obtained — the
+    // "queries" value is already the adjudicated number.
+    val contJson = contended.map { case (k, (raw, clean)) =>
+      "\"" + k + "\":" + f"""{"raw":$raw%.3f,"clean":$clean%b}"""
+    }.mkString("{", ",", "}")
     val total = results.values.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$calib,"enrich_docs_per_sec":$docsPerSec%.1f,"enrich_docs":$nDocs,"medline_docs_per_sec":$medDocsPerSec%.1f,"medline_docs":$nCitations,"failed":$failedJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"contended":$contJson,$calib,"enrich_docs_per_sec":$docsPerSec%.1f,"enrich_docs":$nDocs,"medline_docs_per_sec":$medDocsPerSec%.1f,"medline_docs":$nCitations,"failed":$failedJson,"sf":"$sfDir"}""")
     // The full line above grew past the collector's tail-capture window
     // (~2.2 KB) once the query count passed ~75, leaving only a
     // head-truncated (unparseable) fragment in the captured tail. Print
@@ -168,7 +228,7 @@ object Bench {
       .flatMap(k => results.get(k).map(v => "\"" + k + f"\":$v%.3f"))
       .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$headline,"n_queries":${results.size},$calib,"enrich_docs_per_sec":$docsPerSec%.1f,"enrich_docs":$nDocs,"medline_docs_per_sec":$medDocsPerSec%.1f,"medline_docs":$nCitations,"failed":$failedJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$headline,"n_queries":${results.size},"n_contended":${contended.size},"n_contended_unclean":${contended.count(!_._2._2)},$calib,"enrich_docs_per_sec":$docsPerSec%.1f,"enrich_docs":$nDocs,"medline_docs_per_sec":$medDocsPerSec%.1f,"medline_docs":$nCitations,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
