@@ -82,17 +82,92 @@ object Bpe {
     out.result()
   }
 
+  /** One round's winning pair over a SEGMENTED histogram (`seg` =
+    * delimited symbol string, `cnt` = word count): explode adjacent
+    * symbol pairs weighted by count, partial-aggregate, and take the
+    * single (count desc, pair asc) winner with corpus weight ≥ 2 —
+    * a `TakeOrderedAndProject` of exactly one row. */
+  private def bestPair(segHist: DataFrame): Option[(String, String)] = {
+    val syms = filter(split(col("seg"), Sep), x => x =!= "")
+    // explode(null) on sub-pair words emits nothing; sequence must
+    // be guarded (Spark generates DESCENDING ranges when stop<start)
+    val best = segHist
+      .select(col("cnt"), syms.as("__sy"))
+      .select(col("cnt"), col("__sy"),
+        explode(when(size(col("__sy")) >= 2,
+          sequence(lit(1), size(col("__sy")) - 1))).as("__i"))
+      .select(col("cnt"),
+        element_at(col("__sy"), col("__i")).as("a"),
+        element_at(col("__sy"), col("__i") + 1).as("b"))
+      .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("n"))
+      .filter(col("n") >= 2L)
+      .orderBy(col("n").desc, col("a").asc, col("b").asc)
+      .limit(1).collect()
+    best.headOption.map(r => (r.getString(0), r.getString(1)))
+  }
+
   /** Learn up to `numMerges` merges from the FULL (word, cnt)
     * histogram. Returns the ordered merge table.
     *
-    * Each round is one distributed job over the persisted histogram:
-    * segment every word under the merges chosen so far (the same
-    * codegen'd replace chain the encode path uses), explode adjacent
-    * symbol pairs weighted by word count, partial-aggregate, and take
-    * the single (count desc, pair asc) winner with corpus weight ≥ 2.
-    * Driver state per round is exactly that one pair — no top-K
-    * truncation, no driver-side segment table. */
+    * INCREMENTAL shape: the SEGMENTED histogram (delimited symbol
+    * string + count) is persisted once and each round applies ONLY the
+    * round's chosen merge to it — one literal `replace` over the
+    * cached relation — instead of re-segmenting every word from
+    * scratch under the full chain-so-far (which is O(M²) total replace
+    * work over M rounds; this shape is O(M)). Function composition
+    * makes the two identical: the from-scratch chain is
+    * `replace_M ∘ … ∘ replace_1 ∘ explode`, and this loop stores
+    * `replace_{k-1} ∘ … ∘ explode` and applies `replace_k` to it —
+    * the same composition, materialized stepwise (spec-pinned equal
+    * to [[trainRescan]]). Each round's result is localCheckpoint'ed
+    * (eager) so the lineage — and with it per-round planning cost —
+    * stays CONSTANT across rounds rather than growing by one replace
+    * per round; the previous round's blocks are then freed.
+    *
+    * Per-round work is ∝ DISTINCT words (one cached-relation scan +
+    * one pair-count aggregate), and driver state per round is exactly
+    * one (a, b) pair — no top-K truncation, no driver-side segment
+    * table. Remaining latency shape at production vocab sizes (32k+
+    * merges): M sequential driver round-trips of one job each —
+    * inherent to exact sequential BPE (each round's winner depends on
+    * the previous merge); the O(M²) re-segmentation this replaces was
+    * the part that turned minutes into days. */
   def train(hist: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0)
+    var seg = hist
+      .select(regexp_replace(col("word"), "(.)", Sep + "$1" + Sep).as("seg"),
+        col("cnt").cast("long").as("cnt"))
+      .localCheckpoint(true)
+    try {
+      val acc = collection.mutable.ArrayBuffer.empty[(String, String)]
+      var k = 0
+      var exhausted = false
+      while (k < numMerges && !exhausted) {
+        bestPair(seg) match {
+          case None => exhausted = true
+          case Some((a, b)) =>
+            acc += ((a, b))
+            k += 1
+            if (k < numMerges) {
+              val next = seg.select(
+                replace(col("seg"), lit(Sep + a + Sep + Sep + b + Sep),
+                  lit(Sep + a + b + Sep)).as("seg"),
+                col("cnt")).localCheckpoint(true)
+              seg.unpersist()
+              seg = next
+            }
+        }
+      }
+      acc.toList
+    } finally { seg.unpersist(); () }
+  }
+
+  /** The from-scratch trainer the incremental [[train]] must match:
+    * each round re-segments every word under the full merge chain so
+    * far. Kept as the spec cross-check (provably same output) — not
+    * used in any query path. */
+  private[datapipe] def trainRescan(hist: DataFrame,
+                                    numMerges: Int): Seq[(String, String)] = {
     require(numMerges >= 0)
     import org.apache.spark.storage.StorageLevel
     val base = hist.select(col("word"), col("cnt").cast("long").as("cnt"))
@@ -102,26 +177,11 @@ object Bpe {
       var k = 0
       var exhausted = false
       while (k < numMerges && !exhausted) {
-        val syms = filter(split(segmentExpr(col("word"), acc.toSeq), Sep),
-          x => x =!= "")
-        // explode(null) on sub-pair words emits nothing; sequence must
-        // be guarded (Spark generates DESCENDING ranges when stop<start)
-        val best = base
-          .select(col("cnt"), syms.as("__sy"))
-          .select(col("cnt"), col("__sy"),
-            explode(when(size(col("__sy")) >= 2,
-              sequence(lit(1), size(col("__sy")) - 1))).as("__i"))
-          .select(col("cnt"),
-            element_at(col("__sy"), col("__i")).as("a"),
-            element_at(col("__sy"), col("__i") + 1).as("b"))
-          .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("n"))
-          .filter(col("n") >= 2L)
-          .orderBy(col("n").desc, col("a").asc, col("b").asc)
-          .limit(1).collect()
-        if (best.isEmpty) exhausted = true
-        else {
-          acc += ((best(0).getString(0), best(0).getString(1)))
-          k += 1
+        val segged = base.select(
+          segmentExpr(col("word"), acc.toSeq).as("seg"), col("cnt"))
+        bestPair(segged) match {
+          case None => exhausted = true
+          case Some(p) => acc += p; k += 1
         }
       }
       acc.toList

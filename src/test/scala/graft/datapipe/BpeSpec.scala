@@ -147,6 +147,38 @@ class BpeSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("incremental trainer equals the from-scratch rescan trainer on the real table") {
+    // train (incremental: persisted segmented histogram, one replace
+    // per round) and trainRescan (re-segment from scratch under the
+    // full chain each round) materialize the same function composition
+    // — the merge tables must agree merge for merge on a real corpus.
+    val real = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val hist = Bpe.wordHistogram(real, "text")
+    val inc = Bpe.train(hist, 24)
+    val rescan = Bpe.trainRescan(hist, 24)
+    assert(inc.size == 24 && inc == rescan)
+  }
+
+  test("wordSymCounts positions and totals agree with encodeDocs") {
+    val d = docs((1L, "low low lower"), (2L, "west aaaa the"), (3L, "  "))
+    val merges = Bpe.train(Bpe.wordHistogram(d, "text"), 4)
+    assert(merges.nonEmpty)
+    val enc = Bpe.encodeDocs(d, "id", "text", merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val byDoc = Bpe.wordSymCounts(d, "id", "text", merges).collect()
+      .groupBy(_.getLong(0))
+    // whitespace-only doc has no word occurrences → no rows
+    assert(!byDoc.contains(3L))
+    // per-doc: positions are exactly 0..n_words-1 (the budget-chunking
+    // contract: a contiguous positional stream), and the per-word
+    // subword counts sum to encodeDocs' n_bpe_tokens
+    byDoc.foreach { case (id, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (0L until enc(id)._1),
+        s"doc $id positions")
+      assert(rows.map(_.getLong(2)).sum == enc(id)._2, s"doc $id totals")
+    }
+  }
+
   test("empty and sub-length docs survive encode with zero tokens") {
     val df = docs((1L, "x y"), (2L, "   "))
     val merges = Bpe.train(Bpe.wordHistogram(df, "text"), 4)
