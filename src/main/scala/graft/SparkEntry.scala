@@ -125,6 +125,8 @@ object SparkEntry {
     "q106_pca_moments" -> (DataPipeQueries.pcaMoments _),
     "q107_lm_score" -> (DataPipeQueries.lmScore _),
     "q108_doc_chunks" -> (DataPipeQueries.docChunks _),
+    "q109_pca_projection" -> (DataPipeQueries.pcaProjection _),
+    "q110_int8_quantize" -> (DataPipeQueries.int8Quantized _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -487,5 +489,7 @@ object SparkEntry {
     "q106_pca_moments" -> DataPipeQueries.pcaMomentsOracle,
     "q107_lm_score" -> DataPipeQueries.lmScoreOracle,
     "q108_doc_chunks" -> DataPipeQueries.docChunksOracle,
+    "q109_pca_projection" -> DataPipeQueries.pcaProjectionOracle,
+    "q110_int8_quantize" -> DataPipeQueries.int8QuantizedOracle,
   )
 }

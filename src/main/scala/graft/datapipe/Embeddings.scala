@@ -206,16 +206,26 @@ object Embeddings {
     }.toArray
   }
 
+  /** One projected component as a SQL term string — `(v[i] - mean_i)
+    * * basis_i` summed left-associatively in DOUBLE, with the element
+    * reference produced by `idx` (Spark arrays are 0-based, DuckDB
+    * lists 1-based). Shared by [[project]] and the q109 DuckDB oracle
+    * so both engines parse the SAME shortest-roundtrip double literals
+    * and evaluate the SAME association order — IEEE doubles make the
+    * results bit-identical. */
+  def projectionTermSql(mean: Array[Double], basisRow: Array[Double],
+                        idx: Int => String): String =
+    basisRow.iterator.zipWithIndex.map { case (b, i) =>
+      s"(CAST(${idx(i)} AS DOUBLE) - ${mean(i)}) * $b"
+    }.mkString(" + ")
+
   /** Append `outCol` = the k-dim PCA projection of `vecCol` (centered,
     * `Array[Float]`), computed with built-in expressions against the
     * literal basis. */
   def project(emb: DataFrame, vecCol: String, outCol: String,
               mean: Array[Double], basis: Array[Array[Double]]): DataFrame = {
     val comps = basis.map { row =>
-      val terms = row.iterator.zipWithIndex.map { case (b, i) =>
-        // (v[i] - mean_i) * basis_i, all in double
-        s"(CAST($vecCol[$i] AS DOUBLE) - ${mean(i)}) * $b"
-      }.mkString(" + ")
+      val terms = projectionTermSql(mean, row, i => s"$vecCol[$i]")
       expr(s"CAST(($terms) AS FLOAT)")
     }
     emb.withColumn(outCol, array(comps: _*))

