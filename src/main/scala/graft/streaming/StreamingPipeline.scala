@@ -266,6 +266,21 @@ object StreamingPipeline {
       textCol: String = "text", dim: Int = 32, n: Int = 3): DataFrame =
     graft.datapipe.Featurize.embedDocuments(docs, idCol, textCol, dim, n)
 
+  /** Streaming sliding-window chunking: cut arriving documents into
+    * fixed-size training windows ([[graft.datapipe.Packing
+    * .chunkDocuments]] running UNCHANGED on the streaming frame — the
+    * operator is a pure per-row generate, so the batch plan IS the
+    * streaming plan). Stateless narrow generate: no shuffle, no state
+    * store, any output mode; bit-identical to the batch chunking by
+    * construction (spec-pinned). This is the online half of a
+    * continuously-fed pretraining pipeline: documents chunk as they
+    * arrive, downstream packing/budgeting consumes the chunk stream. */
+  def chunkStream(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", chunkTokens: Int = 64,
+      stride: Int = 48): DataFrame =
+    graft.datapipe.Packing.chunkDocuments(docs, idCol, textCol,
+      chunkTokens, stride)
+
   /** Streaming LM fluency scoring: score arriving documents against a
     * BATCH-trained bigram LM ([[graft.datapipe.QualityScore.lmGramProbs]]
     * collected to a map) — the train-offline / score-online split of

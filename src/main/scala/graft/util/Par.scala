@@ -17,6 +17,11 @@ import org.apache.spark.sql.DataFrame
   */
 object Par {
   def ensure(df: DataFrame): DataFrame = {
+    // Streaming frames pass through untouched: microbatch parallelism
+    // is the source's concern, and .rdd is not defined before
+    // writeStream.start() — this is what lets a guarded batch operator
+    // (e.g. chunkDocuments) run UNCHANGED as its own streaming twin.
+    if (df.isStreaming) return df
     val have = df.rdd.getNumPartitions
     val want = df.sparkSession.sparkContext.defaultParallelism
     if (have * 2 < want) df.repartition(want) else df

@@ -155,6 +155,35 @@ class StreamingPipelineSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("streaming sliding-window chunking equals the batch chunking") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val batchExpected = graft.datapipe.Packing
+      .chunkDocuments(docs, chunkTokens = 16, stride = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+
+    val rows = docs.as[(Long, String)].collect().take(60)
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingPipeline.chunkStream(
+      input.toDS().toDF("doc_id", "text"), chunkTokens = 16, stride = 12)
+    val query = out.writeStream.format("memory").queryName("stream_chunks")
+      .outputMode("append").start()
+    input.addData(rows.take(30): _*)
+    input.addData(rows.drop(30): _*)
+    query.processAllAvailable()
+    val got = spark.table("stream_chunks").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val expectedSubset = batchExpected.filter {
+      case ((id, _), _) => rows.exists(_._1 == id)
+    }
+    assert(got.nonEmpty && got == expectedSubset)
+    query.stop()
+  }
+
   test("streaming latest-version with tombstones via flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
