@@ -180,8 +180,20 @@ object QualityScore {
     * occurrences), p_fp computed on the small gram relation and joined
     * back, one doc-keyed agg. The vocabulary is never collected or
     * broadcast; every exchange carries partial-aggregated rows.
-    * Overflow bound: c_bigram · fp ≤ 2⁶² requires corpus bigram
-    * occurrences < 2⁴², enforced; shard the corpus above that. */
+    * Overflow bound: c_bigram · fp must stay below 2⁶² (2× headroom
+    * under Long.MaxValue), ENFORCED in the plan itself: the p_fp
+    * projection guards every gram count with a codegen'd conditional
+    * `raise_error` (no extra pass, no driver action — the job fails
+    * loudly instead of wrapping silently in non-ANSI mode); shard the
+    * corpus above that.
+    *
+    * Output note: min_p_fp = 0 is ambiguous on its own — it means
+    * BOTH "doc has no bigrams" (the coalesced left-join miss) and
+    * "doc has a transition whose floored probability is 0" (cb·fp <
+    * cu, possible under high-frequency prefixes); consumers
+    * disambiguate via n_bigrams > 0. The streaming twin
+    * ([[graft.streaming.StreamingPipeline.lmScoreStream]]) also maps
+    * out-of-model grams to 0, so the same rule applies there. */
   def lmScore(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", fp: Long = 1L << 20): DataFrame = {
     val (perDocGram, gramP) = lmParts(docs, idCol, textCol, fp)
@@ -232,7 +244,15 @@ object QualityScore {
       .withColumn("__w1", substring_index(col("__gram"), " ", 1))
       .join(prefixCounts, "__w1")
       .select(col("__gram"),
-        expr(s"CAST(__cb * $fp AS BIGINT) DIV __cu").as("__p_fp"))
+        // the conditional raise_error makes the scaladoc'd overflow
+        // bound an ENFORCED invariant (mirrors MomentsAgg.checkHeadroom)
+        expr(
+          s"""CASE WHEN __cb < ${(1L << 62) / fp}
+             |  THEN CAST(__cb * $fp AS BIGINT) DIV __cu
+             |  ELSE CAST(raise_error(concat(
+             |    'lmScore overflow bound exceeded: corpus bigram count ',
+             |    __cb, ' * fp=$fp would exceed 2^62 - shard the corpus'))
+             |    AS BIGINT) END""".stripMargin).as("__p_fp"))
     (perDocGram, gramP)
   }
 

@@ -34,7 +34,14 @@ object Tables {
     val tsExpr = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         "CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"
-      case _ => "CAST(ts AS TIMESTAMP_NTZ)"
+      case org.apache.spark.sql.types.TimestampNTZType => "ts"
+      // A third physical form (e.g. TIMESTAMP_LTZ when
+      // isAdjustedToUTC=true, or inferTimestampNTZ disabled) must fail
+      // LOUDLY here: casting LTZ to NTZ is session-timezone-dependent
+      // and would diverge from the DuckDB oracle silently.
+      case other => throw new IllegalStateException(
+        s"events.ts surfaced as unexpected type $other — " +
+          "add an explicit (timezone-independent) normalization for it")
     }
     raw.withColumn("ts", org.apache.spark.sql.functions.expr(tsExpr))
   }
