@@ -48,6 +48,20 @@ object DataPipeProfile {
       datapipe.DedupOps.simhashNearDupPairs(docs, maxHamming = 3,
         md5Based = true).count()
     }
+    // BPE trainer shapes: pure sequential (one merge per driver
+    // round-trip) vs batched admission (top-64 collect per round,
+    // provably identical table — see Bpe.admitBatch). The gap is the
+    // round-trip saving that dominates at production vocab sizes.
+    val hist = datapipe.Bpe.wordHistogram(docs, "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hist.count()
+    time("bpe train 24 merges sequential (batchTopK=1)") {
+      datapipe.Bpe.train(hist, 24, batchTopK = 1).size.toLong
+    }
+    time("bpe train 24 merges batched (batchTopK=64)") {
+      datapipe.Bpe.train(hist, 24).size.toLong
+    }
+    hist.unpersist()
     spark.stop()
   }
 }

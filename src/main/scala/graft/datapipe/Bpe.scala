@@ -82,16 +82,16 @@ object Bpe {
     out.result()
   }
 
-  /** One round's winning pair over a SEGMENTED histogram (`seg` =
-    * delimited symbol string, `cnt` = word count): explode adjacent
-    * symbol pairs weighted by count, partial-aggregate, and take the
-    * single (count desc, pair asc) winner with corpus weight ≥ 2 —
-    * a `TakeOrderedAndProject` of exactly one row. */
-  private def bestPair(segHist: DataFrame): Option[(String, String)] = {
+  /** Top `r` pairs of one round's (count desc, pair asc) order over a
+    * SEGMENTED histogram (`seg` = delimited symbol string, `cnt` =
+    * word count): explode adjacent symbol pairs weighted by count,
+    * partial-aggregate, keep corpus weight ≥ 2 — a
+    * `TakeOrderedAndProject` of ≤ r rows. */
+  private def topPairs(segHist: DataFrame, r: Int): Seq[(String, String, Long)] = {
     val syms = filter(split(col("seg"), Sep), x => x =!= "")
     // explode(null) on sub-pair words emits nothing; sequence must
     // be guarded (Spark generates DESCENDING ranges when stop<start)
-    val best = segHist
+    segHist
       .select(col("cnt"), syms.as("__sy"))
       .select(col("cnt"), col("__sy"),
         explode(when(size(col("__sy")) >= 2,
@@ -102,60 +102,126 @@ object Bpe {
       .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("n"))
       .filter(col("n") >= 2L)
       .orderBy(col("n").desc, col("a").asc, col("b").asc)
-      .limit(1).collect()
-    best.headOption.map(r => (r.getString(0), r.getString(1)))
+      .limit(r).collect()
+      .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+      .toSeq
+  }
+
+  /** Greedy admission of a batch of merges from ONE round's collected
+    * top-`requested` pair list, PROVABLY identical to choosing them
+    * one sequential round at a time. The admitted set is a prefix of
+    * the (count desc, pair asc) order where each pair after the first
+    * satisfies, at its admission point (S = symbols of all
+    * previously admitted pairs plus their concatenations):
+    *
+    *  1. DISJOINT — neither of its symbols is in S. Sharing a symbol
+    *     means an earlier batch merge changes (or could change) its
+    *     count, so its collected count is stale; the concatenations
+    *     are in S because a pair whose symbol EQUALS an earlier
+    *     merge's output gains occurrences.
+    *  2. STRICTLY OUT-COUNTS every possible riser — its count must
+    *     exceed (a) the collection cutoff (the last collected count;
+    *     0 when the list is complete, i.e. shorter than requested)
+    *     and (b) the count of every still-listed non-admitted pair
+    *     that interacts with S. Proof sketch: any occurrence of a
+    *     pair CREATED (or grown) by the batch's earlier merges maps
+    *     injectively onto an original occurrence of a pair sharing a
+    *     symbol with S — so every riser is bounded by
+    *     max(interactingMax, cutoff), and strict inequality rules
+    *     out a tie that the (pair asc) tie-break could resolve
+    *     against us. Pairs NOT interacting with S keep their exact
+    *     counts, and every such pair above this one in the total
+    *     order is already admitted (and consumed to count 0 by its
+    *     own merge — greedy replace leaves no residual adjacency of
+    *     the merged pair). Hence the sequential trainer, run round
+    *     by round, picks exactly this prefix in exactly this order.
+    *
+    * Admission stops at the first pair that fails either test (a
+    * later pair could pass, but a non-prefix admission would break
+    * the proof). Worst case — interacting head pairs — degenerates
+    * to one merge per round, exactly the sequential trainer. */
+  private[datapipe] def admitBatch(top: Seq[(String, String, Long)],
+      requested: Int, maxAdmit: Int): Seq[(String, String)] = {
+    val cutoff = if (top.size < requested) 0L else top.last._3
+    val admitted = collection.mutable.ArrayBuffer.empty[(String, String)]
+    val s = collection.mutable.Set.empty[String]
+    var stopped = false
+    for ((a, b, n) <- top if !stopped && admitted.size < maxAdmit) {
+      if (admitted.isEmpty) {
+        admitted += ((a, b)); s ++= Seq(a, b, a + b)
+      } else if (!s.contains(a) && !s.contains(b)) {
+        // admitted pairs are excluded: they contain S symbols by
+        // construction but are consumed to count 0 by their own merge
+        val interactingMax = top.iterator
+          .filter { case (x, y, _) =>
+            (s.contains(x) || s.contains(y)) && !admitted.contains((x, y)) }
+          .map(_._3).maxOption.getOrElse(0L)
+        if (n > math.max(cutoff, interactingMax)) {
+          admitted += ((a, b)); s ++= Seq(a, b, a + b)
+        } else stopped = true
+      } else stopped = true
+    }
+    admitted.toSeq
   }
 
   /** Learn up to `numMerges` merges from the FULL (word, cnt)
-    * histogram. Returns the ordered merge table.
+    * histogram. Returns the ordered merge table — bit-identical to
+    * the classic one-merge-per-round trainer (spec-pinned against
+    * [[trainRescan]] and the driver-local replay), at a fraction of
+    * the rounds and the work:
     *
-    * INCREMENTAL shape: the SEGMENTED histogram (delimited symbol
-    * string + count) is persisted once and each round applies ONLY the
-    * round's chosen merge to it — one literal `replace` over the
-    * cached relation — instead of re-segmenting every word from
-    * scratch under the full chain-so-far (which is O(M²) total replace
-    * work over M rounds; this shape is O(M)). Function composition
-    * makes the two identical: the from-scratch chain is
-    * `replace_M ∘ … ∘ replace_1 ∘ explode`, and this loop stores
-    * `replace_{k-1} ∘ … ∘ explode` and applies `replace_k` to it —
-    * the same composition, materialized stepwise (spec-pinned equal
-    * to [[trainRescan]]). Each round's result is localCheckpoint'ed
-    * (eager) so the lineage — and with it per-round planning cost —
-    * stays CONSTANT across rounds rather than growing by one replace
-    * per round; the previous round's blocks are then freed.
+    *  - INCREMENTAL segmentation: the SEGMENTED histogram (delimited
+    *    symbol string + count) is persisted once and each round
+    *    applies ONLY that round's admitted merges — literal `replace`s
+    *    over the cached relation — instead of re-segmenting every
+    *    word under the full chain-so-far (O(M²) total replace work
+    *    over M rounds; this shape is O(M)). Function composition makes
+    *    the two identical. Each round's result is localCheckpoint'ed
+    *    (eager) so lineage — and with it per-round planning cost —
+    *    stays constant; the previous round's blocks are then freed.
+    *  - ROUND BATCHING: each round collects the top `batchTopK` pairs
+    *    (one `TakeOrderedAndProject`, ≤ batchTopK rows to the driver)
+    *    and [[admitBatch]] admits the longest prefix that is PROVABLY
+    *    what sequential rounds would choose (disjoint symbols +
+    *    strict-count dominance over every possible riser — see its
+    *    scaladoc for the proof). Diverse vocabularies admit many
+    *    merges per round-trip; adversarial ones degenerate to 1 —
+    *    never to a wrong table.
     *
     * Per-round work is ∝ DISTINCT words (one cached-relation scan +
-    * one pair-count aggregate), and driver state per round is exactly
-    * one (a, b) pair — no top-K truncation, no driver-side segment
-    * table. Remaining latency shape at production vocab sizes (32k+
-    * merges): M sequential driver round-trips of one job each —
-    * inherent to exact sequential BPE (each round's winner depends on
-    * the previous merge); the O(M²) re-segmentation this replaces was
-    * the part that turned minutes into days. */
-  def train(hist: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    * one pair-count aggregate); driver state is ≤ batchTopK (pair,
+    * count) rows per round — no top-K truncation of the HISTOGRAM
+    * (every distinct word always counts), no driver-side segment
+    * table. At production vocab sizes (32k+ merges) the round count —
+    * the M sequential driver round-trips that remained after the
+    * incremental fix — drops by the average admitted-batch size. */
+  def train(hist: DataFrame, numMerges: Int,
+            batchTopK: Int = 64): Seq[(String, String)] = {
     require(numMerges >= 0)
+    require(batchTopK >= 1, s"batchTopK must be >= 1: $batchTopK")
     var seg = hist
       .select(regexp_replace(col("word"), "(.)", Sep + "$1" + Sep).as("seg"),
         col("cnt").cast("long").as("cnt"))
       .localCheckpoint(true)
     try {
       val acc = collection.mutable.ArrayBuffer.empty[(String, String)]
-      var k = 0
       var exhausted = false
-      while (k < numMerges && !exhausted) {
-        bestPair(seg) match {
-          case None => exhausted = true
-          case Some((a, b)) =>
-            acc += ((a, b))
-            k += 1
-            if (k < numMerges) {
-              val next = seg.select(
-                replace(col("seg"), lit(Sep + a + Sep + Sep + b + Sep),
-                  lit(Sep + a + b + Sep)).as("seg"),
-                col("cnt")).localCheckpoint(true)
-              seg.unpersist()
-              seg = next
-            }
+      while (acc.size < numMerges && !exhausted) {
+        val top = topPairs(seg, batchTopK)
+        if (top.isEmpty) exhausted = true
+        else {
+          val batch = admitBatch(top, batchTopK, numMerges - acc.size)
+          acc ++= batch
+          if (acc.size < numMerges) {
+            val next = seg.select(
+              batch.foldLeft(col("seg")) { case (c, (a, b)) =>
+                replace(c, lit(Sep + a + Sep + Sep + b + Sep),
+                  lit(Sep + a + b + Sep))
+              }.as("seg"),
+              col("cnt")).localCheckpoint(true)
+            seg.unpersist()
+            seg = next
+          }
         }
       }
       acc.toList
@@ -179,9 +245,9 @@ object Bpe {
       while (k < numMerges && !exhausted) {
         val segged = base.select(
           segmentExpr(col("word"), acc.toSeq).as("seg"), col("cnt"))
-        bestPair(segged) match {
+        topPairs(segged, 1).headOption match {
           case None => exhausted = true
-          case Some(p) => acc += p; k += 1
+          case Some((a, b, _)) => acc += ((a, b)); k += 1
         }
       }
       acc.toList

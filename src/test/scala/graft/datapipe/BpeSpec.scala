@@ -147,6 +147,56 @@ class BpeSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("admitBatch: riser tie through the pair-asc tie-break is rejected") {
+    // merging (a,b) could create (ab,y) with count up to 9 — it TIES
+    // (c,d)=9 and "ab" < "c" sorts first, so sequential would pick the
+    // riser; the strict-dominance guard must stop after (a,b).
+    val top = Seq(("a", "b", 10L), ("c", "d", 9L), ("b", "y", 9L))
+    assert(Bpe.admitBatch(top, requested = 64, maxAdmit = 24) == Seq(("a", "b")))
+  }
+
+  test("admitBatch: lower-counted interacting pair still caps admission") {
+    // (x,a) interacts at 7; merging (a,b) can create (x,ab) ≤ 7 which
+    // would outrank (c,d)=5 — reject (c,d).
+    val top = Seq(("a", "b", 10L), ("x", "a", 7L), ("c", "d", 5L))
+    assert(Bpe.admitBatch(top, requested = 64, maxAdmit = 24) == Seq(("a", "b")))
+    // but a disjoint pair that strictly dominates the interactor passes
+    val top2 = Seq(("a", "b", 10L), ("c", "d", 9L), ("x", "a", 7L))
+    assert(Bpe.admitBatch(top2, requested = 64, maxAdmit = 24) ==
+      Seq(("a", "b"), ("c", "d")))
+  }
+
+  test("admitBatch: symbol sharing and concatenation collisions stop admission") {
+    val shared = Seq(("a", "b", 10L), ("b", "c", 8L))
+    assert(Bpe.admitBatch(shared, requested = 64, maxAdmit = 24) == Seq(("a", "b")))
+    // "ab" is the first merge's OUTPUT symbol: a pair consuming it
+    // gains occurrences from that merge — stale count, reject
+    val concat = Seq(("a", "b", 10L), ("ab", "z", 8L))
+    assert(Bpe.admitBatch(concat, requested = 64, maxAdmit = 24) == Seq(("a", "b")))
+  }
+
+  test("admitBatch: collection cutoff bounds risers hiding below the list") {
+    // requested=2 and the list has 2 rows → pairs below the cutoff
+    // (count ≤ 10) may exist unseen; (c,d)=10 does not strictly
+    // dominate them → only the global max is safe.
+    val top = Seq(("a", "b", 10L), ("c", "d", 10L))
+    assert(Bpe.admitBatch(top, requested = 2, maxAdmit = 24) == Seq(("a", "b")))
+    // the same list marked COMPLETE (requested > size) admits both
+    assert(Bpe.admitBatch(top, requested = 64, maxAdmit = 24) ==
+      Seq(("a", "b"), ("c", "d")))
+    // maxAdmit truncates the admitted prefix
+    assert(Bpe.admitBatch(top, requested = 64, maxAdmit = 1) == Seq(("a", "b")))
+  }
+
+  test("batched admission equals pure-sequential training at any batch width") {
+    val real = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+    val hist = Bpe.wordHistogram(real, "text")
+    val seq1 = Bpe.train(hist, 24, batchTopK = 1) // degenerate: 1 merge/round
+    val b3 = Bpe.train(hist, 24, batchTopK = 3)
+    val b64 = Bpe.train(hist, 24)
+    assert(seq1.size == 24 && seq1 == b64 && b3 == b64)
+  }
+
   test("incremental trainer equals the from-scratch rescan trainer on the real table") {
     // train (incremental: persisted segmented histogram, one replace
     // per round) and trainRescan (re-segment from scratch under the
