@@ -266,6 +266,33 @@ object StreamingPipeline {
       textCol: String = "text", dim: Int = 32, n: Int = 3): DataFrame =
     graft.datapipe.Featurize.embedDocuments(docs, idCol, textCol, dim, n)
 
+  /** Streaming int8 embedding quantization: arriving embedding rows
+    * quantize through [[graft.datapipe.Embeddings.int8Quantize]]
+    * UNCHANGED (one narrow codegen'd projection — per-vector
+    * symmetric scale needs no corpus state at all). Stateless: no
+    * shuffle, no state store, any output mode; bit-identical to the
+    * batch op by construction (spec-pinned). The online half of a
+    * continuously-ingested embedding store: vectors compress 4× as
+    * they arrive. */
+  def int8QuantizeStream(vecs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    graft.datapipe.Embeddings.int8Quantize(vecs, idCol, vecCol)
+
+  /** Streaming PCA projection: project arriving embedding rows onto a
+    * BATCH-fitted eigenbasis ([[graft.datapipe.Embeddings
+    * .meanCovariance]] + [[graft.datapipe.Embeddings
+    * .topEigenvectors]]) — the train-offline / score-online split of
+    * the q109 dimensionality reduction, same pattern as cluster
+    * scoring against batch centroids. Stateless narrow map (the basis
+    * rides the plan as literals — no broadcast, no UDF): bit-identical
+    * to the batch projection by construction (spec-pinned). */
+  def pcaProjectStream(vecs: DataFrame, mean: Array[Double],
+      basis: Array[Array[Double]], idCol: String = "vec_id",
+      vecCol: String = "embedding", outCol: String = "pca"): DataFrame =
+    graft.datapipe.Embeddings.project(vecs, vecCol, outCol, mean, basis)
+      .select(org.apache.spark.sql.functions.col(idCol),
+        org.apache.spark.sql.functions.col(outCol))
+
   /** Streaming sliding-window chunking: cut arriving documents into
     * fixed-size training windows ([[graft.datapipe.Packing
     * .chunkDocuments]] running UNCHANGED on the streaming frame — the

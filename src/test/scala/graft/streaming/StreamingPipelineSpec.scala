@@ -184,6 +184,46 @@ class StreamingPipelineSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("streaming int8 quantization and PCA projection equal the batch ops") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // batch-fitted model (the offline half)
+    val (mean, cov) = graft.datapipe.Embeddings.meanCovariance(emb, "embedding", 64)
+    val basis = graft.datapipe.Embeddings.topEigenvectors(cov, 8)
+    val batchQuant = graft.datapipe.Embeddings.int8Quantize(emb).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val batchProj = graft.datapipe.Embeddings
+      .project(emb, "embedding", "pca", mean, basis).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+
+    val rows = emb.as[(Long, Seq[Float])].collect().take(40)
+      .map { case (id, v) => (id, v.toArray) }
+    val input = MemoryStream[(Long, Array[Float])]
+    val df = input.toDS().toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val q1 = StreamingPipeline.int8QuantizeStream(df)
+      .writeStream.format("memory").queryName("stream_i8")
+      .outputMode("append").start()
+    val q2 = StreamingPipeline.pcaProjectStream(df, mean, basis)
+      .writeStream.format("memory").queryName("stream_pca")
+      .outputMode("append").start()
+    input.addData(rows.take(20): _*)
+    input.addData(rows.drop(20): _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    val gotQuant = spark.table("stream_i8").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val gotProj = spark.table("stream_pca").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(gotQuant.size == 40 && gotProj.size == 40)
+    gotQuant.foreach { case (id, v) => assert(v == batchQuant(id), s"vec $id") }
+    gotProj.foreach { case (id, v) => assert(v == batchProj(id), s"vec $id") }
+    q1.stop(); q2.stop()
+  }
+
   test("streaming latest-version with tombstones via flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
