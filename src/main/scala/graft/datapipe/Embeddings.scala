@@ -220,10 +220,24 @@ object Embeddings {
     }.mkString(" + ")
 
   /** Append `outCol` = the k-dim PCA projection of `vecCol` (centered,
-    * `Array[Float]`), computed with built-in expressions against the
-    * literal basis. */
+    * `Array[Float]`) via the native [[graft.functions.PcaProjectExpr]]
+    * — one codegen'd static call with loops inside, instead of a
+    * 512-term literal Add chain whose generated method blows Janino's
+    * limit and drops the stage out of codegen. Bit-identical to the
+    * literal-chain form ([[projectExprBuilt]], spec-pinned), which is
+    * also the exact text the q109 DuckDB oracle replays. */
   def project(emb: DataFrame, vecCol: String, outCol: String,
-              mean: Array[Double], basis: Array[Array[Double]]): DataFrame = {
+              mean: Array[Double], basis: Array[Array[Double]]): DataFrame =
+    emb.withColumn(outCol,
+      graft.functions.Expressions.pca_project(col(vecCol), mean, basis))
+
+  /** The `expr`-built literal-chain twin of [[project]] — the form the
+    * q109 oracle mirrors textually. Kept (caller: spec only) so the
+    * oracle text provably describes what the native expression
+    * computes: the spec pins bit-equality between the two. */
+  private[graft] def projectExprBuilt(emb: DataFrame, vecCol: String,
+      outCol: String, mean: Array[Double],
+      basis: Array[Array[Double]]): DataFrame = {
     val comps = basis.map { row =>
       val terms = projectionTermSql(mean, row, i => s"$vecCol[$i]")
       expr(s"CAST(($terms) AS FLOAT)")

@@ -112,6 +112,76 @@ case class MinHashBandsMd5Expr(child: Expression, numPerm: Int, shingleN: Int,
     copy(child = newChild)
 }
 
+/** k-dim PCA projection of an Array[Float] vector against a LITERAL
+  * (mean, basis): out[k] = float(Σᵢ (double(v[i]) − mean_i)·basis_k_i)
+  * with each sum accumulated strictly left-to-right — the SAME
+  * association order as the q109 oracle's literal term chain, so
+  * outputs are bit-identical to an `expr`-built `t0 + t1 + …` form
+  * (spec-pinned). The point of the native form is CODEGEN SHAPE: at
+  * d=64, k=8 the literal chain is a 512-term Add tree whose generated
+  * method blows Janino's limit — the whole stage then falls back and
+  * the failed compile is retried on every execution (measured: 7
+  * InternalCompilerExceptions per q109 run). This expression generates
+  * ONE static call with loops inside: compact, whole-stage-friendly,
+  * constant code size for any (d, k). */
+case class PcaProjectExpr(child: Expression, mean: Array[Double],
+    basis: Array[Array[Double]]) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, FloatType}
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pca_project requires ARRAY<FLOAT>, got ${other.simpleString}")
+    }
+  }
+  override def dataType: DataType =
+    ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "pca_project"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PcaProjectExpr.project(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      mean, basis)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("pcaMean", mean, "double[]")
+    val b = ctx.addReferenceObj("pcaBasis", basis, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PcaProjectExpr.project($c, $m, $b)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PcaProjectExpr =
+    copy(child = newChild)
+}
+
+object PcaProjectExpr {
+  /** Loop twin of the literal term chain: acc = t0; acc += t1 … —
+    * identical IEEE association to `t0 + t1 + … + t_{d-1}`. */
+  def project(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      mean: Array[Double],
+      basis: Array[Array[Double]]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val d = mean.length
+    require(v.numElements() == d,
+      s"pca_project: expected $d components, got ${v.numElements()}")
+    val out = new Array[Float](basis.length)
+    var k = 0
+    while (k < basis.length) {
+      val row = basis(k)
+      var acc = (v.getFloat(0).toDouble - mean(0)) * row(0)
+      var i = 1
+      while (i < d) {
+        acc += (v.getFloat(i).toDouble - mean(i)) * row(i)
+        i += 1
+      }
+      out(k) = acc.toFloat
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Cosine similarity of two float-array columns, codegen'd as a static
   * call over ArrayData — no ScalaUDF encoder boundary, no Seq boxing of
   * the vectors (the hot inner op of every KNN path). Bit-identical to
@@ -207,4 +277,7 @@ object Expressions {
     Bridge.column(MinHashBandsMd5Expr(Bridge.expression(c), numPerm, shingleN, bands))
   def zorder2(a: Column, b: Column): Column =
     Bridge.column(ZOrder2Expr(Bridge.expression(a), Bridge.expression(b)))
+  def pca_project(c: Column, mean: Array[Double],
+      basis: Array[Array[Double]]): Column =
+    Bridge.column(PcaProjectExpr(Bridge.expression(c), mean, basis))
 }

@@ -137,4 +137,30 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(rows.forall(_.getSeq[Float](0).length == 8))
     assert(rows.length == emb.count())
   }
+
+  test("native pca_project is bit-identical to the literal-chain form and stays in codegen") {
+    val emb = graft.util.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (mean, cov) = Embeddings.meanCovariance(emb, "embedding", 64)
+    val basis = Embeddings.topEigenvectors(cov, 8)
+    def collect(df: org.apache.spark.sql.DataFrame) = df.select("vec_id", "p")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val native = collect(Embeddings.project(emb, "embedding", "p", mean, basis))
+    val chain = collect(
+      Embeddings.projectExprBuilt(emb, "embedding", "p", mean, basis))
+    assert(native.nonEmpty && native == chain)
+    // the native form must sit inside a whole-stage-codegen'd Project —
+    // the 512-term chain form is exactly what blew Janino and fell back
+    val plan = Embeddings.project(emb, "embedding", "p", mean, basis)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("pca_project"), plan.take(2000))
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined, plan.take(2000))
+    // dimension contract: a wrong-width vector fails loudly
+    import spark.implicits._
+    val bad = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val e = intercept[Exception] {
+      Embeddings.project(bad, "embedding", "p", mean, basis).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
