@@ -127,6 +127,7 @@ object SparkEntry {
     "q108_doc_chunks" -> (DataPipeQueries.docChunks _),
     "q109_pca_projection" -> (DataPipeQueries.pcaProjection _),
     "q110_int8_quantize" -> (DataPipeQueries.int8Quantized _),
+    "q111_bpe_chunks" -> (DataPipeQueries.bpeChunks _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -491,5 +492,6 @@ object SparkEntry {
     "q108_doc_chunks" -> DataPipeQueries.docChunksOracle,
     "q109_pca_projection" -> DataPipeQueries.pcaProjectionOracle,
     "q110_int8_quantize" -> DataPipeQueries.int8QuantizedOracle,
+    "q111_bpe_chunks" -> DataPipeQueries.bpeChunksOracle,
   )
 }

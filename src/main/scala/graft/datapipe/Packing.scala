@@ -62,6 +62,38 @@ object Packing {
           .as("chunk_text"))
   }
 
+  /** TOKEN-BUDGET document chunking over a positional weight relation
+    * (e.g. [[Bpe.wordSymCounts]] — one row per word occurrence with
+    * its encoded subword length): within each document, unit `posCol`
+    * orders the stream and each unit belongs to the chunk where its
+    * cumulative-weight START offset falls (chunk_idx = floor(
+    * cum_before / budget)) — [[packByBudget]]'s concatenate-then-chunk
+    * rule applied INSIDE a document, with weights in the tokens a
+    * model actually consumes instead of a whitespace proxy. Like
+    * packByBudget, a unit straddling a boundary counts toward the
+    * earlier chunk, so a chunk may exceed the budget by at most one
+    * unit's weight (the consumer splits at exact token offsets);
+    * complement of [[chunkDocuments]]'s fixed-COUNT windows.
+    *
+    * Scale shape: one per-document window cumsum (documents are the
+    * partition key — no global stage) + one partial-aggregated
+    * groupBy; rows ∝ word occurrences in, chunks out. `posCol` must
+    * be unique within a document (positions are). */
+  def chunkByTokenBudget(symCounts: DataFrame, budget: Long,
+      idCol: String = "doc_id", posCol: String = "j",
+      weightCol: String = "n_syms"): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    val w = Window.partitionBy(col(idCol)).orderBy(col(posCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    symCounts
+      .withColumn("__cum", coalesce(sum(col(weightCol)).over(w), lit(0L)))
+      .withColumn("chunk_idx", expr(s"__cum DIV $budget"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col(weightCol)).as("n_bpe_tokens"),
+        min(col(posCol)).cast("long").as("start_word"))
+  }
+
   /** Greedy OFFSET packing: within each `shardCol` partition,
     * documents ordered by `idCol` fill a contiguous token stream; a
     * document belongs to the batch where its START offset falls

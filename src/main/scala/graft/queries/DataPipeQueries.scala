@@ -1796,6 +1796,43 @@ object DataPipeQueries {
          |ORDER BY vec_id, k""".stripMargin
   }
 
+  /** BPE-budget document chunking (q111): cut each document into
+    * training windows of ≤ ~[[BpeChunkBudget]] LEARNED subword tokens
+    * ([[Packing.chunkByTokenBudget]] over [[Bpe.wordSymCounts]]) —
+    * the q108 fixed-count chunker's budget-aware sibling: window
+    * boundaries land where the cumulative BPE token offset crosses
+    * the budget, so every chunk costs the model the same, regardless
+    * of how subword-dense the words are. Shares the q90/q94/q104
+    * trained merge table ([[trainedMerges]]). The oracle replays BPE
+    * training (the shared CTE chain), the positional symbol counts,
+    * and the per-doc cumsum-offset rule — training and chunking gated
+    * as one system, same pattern as q94. */
+  def bpeChunks(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val wsc = Bpe.wordSymCounts(docs, "doc_id", "text", trainedMerges(s, d))
+    Packing.chunkByTokenBudget(wsc, budget = BpeChunkBudget)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val BpeChunkBudget = 32L
+
+  def bpeChunksOracle: String =
+    s"""WITH $bpeCtes, wc AS (
+       |  SELECT w.doc_id, w.i, enc.n_syms FROM w JOIN enc USING (word)
+       |), cum AS (
+       |  SELECT doc_id, i, n_syms,
+       |    COALESCE(SUM(n_syms) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM wc
+       |)
+       |SELECT doc_id,
+       |  CAST(cb // $BpeChunkBudget AS BIGINT) AS chunk_idx,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(MIN(i) - 1 AS BIGINT) AS start_word
+       |FROM cum GROUP BY doc_id, cb // $BpeChunkBudget
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** INT8 embedding quantization (q110): [[Embeddings.int8Quantize]]
     * on the oracle surface — per-vector symmetric max-|component|
     * scale, integer-exact codes (the +amax shift keeps the numerator

@@ -59,6 +59,33 @@ class PackingSpec extends AnyFunSuite {
     assert(!chunks.contains(37L * (300 / 37)))
   }
 
+  test("budget chunking: chunk = the chunk a word's cumulative-token start falls in") {
+    import spark.implicits._
+    // doc 1: weights 5,5,5,5 budget 8 → cum_before 0,5,10,15 → chunks
+    // 0,0,1,1 (chunk 0 carries 10 tokens: the straddling word counts
+    // toward the earlier chunk, packByBudget's rule). doc 2: single
+    // word heavier than the budget → one chunk, never dropped.
+    val wsc = Seq(
+      (1L, 0L, 5L), (1L, 1L, 5L), (1L, 2L, 5L), (1L, 3L, 5L),
+      (2L, 0L, 13L)).toDF("doc_id", "j", "n_syms")
+    val got = Packing.chunkByTokenBudget(wsc, budget = 8L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      (1L, 0L) -> ((2L, 10L, 0L)),
+      (1L, 1L) -> ((2L, 10L, 2L)),
+      (2L, 0L) -> ((1L, 13L, 0L))))
+    // partitioning invariance: the window orders by (doc, j) alone
+    val re = Packing.chunkByTokenBudget(wsc.repartition(7), budget = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(re == got)
+    // chunk totals reassemble the documents exactly
+    val totals = got.toSeq.groupBy(_._1._1)
+      .view.mapValues(_.map(_._2._2).sum).toMap
+    assert(totals == Map(1L -> 20L, 2L -> 13L))
+  }
+
   test("offset packing: batch = the batch a doc's start offset falls in") {
     import spark.implicits._
     val docs = Seq(

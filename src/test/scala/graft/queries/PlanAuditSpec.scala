@@ -255,6 +255,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), p.take(2000))
   }
 
+  test("q111 BPE-budget chunking: doc-keyed window + partial agg, no UDF, no cross product") {
+    val p = plan("q111_bpe_chunks")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    // the chunk aggregation partial-aggregates below its exchange
+    assert("partial_count|partial_sum".r.findFirstIn(p).isDefined, p.take(3000))
+  }
+
   test("q95 kmeans final assignment is a narrow map (no exchange, no UDF)") {
     val p = plan("q95_kmeans")
     // orderBy for the oracle adds a rangepartitioning exchange; the
