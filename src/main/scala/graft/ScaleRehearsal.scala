@@ -92,7 +92,9 @@ object ScaleRehearsal {
       "q101_leakfree_split", "q102_dataset_card", "q103_llm_funnel",
       "q104_bpe_merges", "q105_text_featurize", "q106_pca_moments",
       "q107_lm_score", "q108_doc_chunks", "q109_pca_projection",
-      "q110_int8_quantize", "q111_bpe_chunks")
+      "q110_int8_quantize", "q111_bpe_chunks", "q112_gopher_rules",
+      "q113_dedup_keepbest", "q114_tokenizer_fertility",
+      "q115_cms_frequency")
       .filter(n => args.lift(1).forall(f => f.r.findFirstIn(n).isDefined))
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]

@@ -128,6 +128,10 @@ object SparkEntry {
     "q109_pca_projection" -> (DataPipeQueries.pcaProjection _),
     "q110_int8_quantize" -> (DataPipeQueries.int8Quantized _),
     "q111_bpe_chunks" -> (DataPipeQueries.bpeChunks _),
+    "q112_gopher_rules" -> (DataPipeQueries.gopherRules _),
+    "q113_dedup_keepbest" -> (DataPipeQueries.dedupKeepBest _),
+    "q114_tokenizer_fertility" -> (DataPipeQueries.tokenizerFertility _),
+    "q115_cms_frequency" -> (DataPipeQueries.cmsFrequency _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -493,5 +497,9 @@ object SparkEntry {
     "q109_pca_projection" -> DataPipeQueries.pcaProjectionOracle,
     "q110_int8_quantize" -> DataPipeQueries.int8QuantizedOracle,
     "q111_bpe_chunks" -> DataPipeQueries.bpeChunksOracle,
+    "q112_gopher_rules" -> DataPipeQueries.gopherRulesOracle,
+    "q113_dedup_keepbest" -> DataPipeQueries.dedupKeepBestOracle,
+    "q114_tokenizer_fertility" -> DataPipeQueries.tokenizerFertilityOracle,
+    "q115_cms_frequency" -> DataPipeQueries.cmsFrequencyOracle,
   )
 }

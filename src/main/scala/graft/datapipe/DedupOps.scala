@@ -44,6 +44,30 @@ object DedupOps {
     docs.join(canonical, Seq(idCol), "left_semi")
   }
 
+  /** NORMALIZATION-AWARE exact dedup (the C4 convention: hash the
+    * canonical form, not the raw bytes): documents whose texts differ
+    * only by case, punctuation, or whitespace runs collapse into one
+    * group. Canonical form = lowercase → strip punctuation → collapse
+    * whitespace runs to one space → trim; every step is
+    * engine-portable regexp arithmetic, so the oracle recomputes the
+    * canonical hashes bit-for-bit. Emits per canonical group the
+    * keep-first survivor, the copy count, and `n_distinct_raw` — how
+    * many RAW content hashes the group folded together (> 1 exactly
+    * where canonicalization did work the raw-hash dedup cannot).
+    *
+    * Scale shape: identical to [[exactDedup]] — one shuffle keyed by
+    * the 16-byte canonical hash; the distinct-raw count rides the
+    * same exchange as a second md5 column. */
+  def canonicalDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val canon = trim(regexp_replace(regexp_replace(lower(col(textCol)),
+      "\\p{Punct}", ""), "\\s+", " "))
+    docs.groupBy(md5(canon).as("canon_md5"))
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(md5(col(textCol))).as("n_distinct_raw"))
+  }
+
   // ---- minhash / LSH ----
 
   val NumPerm = 128

@@ -1,6 +1,6 @@
 package graft.datapipe
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.StopWords
@@ -153,6 +153,54 @@ object QualityScore {
         coalesce(col("__novel"), lit(0L)).as("n_novel_grams"))
   }
 
+  /** Out-of-vocabulary n-gram rate vs a REFERENCE corpus — the
+    * generalization-gap signal: score each document by how many of its
+    * n-gram occurrences never appear in the reference slice (typically
+    * the train split). A val/test document that is mostly in-vocabulary
+    * is "covered" by the training distribution; one that is mostly OOV
+    * measures real generalization — and a TRAIN document with high OOV
+    * mass against its own split is an outlier worth inspecting. The
+    * occurrence-weighted integer counts (`n_grams`, `n_oov_grams`)
+    * stay portable; consumers derive the rate.
+    *
+    * Unlike [[ngramNovelty]] (df within ONE corpus) this is a
+    * cross-corpus membership test; unlike [[lmScore]] it asks "seen at
+    * all?", not "how probable?" — the cheap first gate before LM
+    * scoring.
+    *
+    * Scale shape: per-(doc, gram) counts (one map-side-combined
+    * shuffle), reference vocabulary as a DISTINCT gram relation
+    * (∝ reference vocabulary, never collected or broadcast), one
+    * gram-keyed left join, one doc agg — the q97/q107 posture. */
+  def gramOovScore(docs: DataFrame, refDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 2): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1: $n")
+    def grams(df: DataFrame, cols: Seq[Column]): DataFrame = {
+      val base = graft.util.Par.ensure(df).select(cols :+
+        expr(s"filter(split(lower($textCol), '${Tok.WsSqlLit}'), t -> t <> '')")
+          .as("__toks"): _*)
+      base.filter(size(col("__toks")) >= n)
+        .select(cols :+ explode(expr(
+          s"""transform(sequence(0, size(__toks) - $n),
+             |  i -> concat_ws(' ', slice(__toks, i + 1, $n)))""".stripMargin))
+          .as("__gram"): _*)
+    }
+    val perDocGram = grams(docs, Seq(col(idCol)))
+      .groupBy(col(idCol), col("__gram")).agg(count(lit(1)).as("__c"))
+    val refVocab = grams(refDocs, Seq.empty)
+      .select(col("__gram")).distinct().withColumn("__in_ref", lit(1))
+    val perDoc = perDocGram
+      .join(refVocab, Seq("__gram"), "left_outer")
+      .groupBy(col(idCol)).agg(
+        sum(col("__c")).as("__n"),
+        sum(when(col("__in_ref").isNull, col("__c")).otherwise(0L)).as("__oov"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_grams"),
+        coalesce(col("__oov"), lit(0L)).as("n_oov_grams"))
+  }
+
   /** Corpus bigram LM FLUENCY score — the perplexity-filter signal of
     * the CCNet family (Wenzek et al. 2020) in exact integer fixed
     * point: score each document by the maximum-likelihood transition
@@ -255,6 +303,70 @@ object QualityScore {
              |    AS BIGINT) END""".stripMargin).as("__p_fp"))
     (perDocGram, gramP)
   }
+
+  /** Gopher quality-RULE battery (Rae et al. 2021 §A1.1): the published
+    * per-document keep/drop rules as an integer-exact bitmask. Each
+    * rule is a ratio test re-expressed as a cross-multiplied integer
+    * comparison, so the whole battery is bit-portable (no float ever
+    * crosses an engine boundary) and the oracle recomputes every flag:
+    *
+    *   - bit 0 — word count in [minWords, maxWords] (published 50..100k);
+    *   - bit 1 — mean word length in [3, 10] chars
+    *             (3·n ≤ Σlen ≤ 10·n, n > 0);
+    *   - bit 2 — symbol-to-word ratio ≤ 0.1 for '#' and '…'
+    *             (10·n_symbols ≤ n_words);
+    *   - bit 3 — ≥ 80% of words contain an alphabetic character
+    *             (5·n_alpha_words ≥ 4·n_words);
+    *   - bit 4 — ≥ 2 distinct words from the published required-stopword
+    *             list (the, be, to, of, and, that, have, with).
+    *
+    * The two LINE-based Gopher rules (bullet-start / ellipsis-end line
+    * fractions) are deliberately out: this corpus is newline-free, so
+    * they would be vacuously true — documented deviation, not an
+    * omission. `keep` = all five bits set. Raw counts are emitted next
+    * to the mask so downstream filters can re-threshold without a
+    * second scan.
+    *
+    * Scale shape: one narrow projection per row — no shuffle, no UDF,
+    * fully whole-stage-codegen'd (the token array is built once per
+    * row and shared by the four token-derived counts). Plan-pinned
+    * exchange-free by PlanAuditSpec. */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minWords: Long = 50L,
+      maxWords: Long = 100000L): DataFrame = {
+    val req = GopherRequiredStopwords.map(lit)
+    val txt = coalesce(col(textCol), lit(""))
+    val toks = filter(split(txt, Tok.WS), t => t =!= "")
+    val base = docs.select(
+      col(idCol),
+      size(toks).cast("long").as("n_words"),
+      coalesce(aggregate(transform(toks, t => length(t).cast("long")),
+        lit(0L), (acc, x) => acc + x), lit(0L)).as("sum_word_chars"),
+      ((length(txt) - length(regexp_replace(txt, "#", "")))
+        + (length(txt)
+           - length(regexp_replace(txt, "\\.\\.\\.", ""))) / 3)
+        .cast("long").as("n_symbols"),
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+        .as("n_alpha_words"),
+      size(array_intersect(transform(toks, t => lower(t)), array(req: _*)))
+        .cast("long").as("n_req_stopwords"))
+    val r0 = col("n_words") >= minWords && col("n_words") <= maxWords
+    val r1 = col("n_words") > 0 &&
+      lit(3L) * col("n_words") <= col("sum_word_chars") &&
+      col("sum_word_chars") <= lit(10L) * col("n_words")
+    val r2 = lit(10L) * col("n_symbols") <= col("n_words")
+    val r3 = lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words")
+    val r4 = col("n_req_stopwords") >= 2L
+    base.withColumn("rules_passed",
+        when(r0, 1L).otherwise(0L) + when(r1, 2L).otherwise(0L) +
+        when(r2, 4L).otherwise(0L) + when(r3, 8L).otherwise(0L) +
+        when(r4, 16L).otherwise(0L))
+      .withColumn("keep", when(col("rules_passed") === 31L, 1L).otherwise(0L))
+  }
+
+  /** Rae et al. 2021's required-stopword list (rule bit 4). */
+  val GopherRequiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   /** Composite [0,1] score from the integer metrics (heuristic weights:
     * reward stopword presence & sane length; punish punct/digit excess

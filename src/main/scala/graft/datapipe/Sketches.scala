@@ -130,4 +130,57 @@ object Sketches {
        |  FROM $table WHERE ($keyExpr) IS NOT NULL AND $where
        |  ORDER BY h LIMIT $k
        |)""".stripMargin
+
+  /** COUNT-MIN sketch (Cormode & Muthukrishnan 2005) over a key
+    * stream, built RELATIONALLY: the sketch is the (row_idx, bucket,
+    * cnt) relation itself — at most depth·width rows — and each
+    * partition's partial-aggregation state is bounded by the same
+    * depth·width regardless of stream length, so the one exchange
+    * carries sketch-sized rows, never the keys. (A typed Aggregator
+    * would hold the identical d×w array per partition; the relational
+    * form gets the same bound from hash-aggregate partial combine
+    * while staying in whole-stage codegen and keeping the sketch
+    * itself queryable/joinable — the mergeability of CMS IS ordinary
+    * `sum` over the bucket relation.)
+    *
+    * Hash row j of key t = the engine-portable [[kmvHash]] of
+    * "j:t" mod width — depth independent-by-construction md5 rows any
+    * engine reproduces bit-for-bit (pairwise-independence in the CMS
+    * bound is satisfied by md5's avalanche in practice; the bound
+    * est ≤ true + εN holds per row regardless).
+    *
+    * Completes the sketch family: KMV (how many distinct), Misra-Gries
+    * (which items are frequent), CMS (how often is ANY item, point
+    * query, with one-sided error: never an undercount). */
+  def cmsSketch(items: DataFrame, keyCol: String, depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    require(depth >= 1, s"CMS depth must be >= 1: $depth")
+    require(width >= 2, s"CMS width must be >= 2: $width")
+    items
+      .filter(col(keyCol).isNotNull)
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("row_idx"),
+        col(keyCol).as("__k"))
+      .select(col("row_idx"),
+        pmod(kmvHash(concat(col("row_idx").cast("string"), lit(":"),
+          col("__k").cast("string"))), lit(width.toLong)).as("bucket"))
+      .groupBy(col("row_idx"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the CMS: est(t) = min over rows of the counter at
+    * (j, bucket_j(t)) — the classic one-sided estimate (est ≥ true
+    * count; overestimate ≤ εN per row with ε = e/width). Probes join
+    * the (small) sketch relation; missing buckets count 0. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val probed = probes
+      .select(col(keyCol),
+        explode(sequence(lit(0), lit(depth - 1))).as("row_idx"))
+      .select(col(keyCol), col("row_idx"),
+        pmod(kmvHash(concat(col("row_idx").cast("string"), lit(":"),
+          col(keyCol).cast("string"))), lit(width.toLong)).as("bucket"))
+    probed.join(sketch, Seq("row_idx", "bucket"), "left_outer")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
 }

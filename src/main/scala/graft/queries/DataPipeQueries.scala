@@ -1861,4 +1861,219 @@ object DataPipeQueries {
        |  CAST(MAX(ABS(fq * 127 - CAST(code AS BIGINT) * amax_fp)) AS BIGINT) AS max_abs_err127,
        |  md5(string_agg(CAST(code AS VARCHAR), ' ' ORDER BY i)) AS codes_md5
        |FROM c GROUP BY vec_id, amax_fp ORDER BY vec_id""".stripMargin
+
+  /** Gopher rule battery (q112): [[QualityScore.gopherRules]] on the
+    * oracle surface — the published keep/drop rules (Rae et al. 2021)
+    * as cross-multiplied integer tests, every flag and raw count
+    * recomputed by DuckDB. One narrow projection, no shuffle. */
+  def gopherRules(s: SparkSession, d: String): DataFrame =
+    QualityScore.gopherRules(Tables.documents(s, d))
+      .orderBy(col("doc_id"))
+
+  def gopherRulesOracle: String = {
+    val req = QualityScore.GopherRequiredStopwords
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH tok AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(text, '${Tok.WS}'), t -> t <> '') AS toks
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS sum_word_chars,
+       |    CAST((length(text) - length(replace(text, '#', '')))
+       |      + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+       |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+       |    CAST(len(list_intersect(list_transform(toks, t -> lower(t)), $req)) AS BIGINT) AS n_req_stopwords
+       |  FROM tok
+       |), f AS (
+       |  SELECT *,
+       |    (CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+       |    + (CASE WHEN n_words > 0 AND 3 * n_words <= sum_word_chars
+       |            AND sum_word_chars <= 10 * n_words THEN 2 ELSE 0 END)
+       |    + (CASE WHEN 10 * n_symbols <= n_words THEN 4 ELSE 0 END)
+       |    + (CASE WHEN 5 * n_alpha_words >= 4 * n_words THEN 8 ELSE 0 END)
+       |    + (CASE WHEN n_req_stopwords >= 2 THEN 16 ELSE 0 END) AS rules_passed
+       |  FROM m
+       |)
+       |SELECT doc_id, n_words, sum_word_chars, n_symbols, n_alpha_words,
+       |  n_req_stopwords, CAST(rules_passed AS BIGINT) AS rules_passed,
+       |  CAST(CASE WHEN rules_passed = 31 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality-aware dedup survivors (q113): keep-BEST near-dup
+    * resolution — production pipelines keep the highest-quality
+    * member of each duplicate cluster, not the smallest id (the
+    * keep-first rule q13/q54 use). Near-dup components (the q55
+    * transitive closure over the md5-portable minhash pairs) are
+    * scored with an integer quality metric (whitespace token count),
+    * and each component's survivor is its argmax by
+    * (q_score desc, doc_id asc) — a total, reproducible order.
+    *
+    * Scale shape: components via the O(log n) star rounds, scores via
+    * one narrow projection, survivor = one `max_by` partial agg keyed
+    * by component (never a per-component window sort), one keyed join
+    * back. The oracle replays components, scores, and the argmax
+    * independently. */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = DedupOps.minhashNearDupPairs(docs, minJaccard = 0.5,
+        md5Based = true)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    val comp = ConnectedComponents.componentsWithSingletons(docs, "doc_id", pairs)
+    val scored = QualityScore.metrics(docs)
+      .select(col("doc_id"), col("n_tokens").as("q_score"))
+    val joined = comp.join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("component"),
+        coalesce(col("q_score"), lit(0L)).as("q_score"))
+    val best = joined.groupBy(col("component"))
+      .agg(max_by(col("doc_id"), struct(col("q_score"), -col("doc_id")))
+        .as("__best_id"))
+    joined.join(best, Seq("component"))
+      .select(col("doc_id"), col("component"), col("q_score"),
+        when(col("doc_id") === col("__best_id"), 1L).otherwise(0L)
+          .as("is_survivor"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dedupKeepBestOracle: String =
+    s"""WITH RECURSIVE ${minhashPairsCtes("documents")}, edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs WHERE n_inter >= 0.5 * (sum_len - n_inter)
+       |  UNION ALL
+       |  SELECT id_b AS a, id_a AS b FROM pairs WHERE n_inter >= 0.5 * (sum_len - n_inter)
+       |), reach(node, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+       |), comp AS (
+       |  SELECT node AS doc_id, MIN(label) AS component FROM reach GROUP BY node
+       |), scored AS (
+       |  SELECT c.doc_id, c.component,
+       |    CAST(CASE WHEN length(trim(d.text)) > 0
+       |      THEN len(string_split_regex(trim(d.text), '${Tok.WS}'))
+       |      ELSE 0 END AS BIGINT) AS q_score
+       |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+       |), best AS (
+       |  SELECT component, doc_id AS best_id FROM (
+       |    SELECT component, doc_id, row_number() OVER (
+       |      PARTITION BY component ORDER BY q_score DESC, doc_id ASC) AS rn
+       |    FROM scored)
+       |  WHERE rn = 1
+       |)
+       |SELECT s.doc_id, s.component, s.q_score,
+       |  CAST(CASE WHEN s.doc_id = b.best_id THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+       |FROM scored s JOIN best b ON b.component = s.component
+       |ORDER BY s.doc_id""".stripMargin
+
+  /** Tokenizer FERTILITY card (q114): per (source, lang) — document
+    * count, char mass, whitespace-word mass, and learned-BPE token
+    * mass under the shared q90 tokenizer. Fertility (BPE tokens per
+    * word) and compression (chars per BPE token) are THE diagnostics
+    * for how a tokenizer treats each slice of a mixed corpus — a
+    * source whose fertility is 2× the rest pays 2× the context budget
+    * per word, which skews the effective data mix. Integer sums only;
+    * consumers derive the ratios. The oracle replays BPE training +
+    * encode counts + the rollup as one chain.
+    *
+    * Scale shape: encode is the broadcast-merge-table per-word replay
+    * (q90's shape); the rollup is one partial-agg groupBy over
+    * (source, lang) — ~|sources|·|langs| result rows. */
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = trainedMerges(s, d)
+    val counts = Bpe.encodeDocs(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+    docs.select(col("doc_id"), col("source"), col("lang"),
+        length(col("text")).cast("long").as("__nc"))
+      .join(counts, Seq("doc_id"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nc")).as("sum_chars"),
+        sum(col("n_words")).as("sum_words"),
+        sum(col("n_bpe_tokens")).as("sum_bpe_tokens"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  def tokenizerFertilityOracle: String =
+    s"""WITH $bpeCtes, cnt AS (
+       |  SELECT t.doc_id,
+       |    CAST(COUNT(w.word) AS BIGINT) AS n_words,
+       |    CAST(COALESCE(SUM(enc.n_syms), 0) AS BIGINT) AS n_bpe
+       |  FROM tok t
+       |  LEFT JOIN w ON w.doc_id = t.doc_id
+       |  LEFT JOIN enc ON enc.word = w.word
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT d.source, d.lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(length(d.text)) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(c.n_words) AS BIGINT) AS sum_words,
+       |  CAST(SUM(c.n_bpe) AS BIGINT) AS sum_bpe_tokens
+       |FROM documents d JOIN cnt c ON c.doc_id = d.doc_id
+       |GROUP BY d.source, d.lang
+       |ORDER BY d.source, d.lang""".stripMargin
+
+  /** The q115 probe terms: high-, mid-, and low-frequency corpus
+    * words plus one absent term (exact count 0 — the CMS one-sided
+    * error is visible as est ≥ 0 = exact there). */
+  private val CmsProbeTerms: Seq[String] =
+    Seq("table", "spark", "the", "vector", "customer", "window",
+      "zzz_absent")
+
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+
+  /** Count-Min sketch point queries (q115): build the
+    * [[Sketches.cmsSketch]] over the corpus token stream, probe it
+    * for a fixed term list, and emit the estimate NEXT TO the exact
+    * count — the one-sided error (est ≥ exact, always) is on the
+    * oracle surface, not just asserted in a spec. DuckDB recomputes
+    * the token stream, every md5 bucket row, the full d×w sketch,
+    * and the min-over-rows estimates. */
+  def cmsFrequency(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val tokens = graft.util.Par.ensure(docs).select(
+      explode(expr(s"filter(split(lower(text), '${Tok.WsSqlLit}'), t -> t <> '')"))
+        .as("term"))
+    val sketch = Sketches.cmsSketch(tokens, "term", CmsDepth, CmsWidth)
+    val probes = CmsProbeTerms.toDF("term")
+    val est = Sketches.cmsEstimate(sketch, probes, "term", CmsDepth, CmsWidth)
+    val exact = tokens.groupBy(col("term")).agg(count(lit(1)).as("__n"))
+    est.join(exact, Seq("term"), "left_outer")
+      .select(col("term"), col("est_count"),
+        coalesce(col("__n"), lit(0L)).as("exact_count"))
+      .orderBy(col("term"))
+  }
+
+  def cmsFrequencyOracle: String = {
+    val probeList = CmsProbeTerms.map(t => s"'$t'").mkString("[", ",", "]")
+    s"""WITH tok AS (
+       |  SELECT list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
+       |  FROM documents
+       |), t AS (
+       |  SELECT unnest(toks) AS term FROM tok
+       |), buck AS (
+       |  SELECT j, CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, 15) AS BIGINT) % $CmsWidth AS bucket
+       |  FROM t, UNNEST(range($CmsDepth)) r(j)
+       |), sk AS (
+       |  SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM buck GROUP BY j, bucket
+       |), pr AS (
+       |  SELECT unnest($probeList) AS term
+       |), pb AS (
+       |  SELECT term, j, CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, 15) AS BIGINT) % $CmsWidth AS bucket
+       |  FROM pr, UNNEST(range($CmsDepth)) r(j)
+       |), est AS (
+       |  SELECT pb.term, MIN(COALESCE(sk.cnt, 0)) AS est_count
+       |  FROM pb LEFT JOIN sk ON sk.j = pb.j AND sk.bucket = pb.bucket
+       |  GROUP BY pb.term
+       |), ex AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY term
+       |)
+       |SELECT e.term, e.est_count, CAST(COALESCE(ex.n, 0) AS BIGINT) AS exact_count
+       |FROM est e LEFT JOIN ex ON ex.term = e.term
+       |ORDER BY e.term""".stripMargin
+  }
 }

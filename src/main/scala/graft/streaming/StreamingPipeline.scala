@@ -308,6 +308,18 @@ object StreamingPipeline {
     graft.datapipe.Packing.chunkDocuments(docs, idCol, textCol,
       chunkTokens, stride)
 
+  /** Streaming Gopher rule battery: the q112 keep/drop rules running
+    * UNCHANGED on the streaming frame ([[graft.datapipe.QualityScore
+    * .gopherRules]] is one narrow per-row projection, so the batch
+    * plan IS the streaming plan). Stateless — no shuffle, no state
+    * store, any output mode; bit-identical to the batch battery by
+    * construction (spec-pinned). This is the online admission gate of
+    * a continuously-fed ingestion pipeline: each document's rule mask
+    * is decided the moment it arrives. */
+  def gopherRulesStream(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.datapipe.QualityScore.gopherRules(docs, idCol, textCol)
+
   /** Streaming LM fluency scoring: score arriving documents against a
     * BATCH-trained bigram LM ([[graft.datapipe.QualityScore.lmGramProbs]]
     * collected to a map) — the train-offline / score-online split of

@@ -51,6 +51,46 @@ class SketchesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_kept") == 50)
   }
 
+  def termStream(counts: (String, Int)*) = {
+    import spark.implicits._
+    counts.flatMap { case (t, n) => Seq.fill(n)(t) }.toDF("term")
+  }
+
+  test("CMS point queries are exact when buckets do not collide") {
+    import spark.implicits._
+    val counts = (1 to 20).map(i => s"term$i" -> i)
+    val items = termStream(counts: _*)
+    val sk = Sketches.cmsSketch(items, "term", depth = 4, width = 1024)
+    val est = Sketches.cmsEstimate(sk, counts.map(_._1).toDF("term"),
+        "term", depth = 4, width = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (t, n) => assert(est(t) == n.toLong, t) }
+  }
+
+  test("CMS never undercounts, even under forced collisions") {
+    import spark.implicits._
+    val counts = ('a' to 'j').zipWithIndex.map { case (c, i) => c.toString -> (i + 1) }
+    val items = termStream(counts: _*)
+    // width 2 forces heavy collisions; the one-sided bound must hold
+    val sk = Sketches.cmsSketch(items, "term", depth = 2, width = 2)
+    val probes = (counts.map(_._1) :+ "absent").toDF("term")
+    val est = Sketches.cmsEstimate(sk, probes, "term", depth = 2, width = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (t, n) => assert(est(t) >= n.toLong, t) }
+    assert(est("absent") >= 0L)
+    // with everything in 2 buckets, SOME probe must overestimate
+    assert(counts.exists { case (t, n) => est(t) > n.toLong })
+  }
+
+  test("CMS sketch is invariant to partitioning (mergeable partial agg)") {
+    val items = termStream((1 to 50).map(i => s"t$i" -> (i % 7 + 1)): _*)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsSketch(df, "term").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(items) == rows(items.repartition(13)))
+    assert(rows(items) == rows(items.coalesce(1)))
+  }
+
   test("merge keeps k smallest distinct across buffers") {
     val agg = new Sketches.KmvAgg(4)
     val a = Array(1L, 5L, 9L, 12L)

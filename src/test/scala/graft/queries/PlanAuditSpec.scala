@@ -264,6 +264,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("partial_count|partial_sum".r.findFirstIn(p).isDefined, p.take(3000))
   }
 
+  test("q112 Gopher rules: one narrow projection (no hash exchange, no UDF)") {
+    val p = plan("q112_gopher_rules")
+    // the oracle-ordering sort adds a rangepartitioning exchange; the
+    // battery itself is per-row arithmetic over one shared token array
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    assert(!p.contains("Generate"), p.take(2000))
+  }
+
+  test("q115 CMS: sketch and exact counts partial-aggregate, no cross product, no UDF") {
+    val p = plan("q115_cms_frequency")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    // bucket counts combine map-side: each partition sends at most
+    // depth*width partial rows, never the token stream
+    assert("partial_count".r.findAllIn(p).nonEmpty, p.take(3000))
+  }
+
   test("q95 kmeans final assignment is a narrow map (no exchange, no UDF)") {
     val p = plan("q95_kmeans")
     // orderBy for the oracle adds a rangepartitioning exchange; the

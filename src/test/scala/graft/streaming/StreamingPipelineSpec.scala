@@ -184,6 +184,35 @@ class StreamingPipelineSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("streaming Gopher rule battery equals the batch battery") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val batchExpected = graft.datapipe.QualityScore.gopherRules(docs)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+
+    val rows = docs.as[(Long, String)].collect().take(60)
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingPipeline.gopherRulesStream(
+      input.toDS().toDF("doc_id", "text"))
+    val query = out.writeStream.format("memory").queryName("stream_gopher")
+      .outputMode("append").start()
+    input.addData(rows.take(30): _*)
+    input.addData(rows.drop(30): _*)
+    query.processAllAvailable()
+    val got = spark.table("stream_gopher").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got.size == 60)
+    got.foreach { case (id, v) => assert(v == batchExpected(id), s"doc $id") }
+    query.stop()
+  }
+
   test("streaming int8 quantization and PCA projection equal the batch ops") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
