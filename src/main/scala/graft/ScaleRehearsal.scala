@@ -94,7 +94,8 @@ object ScaleRehearsal {
       "q107_lm_score", "q108_doc_chunks", "q109_pca_projection",
       "q110_int8_quantize", "q111_bpe_chunks", "q112_gopher_rules",
       "q113_dedup_keepbest", "q114_tokenizer_fertility",
-      "q115_cms_frequency")
+      "q115_cms_frequency", "q116_canonical_dedup", "q117_oov_score",
+      "q118_mixture_apportion")
       .filter(n => args.lift(1).forall(f => f.r.findFirstIn(n).isDefined))
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]

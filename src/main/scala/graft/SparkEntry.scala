@@ -132,6 +132,9 @@ object SparkEntry {
     "q113_dedup_keepbest" -> (DataPipeQueries.dedupKeepBest _),
     "q114_tokenizer_fertility" -> (DataPipeQueries.tokenizerFertility _),
     "q115_cms_frequency" -> (DataPipeQueries.cmsFrequency _),
+    "q116_canonical_dedup" -> (DataPipeQueries.canonicalDedupQ _),
+    "q117_oov_score" -> (DataPipeQueries.oovScore _),
+    "q118_mixture_apportion" -> (DataPipeQueries.mixtureApportion _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -501,5 +504,8 @@ object SparkEntry {
     "q113_dedup_keepbest" -> DataPipeQueries.dedupKeepBestOracle,
     "q114_tokenizer_fertility" -> DataPipeQueries.tokenizerFertilityOracle,
     "q115_cms_frequency" -> DataPipeQueries.cmsFrequencyOracle,
+    "q116_canonical_dedup" -> DataPipeQueries.canonicalDedupOracle,
+    "q117_oov_score" -> DataPipeQueries.oovScoreOracle,
+    "q118_mixture_apportion" -> DataPipeQueries.mixtureApportionOracle,
   )
 }

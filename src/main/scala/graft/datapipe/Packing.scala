@@ -297,4 +297,60 @@ object Packing {
       .drop("__src", "__w", "__weight", "__r", "__lmax", "__band",
         "__band_rank", "__offset")
   }
+
+  /** Exact integer square root as a column expression: one IEEE
+    * `sqrt` (correctly rounded, so both engines compute the same
+    * double) followed by a ±1 correction that makes the result exact
+    * REGARDLESS of that rounding — floor(√m) for any non-negative
+    * BIGINT m, bit-portable by construction. */
+  def isqrt(m: Column): Column = {
+    val t = floor(sqrt(m.cast("double"))).cast("long")
+    when(t * t > m, t - 1L)
+      .when((t + 1L) * (t + 1L) <= m, t + 1L)
+      .otherwise(t)
+  }
+
+  /** TEMPERATURE-scaled budget apportionment (the UniMax / multinomial
+    * α-sampling family with α = 1/2, in exact integer arithmetic): a
+    * total token budget B is split across sources proportionally to
+    * √mass instead of mass, up-weighting small sources the way
+    * multilingual/multi-domain pretraining mixes do (raw-proportional
+    * sampling lets one giant crawl drown every minority source;
+    * α = 1/2 is the standard compromise). √ is the one temperature
+    * that stays EXACT in integers ([[isqrt]]); the apportionment is
+    * Hamilton largest-remainder with a total (remainder desc, source
+    * asc) tie order, so Σ quota = B exactly and every step is
+    * bit-portable — the oracle replays weights, floors, remainders,
+    * and the tie-ranked top-up.
+    *
+    * Scale shape: one partial-agg groupBy to the per-source mass
+    * relation (~|sources| rows); the windows (ranking remainders,
+    * summing weights) run on those AGGREGATE rows only — the
+    * rankNormalize precedent — so row data crosses one exchange
+    * exactly once. Emits (source, token_mass, weight, quota). */
+  def sqrtApportion(docs: DataFrame, sourceCol: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val masses = docs.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol)).as("token_mass"))
+      .withColumn("weight", isqrt(col("token_mass")))
+    // totals over the tiny aggregate relation (1-row broadcast)
+    val totals = masses.agg(sum(col("weight")).as("__tw"))
+    val based = masses.crossJoin(broadcast(totals))
+      .withColumn("__base",
+        when(col("__tw") === 0L, lit(0L))
+          // BIGINT floor division (overflow bound: budget·weight < 2⁶³)
+          .otherwise(expr(s"CAST($budget AS BIGINT) * weight DIV __tw")))
+      .withColumn("__rem",
+        when(col("__tw") === 0L, lit(0L))
+          .otherwise(lit(budget) * col("weight") - col("__base") * col("__tw")))
+    val leftover = based.agg((lit(budget) - sum(col("__base"))).as("__left"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("__rr", row_number().over(
+        Window.orderBy(col("__rem").desc, col(sourceCol))))
+      .withColumn("quota",
+        col("__base") + when(col("__rr") <= col("__left") &&
+          col("__tw") > 0L, 1L).otherwise(0L))
+      .select(col(sourceCol), col("token_mass"), col("weight"), col("quota"))
+  }
 }

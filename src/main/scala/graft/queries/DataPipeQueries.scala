@@ -2076,4 +2076,152 @@ object DataPipeQueries {
        |FROM est e LEFT JOIN ex ON ex.term = e.term
        |ORDER BY e.term""".stripMargin
   }
+
+  /** Canonicalized exact dedup (q116): [[DedupOps.canonicalDedup]]
+    * over the corpus PLUS planted case/punct/whitespace variants —
+    * every doc with id ≡ 3 (mod 7) re-enters under id + 1,000,000
+    * with its first five chars uppercased, every space doubled, and
+    * " !!" appended (a deterministic, engine-portable perturbation,
+    * the q92 synth precedent). Raw-hash dedup (q12) cannot merge the
+    * variant with its original; the canonical hash must — visible on
+    * the surface as `n_distinct_raw > 1` for exactly the planted
+    * groups. The oracle recomputes the perturbation AND the
+    * canonicalization chain. */
+  def canonicalDedupQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val variants = docs.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("concat(replace(concat(upper(substring(text, 1, 5)), " +
+          "substring(text, 6)), ' ', '  '), ' !!')").as("text"))
+    DedupOps.canonicalDedup(docs.unionByName(variants))
+      .orderBy(col("canon_md5"))
+  }
+
+  def canonicalDedupOracle: String =
+    """WITH uni AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    concat(replace(concat(upper(substring(text, 1, 5)),
+      |      substring(text, 6)), ' ', '  '), ' !!')
+      |  FROM documents WHERE doc_id % 7 = 3
+      |), canon AS (
+      |  SELECT doc_id,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[[:punct:]]', '', 'g'), '\s+', ' ', 'g'))) AS canon_md5,
+      |    md5(text) AS raw_md5
+      |  FROM uni
+      |)
+      |SELECT canon_md5,
+      |  CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+      |  CAST(COUNT(DISTINCT raw_md5) AS BIGINT) AS n_distinct_raw
+      |FROM canon GROUP BY canon_md5 ORDER BY canon_md5""".stripMargin
+
+  /** OOV-gram rate vs the train split (q117):
+    * [[QualityScore.gramOovScore]] with the reference = the q77
+    * doc-hash train band — each document's bigram occurrences tested
+    * for membership in the train slice's bigram vocabulary. Val/test
+    * docs with high OOV mass measure real train→eval generalization
+    * distance; train docs score their outlierness against their own
+    * split. Split + integer counts on the surface; the oracle
+    * recomputes the band assignment, the reference vocabulary, and
+    * the occurrence-weighted membership sums. */
+  def oovScore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val split = Sampling.assignSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0), salt = "split")
+      .select(col("doc_id"), col("split"))
+    val ref = docs.join(split.filter(col("split") === "train")
+      .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    QualityScore.gramOovScore(docs, ref)
+      .join(split, Seq("doc_id"))
+      .select(col("doc_id"), col("split"), col("n_grams"), col("n_oov_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  def oovScoreOracle: String = {
+    val key = "substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)"
+    s"""WITH sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $key < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+       |         WHEN $key < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, concat(toks[i], ' ', toks[i + 1]) AS gram
+       |  FROM tok, UNNEST(range(1, len(toks))) t(i)
+       |  WHERE len(toks) >= 2
+       |), dg AS (
+       |  SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM g GROUP BY doc_id, gram
+       |), ref AS (
+       |  SELECT DISTINCT g.gram FROM g JOIN sp ON sp.doc_id = g.doc_id
+       |  WHERE sp.split = 'train'
+       |), per AS (
+       |  SELECT dg.doc_id, SUM(dg.c) AS n,
+       |    SUM(CASE WHEN r.gram IS NULL THEN dg.c ELSE 0 END) AS oov
+       |  FROM dg LEFT JOIN ref r ON r.gram = dg.gram
+       |  GROUP BY dg.doc_id
+       |)
+       |SELECT d.doc_id, sp.split,
+       |  CAST(COALESCE(per.n, 0) AS BIGINT) AS n_grams,
+       |  CAST(COALESCE(per.oov, 0) AS BIGINT) AS n_oov_grams
+       |FROM documents d
+       |JOIN sp ON sp.doc_id = d.doc_id
+       |LEFT JOIN per ON per.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  private val ApportionBudget = 100000L
+
+  /** Temperature-scaled budget apportionment (q118):
+    * [[Packing.sqrtApportion]] of a 100k-token budget across the
+    * corpus sources by √(token mass) — α = 1/2 sampling in exact
+    * integers, Hamilton largest-remainder rounding, Σ quota = budget
+    * exactly. The oracle replays masses, integer square roots,
+    * floors, remainders, and the tie-ranked top-up. */
+  def mixtureApportion(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val withTokens = docs.select(col("source"),
+      size(expr(s"filter(split(lower(text), '${Tok.WsSqlLit}'), t -> t <> '')"))
+        .cast("long").as("n_tokens"))
+    Packing.sqrtApportion(withTokens, "source", "n_tokens", ApportionBudget)
+      .orderBy(col("source"))
+  }
+
+  def mixtureApportionOracle: String =
+    s"""WITH m AS (
+       |  SELECT source,
+       |    CAST(SUM(len(list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> ''))) AS BIGINT) AS token_mass
+       |  FROM documents GROUP BY source
+       |), w AS (
+       |  SELECT source, token_mass,
+       |    CAST(floor(sqrt(CAST(token_mass AS DOUBLE))) AS BIGINT) AS t0
+       |  FROM m
+       |), wi AS (
+       |  SELECT source, token_mass,
+       |    CASE WHEN t0 * t0 > token_mass THEN t0 - 1
+       |         WHEN (t0 + 1) * (t0 + 1) <= token_mass THEN t0 + 1
+       |         ELSE t0 END AS weight
+       |  FROM w
+       |), tot AS (
+       |  SELECT SUM(weight) AS tw FROM wi
+       |), b AS (
+       |  SELECT wi.source, wi.token_mass, wi.weight,
+       |    ($ApportionBudget * wi.weight) // tot.tw AS base,
+       |    ($ApportionBudget * wi.weight) % tot.tw AS rem
+       |  FROM wi, tot
+       |), lo AS (
+       |  SELECT $ApportionBudget - SUM(base) AS leftover FROM b
+       |), r AS (
+       |  SELECT b.*, row_number() OVER (ORDER BY b.rem DESC, b.source ASC) AS rr
+       |  FROM b
+       |)
+       |SELECT r.source, r.token_mass, r.weight,
+       |  CAST(r.base + CASE WHEN r.rr <= lo.leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+       |FROM r, lo ORDER BY r.source""".stripMargin
 }

@@ -19,6 +19,48 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(d.filter(col("n_copies") > 1).count() == 0)
   }
 
+  test("canonical dedup merges case/punct/whitespace variants; raw dedup cannot") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "The  quick   BROWN fox!!"),   // case + ws runs + punct
+      (3L, "the quick, brown; fox..."),   // punct only
+      (4L, "an entirely different text"),
+      (5L, "an entirely different text"), // raw-identical to 4
+      (6L, "thequickbrownfox")            // NOT a variant (no spaces)
+    ).toDF("doc_id", "text")
+    val got = DedupOps.canonicalDedup(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 3)
+    val byCanon = got.map(g => g._2 -> g).toMap
+    // 1/2/3 fold to one group, keep-first id 1, three DISTINCT raws
+    assert(byCanon(1L) == ((byCanon(1L)._1, 1L, 3L, 3L)))
+    // 4/5 fold as raw-identical: one distinct raw
+    assert(byCanon(4L) == ((byCanon(4L)._1, 4L, 2L, 1L)))
+    // 6 stays alone — canonicalization never merges genuinely different text
+    assert(byCanon(6L) == ((byCanon(6L)._1, 6L, 1L, 1L)))
+    // raw exact dedup sees 1/2/3 as three separate groups
+    assert(DedupOps.exactDedup(d).count() == 5)
+  }
+
+  test("gram OOV score: covered docs score zero, novel grams count occurrences") {
+    import spark.implicits._
+    val ref = Seq((101L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val d = Seq(
+      (1L, "alpha beta gamma"),          // all bigrams in ref -> 0 OOV
+      (2L, "alpha beta zeta eta zeta eta"), // beta-zeta, zeta-eta x2, eta-zeta OOV
+      (3L, "solo"),                       // < 2 tokens -> zero grams
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = QualityScore.gramOovScore(d, ref).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2L, 0L)))
+    // doc 2 bigrams: alpha-beta(in), beta-zeta, zeta-eta, eta-zeta, zeta-eta -> 4 OOV of 5
+    assert(got(2L) == ((5L, 4L)))
+    assert(got(3L) == ((0L, 0L)))
+    assert(got(4L) == ((0L, 0L)))
+  }
+
   test("minhash LSH finds the planted near-dup pairs") {
     val pairs = DedupOps.minhashNearDupPairs(docs, 0.5).collect()
     assert(pairs.length >= 20 && pairs.length <= 40, s"got ${pairs.length}")

@@ -355,4 +355,51 @@ class PackingSpec extends AnyFunSuite {
       !w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).contains("src")),
       winExecs.map(w => w.partitionSpec.mkString(",")).mkString("\n"))
   }
+
+  test("isqrt is exact floor(sqrt) on edges, squares, and near-squares") {
+    import spark.implicits._
+    val cases = Seq(0L, 1L, 2L, 3L, 4L, 5L, 8L, 9L, 10L, 15L, 16L, 17L,
+      999999L, 1000000L, 1000001L, (1L << 40) - 1, 1L << 40,
+      (1L << 52) + 12345L) ++
+      (1 to 50).map(i => i.toLong * i * 7919 + i)
+    val got = cases.toDF("m")
+      .select(org.apache.spark.sql.functions.col("m"),
+        Packing.isqrt(org.apache.spark.sql.functions.col("m")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { m =>
+      val s = got(m)
+      assert(s * s <= m && (s + 1) * (s + 1) > m, s"isqrt($m) = $s")
+    }
+  }
+
+  test("sqrt apportionment: quotas sum to the budget exactly and track sqrt weights") {
+    import spark.implicits._
+    val docs = Seq.tabulate(300)(i =>
+      (s"src${i % 3}", (i % 3 + 1).toLong * 10)).toDF("src", "toks")
+    val got = Packing.sqrtApportion(docs, "src", "toks", budget = 9999L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._4).sum == 9999L)
+    // quota within 1 of the exact proportional share
+    val tw = got.map(_._3).sum.toDouble
+    got.foreach { case (src, _, w, q) =>
+      assert(math.abs(q - 9999L * w / tw) <= 1.0, s"$src: w=$w q=$q")
+    }
+    // invariant to partitioning
+    val again = Packing.sqrtApportion(docs.repartition(7), "src", "toks", 9999L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("sqrt apportionment: zero-mass sources get zero quota; all-zero corpus yields zero quotas") {
+    import spark.implicits._
+    val mixed = Seq(("a", 100L), ("b", 0L), ("c", 25L)).toDF("src", "toks")
+    val got = Packing.sqrtApportion(mixed, "src", "toks", 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got("b") == 0L)
+    assert(got.values.sum == 100L)
+    val zeros = Seq(("a", 0L), ("b", 0L)).toDF("src", "toks")
+    val z = Packing.sqrtApportion(zeros, "src", "toks", 100L)
+      .collect().map(r => r.getLong(3))
+    assert(z.forall(_ == 0L))
+  }
 }

@@ -284,6 +284,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("partial_count".r.findAllIn(p).nonEmpty, p.take(3000))
   }
 
+  test("q116 canonical dedup: one partial-agg hash exchange on the canonical hash") {
+    val p = plan("q116_canonical_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    // the count-distinct-raw rides the same grouping: partial aggs present
+    assert("partial_count|partial_min".r.findAllIn(p).nonEmpty, p.take(3000))
+  }
+
+  test("q118 apportionment windows run on aggregate rows only") {
+    val p = plan("q118_mixture_apportion")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    // the per-source mass agg partial-aggregates before its exchange;
+    // everything after runs on ~|sources| aggregate rows
+    assert("partial_sum".r.findAllIn(p).nonEmpty, p.take(3000))
+  }
+
   test("q95 kmeans final assignment is a narrow map (no exchange, no UDF)") {
     val p = plan("q95_kmeans")
     // orderBy for the oracle adds a rangepartitioning exchange; the
