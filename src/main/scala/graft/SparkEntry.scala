@@ -135,6 +135,8 @@ object SparkEntry {
     "q116_canonical_dedup" -> (DataPipeQueries.canonicalDedupQ _),
     "q117_oov_score" -> (DataPipeQueries.oovScore _),
     "q118_mixture_apportion" -> (DataPipeQueries.mixtureApportion _),
+    "q119_repetition_chars" -> (DataPipeQueries.repetitionChars _),
+    "q120_dsir_weights" -> (DataPipeQueries.dsirWeights _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -507,5 +509,7 @@ object SparkEntry {
     "q116_canonical_dedup" -> DataPipeQueries.canonicalDedupOracle,
     "q117_oov_score" -> DataPipeQueries.oovScoreOracle,
     "q118_mixture_apportion" -> DataPipeQueries.mixtureApportionOracle,
+    "q119_repetition_chars" -> DataPipeQueries.repetitionCharsOracle,
+    "q120_dsir_weights" -> DataPipeQueries.dsirWeightsOracle,
   )
 }

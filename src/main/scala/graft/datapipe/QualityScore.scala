@@ -78,6 +78,103 @@ object QualityScore {
         coalesce(col("__max"), lit(0L)).as("max_gram_count"))
   }
 
+  /** CHARACTER-fraction repetition rules — the second half of the
+    * Gopher/MassiveText repetition battery (Rae et al. 2021 §A1.1):
+    * where [[repetitionMetrics]] counts GRAMS, the published drop
+    * thresholds are stated as fractions of CHARACTERS, which weights a
+    * repeated long phrase more than a repeated stopword pair:
+    *
+    *   - `top{n}_chars` — characters inside occurrences of the single
+    *     most frequent word n-gram (count × gram char length, the
+    *     published convention — occurrences of ONE gram overlap only
+    *     pathologically);
+    *   - `dup{m}_chars` — characters covered by at least one
+    *     occurrence of ANY duplicated (count ≥ 2 within the doc)
+    *     m-gram, overlap-MERGED so each character counts once (the
+    *     published "no double counting" convention — here overlap is
+    *     the common case: a k-token repeat covers k−m+1 duplicated
+    *     m-grams over the same characters).
+    *
+    * Character space is the whitespace-NORMALIZED document (lowercased
+    * tokens joined by single spaces; gram length includes its internal
+    * spaces) so the arithmetic is exact and engine-portable — raw-text
+    * char offsets would make the metric depend on runs of whitespace
+    * that tokenization already erased. Keep flags apply the published
+    * thresholds as cross-multiplied integer tests (top-2-gram ≤ 0.20,
+    * dup-5-gram ≤ 0.15); the raw integers are emitted so downstream
+    * re-thresholds (or evaluates the other published n) without a
+    * second scan.
+    *
+    * Scale shape: positional tokens (one doc-keyed window for char
+    * offsets — per-doc partitions, bounded by document length, the
+    * [[Packing.chunkByTokenBudget]] contract), per-(doc, gram) counts
+    * (map-side-combined), the top gram per doc as one `min(struct)`
+    * partial agg (no per-doc sort), and interval-union coverage via a
+    * running-max window over each doc's DUPLICATED-gram occurrences
+    * only. Every exchange is keyed by doc or (doc, gram); no state
+    * outlives a key. */
+  def repetitionCharMetrics(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", nTop: Int = 2, nDup: Int = 5): DataFrame = {
+    require(nTop >= 1 && nDup >= 1, s"n-gram sizes must be >= 1: $nTop, $nDup")
+    val nLead = math.max(nTop, nDup)
+    val base = graft.util.Par.ensure(docs).select(col(idCol),
+      expr(s"filter(split(lower($textCol), '${Tok.WsSqlLit}'), t -> t <> '')")
+        .as("__toks"))
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("__i"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    // one positional pass: char start of token i in the normalized
+    // text, plus the nTop/nDup-gram starting at i (null near the end)
+    def gram(n: Int): Column =
+      when(lead(col("__t"), n - 1).over(wOrd).isNotNull,
+        concat_ws(" ", (0 until n).map(k =>
+          if (k == 0) col("__t") else lead(col("__t"), k).over(wOrd)): _*))
+    val pos = base
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__i", "__t")))
+      .select(col(idCol),
+        coalesce(sum(length(col("__t")) + 1).over(wCum), lit(0L)).as("__s"),
+        length(col("__t")).cast("long").as("__len"),
+        gram(nTop).as("__gtop"), gram(nDup).as("__gdup"))
+    val nChars = pos.groupBy(col(idCol)).agg(
+      (sum(col("__len")) + count(lit(1)) - 1).as("n_chars"))
+    // top gram: (count desc, gram asc) via min over (-count, gram)
+    val top = pos.filter(col("__gtop").isNotNull)
+      .groupBy(col(idCol), col("__gtop")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__c")).as("nc"), col("__gtop").as("g"))).as("__k"))
+      .select(col(idCol), (-col("__k.nc")).as("top_count"),
+        (-col("__k.nc") * length(col("__k.g"))).as("top_chars"))
+    // duplicated nDup-grams: occurrences joined back to in-doc counts,
+    // then interval union via running max of span end
+    val dupCnt = pos.filter(col("__gdup").isNotNull)
+      .groupBy(col(idCol), col("__gdup")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select(col(idCol), col("__gdup"))
+    val occ = pos.filter(col("__gdup").isNotNull)
+      .join(dupCnt, Seq(idCol, "__gdup"))
+      .select(col(idCol), col("__s"),
+        (col("__s") + length(col("__gdup")) - 1).as("__e"))
+    val wPrev = Window.partitionBy(col(idCol)).orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dup = occ
+      .withColumn("__floor",
+        greatest(col("__s") - 1, coalesce(max(col("__e")).over(wPrev), lit(-1L))))
+      .groupBy(col(idCol))
+      .agg(sum(greatest(col("__e") - col("__floor"), lit(0L))).as("dup_chars"))
+    val cChars = coalesce(col("n_chars"), lit(0L))
+    val cTop = coalesce(col("top_chars"), lit(0L))
+    val cDup = coalesce(col("dup_chars"), lit(0L))
+    docs.select(col(idCol))
+      .join(nChars, Seq(idCol), "left_outer")
+      .join(top, Seq(idCol), "left_outer")
+      .join(dup, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        cChars.as("n_chars"),
+        coalesce(col("top_count"), lit(0L)).as(s"top${nTop}_count"),
+        cTop.as(s"top${nTop}_chars"),
+        cDup.as(s"dup${nDup}_chars"),
+        when(cTop * 5 <= cChars && cDup * 20 <= cChars * 3, 1L)
+          .otherwise(0L).as("keep_rep"))
+  }
+
   /** Per-source RANK NORMALIZATION of an integer quality score — the
     * cross-source calibration step before quantile-based filtering
     * ("keep each source's best 30%"): raw scores aren't comparable

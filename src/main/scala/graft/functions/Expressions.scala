@@ -182,6 +182,90 @@ object PcaProjectExpr {
   }
 }
 
+/** FNV-1a 64-bit hash of a string masked to a power-of-two bucket:
+  * `fnv64(s) & mask` — the feature-hashing bucket assignment
+  * ([[graft.datapipe.Hashing.fnv64]], codepoint fold) as ONE codegen'd
+  * call, for relational per-gram paths (explode → bucket → count)
+  * where [[graft.datapipe.Featurize]]'s whole-document UDF loop
+  * doesn't apply. Signed-AND with a power-of-two mask ≡ the DuckDB
+  * mirror's unsigned `% (mask+1)` (the established Featurize
+  * equivalence). */
+case class Fnv64MaskExpr(child: Expression, mask: Long)
+    extends UnaryExpression {
+  require(mask >= 1 && ((mask + 1) & mask) == 0,
+    s"mask must be 2^k - 1: $mask")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv64_mask"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.datapipe.Hashing.fnv64(input.asInstanceOf[UTF8String].toString) & mask
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"(graft.datapipe.Hashing.fnv64($c.toString()) & ${mask}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv64MaskExpr =
+    copy(child = newChild)
+}
+
+/** Fixed-point binary logarithm of a positive BIGINT:
+  * ≈ log2(x) · 2^fracBits as a BIGINT, via the classic integer
+  * square-and-shift mantissa algorithm (Q20 mantissa, `fracBits`
+  * refinement rounds) — every step is integer arithmetic, so the
+  * result is bit-identical on ANY engine that replays the same steps
+  * (the DuckDB oracle does, via [[graft.queries.FixedLogSql]]).
+  * This is what makes log-domain scores (importance weights,
+  * entropies) oracle-checkable: IEEE `ln` differs in ULPs across
+  * engines, floored fixed-point log2 does not. Error vs true log2 is
+  * < 2 ulps of the Q`fracBits` scale, deterministic.
+  *
+  * Domain [1, 2^42): enforced with a loud exception (callers guard or
+  * +1-shift their counts; 2^42 keeps x·2^20 and m² inside Long).
+  * Native expression (not a UDF, not an expr-chain): the unrolled
+  * fracBits-round update would otherwise be an exponentially-growing
+  * Catalyst tree or a 16-select chain — here it is ONE static call,
+  * constant codegen size (the [[PcaProjectExpr]] precedent). */
+case class Log2FixedExpr(child: Expression, fracBits: Int)
+    extends UnaryExpression {
+  require(fracBits >= 1 && fracBits <= 30, s"fracBits out of range: $fracBits")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "log2_fixed"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Log2FixedExpr.log2Fixed(input.asInstanceOf[Long], fracBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Log2FixedExpr.log2Fixed($c, $fracBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Log2FixedExpr =
+    copy(child = newChild)
+}
+
+object Log2FixedExpr {
+  /** Exclusive input bound: x·2^20 and the Q20 mantissa square must
+    * stay inside Long. */
+  val MaxInput: Long = 1L << 42
+
+  /** floor-chain fixed-point log2; the single source of truth the
+    * codegen path, interpreted path, and spec twins all call. */
+  def log2Fixed(x: Long, fracBits: Int): Long = {
+    if (x < 1L || x >= MaxInput)
+      throw new IllegalArgumentException(
+        s"log2_fixed domain is [1, 2^42): $x")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    var m = if (e <= 20) x << (20 - e) else x >> (e - 20)
+    var acc = e.toLong << fracBits
+    var j = 1
+    while (j <= fracBits) {
+      m = (m * m) >> 20
+      if (m >= (1L << 21)) { m >>= 1; acc |= 1L << (fracBits - j) }
+      j += 1
+    }
+    acc
+  }
+}
+
 /** Cosine similarity of two float-array columns, codegen'd as a static
   * call over ArrayData — no ScalaUDF encoder boundary, no Seq boxing of
   * the vectors (the hot inner op of every KNN path). Bit-identical to
@@ -277,6 +361,10 @@ object Expressions {
     Bridge.column(MinHashBandsMd5Expr(Bridge.expression(c), numPerm, shingleN, bands))
   def zorder2(a: Column, b: Column): Column =
     Bridge.column(ZOrder2Expr(Bridge.expression(a), Bridge.expression(b)))
+  def log2_fixed(c: Column, fracBits: Int): Column =
+    Bridge.column(Log2FixedExpr(Bridge.expression(c), fracBits))
+  def fnv64_mask(c: Column, mask: Long): Column =
+    Bridge.column(Fnv64MaskExpr(Bridge.expression(c), mask))
   def pca_project(c: Column, mean: Array[Double],
       basis: Array[Array[Double]]): Column =
     Bridge.column(PcaProjectExpr(Bridge.expression(c), mean, basis))

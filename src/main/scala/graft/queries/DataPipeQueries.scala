@@ -2224,4 +2224,152 @@ object DataPipeQueries {
        |SELECT r.source, r.token_mass, r.weight,
        |  CAST(r.base + CASE WHEN r.rr <= lo.leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
        |FROM r, lo ORDER BY r.source""".stripMargin
+
+  /** Character-fraction repetition rules (q119):
+    * [[QualityScore.repetitionCharMetrics]] on the oracle surface —
+    * the Gopher repetition battery in its PUBLISHED units (fractions
+    * of characters, not grams): top-2-gram char mass and
+    * overlap-merged duplicated-5-gram char coverage, with the keep
+    * flag as cross-multiplied integer thresholds. The oracle rebuilds
+    * positional grams from UNNEST WITH ORDINALITY, replays the
+    * char-offset cumsum, the (count desc, gram asc) top pick, and the
+    * running-max interval union. (Positional unnest via
+    * `generate_subscripts` — DuckDB 1.0 has no WITH ORDINALITY.) */
+  def repetitionChars(s: SparkSession, d: String): DataFrame =
+    QualityScore.repetitionCharMetrics(Tables.documents(s, d))
+      .orderBy(col("doc_id"))
+
+  def repetitionCharsOracle: String =
+    s"""WITH tok0 AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(toks) AS t,
+       |    generate_subscripts(toks, 1) - 1 AS i
+       |  FROM tok0
+       |), pos AS (
+       |  SELECT doc_id, i, t,
+       |    COALESCE(SUM(length(t) + 1) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+       |    CAST(length(t) AS BIGINT) AS len,
+       |    CASE WHEN lead(t, 1) OVER w IS NOT NULL
+       |      THEN concat_ws(' ', t, lead(t, 1) OVER w) END AS gtop,
+       |    CASE WHEN lead(t, 4) OVER w IS NOT NULL
+       |      THEN concat_ws(' ', t, lead(t, 1) OVER w, lead(t, 2) OVER w,
+       |        lead(t, 3) OVER w, lead(t, 4) OVER w) END AS gdup
+       |  FROM tok
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+       |), nc AS (
+       |  SELECT doc_id, SUM(len) + COUNT(*) - 1 AS n_chars
+       |  FROM pos GROUP BY doc_id
+       |), tc AS (
+       |  SELECT doc_id, gtop, COUNT(*) AS c
+       |  FROM pos WHERE gtop IS NOT NULL GROUP BY doc_id, gtop
+       |), top AS (
+       |  SELECT doc_id, c AS top_count, c * length(gtop) AS top_chars
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY c DESC, gtop ASC) AS rn FROM tc)
+       |  WHERE rn = 1
+       |), dc AS (
+       |  SELECT doc_id, gdup FROM pos WHERE gdup IS NOT NULL
+       |  GROUP BY doc_id, gdup HAVING COUNT(*) > 1
+       |), occ AS (
+       |  SELECT p.doc_id, p.s, p.s + length(p.gdup) - 1 AS e
+       |  FROM pos p JOIN dc ON p.doc_id = dc.doc_id AND p.gdup = dc.gdup
+       |), cov AS (
+       |  SELECT doc_id, s, e,
+       |    GREATEST(s - 1, COALESCE(MAX(e) OVER (PARTITION BY doc_id
+       |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      -1)) AS fl
+       |  FROM occ
+       |), dup AS (
+       |  SELECT doc_id, SUM(GREATEST(e - fl, 0)) AS dup_chars
+       |  FROM cov GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(nc.n_chars, 0) AS BIGINT) AS n_chars,
+       |  CAST(COALESCE(top.top_count, 0) AS BIGINT) AS top2_count,
+       |  CAST(COALESCE(top.top_chars, 0) AS BIGINT) AS top2_chars,
+       |  CAST(COALESCE(dup.dup_chars, 0) AS BIGINT) AS dup5_chars,
+       |  CAST(CASE WHEN COALESCE(top.top_chars, 0) * 5 <= COALESCE(nc.n_chars, 0)
+       |         AND COALESCE(dup.dup_chars, 0) * 20 <= COALESCE(nc.n_chars, 0) * 3
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep_rep
+       |FROM documents d
+       |LEFT JOIN nc ON d.doc_id = nc.doc_id
+       |LEFT JOIN top ON d.doc_id = top.doc_id
+       |LEFT JOIN dup ON d.doc_id = dup.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** q120's target slice and hash-bucket count (power of two — the
+    * mask ≡ unsigned-modulo equivalence). */
+  private val DsirTarget = "src0"
+  private val DsirBuckets = 4096
+
+  /** DSIR importance weights (q120): [[Importance.importanceWeights]]
+    * of the whole corpus against the `src0` slice as the target
+    * distribution — Xie et al. 2023's hashed-n-gram importance
+    * resampling scores in EXACT Q16 fixed point. The oracle rebuilds
+    * the unigram+bigram bucket stream (fnv mirror ≡ mask hash),
+    * both smoothed distributions, and every log2 through the
+    * [[FixedLogSql]] square-and-shift chain — bit-identical BIGINT
+    * weights, something float log-likelihoods could never hash-match. */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Importance.importanceWeights(docs,
+        docs.filter(col("source") === DsirTarget),
+        "doc_id", "text", DsirBuckets)
+      .orderBy(col("doc_id"))
+  }
+
+  def dsirWeightsOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
+       |  FROM documents
+       |), gr AS (
+       |  SELECT doc_id, source, unnest(list_concat(toks,
+       |    CASE WHEN len(toks) >= 2
+       |      THEN list_transform(range(1, len(toks)),
+       |             bi -> concat_ws(' ', toks[bi], toks[bi + 1]))
+       |      ELSE [] END)) AS g
+       |  FROM tok
+       |), occ AS (
+       |  SELECT doc_id, source,
+       |    CAST(${MinhashMirrorSql.fnvSql("g")} % $DsirBuckets AS BIGINT) AS b
+       |  FROM gr
+       |), pdb AS (
+       |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY 1, 2
+       |), rb AS (
+       |  SELECT b, SUM(c) AS cr FROM pdb GROUP BY 1
+       |), tb AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS ct
+       |  FROM occ WHERE source = '$DsirTarget' GROUP BY 1
+       |), nrt AS (
+       |  SELECT (SELECT SUM(cr) FROM rb) AS nr,
+       |         (SELECT COALESCE(SUM(ct), 0) FROM tb) AS nt
+       |), lv AS (
+       |  SELECT DISTINCT v FROM (
+       |    SELECT COALESCE(tb.ct, 0) + 1 AS v FROM rb LEFT JOIN tb USING (b)
+       |    UNION SELECT cr + 1 FROM rb
+       |    UNION SELECT nr + $DsirBuckets FROM nrt
+       |    UNION SELECT nt + $DsirBuckets FROM nrt)
+       |), ${FixedLogSql.logCtes()}, wb AS (
+       |  SELECT rb.b, lt.lg - lr.lg AS w
+       |  FROM rb LEFT JOIN tb USING (b)
+       |  JOIN llog lt ON lt.v = COALESCE(tb.ct, 0) + 1
+       |  JOIN llog lr ON lr.v = rb.cr + 1
+       |), nrm AS (
+       |  SELECT l1.lg - l2.lg AS nrm FROM nrt
+       |  JOIN llog l1 ON l1.v = nrt.nr + $DsirBuckets
+       |  JOIN llog l2 ON l2.v = nrt.nt + $DsirBuckets
+       |), pd AS (
+       |  SELECT pdb.doc_id, SUM(pdb.c) AS n, SUM(pdb.c * wb.w) AS s
+       |  FROM pdb JOIN wb ON pdb.b = wb.b GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(pd.n, 0) AS BIGINT) AS n_feats,
+       |  CAST(COALESCE(pd.s, 0) + COALESCE(pd.n, 0) * nrm.nrm AS BIGINT) AS weight_fp
+       |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id CROSS JOIN nrm
+       |ORDER BY d.doc_id""".stripMargin
 }

@@ -1,0 +1,39 @@
+package graft.queries
+
+/** DuckDB mirror of [[graft.functions.Log2FixedExpr]]: the same
+  * square-and-shift fixed-point log2, unrolled as a WITH-chain over a
+  * relation of DISTINCT input values. Oracles collect every value they
+  * need a log of into one small `lv(v)` CTE (bucket counts + corpus
+  * totals — never row data), run this chain once, and join the results
+  * back by value — so the 16-step unroll prices at the model size, not
+  * the corpus size, in BOTH engines.
+  */
+object FixedLogSql {
+
+  /** CTE block computing `llog(v, lg)` — lg = log2Fixed(v, fracBits) —
+    * from an existing CTE `lv(v)` of positive BIGINTs. Splice into a
+    * WITH chain AFTER `lv`; names are ll-prefixed. */
+  def logCtes(fracBits: Int = 16): String = {
+    val two21 = 1L << 21
+    val steps = (1 to fracBits).map { j =>
+      val bit = 1L << (fracBits - j)
+      s"""ll$j AS (
+         |  SELECT v,
+         |    CASE WHEN ((m * m) >> 20) >= $two21 THEN ((m * m) >> 20) >> 1
+         |         ELSE (m * m) >> 20 END AS m,
+         |    acc + CASE WHEN ((m * m) >> 20) >= $two21 THEN $bit ELSE 0 END AS acc
+         |  FROM ll${j - 1}
+         |)""".stripMargin
+    }
+    s"""lle AS (
+       |  SELECT v, CAST(length(bin(v)) - 1 AS BIGINT) AS e FROM lv
+       |), ll0 AS (
+       |  SELECT v,
+       |    CASE WHEN e <= 20 THEN v << (20 - e) ELSE v >> (e - 20) END AS m,
+       |    e * ${1L << fracBits} AS acc
+       |  FROM lle
+       |), ${steps.mkString(", ")}, llog AS (
+       |  SELECT v, acc AS lg FROM ll$fracBits
+       |)""".stripMargin
+  }
+}
