@@ -137,6 +137,8 @@ object SparkEntry {
     "q118_mixture_apportion" -> (DataPipeQueries.mixtureApportion _),
     "q119_repetition_chars" -> (DataPipeQueries.repetitionChars _),
     "q120_dsir_weights" -> (DataPipeQueries.dsirWeights _),
+    "q121_char_entropy" -> (DataPipeQueries.charEntropyQ _),
+    "q122_epoch_shuffle" -> (DataPipeQueries.epochShuffleQ _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -511,5 +513,7 @@ object SparkEntry {
     "q118_mixture_apportion" -> DataPipeQueries.mixtureApportionOracle,
     "q119_repetition_chars" -> DataPipeQueries.repetitionCharsOracle,
     "q120_dsir_weights" -> DataPipeQueries.dsirWeightsOracle,
+    "q121_char_entropy" -> DataPipeQueries.charEntropyOracle,
+    "q122_epoch_shuffle" -> DataPipeQueries.epochShuffleOracle,
   )
 }

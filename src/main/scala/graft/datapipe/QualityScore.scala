@@ -175,6 +175,48 @@ object QualityScore {
           .otherwise(0L).as("keep_rep"))
   }
 
+  /** Codepoint-unigram Shannon ENTROPY per document, in exact fixed
+    * point — the cheap garbage/binary/low-diversity gate (encrypted or
+    * base64 blobs sit near 6 bits/char over a wide alphabet; natural
+    * English prose ~4.1; single-char spam near 0). Emitted as the
+    * integer pair the identity n·H = n·log2(n) − Σ c·log2(c) makes
+    * portable:
+    *
+    *   - `n_cp`     — codepoints measured;
+    *   - `ent_nfp`  — n·H in Q16 ([[graft.functions.Log2FixedExpr]]
+    *                  arithmetic, bit-identical in the DuckDB oracle);
+    *   - `milli_bits_per_char` — floor(1000·H), the ready-to-threshold
+    *                  form (still exact integer division).
+    *
+    * Scale shape: one (doc, codepoint) partial-agg shuffle (alphabet-
+    * bounded per-key state), the log applied per aggregated row —
+    * never per character occurrence — and one doc-keyed agg. */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.Expressions.log2_fixed
+    val fb = 16
+    val base = graft.util.Par.ensure(docs)
+      .select(col(idCol), col(textCol).as("__t"))
+    val counts = base.filter(length(col("__t")) > 0)
+      .select(col(idCol), explode(
+        expr("transform(sequence(1, length(__t)), i -> substr(__t, i, 1))"))
+        .as("__ch"))
+      .groupBy(col(idCol), col("__ch")).agg(count(lit(1)).as("__c"))
+    val perDoc = counts
+      .groupBy(col(idCol)).agg(
+        sum(col("__c")).as("__n"),
+        sum(col("__c") * log2_fixed(col("__c"), fb)).as("__slg"))
+      .select(col(idCol), col("__n"),
+        (col("__n") * log2_fixed(col("__n"), fb) - col("__slg")).as("__ent"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_cp"),
+        coalesce(col("__ent"), lit(0L)).as("ent_nfp"),
+        when(col("__n").isNull || col("__n") === 0L, 0L)
+          .otherwise(expr(s"(__ent * 1000) DIV (__n * ${1L << fb})"))
+          .as("milli_bits_per_char"))
+  }
+
   /** Per-source RANK NORMALIZATION of an integer quality score — the
     * cross-source calibration step before quantile-based filtering
     * ("keep each source's best 30%"): raw scores aren't comparable

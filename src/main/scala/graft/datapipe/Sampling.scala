@@ -129,4 +129,45 @@ object Sampling {
         coalesce(col("__thresh"), lit(hexThreshold(defaultFraction))))
       .drop("__stratum", "__thresh")
   }
+
+  /** Deterministic EPOCH SHUFFLE + sharding — the training-order op: a
+    * reproducible pseudo-random permutation of the corpus, split into
+    * `shards` streams with an explicit position in each, so N data
+    * loaders can read their shard sequentially (no seek storm) while
+    * the global order is hash-random. Vary `salt` per epoch for a
+    * fresh permutation ("ep0", "ep1", …) — same engine, same corpus,
+    * same salt ⇒ bit-identical order on any partitioning, which is
+    * what makes a training run resumable and auditable.
+    *
+    * shard = hash-int % shards; position = 1-based rank of
+    * ([[hashKey]], id) within the shard. NOT a global sort and NOT a
+    * per-shard window (shards are few — one task per shard is the q65
+    * skew trap): the first 2 hex chars of the key band each shard into
+    * 256 sub-ranges; per-(shard, band) counts cumsum into exclusive
+    * offsets over ≤ shards·256 AGGREGATE rows, and row data only ever
+    * ranks within its (shard, band) — the [[QualityScore.rankNormalize]]
+    * banded-prefix-sum shape. Output: (idCol, shard, pos). */
+  def epochShuffle(df: DataFrame, idCol: String, shards: Int,
+                   salt: String = ""): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(col(idCol), hashKey(col(idCol), salt).as("__key"))
+      .withColumn("shard", pmod(conv(col("__key"), 16, 10).cast("long"),
+        lit(shards.toLong)))
+      .withColumn("__band", substring(col("__key"), 1, 2))
+    val offsets = keyed.groupBy(col("shard").as("__osh"), col("__band").as("__ob"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(Window.partitionBy(col("__osh"))
+          .orderBy(col("__ob"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__osh"), col("__ob"), col("__off"))
+    keyed
+      .withColumn("__tie", row_number().over(
+        Window.partitionBy(col("shard"), col("__band"))
+          .orderBy(col("__key"), col(idCol))))
+      .join(broadcast(offsets),
+        col("shard") === col("__osh") && col("__band") === col("__ob"))
+      .select(col(idCol), col("shard"), (col("__off") + col("__tie")).as("pos"))
+  }
 }

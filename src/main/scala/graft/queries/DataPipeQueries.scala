@@ -2372,4 +2372,72 @@ object DataPipeQueries {
        |  CAST(COALESCE(pd.s, 0) + COALESCE(pd.n, 0) * nrm.nrm AS BIGINT) AS weight_fp
        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id CROSS JOIN nrm
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Codepoint-entropy quality gate (q121):
+    * [[QualityScore.charEntropy]] — n·H in exact Q16 via the same
+    * fixed-point log2 as q120, plus the floor(1000·H) threshold form.
+    * The oracle explodes codepoints, recounts, and replays the log
+    * chain over the DISTINCT count values only. */
+  def charEntropyQ(s: SparkSession, d: String): DataFrame =
+    QualityScore.charEntropy(Tables.documents(s, d))
+      .orderBy(col("doc_id"))
+
+  def charEntropyOracle: String =
+    s"""WITH ch AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, length(text) + 1), i -> text[i:i])) AS c
+       |  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+       |), cnt AS (
+       |  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT doc_id, SUM(n) AS nn FROM cnt GROUP BY 1
+       |), lv AS (
+       |  SELECT DISTINCT v FROM (
+       |    SELECT n AS v FROM cnt UNION SELECT nn FROM tot)
+       |), ${FixedLogSql.logCtes()}, sl AS (
+       |  SELECT cnt.doc_id, SUM(cnt.n * l.lg) AS slg
+       |  FROM cnt JOIN llog l ON l.v = cnt.n GROUP BY 1
+       |), ent AS (
+       |  SELECT tot.doc_id, tot.nn, tot.nn * ln.lg - sl.slg AS e
+       |  FROM tot JOIN llog ln ON ln.v = tot.nn
+       |  JOIN sl ON sl.doc_id = tot.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(ent.nn, 0) AS BIGINT) AS n_cp,
+       |  CAST(COALESCE(ent.e, 0) AS BIGINT) AS ent_nfp,
+       |  CAST(CASE WHEN COALESCE(ent.nn, 0) = 0 THEN 0
+       |    ELSE (ent.e * 1000) // (ent.nn * 65536) END AS BIGINT)
+       |    AS milli_bits_per_char
+       |FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** q122's shard count and epoch salt. */
+  private val ShuffleShards = 8
+  private val ShuffleSalt = "ep0"
+
+  /** Deterministic epoch shuffle (q122): [[Sampling.epochShuffle]] —
+    * the reproducible training-order permutation, sharded for N
+    * parallel loaders, positions via banded prefix sums (never a
+    * global sort, never one task per shard). The oracle recomputes
+    * the permutation as a plain per-shard window rank over the same
+    * md5 keys. */
+  def epochShuffleQ(s: SparkSession, d: String): DataFrame =
+    Sampling.epochShuffle(Tables.documents(s, d), "doc_id",
+        ShuffleShards, ShuffleSalt)
+      .orderBy(col("doc_id"))
+
+  def epochShuffleOracle: String =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    substring(md5(CAST(doc_id AS VARCHAR) || '$ShuffleSalt'), 1, 8) AS key
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, key,
+       |    CAST('0x' || key AS BIGINT) % $ShuffleShards AS shard
+       |  FROM k
+       |)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+       |    AS BIGINT) AS pos
+       |FROM s ORDER BY doc_id""".stripMargin
 }
