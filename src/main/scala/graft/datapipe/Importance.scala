@@ -71,6 +71,24 @@ object Importance {
     val mask = (buckets - 1).toLong
     val perDocBucket = bucketStream(raw, textCol, mask, Seq(col(idCol)))
       .groupBy(col(idCol), col("__bucket")).agg(count(lit(1)).as("__c"))
+    val (wb, norm) = modelFrom(perDocBucket, target, textCol, buckets)
+    val perDoc = perDocBucket.join(broadcast(wb), Seq("__bucket"))
+      .groupBy(col(idCol)).agg(
+        sum(col("__c")).as("__n"),
+        sum(col("__c") * col("__wb")).as("__s"))
+    raw.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
+      .crossJoin(broadcast(norm))
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_feats"),
+        (coalesce(col("__s"), lit(0L))
+          + coalesce(col("__n"), lit(0L)) * col("__norm")).as("weight_fp"))
+  }
+
+  /** The per-bucket log-weight relation `(__bucket, __wb)` and 1-row
+    * normalizer `(__norm)` from the raw per-(doc, bucket) counts. */
+  private def modelFrom(perDocBucket: DataFrame, target: DataFrame,
+      textCol: String, buckets: Int): (DataFrame, DataFrame) = {
+    val mask = (buckets - 1).toLong
     // raw bucket totals derived FROM the per-doc counts: no second
     // pass over the corpus (the lmScore prefix-count precedent)
     val rawBuckets = perDocBucket.groupBy(col("__bucket"))
@@ -87,15 +105,55 @@ object Importance {
     val norm = nr.crossJoin(nt).select(
       (log2f(col("__nr") + buckets.toLong)
         - log2f(coalesce(col("__nt"), lit(0L)) + buckets.toLong)).as("__norm"))
-    val perDoc = perDocBucket.join(broadcast(wb), Seq("__bucket"))
-      .groupBy(col(idCol)).agg(
-        sum(col("__c")).as("__n"),
-        sum(col("__c") * col("__wb")).as("__s"))
-    raw.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
-      .crossJoin(broadcast(norm))
-      .select(col(idCol),
-        coalesce(col("__n"), lit(0L)).as("n_feats"),
-        (coalesce(col("__s"), lit(0L))
-          + coalesce(col("__n"), lit(0L)) * col("__norm")).as("weight_fp"))
+    (wb, norm)
+  }
+
+  /** The trained DSIR model as driver-side artifacts for ONLINE
+    * scoring ([[graft.streaming.StreamingPipeline.dsirScoreStream]]
+    * probes the map the way LM scoring probes its gram table):
+    * (bucket → Q16 log-weight, corpus-size normalizer). The collect
+    * is bounded by `buckets` rows — model-sized, like the k-means
+    * centroid collects, never corpus-sized. Buckets the raw corpus
+    * never touched are absent: both smoothed counts are 0 there, so
+    * their weight is exactly 0 — a map miss scores 0, which IS the
+    * model's answer, not an approximation. */
+  def importanceModelCollected(raw: DataFrame, target: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 4096): (Map[Long, Long], Long) = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two: $buckets")
+    val mask = (buckets - 1).toLong
+    val perDocBucket = bucketStream(raw, textCol, mask, Seq(col(idCol)))
+      .groupBy(col(idCol), col("__bucket")).agg(count(lit(1)).as("__c"))
+    val (wb, norm) = modelFrom(perDocBucket, target, textCol, buckets)
+    val m = wb.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (m, norm.collect()(0).getLong(0))
+  }
+
+  /** Driver/closure-side twin of the per-document scoring: the
+    * feature stream ([[bucketStream]] semantics — lowercased Tok.WS
+    * unigrams + bigrams, fnv64-mask buckets) replayed in plain Scala
+    * against a collected model. The single source of truth for the
+    * streaming twin and its parity spec. */
+  def scoreRow(text: String, model: Map[Long, Long], norm: Long,
+      buckets: Int): (Long, Long) = {
+    val mask = (buckets - 1).toLong
+    val toks =
+      if (text == null) Array.empty[String]
+      else Tok.WsRegex.split(text.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.nonEmpty)
+    var n = 0L
+    var s = 0L
+    def add(g: String): Unit = {
+      n += 1
+      s += model.getOrElse(Hashing.fnv64(g) & mask, 0L)
+    }
+    var i = 0
+    while (i < toks.length) {
+      add(toks(i))
+      if (i + 1 < toks.length) add(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    (n, s + n * norm)
   }
 }

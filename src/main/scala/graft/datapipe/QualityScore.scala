@@ -175,6 +175,76 @@ object QualityScore {
           .otherwise(0L).as("keep_rep"))
   }
 
+  /** Driver/closure-side twin of [[repetitionCharMetrics]] for one
+    * document: (n_chars, top_count, top_chars, dup_chars, keep_rep).
+    * Same tokenization, same (count desc, gram asc) top pick, same
+    * overlap-merged coverage — the single source of truth for the
+    * streaming twin ([[graft.streaming.StreamingPipeline
+    * .repetitionCharsStream]]) and its parity spec. */
+  def repetitionCharRow(text: String, nTop: Int = 2, nDup: Int = 5):
+      (Long, Long, Long, Long, Long) = {
+    val toks =
+      if (text == null) Array.empty[String]
+      else Tok.WsRegex.split(text.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.nonEmpty)
+    val nChars =
+      if (toks.isEmpty) 0L else toks.map(_.length.toLong).sum + toks.length - 1
+    val starts = new Array[Long](toks.length)
+    var off = 0L
+    var i = 0
+    while (i < toks.length) {
+      starts(i) = off; off += toks(i).length + 1; i += 1
+    }
+    def grams(n: Int): IndexedSeq[(String, Long)] =
+      (0 to toks.length - n).map { k =>
+        val g = toks.slice(k, k + n).mkString(" ")
+        (g, starts(k))
+      }
+    // top: (count desc, gram asc)
+    val topG = grams(nTop)
+    val (topCount, topChars) =
+      if (topG.isEmpty) (0L, 0L)
+      else {
+        val byGram = topG.groupBy(_._1).view.mapValues(_.size.toLong)
+        val (g, c) = byGram.toSeq.minBy { case (gr, cn) => (-cn, gr) }
+        (c, c * g.length)
+      }
+    // dup coverage: overlap-merged spans of count>1 grams
+    val dupG = grams(nDup)
+    val dupCounts = dupG.groupBy(_._1).view.mapValues(_.size).toMap
+    val spans = dupG.filter(p => dupCounts(p._1) > 1)
+      .map { case (g, s) => (s, s + g.length - 1) }.sortBy(identity)
+    var covered = 0L
+    var prevEnd = -1L
+    for ((s, e) <- spans) {
+      val floor = math.max(s - 1, prevEnd)
+      if (e > floor) covered += e - floor
+      if (e > prevEnd) prevEnd = e
+    }
+    val keep =
+      if (topChars * 5 <= nChars && covered * 20 <= nChars * 3) 1L else 0L
+    (nChars, topCount, topChars, covered, keep)
+  }
+
+  /** Driver/closure-side twin of [[charEntropy]] for one document:
+    * (n_cp, ent_nfp, milli_bits_per_char) — same codepoint counting,
+    * same Q16 log chain. */
+  def charEntropyRow(text: String): (Long, Long, Long) = {
+    import graft.functions.Log2FixedExpr.log2Fixed
+    if (text == null || text.isEmpty) return (0L, 0L, 0L)
+    val counts = new scala.collection.mutable.HashMap[Int, Long]
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      counts(cp) = counts.getOrElse(cp, 0L) + 1L
+      i += Character.charCount(cp)
+    }
+    val n = counts.values.sum
+    val ent = n * log2Fixed(n, 16) -
+      counts.values.map(c => c * log2Fixed(c, 16)).sum
+    (n, ent, ent * 1000 / (n * 65536))
+  }
+
   /** Codepoint-unigram Shannon ENTROPY per document, in exact fixed
     * point — the cheap garbage/binary/low-diversity gate (encrypted or
     * base64 blobs sit near 6 bits/char over a wide alphabet; natural

@@ -334,6 +334,71 @@ object StreamingPipeline {
     * ship the model as a file-backed map or prune it to the top
     * grams, the same size caveat the decontamination twin documents.
     */
+  /** Streaming DSIR importance scoring: score arriving documents
+    * against a BATCH-trained bucket-weight model
+    * ([[graft.datapipe.Importance.importanceModelCollected]]) — the
+    * train-offline / score-online split of the q120 data-selection
+    * filter, exactly the LM-scoring pattern (model rides a broadcast;
+    * a UDF is justified because no builtin probes a broadcast map per
+    * feature). A bucket absent from the model means both smoothed
+    * counts were 0 ⇒ weight exactly 0, so the map miss IS the batch
+    * answer — scores are bit-identical to the batch operator on any
+    * document (parity spec-pinned), unlike the LM twin's honest
+    * out-of-model caveat. */
+  def dsirScoreStream(docs: DataFrame, model: Map[Long, Long],
+      norm: Long, buckets: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val score = udf { (text: String) =>
+      graft.datapipe.Importance.scoreRow(text, bc.value, norm, buckets)
+    }
+    docs.select(col(idCol), score(col(textCol)).as("__s"))
+      .select(col(idCol),
+        col("__s._1").as("n_feats"),
+        col("__s._2").as("weight_fp"))
+  }
+
+  /** Streaming character-repetition gate: the q119 char-fraction
+    * Gopher repetition rules per arriving document — within-document
+    * statistics need no corpus state, so the online form is a
+    * stateless narrow map over the closure twin
+    * ([[graft.datapipe.QualityScore.repetitionCharRow]], the exact
+    * replay of the batch operator's windows; parity spec-pinned).
+    * The batch plan itself shuffles (positional windows + gram
+    * aggregates), so unlike [[gopherRulesStream]] it cannot run
+    * unchanged on a stream — the per-row twin is the streaming
+    * shape. */
+  def repetitionCharsStream(docs: DataFrame, nTop: Int = 2,
+      nDup: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val rep = udf { (text: String) =>
+      graft.datapipe.QualityScore.repetitionCharRow(text, nTop, nDup)
+    }
+    docs.select(col(idCol), rep(col(textCol)).as("__r"))
+      .select(col(idCol),
+        col("__r._1").as("n_chars"),
+        col("__r._2").as(s"top${nTop}_count"),
+        col("__r._3").as(s"top${nTop}_chars"),
+        col("__r._4").as(s"dup${nDup}_chars"),
+        col("__r._5").as("keep_rep"))
+  }
+
+  /** Streaming entropy gate: q121's fixed-point codepoint entropy per
+    * arriving document (within-document statistic — stateless narrow
+    * map over [[graft.datapipe.QualityScore.charEntropyRow]], parity
+    * spec-pinned). */
+  def charEntropyStream(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val e = udf { (text: String) =>
+      graft.datapipe.QualityScore.charEntropyRow(text)
+    }
+    docs.select(col(idCol), e(col(textCol)).as("__e"))
+      .select(col(idCol),
+        col("__e._1").as("n_cp"),
+        col("__e._2").as("ent_nfp"),
+        col("__e._3").as("milli_bits_per_char"))
+  }
+
   def lmScoreStream(docs: DataFrame, model: Map[String, Long],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val bc = docs.sparkSession.sparkContext.broadcast(model)

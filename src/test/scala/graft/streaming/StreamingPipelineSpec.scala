@@ -155,6 +155,79 @@ class StreamingPipelineSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("streaming DSIR scoring equals the batch importance weights") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("source"))
+    val target = docs.filter(col("source") === "src0")
+    val B = 4096
+    val batchExpected = graft.datapipe.Importance
+      .importanceWeights(docs, target, buckets = B).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (model, norm) = graft.datapipe.Importance
+      .importanceModelCollected(docs, target, buckets = B)
+
+    val rows = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().take(60)
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingPipeline.dsirScoreStream(
+      input.toDS().toDF("doc_id", "text"), model, norm, B)
+    val query = out.writeStream.format("memory").queryName("stream_dsir")
+      .outputMode("append").start()
+    input.addData(rows.take(30): _*)
+    input.addData(rows.drop(30): _*)
+    query.processAllAvailable()
+    val got = spark.table("stream_dsir").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == 60)
+    got.foreach { case (id, v) => assert(v == batchExpected(id), s"doc $id") }
+    query.stop()
+  }
+
+  test("streaming repetition and entropy gates equal the batch operators") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val repExpected = graft.datapipe.QualityScore
+      .repetitionCharMetrics(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val entExpected = graft.datapipe.QualityScore
+      .charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+    val rows = docs.as[(Long, String)].collect().take(60)
+    val input = MemoryStream[(Long, String)]
+    val rep = StreamingPipeline.repetitionCharsStream(
+      input.toDS().toDF("doc_id", "text"))
+    val q1 = rep.writeStream.format("memory").queryName("stream_rep")
+      .outputMode("append").start()
+    val input2 = MemoryStream[(Long, String)]
+    val ent = StreamingPipeline.charEntropyStream(
+      input2.toDS().toDF("doc_id", "text"))
+    val q2 = ent.writeStream.format("memory").queryName("stream_ent")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    input2.addData(rows: _*)
+    q1.processAllAvailable()
+    q2.processAllAvailable()
+    val gotRep = spark.table("stream_rep").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val gotEnt = spark.table("stream_ent").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(gotRep.size == 60 && gotEnt.size == 60)
+    gotRep.foreach { case (id, v) => assert(v == repExpected(id), s"rep $id") }
+    gotEnt.foreach { case (id, v) => assert(v == entExpected(id), s"ent $id") }
+    q1.stop(); q2.stop()
+  }
+
   test("streaming sliding-window chunking equals the batch chunking") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
