@@ -95,7 +95,9 @@ object ScaleRehearsal {
       "q110_int8_quantize", "q111_bpe_chunks", "q112_gopher_rules",
       "q113_dedup_keepbest", "q114_tokenizer_fertility",
       "q115_cms_frequency", "q116_canonical_dedup", "q117_oov_score",
-      "q118_mixture_apportion")
+      "q118_mixture_apportion", "q119_repetition_chars",
+      "q120_dsir_weights", "q121_char_entropy", "q122_epoch_shuffle",
+      "q123_pii_redact", "q124_curation_funnel2")
       .filter(n => args.lift(1).forall(f => f.r.findFirstIn(n).isDefined))
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]

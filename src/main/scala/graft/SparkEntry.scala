@@ -139,6 +139,8 @@ object SparkEntry {
     "q120_dsir_weights" -> (DataPipeQueries.dsirWeights _),
     "q121_char_entropy" -> (DataPipeQueries.charEntropyQ _),
     "q122_epoch_shuffle" -> (DataPipeQueries.epochShuffleQ _),
+    "q123_pii_redact" -> (DataPipeQueries.piiRedact _),
+    "q124_curation_funnel2" -> (DataPipeQueries.curationFunnel2 _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -515,5 +517,7 @@ object SparkEntry {
     "q120_dsir_weights" -> DataPipeQueries.dsirWeightsOracle,
     "q121_char_entropy" -> DataPipeQueries.charEntropyOracle,
     "q122_epoch_shuffle" -> DataPipeQueries.epochShuffleOracle,
+    "q123_pii_redact" -> DataPipeQueries.piiRedactOracle,
+    "q124_curation_funnel2" -> DataPipeQueries.curationFunnel2Oracle,
   )
 }

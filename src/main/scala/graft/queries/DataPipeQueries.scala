@@ -2440,4 +2440,269 @@ object DataPipeQueries {
        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
        |    AS BIGINT) AS pos
        |FROM s ORDER BY doc_id""".stripMargin
+
+  /** PII redaction (q123): [[Pii.redact]] over the corpus with
+    * deterministic PII planted in-query (the q99 `doc_id % k` planting
+    * convention — the synthetic corpus contains no organic PII, so
+    * both engines append the same emails/IPs/phones/SSNs before
+    * scrubbing). The oracle recomputes every count and the
+    * sequentially-redacted text byte-for-byte; counts and patterns
+    * come from the ONE `Pii.Patterns` battery in both engines. */
+  /** The q123/q124 planted-PII corpus (Spark side): deterministic
+    * addresses/IPs/phones/SSNs appended by `doc_id % 5`. */
+  private def messyPiiDocs(docs: DataFrame): DataFrame = {
+    val m = col("doc_id") % 5
+    docs.select(col("doc_id"),
+      concat(coalesce(col("text"), lit("")),
+        when(m === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com now")))
+        .when(m === 1, concat(lit(" from 10.0."),
+          (col("doc_id") % 250).cast("string"), lit(".7 port")))
+        .when(m === 2, concat(lit(" call +1415555"),
+          (col("doc_id") % 10).cast("string"), lit(" today")))
+        .when(m === 3, lit(" ssn 123-45-6789 leaked"))
+        .otherwise(lit(""))).as("text"))
+  }
+
+  /** The same planting as a DuckDB CTE body (one source of truth for
+    * both faces would be ideal, but the engines' concat syntaxes
+    * differ; `PiiSpec`/q123 pin the equivalence). */
+  private val messyPiiSql: String =
+    s"""SELECT doc_id, COALESCE(text, '') ||
+       |    CASE doc_id % 5
+       |      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       |      WHEN 1 THEN ' from 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.7 port'
+       |      WHEN 2 THEN ' call +1415555' || CAST(doc_id % 10 AS VARCHAR) || ' today'
+       |      WHEN 3 THEN ' ssn 123-45-6789 leaked'
+       |      ELSE '' END AS t
+       |  FROM documents""".stripMargin
+
+  /** The sequential redaction chain over a SQL text expression. */
+  private def redactSql(input: String): String =
+    Pii.Patterns.foldLeft(input) {
+      case (acc, (_, pat, token)) =>
+        s"regexp_replace($acc, '$pat', '$token', 'g')"
+    }
+
+  def piiRedact(s: SparkSession, d: String): DataFrame =
+    Pii.redact(messyPiiDocs(Tables.documents(s, d))).orderBy(col("doc_id"))
+
+  def piiRedactOracle: String = {
+    val counts = Pii.Patterns.map { case (kind, pat, _) =>
+      s"CAST(len(regexp_extract_all(t, '$pat')) AS BIGINT) AS n_$kind"
+    }.mkString(",\n       |  ")
+    val clean = redactSql("t")
+    val total = Pii.Patterns.map { case (kind, _, _) => s"n_$kind" }
+      .mkString(" + ")
+    s"""WITH messy AS (
+       |  $messyPiiSql
+       |), c AS (
+       |  SELECT doc_id,
+       |  $counts,
+       |  $clean AS clean_text
+       |  FROM messy
+       |)
+       |SELECT doc_id, ${Pii.Patterns.map(p => "n_" + p._1).mkString(", ")},
+       |  CAST($total AS BIGINT) AS n_pii, clean_text
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  /** q124's entropy floor (milli-bits/char; the sf corpus spans
+    * ~3680–4240, so 4000 splits it). */
+  private val EntropyFloor = 4000L
+
+  /** Curation funnel v2 (q124): the round-12 operator family composed
+    * end-to-end — PII scrub (q123 planting + battery) → char-fraction
+    * repetition gate (q119) → entropy floor (q121) → canonical dedup
+    * survivors (q116) → DSIR above-mean selection (q120, strictly
+    * above the stage-corpus mean by integer cross-multiply; the
+    * absolute weights are smoothing-shifted, the mean split is not).
+    * Emits (stage, n_docs) — the funnel diagnostic. Every stage is
+    * recomputed by ONE independent DuckDB oracle (the q103 capstone
+    * convention); the two log-chain instantiations use distinct
+    * prefixes. Per-doc gates commute, so both engines compute the
+    * repetition/entropy flags over the full scrubbed corpus; the
+    * set-dependent stages (dedup, DSIR) run on exactly their stage
+    * input. */
+  def curationFunnel2(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val clean = Pii.redact(messyPiiDocs(docs))
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val repKeep = QualityScore.repetitionCharMetrics(clean)
+      .filter(col("keep_rep") === 1).select(col("doc_id"))
+    val entKeep = QualityScore.charEntropy(clean)
+      .filter(col("milli_bits_per_char") >= EntropyFloor)
+      .select(col("doc_id"))
+    val s2 = clean.join(repKeep, Seq("doc_id"))
+    val s3 = s2.join(entKeep, Seq("doc_id"))
+    val s4 = s3.join(DedupOps.canonicalDedup(s3)
+      .select(col("canonical_id").as("doc_id")), Seq("doc_id"))
+    val dsir = Importance.importanceWeights(s4,
+      s4.filter(col("source") === DsirTarget), buckets = DsirBuckets)
+    val tot = dsir.agg(sum(col("weight_fp")).as("__tw"),
+      count(lit(1)).as("__tn"))
+    val s5 = s4.join(dsir.crossJoin(broadcast(tot))
+      .filter(col("weight_fp") * col("__tn") > col("__tw"))
+      .select(col("doc_id")), Seq("doc_id"))
+    def stage(nm: String, df: DataFrame) =
+      df.agg(count(lit(1)).cast("long").as("n_docs"))
+        .select(lit(nm).as("stage"), col("n_docs"))
+    Seq(("0_input", docs), ("1_scrubbed", clean), ("2_repetition", s2),
+      ("3_entropy", s3), ("4_canonical", s4), ("5_dsir", s5))
+      .map((stage _).tupled).reduce(_.unionByName(_))
+      .orderBy(col("stage"))
+  }
+
+  def curationFunnel2Oracle: String =
+    s"""WITH messy AS (
+       |  $messyPiiSql
+       |), clean AS (
+       |  SELECT doc_id, ${redactSql("t")} AS text FROM messy
+       |), cd AS MATERIALIZED (
+       |  SELECT c.doc_id, c.text, d.source
+       |  FROM clean c JOIN documents d ON c.doc_id = d.doc_id
+       |), rtok0 AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '${Tok.WS}'), x -> x <> '') AS toks
+       |  FROM cd
+       |), rtok AS (
+       |  SELECT doc_id, unnest(toks) AS t,
+       |    generate_subscripts(toks, 1) - 1 AS i
+       |  FROM rtok0
+       |), rpos AS MATERIALIZED (
+       |  SELECT doc_id, i, t,
+       |    COALESCE(SUM(length(t) + 1) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+       |    CAST(length(t) AS BIGINT) AS len,
+       |    CASE WHEN lead(t, 1) OVER w IS NOT NULL
+       |      THEN concat_ws(' ', t, lead(t, 1) OVER w) END AS gtop,
+       |    CASE WHEN lead(t, 4) OVER w IS NOT NULL
+       |      THEN concat_ws(' ', t, lead(t, 1) OVER w, lead(t, 2) OVER w,
+       |        lead(t, 3) OVER w, lead(t, 4) OVER w) END AS gdup
+       |  FROM rtok
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+       |), rnc AS (
+       |  SELECT doc_id, SUM(len) + COUNT(*) - 1 AS n_chars
+       |  FROM rpos GROUP BY doc_id
+       |), rtc AS (
+       |  SELECT doc_id, gtop, COUNT(*) AS c
+       |  FROM rpos WHERE gtop IS NOT NULL GROUP BY doc_id, gtop
+       |), rtop AS (
+       |  SELECT doc_id, c * length(gtop) AS top_chars
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY c DESC, gtop ASC) AS rn FROM rtc)
+       |  WHERE rn = 1
+       |), rdc AS (
+       |  SELECT doc_id, gdup FROM rpos WHERE gdup IS NOT NULL
+       |  GROUP BY doc_id, gdup HAVING COUNT(*) > 1
+       |), rocc AS (
+       |  SELECT p.doc_id, p.s, p.s + length(p.gdup) - 1 AS e
+       |  FROM rpos p JOIN rdc ON p.doc_id = rdc.doc_id AND p.gdup = rdc.gdup
+       |), rcov AS (
+       |  SELECT doc_id, s, e,
+       |    GREATEST(s - 1, COALESCE(MAX(e) OVER (PARTITION BY doc_id
+       |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      -1)) AS fl
+       |  FROM rocc
+       |), rdup AS (
+       |  SELECT doc_id, SUM(GREATEST(e - fl, 0)) AS dup_chars
+       |  FROM rcov GROUP BY doc_id
+       |), rkeep AS MATERIALIZED (
+       |  SELECT cd.doc_id FROM cd
+       |  LEFT JOIN rnc ON cd.doc_id = rnc.doc_id
+       |  LEFT JOIN rtop ON cd.doc_id = rtop.doc_id
+       |  LEFT JOIN rdup ON cd.doc_id = rdup.doc_id
+       |  WHERE COALESCE(rtop.top_chars, 0) * 5 <= COALESCE(rnc.n_chars, 0)
+       |    AND COALESCE(rdup.dup_chars, 0) * 20 <= COALESCE(rnc.n_chars, 0) * 3
+       |), ech AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, length(text) + 1), ci -> text[ci:ci])) AS c
+       |  FROM cd WHERE text IS NOT NULL AND length(text) > 0
+       |), ecnt AS (
+       |  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n FROM ech GROUP BY 1, 2
+       |), etot AS (
+       |  SELECT doc_id, SUM(n) AS nn FROM ecnt GROUP BY 1
+       |), ev AS (
+       |  SELECT DISTINCT v FROM (
+       |    SELECT n AS v FROM ecnt UNION SELECT nn FROM etot)
+       |), ${FixedLogSql.logCtes(16, "e")}, esl AS (
+       |  SELECT ecnt.doc_id, SUM(ecnt.n * l.lg) AS slg
+       |  FROM ecnt JOIN elog l ON l.v = ecnt.n GROUP BY 1
+       |), ekeep AS MATERIALIZED (
+       |  SELECT etot.doc_id FROM etot
+       |  JOIN elog ln2 ON ln2.v = etot.nn
+       |  JOIN esl ON esl.doc_id = etot.doc_id
+       |  WHERE ((etot.nn * ln2.lg - esl.slg) * 1000) // (etot.nn * 65536)
+       |    >= $EntropyFloor
+       |), s3 AS MATERIALIZED (
+       |  SELECT cd.* FROM cd
+       |  JOIN rkeep ON cd.doc_id = rkeep.doc_id
+       |  JOIN ekeep ON cd.doc_id = ekeep.doc_id
+       |), canon AS (
+       |  SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+       |      '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g'))) AS ch,
+       |    MIN(doc_id) AS keep_id
+       |  FROM s3 GROUP BY 1
+       |), s4 AS MATERIALIZED (
+       |  SELECT s3.* FROM s3 JOIN canon ON s3.doc_id = canon.keep_id
+       |), dgr AS (
+       |  SELECT doc_id, source, unnest(list_concat(toks,
+       |    CASE WHEN len(toks) >= 2
+       |      THEN list_transform(range(1, len(toks)),
+       |             bi -> concat_ws(' ', toks[bi], toks[bi + 1]))
+       |      ELSE [] END)) AS g
+       |  FROM (SELECT doc_id, source,
+       |    list_filter(string_split_regex(lower(text), '${Tok.WS}'), x -> x <> '') AS toks
+       |    FROM s4)
+       |), docc AS (
+       |  SELECT doc_id, source,
+       |    CAST(${MinhashMirrorSql.fnvSql("g")} % $DsirBuckets AS BIGINT) AS b
+       |  FROM dgr
+       |), dpdb AS (
+       |  SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM docc GROUP BY 1, 2
+       |), drb AS (
+       |  SELECT b, SUM(c) AS cr FROM dpdb GROUP BY 1
+       |), dtb AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS ct
+       |  FROM docc WHERE source = '$DsirTarget' GROUP BY 1
+       |), dnrt AS (
+       |  SELECT (SELECT COALESCE(SUM(cr), 0) FROM drb) AS nr,
+       |         (SELECT COALESCE(SUM(ct), 0) FROM dtb) AS nt
+       |), dv AS (
+       |  SELECT DISTINCT v FROM (
+       |    SELECT COALESCE(dtb.ct, 0) + 1 AS v FROM drb LEFT JOIN dtb USING (b)
+       |    UNION SELECT cr + 1 FROM drb
+       |    UNION SELECT nr + $DsirBuckets FROM dnrt
+       |    UNION SELECT nt + $DsirBuckets FROM dnrt)
+       |), ${FixedLogSql.logCtes(16, "d")}, dwb AS (
+       |  SELECT drb.b, lt.lg - lr.lg AS w
+       |  FROM drb LEFT JOIN dtb USING (b)
+       |  JOIN dlog lt ON lt.v = COALESCE(dtb.ct, 0) + 1
+       |  JOIN dlog lr ON lr.v = drb.cr + 1
+       |), dnrm AS (
+       |  SELECT l1.lg - l2.lg AS nrm FROM dnrt
+       |  JOIN dlog l1 ON l1.v = dnrt.nr + $DsirBuckets
+       |  JOIN dlog l2 ON l2.v = dnrt.nt + $DsirBuckets
+       |), dpd AS (
+       |  SELECT dpdb.doc_id, SUM(dpdb.c) AS n, SUM(dpdb.c * dwb.w) AS sw
+       |  FROM dpdb JOIN dwb ON dpdb.b = dwb.b GROUP BY 1
+       |), dw AS MATERIALIZED (
+       |  SELECT s4.doc_id,
+       |    COALESCE(dpd.sw, 0) + COALESCE(dpd.n, 0) * dnrm.nrm AS w
+       |  FROM s4 LEFT JOIN dpd ON s4.doc_id = dpd.doc_id CROSS JOIN dnrm
+       |), dtot AS (
+       |  SELECT SUM(w) AS tw, COUNT(*) AS tn FROM dw
+       |), s5 AS (
+       |  SELECT dw.doc_id FROM dw, dtot WHERE dw.w * dtot.tn > dtot.tw
+       |)
+       |SELECT * FROM (
+       |  SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+       |  UNION ALL SELECT '1_scrubbed', CAST(COUNT(*) AS BIGINT) FROM cd
+       |  UNION ALL SELECT '2_repetition', CAST(COUNT(*) AS BIGINT)
+       |    FROM (SELECT cd.doc_id FROM cd JOIN rkeep ON cd.doc_id = rkeep.doc_id)
+       |  UNION ALL SELECT '3_entropy', CAST(COUNT(*) AS BIGINT) FROM s3
+       |  UNION ALL SELECT '4_canonical', CAST(COUNT(*) AS BIGINT) FROM s4
+       |  UNION ALL SELECT '5_dsir', CAST(COUNT(*) AS BIGINT) FROM s5
+       |) ORDER BY stage""".stripMargin
 }

@@ -10,30 +10,34 @@ package graft.queries
   */
 object FixedLogSql {
 
-  /** CTE block computing `llog(v, lg)` — lg = log2Fixed(v, fracBits) —
-    * from an existing CTE `lv(v)` of positive BIGINTs. Splice into a
-    * WITH chain AFTER `lv`; names are ll-prefixed. */
-  def logCtes(fracBits: Int = 16): String = {
+  /** CTE block computing `<p>log(v, lg)` — lg = log2Fixed(v, fracBits)
+    * — from an existing CTE `<p>v(v)` of positive BIGINTs (p =
+    * `prefix`, default "l", so the default in/out names are `lv` /
+    * `llog`). Splice into a WITH chain AFTER the input CTE; pass a
+    * distinct prefix to instantiate the chain more than once in one
+    * query (the q124 funnel needs it for entropy AND DSIR). */
+  def logCtes(fracBits: Int = 16, prefix: String = "l"): String = {
     val two21 = 1L << 21
+    val p = prefix
     val steps = (1 to fracBits).map { j =>
       val bit = 1L << (fracBits - j)
-      s"""ll$j AS (
+      s"""${p}l$j AS (
          |  SELECT v,
          |    CASE WHEN ((m * m) >> 20) >= $two21 THEN ((m * m) >> 20) >> 1
          |         ELSE (m * m) >> 20 END AS m,
          |    acc + CASE WHEN ((m * m) >> 20) >= $two21 THEN $bit ELSE 0 END AS acc
-         |  FROM ll${j - 1}
+         |  FROM ${p}l${j - 1}
          |)""".stripMargin
     }
-    s"""lle AS (
-       |  SELECT v, CAST(length(bin(v)) - 1 AS BIGINT) AS e FROM lv
-       |), ll0 AS (
+    s"""${p}le AS (
+       |  SELECT v, CAST(length(bin(v)) - 1 AS BIGINT) AS e FROM ${p}v
+       |), ${p}l0 AS (
        |  SELECT v,
        |    CASE WHEN e <= 20 THEN v << (20 - e) ELSE v >> (e - 20) END AS m,
        |    e * ${1L << fracBits} AS acc
-       |  FROM lle
-       |), ${steps.mkString(", ")}, llog AS (
-       |  SELECT v, acc AS lg FROM ll$fracBits
+       |  FROM ${p}le
+       |), ${steps.mkString(", ")}, ${p}log AS (
+       |  SELECT v, acc AS lg FROM ${p}l$fracBits
        |)""".stripMargin
   }
 }

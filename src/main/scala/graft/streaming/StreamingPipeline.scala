@@ -334,6 +334,17 @@ object StreamingPipeline {
     * ship the model as a file-backed map or prune it to the top
     * grams, the same size caveat the decontamination twin documents.
     */
+  /** Streaming PII redaction: the q123 scrub running UNCHANGED on the
+    * streaming frame ([[graft.datapipe.Pii.redact]] is one narrow
+    * codegen'd projection, so the batch plan IS the streaming plan —
+    * the [[gopherRulesStream]] shape). Stateless, any output mode;
+    * bit-identical to batch by construction (parity spec-pinned).
+    * The online face of an ingestion pipeline that must scrub BEFORE
+    * anything is persisted. */
+  def piiRedactStream(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.datapipe.Pii.redact(docs, idCol, textCol)
+
   /** Streaming DSIR importance scoring: score arriving documents
     * against a BATCH-trained bucket-weight model
     * ([[graft.datapipe.Importance.importanceModelCollected]]) — the

@@ -310,4 +310,60 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
     assert(!p.contains("BatchEvalPython"), p.take(2000))
   }
+
+  test("q119 repetition chars: keyed windows + partial aggs, no cross product, no UDF") {
+    val p = plan("q119_repetition_chars")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    // every window is doc-partitioned (no single-partition global sort)
+    assert(!p.contains("Window [") ||
+      "hashpartitioning\\(doc_id".r.findAllIn(p).nonEmpty, p.take(3000))
+    assert("partial_count|partial_sum".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("q120 DSIR: bucket model broadcasts; the only nested-loop join is the 1-row norm") {
+    val p = plan("q120_dsir_weights")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // two 1-row BNLJs by design: nr × nt inside the normalizer, and
+    // crossJoin(broadcast(norm)) onto the doc relation — never more
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p.take(3000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    // per-(doc,bucket) counts partial-aggregate before their exchange
+    assert("partial_count".r.findAllIn(p).nonEmpty, p.take(3000))
+  }
+
+  test("q121 entropy: per-(doc,codepoint) partial aggs, log on aggregated rows, no UDF") {
+    val p = plan("q121_char_entropy")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    assert("partial_count|partial_sum".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("q123 PII redaction is one narrow projection (no hash exchange, no UDF)") {
+    val p = plan("q123_pii_redact")
+    // the oracle-ordering sort adds a rangepartitioning exchange; the
+    // scrub itself is per-row regex arithmetic
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    assert(!p.contains("Generate"), p.take(2000))
+  }
+
+  test("q122 epoch shuffle: banded rank (no global window), offsets broadcast") {
+    val p = plan("q122_epoch_shuffle")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    // the row-data window partitions by (shard, band) — never a
+    // single-partition global rank
+    assert("hashpartitioning\\(shard[^)]*__band".r.findAllIn(p).nonEmpty,
+      p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }

@@ -228,6 +228,30 @@ class StreamingPipelineSpec extends AnyFunSuite {
     q1.stop(); q2.stop()
   }
 
+  test("streaming PII redaction equals the batch scrub") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = Seq(
+      (1L, "mail a@b.co or visit 10.0.0.7"),
+      (2L, "call +123456789 re 123-45-6789"),
+      (3L, "nothing sensitive")).toDF("doc_id", "text")
+    val batchExpected = graft.datapipe.Pii.redact(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingPipeline.piiRedactStream(
+      input.toDS().toDF("doc_id", "text"))
+    val query = out.writeStream.format("memory").queryName("stream_pii")
+      .outputMode("append").start()
+    input.addData((1L, "mail a@b.co or visit 10.0.0.7"),
+      (2L, "call +123456789 re 123-45-6789"), (3L, "nothing sensitive"))
+    query.processAllAvailable()
+    val got = spark.table("stream_pii").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(got.size == 3)
+    got.foreach { case (id, v) => assert(v == batchExpected(id), s"doc $id") }
+    query.stop()
+  }
+
   test("streaming sliding-window chunking equals the batch chunking") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
