@@ -2526,20 +2526,28 @@ object DataPipeQueries {
     * input. */
   def curationFunnel2(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val clean = Pii.redact(messyPiiDocs(docs))
+    // Stage outputs are eagerly localCheckpoint'ed (the Bpe.train
+    // precedent): each stage frame feeds BOTH the next stage and its
+    // own funnel count (and s4 feeds DSIR twice — raw + target), so
+    // without materialization Spark re-evaluates the shared subtree
+    // per consumer — measured 84 s → the sum-of-stages at 10×. A
+    // production funnel persists stage outputs to storage for exactly
+    // this reason; the checkpoint is the single-JVM stand-in.
+    def cp(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    val clean = cp(Pii.redact(messyPiiDocs(docs))
       .select(col("doc_id"), col("clean_text").as("text"))
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id")))
     val repKeep = QualityScore.repetitionCharMetrics(clean)
       .filter(col("keep_rep") === 1).select(col("doc_id"))
     val entKeep = QualityScore.charEntropy(clean)
       .filter(col("milli_bits_per_char") >= EntropyFloor)
       .select(col("doc_id"))
-    val s2 = clean.join(repKeep, Seq("doc_id"))
-    val s3 = s2.join(entKeep, Seq("doc_id"))
-    val s4 = s3.join(DedupOps.canonicalDedup(s3)
-      .select(col("canonical_id").as("doc_id")), Seq("doc_id"))
-    val dsir = Importance.importanceWeights(s4,
-      s4.filter(col("source") === DsirTarget), buckets = DsirBuckets)
+    val s2 = cp(clean.join(repKeep, Seq("doc_id")))
+    val s3 = cp(s2.join(entKeep, Seq("doc_id")))
+    val s4 = cp(s3.join(DedupOps.canonicalDedup(s3)
+      .select(col("canonical_id").as("doc_id")), Seq("doc_id")))
+    val dsir = cp(Importance.importanceWeights(s4,
+      s4.filter(col("source") === DsirTarget), buckets = DsirBuckets))
     val tot = dsir.agg(sum(col("weight_fp")).as("__tw"),
       count(lit(1)).as("__tn"))
     val s5 = s4.join(dsir.crossJoin(broadcast(tot))
