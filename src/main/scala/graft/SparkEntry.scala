@@ -141,6 +141,7 @@ object SparkEntry {
     "q122_epoch_shuffle" -> (DataPipeQueries.epochShuffleQ _),
     "q123_pii_redact" -> (DataPipeQueries.piiRedact _),
     "q124_curation_funnel2" -> (DataPipeQueries.curationFunnel2 _),
+    "q125_backoff_lm" -> (DataPipeQueries.backoffLm _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -519,5 +520,6 @@ object SparkEntry {
     "q122_epoch_shuffle" -> DataPipeQueries.epochShuffleOracle,
     "q123_pii_redact" -> DataPipeQueries.piiRedactOracle,
     "q124_curation_funnel2" -> DataPipeQueries.curationFunnel2Oracle,
+    "q125_backoff_lm" -> DataPipeQueries.backoffLmOracle,
   )
 }

@@ -465,6 +465,172 @@ object QualityScore {
         coalesce(col("__min_p"), lit(0L)).as("min_p_fp"))
   }
 
+  /** Stupid-backoff TRIGRAM LM scoring of one corpus under another's
+    * LM (Brants et al. 2007, "Large Language Models in Machine
+    * Translation" — the web-scale backoff scheme that needs no
+    * discounting statistics), in exact integer fixed point. Where
+    * [[lmScore]] scores a corpus under itself (every bigram seen at
+    * least once by construction), this scores `docs` under the LM of
+    * `refDocs` — train/eval splits — so the backoff chain actually
+    * fires: for each trigram occurrence (w1 w2 w3),
+    *
+    *   s = c3(w1w2w3)·fp / c2(w1w2)            if the trigram is in ref
+    *     | α · c2(w2w3)·fp / c1(w2)            else if the bigram is
+    *     | α² · c1(w3)·fp / N                  else if the word is
+    *     | 0                                   else (OOV)
+    *
+    * with α = 0.4 = 2/5 EXACT (score multiplied by 2, denominator by
+    * 5 — no float ever), every division a BIGINT floor. Per doc:
+    * occurrence count, Σ score, min score, and the tier histogram
+    * (n_hit3 / n_bo2 / n_bo1 / n_oov) — the histogram alone is the
+    * train→eval coverage card; the scores rank fluency under the
+    * train distribution.
+    *
+    * Scale shape: ref n-gram relations are gram-keyed partial aggs
+    * (∝ ref vocabulary, never collected/broadcast by hand — AQE may
+    * broadcast small ones); the eval occurrence stream carries five
+    * keyed left joins (trigram, both bigrams, two unigrams) — all
+    * linear, shuffles on gram keys; N rides a 1-row cross join.
+    * Overflow (count·fp ≥ 2⁶⁰·4) is ENFORCED in-plan via conditional
+    * raise_error, the [[lmScore]] convention. */
+  def backoffLmScore(docs: DataFrame, refDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      fp: Long = 1L << 20): DataFrame = {
+    require(fp > 0, s"fixed-point scale must be positive: $fp")
+    def toksOf(df: DataFrame, cols: Seq[Column]) =
+      graft.util.Par.ensure(df).select(cols :+
+        expr(s"filter(split(lower($textCol), '${Tok.WsSqlLit}'), t -> t <> '')")
+          .as("__toks"): _*)
+    def grams(df: DataFrame, n: Int, out: String) = df
+      .filter(size(col("__toks")) >= n)
+      .select(explode(expr(
+        s"""transform(sequence(1, size(__toks) - ${n - 1}),
+           |  i -> concat_ws(' ', slice(__toks, i, $n)))""".stripMargin))
+        .as(out))
+      .groupBy(col(out)).agg(count(lit(1)).as(s"__c$n"))
+    val ref = toksOf(refDocs, Seq.empty)
+    val c1 = grams(ref, 1, "__w")
+    val c2 = grams(ref, 2, "__g2")
+    val c3 = grams(ref, 3, "__g3")
+    val n1 = c1.agg(coalesce(sum(col("__c1")), lit(0L)).as("__n1"))
+    val occ = toksOf(docs, Seq(col(idCol)))
+      .filter(size(col("__toks")) >= 3)
+      .select(col(idCol), explode(expr(
+        """transform(sequence(1, size(__toks) - 2), i -> struct(
+          |  concat_ws(' ', slice(__toks, i, 3)) AS g3,
+          |  concat_ws(' ', slice(__toks, i, 2)) AS g2p,
+          |  concat_ws(' ', slice(__toks, i + 1, 2)) AS g2s,
+          |  element_at(__toks, i + 1) AS w2,
+          |  element_at(__toks, i + 2) AS w3))""".stripMargin)).as("__t"))
+      .select(col(idCol), col("__t.g3").as("__g3x"),
+        col("__t.g2p").as("__g2px"), col("__t.g2s").as("__g2sx"),
+        col("__t.w2").as("__w2x"), col("__t.w3").as("__w3x"))
+    val joined = occ
+      .join(c3.withColumnRenamed("__g3", "__g3x"), Seq("__g3x"), "left_outer")
+      .join(c2.select(col("__g2").as("__g2px"), col("__c2").as("__c2p")),
+        Seq("__g2px"), "left_outer")
+      .join(c2.select(col("__g2").as("__g2sx"), col("__c2").as("__c2s")),
+        Seq("__g2sx"), "left_outer")
+      .join(c1.select(col("__w").as("__w2x"), col("__c1").as("__c1w2")),
+        Seq("__w2x"), "left_outer")
+      .join(c1.select(col("__w").as("__w3x"), col("__c1").as("__c1w3")),
+        Seq("__w3x"), "left_outer")
+      .crossJoin(broadcast(n1))
+    val bound = (1L << 60) / fp
+    val scored = joined.select(col(idCol),
+      expr(
+        s"""CASE WHEN greatest(coalesce(__c3, 0), coalesce(__c2s, 0),
+           |               coalesce(__c1w3, 0)) >= $bound
+           |  THEN CAST(raise_error(concat(
+           |    'backoffLmScore overflow bound exceeded: ref count * fp=$fp',
+           |    ' would exceed 2^62 - shard the corpus')) AS BIGINT)
+           |WHEN __c3 IS NOT NULL THEN CAST(__c3 * $fp AS BIGINT) DIV __c2p
+           |WHEN __c2s IS NOT NULL
+           |  THEN CAST(2 * __c2s * $fp AS BIGINT) DIV (5 * __c1w2)
+           |WHEN __c1w3 IS NOT NULL
+           |  THEN CAST(4 * __c1w3 * $fp AS BIGINT) DIV (25 * __n1)
+           |ELSE 0 END""".stripMargin).as("__s"),
+      when(col("__c3").isNotNull, 1L).otherwise(0L).as("__h3"),
+      when(col("__c3").isNull && col("__c2s").isNotNull, 1L)
+        .otherwise(0L).as("__h2"),
+      when(col("__c3").isNull && col("__c2s").isNull &&
+        col("__c1w3").isNotNull, 1L).otherwise(0L).as("__h1"),
+      when(col("__c3").isNull && col("__c2s").isNull &&
+        col("__c1w3").isNull, 1L).otherwise(0L).as("__h0"))
+    val perDoc = scored.groupBy(col(idCol)).agg(
+      count(lit(1)).as("__n"), sum(col("__s")).as("__sum"),
+      min(col("__s")).as("__min"), sum(col("__h3")).as("__n3"),
+      sum(col("__h2")).as("__n2"), sum(col("__h1")).as("__n1h"),
+      sum(col("__h0")).as("__n0"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_trigrams"),
+        coalesce(col("__sum"), lit(0L)).as("sum_s_fp"),
+        coalesce(col("__min"), lit(0L)).as("min_s_fp"),
+        coalesce(col("__n3"), lit(0L)).as("n_hit3"),
+        coalesce(col("__n2"), lit(0L)).as("n_bo2"),
+        coalesce(col("__n1h"), lit(0L)).as("n_bo1"),
+        coalesce(col("__n0"), lit(0L)).as("n_oov"))
+  }
+
+  /** The trained backoff LM of [[backoffLmScore]] as driver-side
+    * artifacts for online scoring
+    * ([[graft.streaming.StreamingPipeline.backoffLmScoreStream]]):
+    * (trigram counts, bigram counts, unigram counts, total tokens).
+    * The collect is ∝ the REFERENCE vocabulary — the same size caveat
+    * as [[lmGramProbs]]' streaming consumer: at production scale ship
+    * a pruned or file-backed model. */
+  def backoffLmModelCollected(refDocs: DataFrame, textCol: String = "text"):
+      (Map[String, Long], Map[String, Long], Map[String, Long], Long) = {
+    val base = graft.util.Par.ensure(refDocs).select(
+      expr(s"filter(split(lower($textCol), '${Tok.WsSqlLit}'), t -> t <> '')")
+        .as("__toks"))
+    def cnt(n: Int): Map[String, Long] = base
+      .filter(size(col("__toks")) >= n)
+      .select(explode(expr(
+        s"""transform(sequence(1, size(__toks) - ${n - 1}),
+           |  i -> concat_ws(' ', slice(__toks, i, $n)))""".stripMargin))
+        .as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c1 = cnt(1)
+    (cnt(3), cnt(2), c1, c1.values.sum)
+  }
+
+  /** Driver/closure-side twin of [[backoffLmScore]] for one document
+    * against a collected model — the single source of truth for the
+    * streaming twin and its parity spec. Returns (n_trigrams,
+    * sum_s_fp, min_s_fp, n_hit3, n_bo2, n_bo1, n_oov). */
+  def backoffLmRow(text: String, c3: Map[String, Long],
+      c2: Map[String, Long], c1: Map[String, Long], n: Long,
+      fp: Long = 1L << 20): (Long, Long, Long, Long, Long, Long, Long) = {
+    val toks =
+      if (text == null) Array.empty[String]
+      else Tok.WsRegex.split(text.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.nonEmpty)
+    if (toks.length < 3) return (0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    var (cnt, sum, mn) = (0L, 0L, Long.MaxValue)
+    var (h3, h2, h1, h0) = (0L, 0L, 0L, 0L)
+    var i = 0
+    while (i < toks.length - 2) {
+      val g3 = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+      val g2s = toks(i + 1) + " " + toks(i + 2)
+      val s = c3.get(g3) match {
+        case Some(t) => h3 += 1; t * fp / c2(toks(i) + " " + toks(i + 1))
+        case None => c2.get(g2s) match {
+          case Some(b) => h2 += 1; 2 * b * fp / (5 * c1(toks(i + 1)))
+          case None => c1.get(toks(i + 2)) match {
+            case Some(u) => h1 += 1; 4 * u * fp / (25 * n)
+            case None => h0 += 1; 0L
+          }
+        }
+      }
+      cnt += 1; sum += s; if (s < mn) mn = s
+      i += 1
+    }
+    (cnt, sum, mn, h3, h2, h1, h0)
+  }
+
   /** The trained bigram LM of [[lmScore]] as a standalone (gram,
     * p_fp) relation — the train-offline artifact for online scoring
     * ([[graft.streaming.StreamingPipeline.lmScoreStream]] probes it

@@ -2507,6 +2507,111 @@ object DataPipeQueries {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  /** Stupid-backoff trigram LM (q125): score the WHOLE corpus under
+    * the train band's LM ([[QualityScore.backoffLmScore]]) — the
+    * cross-split scoring that makes the backoff chain fire (q107
+    * scores a corpus under itself, where every gram is seen). Exact
+    * integers end-to-end (α = 0.4 as ×2/÷5); the oracle replays the
+    * split, all three ref n-gram relations, the five-way occurrence
+    * join, and the tiered CASE. */
+  def backoffLm(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val split = Sampling.assignSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0), salt = "split")
+      .select(col("doc_id"), col("split"))
+    val ref = docs.join(split.filter(col("split") === "train")
+      .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    QualityScore.backoffLmScore(docs, ref)
+      .join(split, Seq("doc_id"))
+      .select(col("doc_id"), col("split"), col("n_trigrams"),
+        col("sum_s_fp"), col("min_s_fp"), col("n_hit3"), col("n_bo2"),
+        col("n_bo1"), col("n_oov"))
+      .orderBy(col("doc_id"))
+  }
+
+  def backoffLmOracle: String = {
+    val key = "substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)"
+    val fp = 1L << 20
+    s"""WITH sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $key < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+       |         WHEN $key < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |), rtk AS MATERIALIZED (
+       |  SELECT list_filter(string_split_regex(lower(d.text), '${Tok.WS}'),
+       |    x -> x <> '') AS toks
+       |  FROM documents d JOIN sp ON d.doc_id = sp.doc_id
+       |  WHERE sp.split = 'train'
+       |), c1 AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(toks) AS w FROM rtk) GROUP BY 1
+       |), c2 AS MATERIALIZED (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i + 1])) AS g
+       |    FROM rtk WHERE len(toks) >= 2) GROUP BY 1
+       |), c3 AS MATERIALIZED (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+       |    FROM rtk WHERE len(toks) >= 3) GROUP BY 1
+       |), n1 AS (
+       |  SELECT COALESCE(SUM(c), 0) AS n FROM c1
+       |), etk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '${Tok.WS}'),
+       |      x -> x <> '') AS toks
+       |  FROM documents
+       |), occ AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g3,
+       |    unnest(list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i + 1])) AS g2p,
+       |    unnest(list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i + 1] || ' ' || toks[i + 2])) AS g2s,
+       |    unnest(list_transform(range(1, len(toks) - 1), i -> toks[i + 1])) AS w2,
+       |    unnest(list_transform(range(1, len(toks) - 1), i -> toks[i + 2])) AS w3
+       |  FROM etk WHERE len(toks) >= 3
+       |), sc AS MATERIALIZED (
+       |  SELECT occ.doc_id,
+       |    CASE WHEN t3.c IS NOT NULL THEN (t3.c * $fp) // p2.c
+       |         WHEN s2.c IS NOT NULL THEN (2 * s2.c * $fp) // (5 * u2.c)
+       |         WHEN u3.c IS NOT NULL THEN (4 * u3.c * $fp) // (25 * n1.n)
+       |         ELSE 0 END AS s,
+       |    CASE WHEN t3.c IS NOT NULL THEN 1 ELSE 0 END AS h3,
+       |    CASE WHEN t3.c IS NULL AND s2.c IS NOT NULL THEN 1 ELSE 0 END AS h2,
+       |    CASE WHEN t3.c IS NULL AND s2.c IS NULL AND u3.c IS NOT NULL
+       |      THEN 1 ELSE 0 END AS h1,
+       |    CASE WHEN t3.c IS NULL AND s2.c IS NULL AND u3.c IS NULL
+       |      THEN 1 ELSE 0 END AS h0
+       |  FROM occ
+       |  LEFT JOIN c3 t3 ON occ.g3 = t3.g
+       |  LEFT JOIN c2 p2 ON occ.g2p = p2.g
+       |  LEFT JOIN c2 s2 ON occ.g2s = s2.g
+       |  LEFT JOIN c1 u2 ON occ.w2 = u2.w
+       |  LEFT JOIN c1 u3 ON occ.w3 = u3.w
+       |  CROSS JOIN n1
+       |), pd AS (
+       |  SELECT doc_id, COUNT(*) AS n, SUM(s) AS ssum, MIN(s) AS smin,
+       |    SUM(h3) AS n3, SUM(h2) AS n2, SUM(h1) AS nb1, SUM(h0) AS n0
+       |  FROM sc GROUP BY 1
+       |)
+       |SELECT d.doc_id, sp.split,
+       |  CAST(COALESCE(pd.n, 0) AS BIGINT) AS n_trigrams,
+       |  CAST(COALESCE(pd.ssum, 0) AS BIGINT) AS sum_s_fp,
+       |  CAST(COALESCE(pd.smin, 0) AS BIGINT) AS min_s_fp,
+       |  CAST(COALESCE(pd.n3, 0) AS BIGINT) AS n_hit3,
+       |  CAST(COALESCE(pd.n2, 0) AS BIGINT) AS n_bo2,
+       |  CAST(COALESCE(pd.nb1, 0) AS BIGINT) AS n_bo1,
+       |  CAST(COALESCE(pd.n0, 0) AS BIGINT) AS n_oov
+       |FROM documents d
+       |JOIN sp ON d.doc_id = sp.doc_id
+       |LEFT JOIN pd ON d.doc_id = pd.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** q124's entropy floor (milli-bits/char; the sf corpus spans
     * ~3680–4240, so 4000 splits it). */
   private val EntropyFloor = 4000L

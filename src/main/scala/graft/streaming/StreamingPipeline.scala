@@ -345,6 +345,31 @@ object StreamingPipeline {
       textCol: String = "text"): DataFrame =
     graft.datapipe.Pii.redact(docs, idCol, textCol)
 
+  /** Streaming stupid-backoff trigram LM scoring: arriving documents
+    * scored under a BATCH-trained reference LM
+    * ([[graft.datapipe.QualityScore.backoffLmModelCollected]]) — the
+    * q125 train-offline / score-online split. Here the backoff chain
+    * is the POINT of the online face: unseen trigrams degrade through
+    * bigram → unigram → OOV exactly as the batch cross-split scorer
+    * does, so the twin is bit-identical on any document (parity
+    * spec-pinned; vocabulary-size caveat as [[lmScoreStream]]). */
+  def backoffLmScoreStream(docs: DataFrame, c3: Map[String, Long],
+      c2: Map[String, Long], c1: Map[String, Long], n: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    val (b3, b2, b1) = (sc.broadcast(c3), sc.broadcast(c2), sc.broadcast(c1))
+    val score = udf { (text: String) =>
+      graft.datapipe.QualityScore.backoffLmRow(text, b3.value, b2.value,
+        b1.value, n)
+    }
+    docs.select(col(idCol), score(col(textCol)).as("__s"))
+      .select(col(idCol),
+        col("__s._1").as("n_trigrams"), col("__s._2").as("sum_s_fp"),
+        col("__s._3").as("min_s_fp"), col("__s._4").as("n_hit3"),
+        col("__s._5").as("n_bo2"), col("__s._6").as("n_bo1"),
+        col("__s._7").as("n_oov"))
+  }
+
   /** Streaming DSIR importance scoring: score arriving documents
     * against a BATCH-trained bucket-weight model
     * ([[graft.datapipe.Importance.importanceModelCollected]]) — the

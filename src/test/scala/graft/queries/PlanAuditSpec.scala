@@ -354,6 +354,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), p.take(2000))
   }
 
+  test("q125 backoff LM: keyed gram joins, the only nested-loop is the 1-row N") {
+    val p = plan("q125_backoff_lm")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // crossJoin(broadcast(n1)) is a 1-row BNLJ by design; never more
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    // ref n-gram relations partial-aggregate before their exchanges
+    assert("partial_count".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
   test("q122 epoch shuffle: banded rank (no global window), offsets broadcast") {
     val p = plan("q122_epoch_shuffle")
     assert(!p.contains("CartesianProduct") &&

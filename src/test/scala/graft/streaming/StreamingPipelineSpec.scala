@@ -228,6 +228,33 @@ class StreamingPipelineSpec extends AnyFunSuite {
     q1.stop(); q2.stop()
   }
 
+  test("streaming backoff-LM scoring equals the batch cross-split scorer") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    val batchExpected = graft.datapipe.QualityScore
+      .backoffLmScore(docs, ref).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val (c3, c2, c1, n) = graft.datapipe.QualityScore
+      .backoffLmModelCollected(ref)
+
+    val rows = docs.as[(Long, String)].collect().take(60)
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingPipeline.backoffLmScoreStream(
+      input.toDS().toDF("doc_id", "text"), c3, c2, c1, n)
+    val query = out.writeStream.format("memory").queryName("stream_bolm")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    query.processAllAvailable()
+    val got = spark.table("stream_bolm").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(got.size == 60)
+    got.foreach { case (id, v) => assert(v == batchExpected(id), s"doc $id") }
+    query.stop()
+  }
+
   test("streaming PII redaction equals the batch scrub") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
