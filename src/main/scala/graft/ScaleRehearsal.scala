@@ -97,7 +97,8 @@ object ScaleRehearsal {
       "q115_cms_frequency", "q116_canonical_dedup", "q117_oov_score",
       "q118_mixture_apportion", "q119_repetition_chars",
       "q120_dsir_weights", "q121_char_entropy", "q122_epoch_shuffle",
-      "q123_pii_redact", "q124_curation_funnel2", "q125_backoff_lm")
+      "q123_pii_redact", "q124_curation_funnel2", "q125_backoff_lm",
+      "q126_sentence_dedup")
       .filter(n => args.lift(1).forall(f => f.r.findFirstIn(n).isDefined))
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]

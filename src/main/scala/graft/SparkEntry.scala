@@ -142,6 +142,7 @@ object SparkEntry {
     "q123_pii_redact" -> (DataPipeQueries.piiRedact _),
     "q124_curation_funnel2" -> (DataPipeQueries.curationFunnel2 _),
     "q125_backoff_lm" -> (DataPipeQueries.backoffLm _),
+    "q126_sentence_dedup" -> (DataPipeQueries.sentenceDedupQ _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -521,5 +522,6 @@ object SparkEntry {
     "q123_pii_redact" -> DataPipeQueries.piiRedactOracle,
     "q124_curation_funnel2" -> DataPipeQueries.curationFunnel2Oracle,
     "q125_backoff_lm" -> DataPipeQueries.backoffLmOracle,
+    "q126_sentence_dedup" -> DataPipeQueries.sentenceDedupOracle,
   )
 }

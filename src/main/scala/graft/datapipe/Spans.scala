@@ -140,6 +140,63 @@ object Spans {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** SENTENCE-level dedup — metrics AND keep-first removal in one
+    * pass: the C4 convention (Raffel et al. 2020 deduplicate repeated
+    * sentence spans; RefinedWeb's line dedup is the same idea at line
+    * grain — this corpus is newline-free, so sentences are the
+    * natural grain between q12's whole-document and q89's n-token
+    * spans). Sentences split on `[.!?]+` + whitespace and NORMALIZED
+    * (lowercase, trimmed, trailing end-punctuation stripped) — the
+    * same normalized-space convention as [[removeDuplicateSpans]]'
+    * token space, and the regex is RE2-safe (no lookbehind) so the
+    * oracle splits identically. Keep-first policy: for each distinct
+    * normalized sentence, the global minimum (doc, position)
+    * occurrence survives; every other occurrence is removed.
+    *
+    * Output: (idCol, n_sents, n_dup_sents, n_kept, clean_text) —
+    * n_dup_sents counts occurrences whose sentence occurs >1 time in
+    * the corpus (the dup-sentence-fraction numerator); clean_text is
+    * the surviving normalized sentences joined by ". ".
+    *
+    * Scale shape: one 16-byte-hash keyed agg for the keeper (min
+    * struct, map-side combined), one hash-keyed join back, one
+    * doc-keyed agg to reassemble — per-key state bounded by document
+    * sentence counts; hot boilerplate sentences are the AQE skew-join
+    * case. */
+  def sentenceDedup(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val ws = graft.util.Tok.WsSqlLit
+    val sents = docs.select(col(idCol), posexplode_outer(expr(
+      s"""filter(transform(split(lower(coalesce($textCol, '')), '[.!?]+$ws'),
+         |  s -> regexp_replace(trim(s), '[.!?]+$$', '')), s -> s != '')"""
+        .stripMargin)).as(Seq("j", "sn")))
+    val occ = sents.filter(col("sn").isNotNull)
+      .select(col(idCol).as("__d"), col("j"),
+        substring(md5(col("sn")), 1, 16).as("h"), col("sn"))
+    val keep = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ_n"),
+        min(struct(col("__d"), col("j"))).as("k"))
+    val flagged = occ.join(keep, Seq("h"))
+      .select(col("__d"), col("j"), col("sn"),
+        when(col("occ_n") > 1, 1L).otherwise(0L).as("__dup"),
+        when(col("__d") === col("k.__d") && col("j") === col("k.j"), 1L)
+          .otherwise(0L).as("__keep"))
+    val perDoc = flagged.groupBy(col("__d")).agg(
+      count(lit(1)).as("n_sents"),
+      sum(col("__dup")).as("n_dup_sents"),
+      sum(col("__keep")).as("n_kept"),
+      concat_ws(". ", expr(
+        "transform(array_sort(filter(collect_list(struct(j, __keep, sn)), " +
+          "x -> x.__keep = 1)), x -> x.sn)")).as("clean_text"))
+    docs.select(col(idCol))
+      .join(perDoc.withColumnRenamed("__d", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_sents"), lit(0L)).as("n_sents"),
+        coalesce(col("n_dup_sents"), lit(0L)).as("n_dup_sents"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Per-document span duplication metrics: (idCol, n_spans,
     * n_dup_spans) where spans are all `n`-token windows and a span is
     * dup if its hash occurs more than once in the whole corpus

@@ -2612,6 +2612,73 @@ object DataPipeQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Sentence-level dedup (q126): [[Spans.sentenceDedup]] — the C4
+    * sentence-span dedup convention at this corpus's natural grain
+    * (newline-free, so sentences stand in for RefinedWeb's lines);
+    * metrics + keep-first removal in one pass. The synthetic corpus
+    * has no sentence punctuation (each doc is one sentence), so
+    * boilerplate sentences are PLANTED in-query (the q99/q123
+    * `doc_id % k` convention): every 4th doc gains a shared
+    * subscribe-banner, every 7th a breaking-news banner — 100+-way
+    * cross-document duplicates that exercise the corpus-wide
+    * keep-first rule. The oracle replays the planting, the RE2-safe
+    * split, normalization, the (doc, position) keeper rule via a
+    * per-hash window, and the ordered reassembly. */
+  def sentenceDedupQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val planted = docs.select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 4 === 0,
+          lit("Subscribe to our newsletter today. ")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("Breaking news alert! ")).otherwise(lit("")),
+        coalesce(col("text"), lit(""))).as("text"))
+    Spans.sentenceDedup(planted, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  def sentenceDedupOracle: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 4 = 0
+       |       THEN 'Subscribe to our newsletter today. ' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 7 = 0
+       |       THEN 'Breaking news alert! ' ELSE '' END) ||
+       |    COALESCE(text, '') AS text
+       |  FROM documents
+       |), base AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(
+       |      string_split_regex(lower(COALESCE(text, '')), '[.!?]+${Tok.WS}'),
+       |      s -> regexp_replace(trim(s), '[.!?]+$$', '')), s -> s <> '') AS sl
+       |  FROM planted
+       |), occ AS (
+       |  SELECT doc_id, unnest(sl) AS sn,
+       |    generate_subscripts(sl, 1) - 1 AS j
+       |  FROM base
+       |), fl AS (
+       |  SELECT doc_id, j, sn,
+       |    CASE WHEN COUNT(*) OVER (PARTITION BY substring(md5(sn), 1, 16)) > 1
+       |      THEN 1 ELSE 0 END AS dup,
+       |    CASE WHEN row_number() OVER (
+       |        PARTITION BY substring(md5(sn), 1, 16) ORDER BY doc_id, j) = 1
+       |      THEN 1 ELSE 0 END AS keep
+       |  FROM occ
+       |), pd AS (
+       |  SELECT doc_id, COUNT(*) AS n_sents, SUM(dup) AS n_dup_sents,
+       |    SUM(keep) AS n_kept,
+       |    COALESCE(string_agg(CASE WHEN keep = 1 THEN sn END, '. '
+       |      ORDER BY j), '') AS clean_text
+       |  FROM fl GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(pd.n_sents, 0) AS BIGINT) AS n_sents,
+       |  CAST(COALESCE(pd.n_dup_sents, 0) AS BIGINT) AS n_dup_sents,
+       |  CAST(COALESCE(pd.n_kept, 0) AS BIGINT) AS n_kept,
+       |  COALESCE(pd.clean_text, '') AS clean_text
+       |FROM planted d LEFT JOIN pd ON d.doc_id = pd.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** q124's entropy floor (milli-bits/char; the sf corpus spans
     * ~3680–4240, so 4000 splits it). */
   private val EntropyFloor = 4000L
