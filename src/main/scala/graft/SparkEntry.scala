@@ -143,6 +143,7 @@ object SparkEntry {
     "q124_curation_funnel2" -> (DataPipeQueries.curationFunnel2 _),
     "q125_backoff_lm" -> (DataPipeQueries.backoffLm _),
     "q126_sentence_dedup" -> (DataPipeQueries.sentenceDedupQ _),
+    "q127_zipf_card" -> (DataPipeQueries.zipfCardQ _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -523,5 +524,6 @@ object SparkEntry {
     "q124_curation_funnel2" -> DataPipeQueries.curationFunnel2Oracle,
     "q125_backoff_lm" -> DataPipeQueries.backoffLmOracle,
     "q126_sentence_dedup" -> DataPipeQueries.sentenceDedupOracle,
+    "q127_zipf_card" -> DataPipeQueries.zipfCardOracle,
   )
 }

@@ -2679,6 +2679,53 @@ object DataPipeQueries {
        |FROM planted d LEFT JOIN pd ON d.doc_id = pd.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Zipf slope card (q127): [[CorpusStats.zipfCard]] — the
+    * distributional sanity check, exact rational slope over the
+    * top-1000 token frequencies. The oracle replays the histogram,
+    * the (count desc, token asc) top-k ranking, both log chains, and
+    * the normal-equation arithmetic. */
+  def zipfCardQ(s: SparkSession, d: String): DataFrame =
+    CorpusStats.zipfCard(Tables.documents(s, d))
+
+  def zipfCardOracle: String =
+    s"""WITH hist AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(list_filter(
+       |      string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '')) AS w
+       |    FROM documents) GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+       |    CAST(COALESCE(SUM(c), 0) AS BIGINT) AS t FROM hist
+       |), top AS MATERIALIZED (
+       |  SELECT w, c FROM hist ORDER BY c DESC, w ASC LIMIT 1000
+       |), rk AS (
+       |  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w ASC) AS BIGINT) AS r
+       |  FROM top
+       |), lv AS (
+       |  SELECT DISTINCT v FROM (
+       |    SELECT c AS v FROM rk UNION SELECT r FROM rk)
+       |), ${FixedLogSql.logCtes()}, xy AS (
+       |  SELECT lr.lg AS x, lc.lg AS y
+       |  FROM rk JOIN llog lr ON lr.v = rk.r JOIN llog lc ON lc.v = rk.c
+       |), s AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx
+       |  FROM xy
+       |)
+       |SELECT tot.v AS n_vocab, tot.t AS n_tokens, s.n AS n_fit,
+       |  CAST(s.n * s.sxy - s.sx * s.sy AS BIGINT) AS slope_num,
+       |  CAST(s.n * s.sxx - s.sx * s.sx AS BIGINT) AS slope_den,
+       |  CAST(CASE WHEN (s.n * s.sxx - s.sx * s.sx) < 1000 THEN 0
+       |    WHEN (s.n * s.sxy - s.sx * s.sy) >= 0
+       |      THEN (s.n * s.sxy - s.sx * s.sy)
+       |        // ((s.n * s.sxx - s.sx * s.sx) // 1000)
+       |    ELSE -((-(s.n * s.sxy - s.sx * s.sy))
+       |        // ((s.n * s.sxx - s.sx * s.sx) // 1000)) END AS BIGINT)
+       |    AS slope_milli
+       |FROM tot, s""".stripMargin
+
   /** q124's entropy floor (milli-bits/char; the sf corpus spans
     * ~3680–4240, so 4000 splits it). */
   private val EntropyFloor = 4000L
