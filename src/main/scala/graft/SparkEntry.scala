@@ -144,6 +144,7 @@ object SparkEntry {
     "q125_backoff_lm" -> (DataPipeQueries.backoffLm _),
     "q126_sentence_dedup" -> (DataPipeQueries.sentenceDedupQ _),
     "q127_zipf_card" -> (DataPipeQueries.zipfCardQ _),
+    "q128_epoch_plan" -> (DataPipeQueries.epochPlan _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -525,5 +526,6 @@ object SparkEntry {
     "q125_backoff_lm" -> DataPipeQueries.backoffLmOracle,
     "q126_sentence_dedup" -> DataPipeQueries.sentenceDedupOracle,
     "q127_zipf_card" -> DataPipeQueries.zipfCardOracle,
+    "q128_epoch_plan" -> DataPipeQueries.epochPlanOracle,
   )
 }

@@ -2726,6 +2726,106 @@ object DataPipeQueries {
        |    AS slope_milli
        |FROM tot, s""".stripMargin
 
+  /** q128's global token budget: deliberately BELOW the sf corpus
+    * token mass (~27k at sf0.01) so the per-source prefix rule
+    * actually selects (the q118 100k budget would admit everything —
+    * a degenerate plan). */
+  private val EpochPlanBudget = 10000L
+
+  /** Epoch PLAN (q128): the final-assembly artifact a training loader
+    * actually consumes, composed from the mixing family — √-temperature
+    * apportionment of a global token budget across sources (q118) →
+    * per-source hash-order prefix selection up to each quota (q83's
+    * banded sampler, budgets from the apportionment) → deterministic
+    * epoch shuffle + sharding of the selected set (q122). Output:
+    * (doc_id, source, n_tokens, shard, pos) — "which documents, in
+    * which shard, in what order, for epoch 0". The quota collect is
+    * nSources rows (bounded, the centroid-collect convention). The
+    * oracle recomputes all three stages as one chain. */
+  def epochPlan(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // token counts feed the apportionment collect AND the sampler;
+    // the selected set feeds the shuffle AND the final join — eager
+    // stage materialization, the q124 convention
+    val withTokens = docs.select(col("doc_id"), col("source"),
+      size(expr(s"filter(split(lower(text), '${Tok.WsSqlLit}'), t -> t <> '')"))
+        .cast("long").as("n_tokens"))
+      .localCheckpoint(true)
+    val quotas = Packing.sqrtApportion(withTokens, "source", "n_tokens",
+        EpochPlanBudget)
+      .select(col("source"), col("quota"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sel = Packing.tokenBudgetSample(withTokens, "source", "doc_id",
+      "n_tokens", quotas, defaultBudget = 0L, salt = "sel")
+      .localCheckpoint(true)
+    Sampling.epochShuffle(sel, "doc_id", ShuffleShards, ShuffleSalt)
+      .join(sel, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  def epochPlanOracle: String =
+    s"""WITH tm AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '${Tok.WS}'),
+       |      t -> t <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), qm AS (
+       |  SELECT source, SUM(n_tokens) AS token_mass FROM tm GROUP BY source
+       |), qw AS (
+       |  SELECT source, token_mass,
+       |    CAST(floor(sqrt(CAST(token_mass AS DOUBLE))) AS BIGINT) AS t0
+       |  FROM qm
+       |), qwi AS (
+       |  SELECT source, token_mass,
+       |    CASE WHEN t0 * t0 > token_mass THEN t0 - 1
+       |         WHEN (t0 + 1) * (t0 + 1) <= token_mass THEN t0 + 1
+       |         ELSE t0 END AS weight
+       |  FROM qw
+       |), qtot AS (
+       |  SELECT SUM(weight) AS tw FROM qwi
+       |), qb AS (
+       |  SELECT qwi.source, qwi.weight,
+       |    ($EpochPlanBudget * qwi.weight) // qtot.tw AS base,
+       |    ($EpochPlanBudget * qwi.weight) % qtot.tw AS rem
+       |  FROM qwi, qtot
+       |), qlo AS (
+       |  SELECT $EpochPlanBudget - SUM(base) AS leftover FROM qb
+       |), qr AS (
+       |  SELECT qb.*, row_number() OVER (ORDER BY qb.rem DESC, qb.source ASC) AS rr
+       |  FROM qb
+       |), quota AS (
+       |  SELECT qr.source,
+       |    qr.base + CASE WHEN qr.rr <= qlo.leftover THEN 1 ELSE 0 END AS quota
+       |  FROM qr, qlo
+       |), sh AS (
+       |  SELECT tm.doc_id, tm.source, tm.n_tokens,
+       |    substring(md5(CAST(tm.doc_id AS VARCHAR) || 'sel'), 1, 8) AS hk
+       |  FROM tm WHERE tm.n_tokens IS NOT NULL
+       |), sc AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM sh
+       |), sel AS MATERIALIZED (
+       |  SELECT sc.doc_id, sc.source, sc.n_tokens
+       |  FROM sc JOIN quota ON sc.source = quota.source
+       |  WHERE sc.cum <= quota.quota
+       |), k AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    substring(md5(CAST(doc_id AS VARCHAR) || '$ShuffleSalt'), 1, 8) AS key
+       |  FROM sel
+       |), ks AS (
+       |  SELECT doc_id, source, n_tokens, key,
+       |    CAST('0x' || key AS BIGINT) % $ShuffleShards AS shard
+       |  FROM k
+       |)
+       |SELECT doc_id, source, n_tokens, CAST(shard AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+       |    AS BIGINT) AS pos
+       |FROM ks ORDER BY doc_id""".stripMargin
+
   /** q124's entropy floor (milli-bits/char; the sf corpus spans
     * ~3680–4240, so 4000 splits it). */
   private val EntropyFloor = 4000L
