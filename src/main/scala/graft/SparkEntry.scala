@@ -145,6 +145,7 @@ object SparkEntry {
     "q126_sentence_dedup" -> (DataPipeQueries.sentenceDedupQ _),
     "q127_zipf_card" -> (DataPipeQueries.zipfCardQ _),
     "q128_epoch_plan" -> (DataPipeQueries.epochPlan _),
+    "q129_sentence_dedup_inc" -> (DataPipeQueries.sentenceDedupIncQ _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -527,5 +528,6 @@ object SparkEntry {
     "q126_sentence_dedup" -> DataPipeQueries.sentenceDedupOracle,
     "q127_zipf_card" -> DataPipeQueries.zipfCardOracle,
     "q128_epoch_plan" -> DataPipeQueries.epochPlanOracle,
+    "q129_sentence_dedup_inc" -> DataPipeQueries.sentenceDedupIncOracle,
   )
 }

@@ -165,14 +165,7 @@ object Spans {
     * case. */
   def sentenceDedup(docs: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
-    val ws = graft.util.Tok.WsSqlLit
-    val sents = docs.select(col(idCol), posexplode_outer(expr(
-      s"""filter(transform(split(lower(coalesce($textCol, '')), '[.!?]+$ws'),
-         |  s -> regexp_replace(trim(s), '[.!?]+$$', '')), s -> s != '')"""
-        .stripMargin)).as(Seq("j", "sn")))
-    val occ = sents.filter(col("sn").isNotNull)
-      .select(col(idCol).as("__d"), col("j"),
-        substring(md5(col("sn")), 1, 16).as("h"), col("sn"))
+    val occ = sentenceOccurrences(docs, idCol, textCol)
     val keep = occ.groupBy(col("h"))
       .agg(count(lit(1)).as("occ_n"),
         min(struct(col("__d"), col("j"))).as("k"))
@@ -193,6 +186,83 @@ object Spans {
       .select(col(idCol),
         coalesce(col("n_sents"), lit(0L)).as("n_sents"),
         coalesce(col("n_dup_sents"), lit(0L)).as("n_dup_sents"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** The shared sentence stream of the sentence-dedup family:
+    * normalized sentences with 0-based positions and 16-byte hashes —
+    * (__d, j, h, sn). Null/empty docs emit no rows (callers left-join
+    * back). */
+  private def sentenceOccurrences(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ws = graft.util.Tok.WsSqlLit
+    docs.select(col(idCol), posexplode_outer(expr(
+      s"""filter(transform(split(lower(coalesce($textCol, '')), '[.!?]+$ws'),
+         |  s -> regexp_replace(trim(s), '[.!?]+$$', '')), s -> s != '')"""
+        .stripMargin)).as(Seq("j", "sn")))
+      .filter(col("sn").isNotNull)
+      .select(col(idCol).as("__d"), col("j"),
+        substring(md5(col("sn")), 1, 16).as("h"), col("sn"))
+  }
+
+  /** Persisted sentence-hash INDEX of a corpus: one row per DISTINCT
+    * normalized sentence — the artifact that makes sentence dedup
+    * incremental (the [[graft.datapipe.DedupOps.minhashIndex]]
+    * pattern at sentence grain). Hash the corpus ONCE, persist this
+    * relation, and dedup every arriving batch against it with work ∝
+    * batch, never ∝ corpus. */
+  def sentenceIndex(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    sentenceOccurrences(docs, idCol, textCol)
+      .groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+
+  /** INCREMENTAL sentence dedup: a batch deduped against a persisted
+    * [[sentenceIndex]] plus itself. Steady-state semantics (the q75
+    * convention): the indexed corpus came FIRST, so any batch
+    * occurrence of an indexed sentence is removed regardless of doc
+    * ids — arrival order beats id order; within the batch the
+    * keep-first rule is the same min-(doc, position) as
+    * [[sentenceDedup]]. Output: (idCol, n_sents, n_dup_index,
+    * n_dup_batch, n_kept, clean_text).
+    *
+    * Scale shape: one hash-keyed left join of the BATCH sentence
+    * stream against the index (per-batch work ∝ batch sentences +
+    * their index hits), one keyed keeper agg over the batch-only
+    * remainder, one doc-keyed reassembly. The corpus is never
+    * rescanned. */
+  def sentenceDedupIncremental(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val occ = sentenceOccurrences(batch, idCol, textCol)
+    val flagged = occ.join(index.select(col("h"), lit(1L).as("__ix")),
+      Seq("h"), "left_outer")
+    val fresh = flagged.filter(col("__ix").isNull)
+    val keep = fresh.groupBy(col("h"))
+      .agg(count(lit(1)).as("__occ_n"),
+        min(struct(col("__d"), col("j"))).as("k"))
+    val resolved = flagged.filter(col("__ix").isNotNull)
+      .select(col("__d"), col("j"), col("sn"),
+        lit(1L).as("__dup_ix"), lit(0L).as("__dup_b"), lit(0L).as("__keep"))
+      .unionByName(fresh.join(keep, Seq("h"))
+        .select(col("__d"), col("j"), col("sn"),
+          lit(0L).as("__dup_ix"),
+          when(col("__occ_n") > 1, 1L).otherwise(0L).as("__dup_b"),
+          when(col("__d") === col("k.__d") && col("j") === col("k.j"), 1L)
+            .otherwise(0L).as("__keep")))
+    val perDoc = resolved.groupBy(col("__d")).agg(
+      count(lit(1)).as("n_sents"),
+      sum(col("__dup_ix")).as("n_dup_index"),
+      sum(col("__dup_b")).as("n_dup_batch"),
+      sum(col("__keep")).as("n_kept"),
+      concat_ws(". ", expr(
+        "transform(array_sort(filter(collect_list(struct(j, __keep, sn)), " +
+          "x -> x.__keep = 1)), x -> x.sn)")).as("clean_text"))
+    batch.select(col(idCol))
+      .join(perDoc.withColumnRenamed("__d", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_sents"), lit(0L)).as("n_sents"),
+        coalesce(col("n_dup_index"), lit(0L)).as("n_dup_index"),
+        coalesce(col("n_dup_batch"), lit(0L)).as("n_dup_batch"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }

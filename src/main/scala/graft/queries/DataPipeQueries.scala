@@ -2624,28 +2624,34 @@ object DataPipeQueries {
     * keep-first rule. The oracle replays the planting, the RE2-safe
     * split, normalization, the (doc, position) keeper rule via a
     * per-hash window, and the ordered reassembly. */
-  def sentenceDedupQ(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val planted = docs.select(col("doc_id"),
+  /** The q126/q129 planted-banner corpus (Spark side): shared
+    * boilerplate sentences prepended by `doc_id % 4` / `% 7`. */
+  private def bannerDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       concat(
         when(col("doc_id") % 4 === 0,
           lit("Subscribe to our newsletter today. ")).otherwise(lit("")),
         when(col("doc_id") % 7 === 0,
           lit("Breaking news alert! ")).otherwise(lit("")),
         coalesce(col("text"), lit(""))).as("text"))
-    Spans.sentenceDedup(planted, "doc_id", "text")
+
+  /** The same planting as a DuckDB CTE body. */
+  private val bannerSql: String =
+    """SELECT doc_id,
+      |    (CASE WHEN doc_id % 4 = 0
+      |       THEN 'Subscribe to our newsletter today. ' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 7 = 0
+      |       THEN 'Breaking news alert! ' ELSE '' END) ||
+      |    COALESCE(text, '') AS text
+      |  FROM documents""".stripMargin
+
+  def sentenceDedupQ(s: SparkSession, d: String): DataFrame =
+    Spans.sentenceDedup(bannerDocs(Tables.documents(s, d)), "doc_id", "text")
       .orderBy(col("doc_id"))
-  }
 
   def sentenceDedupOracle: String =
     s"""WITH planted AS (
-       |  SELECT doc_id,
-       |    (CASE WHEN doc_id % 4 = 0
-       |       THEN 'Subscribe to our newsletter today. ' ELSE '' END) ||
-       |    (CASE WHEN doc_id % 7 = 0
-       |       THEN 'Breaking news alert! ' ELSE '' END) ||
-       |    COALESCE(text, '') AS text
-       |  FROM documents
+       |  $bannerSql
        |), base AS (
        |  SELECT doc_id,
        |    list_filter(list_transform(
@@ -2825,6 +2831,76 @@ object DataPipeQueries {
        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
        |    AS BIGINT) AS pos
        |FROM ks ORDER BY doc_id""".stripMargin
+
+  /** Incremental sentence dedup (q129):
+    * [[Spans.sentenceDedupIncremental]] — a batch (`doc_id % 97 = 0`,
+    * the q75/q99 split convention) deduped against the persisted
+    * [[Spans.sentenceIndex]] of the rest of the corpus, banners
+    * planted as in q126 so cross-side duplicates exist. Steady-state
+    * semantics: indexed sentences always win (arrival order beats doc
+    * ids); the batch-internal remainder follows the q126 keep-first
+    * rule. The oracle rebuilds the index hash set and replays both
+    * rules. */
+  def sentenceDedupIncQ(s: SparkSession, d: String): DataFrame = {
+    val planted = bannerDocs(Tables.documents(s, d))
+    val corpus = planted.filter(col("doc_id") % 97 =!= 0)
+    val batch = planted.filter(col("doc_id") % 97 === 0)
+    Spans.sentenceDedupIncremental(batch,
+        Spans.sentenceIndex(corpus, "doc_id", "text"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  def sentenceDedupIncOracle: String =
+    s"""WITH planted AS (
+       |  $bannerSql
+       |), cs AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(
+       |      string_split_regex(lower(COALESCE(text, '')), '[.!?]+${Tok.WS}'),
+       |      s -> regexp_replace(trim(s), '[.!?]+$$', '')), s -> s <> '') AS sl
+       |  FROM planted WHERE doc_id % 97 <> 0
+       |), ixh AS MATERIALIZED (
+       |  SELECT DISTINCT substring(md5(sn), 1, 16) AS h
+       |  FROM (SELECT unnest(sl) AS sn FROM cs)
+       |), bs AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(
+       |      string_split_regex(lower(COALESCE(text, '')), '[.!?]+${Tok.WS}'),
+       |      s -> regexp_replace(trim(s), '[.!?]+$$', '')), s -> s <> '') AS sl
+       |  FROM planted WHERE doc_id % 97 = 0
+       |), bocc AS (
+       |  SELECT doc_id, unnest(sl) AS sn,
+       |    generate_subscripts(sl, 1) - 1 AS j
+       |  FROM bs
+       |), fl0 AS MATERIALIZED (
+       |  SELECT b.doc_id, b.j, b.sn,
+       |    substring(md5(b.sn), 1, 16) AS h,
+       |    CASE WHEN ixh.h IS NOT NULL THEN 1 ELSE 0 END AS inix
+       |  FROM bocc b LEFT JOIN ixh ON substring(md5(b.sn), 1, 16) = ixh.h
+       |), fl AS (
+       |  SELECT doc_id, j, sn, inix AS dup_ix,
+       |    CASE WHEN inix = 0 AND COUNT(*) OVER (PARTITION BY h) > 1
+       |      THEN 1 ELSE 0 END AS dup_b,
+       |    CASE WHEN inix = 0 AND row_number() OVER (
+       |        PARTITION BY h ORDER BY doc_id, j) = 1
+       |      THEN 1 ELSE 0 END AS keep
+       |  FROM fl0
+       |), pd AS (
+       |  SELECT doc_id, COUNT(*) AS n_sents, SUM(dup_ix) AS n_dup_index,
+       |    SUM(dup_b) AS n_dup_batch, SUM(keep) AS n_kept,
+       |    COALESCE(string_agg(CASE WHEN keep = 1 THEN sn END, '. '
+       |      ORDER BY j), '') AS clean_text
+       |  FROM fl GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(pd.n_sents, 0) AS BIGINT) AS n_sents,
+       |  CAST(COALESCE(pd.n_dup_index, 0) AS BIGINT) AS n_dup_index,
+       |  CAST(COALESCE(pd.n_dup_batch, 0) AS BIGINT) AS n_dup_batch,
+       |  CAST(COALESCE(pd.n_kept, 0) AS BIGINT) AS n_kept,
+       |  COALESCE(pd.clean_text, '') AS clean_text
+       |FROM (SELECT doc_id FROM planted WHERE doc_id % 97 = 0) d
+       |LEFT JOIN pd ON d.doc_id = pd.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** q124's entropy floor (milli-bits/char; the sf corpus spans
     * ~3680–4240, so 4000 splits it). */

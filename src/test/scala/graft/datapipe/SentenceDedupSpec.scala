@@ -56,6 +56,41 @@ class SentenceDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental: indexed sentences always lose, batch keeps first among fresh") {
+    import spark.implicits._
+    val corpus = Seq(900L -> "Old banner line. Archive body.").toDF("doc_id", "text")
+    val idx = Spans.sentenceIndex(corpus, "doc_id", "text")
+    // batch doc 1 repeats the indexed banner (removed even though its
+    // id is SMALLER than the corpus doc's — arrival order wins) and a
+    // fresh sentence shared with doc 2 (doc 1 keeps it, doc 2 drops)
+    val batch = Seq(
+      1L -> "Old banner line. Fresh shared bit. Own content one.",
+      2L -> "Fresh shared bit. Own content two.").toDF("doc_id", "text")
+    val r = Spans.sentenceDedupIncremental(batch, idx, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("n_dup_index") == 1L)
+    assert(r(1L).getAs[Long]("n_kept") == 2L)
+    assert(r(1L).getAs[String]("clean_text") ==
+      "fresh shared bit. own content one")
+    assert(r(2L).getAs[Long]("n_dup_batch") == 1L)
+    assert(r(2L).getAs[String]("clean_text") == "own content two")
+  }
+
+  test("incremental with an empty index degenerates to plain keep-first") {
+    import spark.implicits._
+    val docs = Seq(1L -> "Alpha. Beta.", 2L -> "Beta. Gamma.")
+      .toDF("doc_id", "text")
+    val emptyIdx = Spans.sentenceIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    val inc = Spans.sentenceDedupIncremental(docs, emptyIdx, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(4), x.getString(5)))
+    val base = Spans.sentenceDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(3), x.getString(4)))
+    assert(inc.toSeq == base.toSeq)
+  }
+
   test("result is partition-invariant") {
     import spark.implicits._
     val docs = (1L to 40L).map(i =>

@@ -365,6 +365,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("partial_count".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
+  test("q126 sentence dedup: hash-keyed partial aggs, no cross product, no UDF") {
+    val p = plan("q126_sentence_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    assert("partial_count|partial_min".r.findAllIn(p).nonEmpty, p.take(3000))
+  }
+
+  test("q127 zipf card: top-k in TakeOrderedAndProject, no cross join but the 1-row totals") {
+    val p = plan("q127_zipf_card")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // tot × s is a 1-row × 1-row BNLJ by design; never more
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+  }
+
   test("q122 epoch shuffle: banded rank (no global window), offsets broadcast") {
     val p = plan("q122_epoch_shuffle")
     assert(!p.contains("CartesianProduct") &&
