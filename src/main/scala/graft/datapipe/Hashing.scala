@@ -266,6 +266,19 @@ object Hashing {
   def md5Low64(token: String): Long =
     md5Low64(java.security.MessageDigest.getInstance("MD5"), token)
 
+  /** First 16 hex chars of md5(utf8) — exactly Spark's
+    * `substring(md5(s), 1, 16)` (and DuckDB's), the sentence-hash key
+    * of the [[Spans]] dedup family; the driver/closure twin for
+    * streaming probes of those indexes. */
+  def md5Hex16(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new StringBuilder(16)
+    var i = 0
+    while (i < 8) { sb.append(f"${d(i)}%02x"); i += 1 }
+    sb.toString
+  }
+
   /** 64-bit SimHash over md5-derived token hashes (see [[md5Low64]]).
     * Same majority-vote construction as [[simhash]]; the md5 token hash
     * makes the result reproducible in any engine with md5. One

@@ -370,6 +370,37 @@ object StreamingPipeline {
         col("__s._7").as("n_oov"))
   }
 
+  /** Streaming known-boilerplate sentence scrub: arriving documents
+    * cleaned against a BATCH-built [[graft.datapipe.Spans.sentenceIndex]]
+    * collected to a broadcast hash set — the online face of q129's
+    * incremental dedup (the decontamination-twin pattern: corpus
+    * artifact offline, stateless per-row filter online). Exactly the
+    * batch index-removal rule; the batch-internal keep-first half
+    * needs cross-row state and stays a batch/incremental concern —
+    * honest split, same as the near-dup postings twin. A UDF is
+    * justified as in the bloom/LM probes: no builtin probes a
+    * broadcast set per sentence. Emits (id, n_sents, n_dup_index,
+    * n_kept, clean_text); parity vs batch pinned on batches without
+    * internal duplicates. */
+  def sentenceScrubStream(docs: DataFrame, indexHashes: Set[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(indexHashes)
+    val boundary = ("[.!?]+" + graft.util.Tok.WS).r
+    val scrub = udf { (text: String) =>
+      val sents = boundary.split(
+        if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
+        .map(s => s.trim.replaceAll("[.!?]+$", "")).filter(_.nonEmpty)
+      val kept = sents.filterNot(s =>
+        bc.value.contains(graft.datapipe.Hashing.md5Hex16(s)))
+      (sents.length.toLong, (sents.length - kept.length).toLong,
+        kept.length.toLong, kept.mkString(". "))
+    }
+    docs.select(col(idCol), scrub(col(textCol)).as("__s"))
+      .select(col(idCol),
+        col("__s._1").as("n_sents"), col("__s._2").as("n_dup_index"),
+        col("__s._3").as("n_kept"), col("__s._4").as("clean_text"))
+  }
+
   /** Streaming DSIR importance scoring: score arriving documents
     * against a BATCH-trained bucket-weight model
     * ([[graft.datapipe.Importance.importanceModelCollected]]) — the

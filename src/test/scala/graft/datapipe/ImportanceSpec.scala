@@ -21,6 +21,23 @@ class ImportanceSpec extends AnyFunSuite {
     }
   }
 
+  test("log2Fixed is within 2 ulps and monotone on 10k pseudorandom inputs") {
+    var h = 0x9e3779b97f4a7c15L
+    val xs = (1 to 10000).map { _ =>
+      h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+      (h & ((1L << 42) - 1)) max 1L
+    }.distinct.sorted
+    val lg2 = math.log(2.0)
+    var prev = -1L
+    for (x <- xs) {
+      val got = Log2FixedExpr.log2Fixed(x, 16)
+      val want = math.log(x.toDouble) / lg2 * 65536.0
+      assert(math.abs(got - want) <= 2.0, s"x=$x got=$got want=$want")
+      assert(got >= prev, s"monotonicity broke at x=$x")
+      prev = got
+    }
+  }
+
   test("log2Fixed column path equals the driver twin and rejects the domain edge") {
     import spark.implicits._
     val xs = Seq(1L, 5L, 31L, 1L << 20, (1L << 42) - 1)

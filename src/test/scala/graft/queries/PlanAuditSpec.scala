@@ -384,6 +384,26 @@ class PlanAuditSpec extends AnyFunSuite {
       !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
   }
 
+  test("q124 and q128 capstones: no cartesian, no UDF, bounded 1-row BNLJs") {
+    for (name <- Seq("q124_curation_funnel2", "q128_epoch_plan")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(2000)}")
+      // only the deliberate 1-row cross joins (DSIR totals/norm)
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3,
+        s"$name: ${p.take(3000)}")
+      assert(!p.contains("BatchEvalPython") &&
+        !"\\bUDF\\b".r.findFirstIn(p).isDefined, s"$name: ${p.take(2000)}")
+    }
+  }
+
+  test("q129 incremental sentence dedup: hash-keyed join, no cross product, no UDF") {
+    val p = plan("q129_sentence_dedup_inc")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+  }
+
   test("q122 epoch shuffle: banded rank (no global window), offsets broadcast") {
     val p = plan("q122_epoch_shuffle")
     assert(!p.contains("CartesianProduct") &&

@@ -255,6 +255,37 @@ class StreamingPipelineSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("streaming sentence scrub equals the batch index-removal rule") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val corpus = Seq(900L -> "Known banner one. Known banner two. Archive.")
+      .toDF("doc_id", "text")
+    val idx = graft.datapipe.Spans.sentenceIndex(corpus, "doc_id", "text")
+    val idxSet = idx.select("h").as[String].collect().toSet
+    // batch docs with NO internal duplicates (the twin's honest scope)
+    val rows = Seq(
+      (1L, "Known banner one. Fresh alpha content."),
+      (2L, "Fresh beta content. Known banner two! More beta."),
+      (3L, "Entirely fresh."), (4L, ""))
+    val batchExpected = graft.datapipe.Spans.sentenceDedupIncremental(
+        rows.toDF("doc_id", "text"), idx, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getString(5)))).toMap
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingPipeline.sentenceScrubStream(
+      input.toDS().toDF("doc_id", "text"), idxSet)
+    val query = out.writeStream.format("memory").queryName("stream_scrub")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    query.processAllAvailable()
+    val got = spark.table("stream_scrub").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got.size == 4)
+    got.foreach { case (id, v) => assert(v == batchExpected(id), s"doc $id") }
+    query.stop()
+  }
+
   test("streaming PII redaction equals the batch scrub") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
