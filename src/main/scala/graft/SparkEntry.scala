@@ -146,6 +146,7 @@ object SparkEntry {
     "q127_zipf_card" -> (DataPipeQueries.zipfCardQ _),
     "q128_epoch_plan" -> (DataPipeQueries.epochPlan _),
     "q129_sentence_dedup_inc" -> (DataPipeQueries.sentenceDedupIncQ _),
+    "q130_span_corrupt" -> (DataPipeQueries.spanCorruptQ _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -529,5 +530,6 @@ object SparkEntry {
     "q127_zipf_card" -> DataPipeQueries.zipfCardOracle,
     "q128_epoch_plan" -> DataPipeQueries.epochPlanOracle,
     "q129_sentence_dedup_inc" -> DataPipeQueries.sentenceDedupIncOracle,
+    "q130_span_corrupt" -> DataPipeQueries.spanCorruptOracle,
   )
 }

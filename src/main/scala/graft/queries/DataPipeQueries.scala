@@ -2902,6 +2902,72 @@ object DataPipeQueries {
        |LEFT JOIN pd ON d.doc_id = pd.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Deterministic span corruption (q130): [[Corruption.spanCorrupt]]
+    * — T5-style denoising pairs with the mask a pure function of
+    * (doc, position, salt), sentinels merged per contiguous run. The
+    * oracle replays the per-token keyspace test, the run windows, the
+    * sentinel numbering, and both reassembled texts byte-for-byte. */
+  def spanCorruptQ(s: SparkSession, d: String): DataFrame =
+    Corruption.spanCorrupt(Tables.documents(s, d), "doc_id", "text",
+        rate = 0.15, salt = "cor0")
+      .orderBy(col("doc_id"))
+
+  def spanCorruptOracle: String = {
+    val thresh = Sampling.hexThreshold(0.15)
+    s"""WITH tok0 AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(COALESCE(text, '')), '${Tok.WS}'),
+       |      t -> t <> '') AS toks
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(toks) AS t,
+       |    generate_subscripts(toks, 1) - 1 AS i
+       |  FROM tok0
+       |), mk AS (
+       |  SELECT doc_id, i, t,
+       |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+       |        CAST(i AS VARCHAR) || ':' || 'cor0'), 1, 8) < '$thresh'
+       |      THEN 1 ELSE 0 END AS m
+       |  FROM tok
+       |), rn AS (
+       |  SELECT doc_id, i, t, m,
+       |    CASE WHEN m = 1 AND COALESCE(lag(m) OVER w, 0) = 0
+       |      THEN 1 ELSE 0 END AS st
+       |  FROM mk
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+       |), rk AS (
+       |  SELECT doc_id, i, t, m, st,
+       |    SUM(st) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS k
+       |  FROM rn
+       |), pieces AS (
+       |  SELECT doc_id, i, m, st,
+       |    CASE WHEN m = 0 THEN t
+       |         WHEN st = 1 THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+       |    END AS inp,
+       |    CASE WHEN m = 1 THEN
+       |      CASE WHEN st = 1
+       |        THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || t
+       |        ELSE t END
+       |    END AS tg
+       |  FROM rk
+       |), pd AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens, SUM(m) AS n_masked,
+       |    SUM(st) AS n_spans,
+       |    COALESCE(string_agg(inp, ' ' ORDER BY i), '') AS input_text,
+       |    COALESCE(string_agg(tg, ' ' ORDER BY i), '') AS target_text
+       |  FROM pieces GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(pd.n_masked, 0) AS BIGINT) AS n_masked,
+       |  CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+       |  COALESCE(pd.input_text, '') AS input_text,
+       |  COALESCE(pd.target_text, '') AS target_text
+       |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** q124's entropy floor (milli-bits/char; the sf corpus spans
     * ~3680–4240, so 4000 splits it). */
   private val EntropyFloor = 4000L
