@@ -30,6 +30,47 @@ import graft.util.{Par, Tok}
   * sentinel text is built with codegen'd string ops. */
 object Corruption {
 
+  /** Driver/closure-side twin of [[spanCorrupt]] for one document —
+    * the single source of truth for the streaming twin
+    * ([[graft.streaming.StreamingPipeline.spanCorruptStream]]) and
+    * its parity spec. Returns (n_tokens, n_masked, n_spans,
+    * input_text, target_text). */
+  def spanCorruptRow(id: Long, text: String, rate: Double,
+      salt: String): (Long, Long, Long, String, String) = {
+    val thresh = Sampling.hexThreshold(rate)
+    val toks =
+      if (text == null) Array.empty[String]
+      else Tok.WsRegex.split(text.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.nonEmpty)
+    val inp = new StringBuilder
+    val tgt = new StringBuilder
+    var masked = 0L
+    var spans = 0L
+    var prevMasked = false
+    var i = 0
+    while (i < toks.length) {
+      val m = Hashing.md5Hex16(s"$id:$i:$salt").substring(0, 8) < thresh
+      if (m) {
+        masked += 1
+        if (!prevMasked) {
+          val sent = s"<extra_id_$spans>"
+          spans += 1
+          if (inp.nonEmpty) inp.append(' ')
+          inp.append(sent)
+          if (tgt.nonEmpty) tgt.append(' ')
+          tgt.append(sent)
+        }
+        tgt.append(' ').append(toks(i))
+      } else {
+        if (inp.nonEmpty) inp.append(' ')
+        inp.append(toks(i))
+      }
+      prevMasked = m
+      i += 1
+    }
+    (toks.length.toLong, masked, spans, inp.toString, tgt.toString)
+  }
+
   /** Per-document (input_text, target_text, n_tokens, n_masked,
     * n_spans) with `<extra_id_k>` sentinels, masking ≈ `rate` of
     * tokens. Tokens are the shared lowercased Tok.WS space. */

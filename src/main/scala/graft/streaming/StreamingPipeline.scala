@@ -401,6 +401,26 @@ object StreamingPipeline {
         col("__s._3").as("n_kept"), col("__s._4").as("clean_text"))
   }
 
+  /** Streaming span corruption: q130's deterministic T5 denoising
+    * pairs per arriving document — the mask is a pure function of
+    * (id, position, salt), so the online form is a stateless narrow
+    * map over the closure twin
+    * ([[graft.datapipe.Corruption.spanCorruptRow]], parity
+    * spec-pinned); the batch plan's per-doc windows are why it cannot
+    * run unchanged on a stream (the repetition-gate precedent). */
+  def spanCorruptStream(docs: DataFrame, rate: Double = 0.15,
+      salt: String = "", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val corrupt = udf { (id: Long, text: String) =>
+      graft.datapipe.Corruption.spanCorruptRow(id, text, rate, salt)
+    }
+    docs.select(col(idCol), corrupt(col(idCol), col(textCol)).as("__c"))
+      .select(col(idCol),
+        col("__c._1").as("n_tokens"), col("__c._2").as("n_masked"),
+        col("__c._3").as("n_spans"), col("__c._4").as("input_text"),
+        col("__c._5").as("target_text"))
+  }
+
   /** Streaming DSIR importance scoring: score arriving documents
     * against a BATCH-trained bucket-weight model
     * ([[graft.datapipe.Importance.importanceModelCollected]]) — the

@@ -286,6 +286,29 @@ class StreamingPipelineSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("streaming span corruption equals the batch denoising pairs") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val batchExpected = graft.datapipe.Corruption
+      .spanCorrupt(docs, rate = 0.15, salt = "cor0").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val rows = docs.as[(Long, String)].collect().take(60)
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingPipeline.spanCorruptStream(
+      input.toDS().toDF("doc_id", "text"), rate = 0.15, salt = "cor0")
+    val query = out.writeStream.format("memory").queryName("stream_corrupt")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    query.processAllAvailable()
+    val got = spark.table("stream_corrupt").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(got.size == 60)
+    got.foreach { case (id, v) => assert(v == batchExpected(id), s"doc $id") }
+    query.stop()
+  }
+
   test("streaming PII redaction equals the batch scrub") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
