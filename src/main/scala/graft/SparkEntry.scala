@@ -147,6 +147,7 @@ object SparkEntry {
     "q128_epoch_plan" -> (DataPipeQueries.epochPlan _),
     "q129_sentence_dedup_inc" -> (DataPipeQueries.sentenceDedupIncQ _),
     "q130_span_corrupt" -> (DataPipeQueries.spanCorruptQ _),
+    "q131_heaps_curve" -> (DataPipeQueries.heapsCurveQ _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -531,5 +532,6 @@ object SparkEntry {
     "q128_epoch_plan" -> DataPipeQueries.epochPlanOracle,
     "q129_sentence_dedup_inc" -> DataPipeQueries.sentenceDedupIncOracle,
     "q130_span_corrupt" -> DataPipeQueries.spanCorruptOracle,
+    "q131_heaps_curve" -> DataPipeQueries.heapsCurveOracle,
   )
 }

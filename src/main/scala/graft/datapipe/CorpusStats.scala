@@ -9,6 +9,61 @@ import graft.util.{Par, Tok}
 /** Corpus-level statistical cards. */
 object CorpusStats {
 
+  /** HEAPS'-law vocabulary-GROWTH curve: for every document (in
+    * doc-id order), the cumulative token count and cumulative DISTINCT
+    * vocabulary after processing it — the companion diagnostic to
+    * [[zipfCard]] (natural corpora grow vocabulary ≈ K·nᵝ, β ≈ 0.5;
+    * a synthetic or template corpus flattens almost immediately, and
+    * a crawl whose curve suddenly steepens changed domain mid-stream).
+    * "First seen" is attributed to the MINIMUM doc id containing the
+    * token, so the curve is a pure function of the corpus.
+    *
+    * Scale shape: token first-seen is one (token → min doc) partial
+    * agg (vocabulary-sized, never collected); per-doc news/token
+    * counts join on doc id; the two cumulative sums use VALUE-BANDED
+    * prefix sums over doc-id ranges (floor(id / 2²⁰) bands — per-band
+    * totals are aggregate rows, the only window over row data is
+    * within one band) — never a single-partition global window.
+    * Output: (idCol, n_tokens, n_new_tokens, cum_tokens, cum_vocab). */
+  def heapsCurve(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bandW = 1L << 20
+    val toks = Par.ensure(docs).select(col(idCol),
+      explode(expr(
+        s"filter(split(lower($textCol), '${Tok.WsSqlLit}'), t -> t <> '')"))
+        .as("__w"))
+    val perDocTokens = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"))
+    val firstSeen = toks.groupBy(col("__w")).agg(min(col(idCol)).as("__fd"))
+    val perDocNew = firstSeen.groupBy(col("__fd").as(idCol))
+      .agg(count(lit(1)).as("n_new_tokens"))
+    val base = docs.select(col(idCol))
+      .join(perDocTokens, Seq(idCol), "left_outer")
+      .join(perDocNew, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_new_tokens"), lit(0L)).as("n_new_tokens"))
+      .withColumn("__band", floor(col(idCol) / bandW).cast("long"))
+    val bandTotals = base.groupBy(col("__band").as("__ob"))
+      .agg(sum(col("n_tokens")).as("__bt"), sum(col("n_new_tokens")).as("__bv"))
+      .withColumn("__offt", coalesce(sum(col("__bt")).over(
+        Window.orderBy(col("__ob"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__offv", coalesce(sum(col("__bv")).over(
+        Window.orderBy(col("__ob"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__ob"), col("__offt"), col("__offv"))
+    val wBand = Window.partitionBy(col("__band")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("__lt", sum(col("n_tokens")).over(wBand))
+      .withColumn("__lv", sum(col("n_new_tokens")).over(wBand))
+      .join(broadcast(bandTotals), col("__band") === col("__ob"))
+      .select(col(idCol), col("n_tokens"), col("n_new_tokens"),
+        (col("__offt") + col("__lt")).as("cum_tokens"),
+        (col("__offv") + col("__lv")).as("cum_vocab"))
+  }
+
   /** Zipf SLOPE card: least-squares slope of (log2 rank, log2 count)
     * over the top-`k` token frequencies — THE one-number sanity check
     * on a corpus's token distribution (natural language sits near

@@ -2968,6 +2968,42 @@ object DataPipeQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Heaps'-law vocabulary growth (q131): [[CorpusStats.heapsCurve]]
+    * — cumulative tokens and distinct vocabulary in doc-id order,
+    * banded prefix sums engine-side; the oracle's plain global
+    * windows recompute the same curve. */
+  def heapsCurveQ(s: SparkSession, d: String): DataFrame =
+    CorpusStats.heapsCurve(Tables.documents(s, d))
+      .orderBy(col("doc_id"))
+
+  def heapsCurveOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '')) AS w
+       |  FROM documents
+       |), pdt AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+       |  FROM tok GROUP BY 1
+       |), fs AS (
+       |  SELECT w, MIN(doc_id) AS fd FROM tok GROUP BY 1
+       |), pdn AS (
+       |  SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+       |  FROM fs GROUP BY 1
+       |), b AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(pdt.n_tokens, 0) AS n_tokens,
+       |    COALESCE(pdn.n_new, 0) AS n_new
+       |  FROM documents d
+       |  LEFT JOIN pdt ON d.doc_id = pdt.doc_id
+       |  LEFT JOIN pdn ON d.doc_id = pdn.doc_id
+       |)
+       |SELECT doc_id, n_tokens, n_new AS n_new_tokens,
+       |  SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+       |  SUM(n_new) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+       |FROM b ORDER BY doc_id""".stripMargin
+
   /** q124's entropy floor (milli-bits/char; the sf corpus spans
     * ~3680–4240, so 4000 splits it). */
   private val EntropyFloor = 4000L

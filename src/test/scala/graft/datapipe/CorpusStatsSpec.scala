@@ -52,6 +52,40 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("slope_milli") == -1000L)
   }
 
+  test("heaps curve: exact growth with min-doc first-seen attribution") {
+    import spark.implicits._
+    // doc 3 introduces a,b; doc 5 repeats a, adds c; doc 9 adds
+    // nothing new; "b" in doc 9 attributes to doc 3
+    val docs = Seq(3L -> "a b a", 5L -> "a c", 9L -> "b c")
+      .toDF("doc_id", "text")
+    val r = CorpusStats.heapsCurve(docs).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+    assert(r.toSeq == Seq(
+      (3L, 3L, 2L, 3L, 2L), (5L, 2L, 1L, 5L, 3L), (9L, 2L, 0L, 7L, 3L)))
+  }
+
+  test("heaps curve: cumulative sums cross band boundaries correctly") {
+    import spark.implicits._
+    val w = 1L << 20
+    // four docs straddling two doc-id bands, each adding one new token
+    val docs = Seq(w - 2 -> "p q", w - 1 -> "q r", w -> "r s", w + 1 -> "s t")
+      .map { case (id, t) => (id.toLong, t) }.toDF("doc_id", "text")
+    val r = CorpusStats.heapsCurve(docs).orderBy("doc_id").collect()
+      .map(x => (x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq((2L, 2L), (4L, 3L), (6L, 4L), (8L, 5L)))
+  }
+
+  test("heaps curve is partition-invariant") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => i -> s"tok${i % 11} tok${i % 7} fresh$i")
+    val a = CorpusStats.heapsCurve(docs.toDF("doc_id", "text").repartition(1))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = CorpusStats.heapsCurve(docs.toDF("doc_id", "text").repartition(8))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("card is partition-invariant") {
     import spark.implicits._
     val docs = (1L to 50L).map(i =>
