@@ -99,7 +99,8 @@ object ScaleRehearsal {
       "q120_dsir_weights", "q121_char_entropy", "q122_epoch_shuffle",
       "q123_pii_redact", "q124_curation_funnel2", "q125_backoff_lm",
       "q126_sentence_dedup", "q127_zipf_card", "q128_epoch_plan",
-      "q129_sentence_dedup_inc", "q130_span_corrupt", "q131_heaps_curve")
+      "q129_sentence_dedup_inc", "q130_span_corrupt", "q131_heaps_curve",
+      "q132_unimax_allocate")
       .filter(n => args.lift(1).forall(f => f.r.findFirstIn(n).isDefined))
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]

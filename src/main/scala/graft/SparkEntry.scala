@@ -148,6 +148,7 @@ object SparkEntry {
     "q129_sentence_dedup_inc" -> (DataPipeQueries.sentenceDedupIncQ _),
     "q130_span_corrupt" -> (DataPipeQueries.spanCorruptQ _),
     "q131_heaps_curve" -> (DataPipeQueries.heapsCurveQ _),
+    "q132_unimax_allocate" -> (DataPipeQueries.unimaxAllocateQ _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -533,5 +534,6 @@ object SparkEntry {
     "q129_sentence_dedup_inc" -> DataPipeQueries.sentenceDedupIncOracle,
     "q130_span_corrupt" -> DataPipeQueries.spanCorruptOracle,
     "q131_heaps_curve" -> DataPipeQueries.heapsCurveOracle,
+    "q132_unimax_allocate" -> DataPipeQueries.unimaxAllocateOracle,
   )
 }

@@ -353,4 +353,61 @@ object Packing {
           col("__tw") > 0L, 1L).otherwise(0L))
       .select(col(sourceCol), col("token_mass"), col("weight"), col("quota"))
   }
+
+  /** UniMax budget allocation (Chung et al. 2022, "UniMax: Fairer and
+    * More Effective Language Sampling"): fill a total token budget as
+    * UNIFORMLY across sources as possible, capping each source at
+    * `maxEpochs` passes over its own mass — the repetition-bounded
+    * alternative to temperature mixing (α-scaling still over-repeats
+    * tiny sources; UniMax never exceeds the epoch cap). Exact-integer
+    * water-filling: with caps c_i = mass_i · maxEpochs sorted
+    * ascending, a source is CAPPED iff granting every remaining
+    * source at least its cap is feasible — the cross-multiplied test
+    * c_k · (n − k + 1) ≤ B − Σ_{j<k} c_j on prefix sums (monotone in
+    * k, so the capped set is a prefix of the sort). Uncapped sources
+    * share the leftover exactly: base = leftover DIV u with the
+    * remainder distributed +1 by (source asc). Σ quota = min(B, Σ c)
+    * exactly; every step is a BIGINT comparison or floor — the oracle
+    * replays the sort, the feasibility test, and the remainder
+    * distribution.
+    *
+    * Scale shape: identical to [[sqrtApportion]] — one partial-agg
+    * groupBy to the per-source mass relation; every window runs on
+    * those ~|sources| AGGREGATE rows. Emits (source, token_mass, cap,
+    * capped, quota). */
+  def unimaxAllocate(docs: DataFrame, sourceCol: String, tokenCol: String,
+      budget: Long, maxEpochs: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1: $maxEpochs")
+    val masses = docs.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol)).as("token_mass"))
+      .withColumn("cap", col("token_mass") * maxEpochs)
+    val wOrd = Window.orderBy(col("cap"), col(sourceCol))
+    val n = masses.agg(count(lit(1)).as("__n"))
+    val sorted = masses.crossJoin(broadcast(n))
+      .withColumn("__k", row_number().over(wOrd).cast("long"))
+      .withColumn("__p",
+        coalesce(sum(col("cap")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("capped",
+        when(col("cap") * (col("__n") - col("__k") + 1L)
+          <= lit(budget) - col("__p"), 1L).otherwise(0L))
+    val fill = sorted.agg(
+      sum(when(col("capped") === 1L, col("cap")).otherwise(0L)).as("__fc"),
+      sum(lit(1L) - col("capped")).as("__u"))
+    sorted.crossJoin(broadcast(fill))
+      .withColumn("__left", lit(budget) - col("__fc"))
+      .withColumn("__base",
+        when(col("__u") > 0L, expr("__left DIV __u")).otherwise(lit(0L)))
+      .withColumn("__rem",
+        when(col("__u") > 0L, col("__left") % col("__u")).otherwise(lit(0L)))
+      .withColumn("__ur", row_number().over(
+        Window.orderBy(col("capped"), col(sourceCol))).cast("long"))
+      .withColumn("quota",
+        when(col("capped") === 1L, col("cap"))
+          .otherwise(col("__base") +
+            when(col("__ur") <= col("__rem"), 1L).otherwise(0L)))
+      .select(col(sourceCol), col("token_mass"), col("cap"),
+        col("capped"), col("quota"))
+  }
 }

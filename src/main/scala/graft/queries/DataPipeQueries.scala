@@ -3004,6 +3004,64 @@ object DataPipeQueries {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
        |FROM b ORDER BY doc_id""".stripMargin
 
+  /** q132's budget and epoch cap: at maxEpochs = 1 and budget 25,000
+    * (< the ~27k corpus mass) the sf corpora produce a MIXED outcome —
+    * some sources capped at their full mass, the rest water-leveled. */
+  private val UnimaxBudget = 25000L
+
+  /** UniMax allocation (q132): [[Packing.unimaxAllocate]] — the
+    * repetition-capped counterpart to q118's √-temperature mix
+    * (Chung et al. 2022), exact-integer water-filling. The oracle
+    * replays the cap sort, the cross-multiplied feasibility test on
+    * prefix sums, and the leftover split with its remainder order. */
+  def unimaxAllocateQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val withTokens = docs.select(col("source"),
+      size(expr(s"filter(split(lower(text), '${Tok.WsSqlLit}'), t -> t <> '')"))
+        .cast("long").as("n_tokens"))
+    Packing.unimaxAllocate(withTokens, "source", "n_tokens",
+        UnimaxBudget, maxEpochs = 1L)
+      .orderBy(col("source"))
+  }
+
+  def unimaxAllocateOracle: String =
+    s"""WITH m AS (
+       |  SELECT source,
+       |    CAST(SUM(len(list_filter(string_split_regex(lower(text), '${Tok.WS}'),
+       |      t -> t <> ''))) AS BIGINT) AS token_mass
+       |  FROM documents GROUP BY source
+       |), c AS (
+       |  SELECT source, token_mass, token_mass * 1 AS cap FROM m
+       |), nn AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c
+       |), s AS (
+       |  SELECT c.source, c.token_mass, c.cap, nn.n,
+       |    CAST(row_number() OVER (ORDER BY c.cap, c.source) AS BIGINT) AS k,
+       |    COALESCE(SUM(c.cap) OVER (ORDER BY c.cap, c.source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+       |  FROM c, nn
+       |), f AS (
+       |  SELECT *,
+       |    CASE WHEN cap * (n - k + 1) <= $UnimaxBudget - p
+       |      THEN 1 ELSE 0 END AS capped
+       |  FROM s
+       |), g AS (
+       |  SELECT SUM(CASE WHEN capped = 1 THEN cap ELSE 0 END) AS fc,
+       |    SUM(1 - capped) AS u
+       |  FROM f
+       |), r AS (
+       |  SELECT f.*, ($UnimaxBudget - g.fc) AS lft, g.u,
+       |    CAST(row_number() OVER (ORDER BY f.capped, f.source) AS BIGINT) AS ur
+       |  FROM f, g
+       |)
+       |SELECT source, token_mass, CAST(cap AS BIGINT) AS cap,
+       |  CAST(capped AS BIGINT) AS capped,
+       |  CAST(CASE WHEN capped = 1 THEN cap
+       |       WHEN u > 0 THEN (lft // u)
+       |         + (CASE WHEN ur <= lft % u THEN 1 ELSE 0 END)
+       |       ELSE 0 END AS BIGINT) AS quota
+       |FROM r ORDER BY source""".stripMargin
+
   /** q124's entropy floor (milli-bits/char; the sf corpus spans
     * ~3680–4240, so 4000 splits it). */
   private val EntropyFloor = 4000L
