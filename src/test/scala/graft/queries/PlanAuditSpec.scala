@@ -404,6 +404,37 @@ class PlanAuditSpec extends AnyFunSuite {
       !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
   }
 
+  test("q130 span corruption: doc-keyed windows, no cross product, no UDF") {
+    val p = plan("q130_span_corrupt")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).nonEmpty, p.take(3000))
+  }
+
+  test("q131 heaps curve: banded prefix sums, partial aggs, no cross product") {
+    val p = plan("q131_heaps_curve")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    assert("partial_count|partial_sum".r.findAllIn(p).size >= 2, p.take(3000))
+    // row-data cumsum windows partition on the doc-id band
+    assert("hashpartitioning\\(__band".r.findAllIn(p).nonEmpty, p.take(3000))
+  }
+
+  test("q132 unimax: windows on aggregate rows only (one mass shuffle)") {
+    val p = plan("q132_unimax_allocate")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // only the deliberate 1-row broadcast cross joins (source count,
+    // fill totals, leftover) onto the ~|sources|-row aggregate relation
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3, p.take(3000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    assert("partial_sum".r.findAllIn(p).nonEmpty, p.take(3000))
+  }
+
   test("q122 epoch shuffle: banded rank (no global window), offsets broadcast") {
     val p = plan("q122_epoch_shuffle")
     assert(!p.contains("CartesianProduct") &&
