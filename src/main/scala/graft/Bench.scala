@@ -114,6 +114,13 @@ object Bench {
     }
     (1 to 2).foreach(_ => probe()) // settle JIT + seed the reference
     val ContendedFactor = 1.10
+    // Retry budget per contended query: r12 shipped 9 unclean windows
+    // out of 12 flagged with a budget of 2 — the burst outlasted the
+    // retries. 5 attempts with a short sleep before each lets a
+    // multi-second host burst pass while costing nothing on a quiet
+    // host (the loop exits at the first clean window).
+    val RetryBudget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "5").toInt
     // name -> (raw contended seconds, clean-window rerun obtained)
     val contended =
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Boolean)]
@@ -133,7 +140,8 @@ object Bench {
         val raw = t
         var clean = false
         var tries = 0
-        while (!clean && tries < 2) {
+        while (!clean && tries < RetryBudget) {
+          Thread.sleep(500L * (tries + 1)) // let the burst pass
           val pb = probe()
           val t2 = runOnce()
           val pa = probe()

@@ -3,13 +3,12 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** 10× scale rehearsal (sf1-equivalent): amplifies the sf0.1 documents
-  * and embeddings tables 10× with structure-preserving perturbations,
-  * then times the headline dedup / ANN / search / contamination /
-  * mixture queries and the MEDLINE pipeline at that scale. The point is
-  * memory-shape validation — every operator must hold its bounded
-  * per-task state when the corpus grows 10× — not oracle correctness
-  * (the driver's gate runs at sf0.01).
+/** 10× scale rehearsal (sf1-equivalent): amplifies the COMPLETE sf0.1
+  * table set 10× with structure-preserving perturbations, then times
+  * the ENTIRE SparkEntry query surface and the MEDLINE pipeline at
+  * that scale. The point is memory-shape validation — every operator
+  * must hold its bounded per-task state when the corpus grows 10× —
+  * not oracle correctness (the driver's gate runs at sf0.01).
   *
   * Amplification preserves the interesting structure:
   *  - documents: copy k rewrites every token t → t_k, so a planted
@@ -19,18 +18,27 @@ import org.apache.spark.sql.functions._
   *    cause);
   *  - embeddings: copy k adds deterministic per-component noise (cosine
   *    neighborhoods inside a copy survive; copies don't collapse onto
-  *    each other).
+  *    each other);
+  *  - relational facts (lineitem/orders/customer/supplier/part/events):
+  *    copy k shifts every join key by k × (max key + 1), so each copy
+  *    is a foreign-key-consistent island — per-key join/window
+  *    cardinalities are preserved while global volume grows 10×
+  *    (naive row duplication would instead multiply per-key group
+  *    sizes and misrepresent the shuffle shape);
+  *  - region/nation stay 1× (dimension tables grow slower than facts
+  *    in any real warehouse; the broadcast-side posture is the claim
+  *    under test).
   *
-  * Usage: runMain graft.ScaleRehearsal [factor] (default 10).
-  * Prints one JSON line of wall-times; see COVERAGE.md "10× scale
-  * rehearsal" for recorded results + analysis.
+  * Usage: runMain graft.ScaleRehearsal [factor] [nameRegex] (default 10,
+  * all queries). Prints one JSON line of wall-times; see COVERAGE.md
+  * "10× scale rehearsal" for recorded results + analysis.
   */
 object ScaleRehearsal {
 
   def amplify(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
     val out = new java.io.File(outDir)
-    if (new java.io.File(s"$outDir/_DONE_$factor").exists()) return
+    if (new java.io.File(s"$outDir/_DONE_full_$factor").exists()) return
     out.mkdirs()
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val nDocs = docs.count()
@@ -58,7 +66,44 @@ object ScaleRehearsal {
     }.reduce(_.unionByName(_))
       .repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    new java.io.File(s"$outDir/_DONE_$factor").createNewFile()
+
+    // relational facts: key-shifted FK-consistent copies
+    def maxKey(t: DataFrame, c: String): Long =
+      t.agg(max(col(c).cast("long"))).collect()(0).getLong(0) + 1L
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    val cust = spark.read.parquet(s"$srcDir/customer.parquet")
+    val supp = spark.read.parquet(s"$srcDir/supplier.parquet")
+    val prt = spark.read.parquet(s"$srcDir/part.parquet")
+    val (mOrd, mCust, mSupp, mPart) = (maxKey(ord, "o_orderkey"),
+      maxKey(cust, "c_custkey"), maxKey(supp, "s_suppkey"),
+      maxKey(prt, "p_partkey"))
+    def shifted(t: DataFrame, shifts: Map[String, Long], name: String): Unit =
+      (0 until factor).map { k =>
+        t.select(t.columns.map { c =>
+          shifts.get(c) match {
+            case Some(m) => (col(c) + lit(k.toLong * m)).as(c)
+            case None => col(c)
+          }
+        }: _*)
+      }.reduce(_.unionByName(_))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    shifted(li, Map("l_orderkey" -> mOrd, "l_partkey" -> mPart,
+      "l_suppkey" -> mSupp), "lineitem")
+    shifted(ord, Map("o_orderkey" -> mOrd, "o_custkey" -> mCust), "orders")
+    shifted(cust, Map("c_custkey" -> mCust), "customer")
+    shifted(supp, Map("s_suppkey" -> mSupp), "supplier")
+    shifted(prt, Map("p_partkey" -> mPart), "part")
+    // dimension tables ride along unamplified
+    for (dim <- Seq("region", "nation"))
+      spark.read.parquet(s"$srcDir/$dim.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$dim.parquet")
+    // events: per-user streams stay intact, user/eventkey islands shift
+    val ev = graft.util.Tables.events(spark, srcDir)
+    val (mEvt, mUser) = (maxKey(ev, "event_id"), maxKey(ev, "user_id"))
+    shifted(ev, Map("event_id" -> mEvt, "user_id" -> mUser), "events")
+    new java.io.File(s"$outDir/_DONE_full_$factor").createNewFile()
   }
 
   def main(args: Array[String]): Unit = {
@@ -76,31 +121,10 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("ERROR")
     amplify(spark, srcDir, dir, factor)
 
-    val headline = Seq(
-      "q12_dedup_exact", "q13_dedup_minhash", "q14_dedup_simhash",
-      "q15_knn_cosine", "q16_knn_ivf", "q20_cosine_neardup",
-      "q55_neardup_components", "q61_inverted_search", "q62_bm25_search",
-      "q64_sequence_packing", "q65_mixture_schedule", "q73_contamination",
-      "q75_incremental_dedup", "q76_repetition", "q77_split_manifest",
-      "q78_weighted_sample", "q79_topk_per_group", "q80_tfidf_keywords",
-      "q81_heavy_hitters", "q82_dup_spans", "q83_token_budget",
-      "q84_source_overlap", "q86_curated_mix", "q87_stratified_weighted",
-      "q88_split_leakage", "q89_span_removal", "q90_bpe_encode",
-      "q92_image_neardup", "q93_video_meta", "q94_bpe_budget",
-      "q95_kmeans", "q96_semantic_dedup", "q97_ngram_novelty",
-      "q98_decontaminate", "q99_contamination_bloom", "q100_rank_normalize",
-      "q101_leakfree_split", "q102_dataset_card", "q103_llm_funnel",
-      "q104_bpe_merges", "q105_text_featurize", "q106_pca_moments",
-      "q107_lm_score", "q108_doc_chunks", "q109_pca_projection",
-      "q110_int8_quantize", "q111_bpe_chunks", "q112_gopher_rules",
-      "q113_dedup_keepbest", "q114_tokenizer_fertility",
-      "q115_cms_frequency", "q116_canonical_dedup", "q117_oov_score",
-      "q118_mixture_apportion", "q119_repetition_chars",
-      "q120_dsir_weights", "q121_char_entropy", "q122_epoch_shuffle",
-      "q123_pii_redact", "q124_curation_funnel2", "q125_backoff_lm",
-      "q126_sentence_dedup", "q127_zipf_card", "q128_epoch_plan",
-      "q129_sentence_dedup_inc", "q130_span_corrupt", "q131_heaps_curve",
-      "q132_unimax_allocate")
+    // the ENTIRE driver query surface, in q-number order (numeric
+    // sort so q2 runs before q10)
+    val headline = SparkEntry.queries.keys.toSeq
+      .sortBy(n => (n.drop(1).takeWhile(_.isDigit).toInt, n))
       .filter(n => args.lift(1).forall(f => f.r.findFirstIn(n).isDefined))
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Long]

@@ -149,6 +149,8 @@ object SparkEntry {
     "q130_span_corrupt" -> (DataPipeQueries.spanCorruptQ _),
     "q131_heaps_curve" -> (DataPipeQueries.heapsCurveQ _),
     "q132_unimax_allocate" -> (DataPipeQueries.unimaxAllocateQ _),
+    "q133_zipf_card_inc" -> (DataPipeQueries.zipfCardIncQ _),
+    "q134_heaps_curve_inc" -> (DataPipeQueries.heapsCurveIncQ _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -535,5 +537,7 @@ object SparkEntry {
     "q130_span_corrupt" -> DataPipeQueries.spanCorruptOracle,
     "q131_heaps_curve" -> DataPipeQueries.heapsCurveOracle,
     "q132_unimax_allocate" -> DataPipeQueries.unimaxAllocateOracle,
+    "q133_zipf_card_inc" -> DataPipeQueries.zipfCardIncOracle,
+    "q134_heaps_curve_inc" -> DataPipeQueries.heapsCurveIncOracle,
   )
 }

@@ -27,17 +27,30 @@ object CorpusStats {
     * Output: (idCol, n_tokens, n_new_tokens, cum_tokens, cum_vocab). */
   def heapsCurve(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val bandW = 1L << 20
-    val toks = Par.ensure(docs).select(col(idCol),
-      explode(expr(
-        s"filter(split(lower($textCol), '${Tok.WsSqlLit}'), t -> t <> '')"))
-        .as("__w"))
+    val toks = tokenStream(docs, idCol, textCol)
     val perDocTokens = toks.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"))
     val firstSeen = toks.groupBy(col("__w")).agg(min(col(idCol)).as("__fd"))
     val perDocNew = firstSeen.groupBy(col("__fd").as(idCol))
       .agg(count(lit(1)).as("n_new_tokens"))
-    val base = docs.select(col(idCol))
+    heapsFromParts(docs.select(col(idCol)), perDocTokens, perDocNew, idCol)
+  }
+
+  /** One row per token OCCURRENCE: (idCol, __w) — the shared front of
+    * both cards and the [[tokenIndex]]. */
+  private def tokenStream(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    Par.ensure(docs).select(col(idCol),
+      explode(expr(
+        s"filter(split(lower($textCol), '${Tok.WsSqlLit}'), t -> t <> '')"))
+        .as("__w"))
+
+  /** The banded-prefix-sum back half of the Heaps' curve, from the
+    * full doc-id list plus the two per-doc relations. */
+  private def heapsFromParts(ids: DataFrame, perDocTokens: DataFrame,
+      perDocNew: DataFrame, idCol: String): DataFrame = {
+    val bandW = 1L << 20
+    val base = ids
       .join(perDocTokens, Seq(idCol), "left_outer")
       .join(perDocNew, Seq(idCol), "left_outer")
       .select(col(idCol),
@@ -77,9 +90,15 @@ object CorpusStats {
     * [[graft.functions.Log2FixedExpr]] (Q16), the normal-equation
     * sums as BIGINTs (bounded: at k = 1000 every product stays under
     * 2⁶²), and the slope emitted as the EXACT rational
-    * (slope_num, slope_den) — slope = num/den — plus a floor(×1000)
-    * convenience `slope_milli` computed sign-explicitly so BIGINT
-    * truncation (Spark `DIV`) and floor division (DuckDB `//`) agree.
+    * (slope_num, slope_den) — slope = num/den — plus a convenience
+    * `slope_milli` defined as the EXACT replayed integer formula
+    * `sign(num) · (|num| DIV (den DIV 1000))` (0 when den < 1000):
+    * the inner truncation of den makes this ≈ floor(1000·slope) with
+    * up to ~0.1% relative error, the price of keeping every product
+    * inside BIGINT with no widening; `slope_num`/`slope_den` are the
+    * exact answer, `slope_milli` is the display form. Sign-explicit
+    * so BIGINT truncation (Spark `DIV`) and floor division (DuckDB
+    * `//`) agree.
     *
     * Scale shape: one token-keyed partial-agg shuffle for the
     * histogram; top-k lands in TakeOrderedAndProject (per-partition
@@ -89,17 +108,19 @@ object CorpusStats {
     * slope_num, slope_den, slope_milli). */
   def zipfCard(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 1000): DataFrame = {
-    require(k >= 2 && k <= 100000, s"k out of range: $k")
-    def log2f(c: Column): Column = Expressions.log2_fixed(c, 16)
     // the histogram feeds BOTH the totals and the top-k; eagerly
     // materialize it (vocab-sized — small at any corpus scale) so the
     // corpus explode+agg runs once, not per consumer (q124 precedent)
-    val hist = Par.ensure(docs)
-      .select(explode(expr(
-        s"filter(split(lower($textCol), '${Tok.WsSqlLit}'), t -> t <> '')"))
-        .as("__w"))
+    val hist = tokenStream(docs, idCol, textCol)
       .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
       .localCheckpoint(true)
+    zipfFromHist(hist, k)
+  }
+
+  /** The Zipf regression from a `(__w, __c)` histogram relation. */
+  private def zipfFromHist(hist: DataFrame, k: Int): DataFrame = {
+    require(k >= 2 && k <= 100000, s"k out of range: $k")
+    def log2f(c: Column): Column = Expressions.log2_fixed(c, 16)
     val tot = hist.agg(count(lit(1)).as("n_vocab"),
       coalesce(sum(col("__c")), lit(0L)).as("n_tokens"))
     val top = hist.orderBy(col("__c").desc, col("__w").asc).limit(k)
@@ -124,5 +145,67 @@ object CorpusStats {
           |WHEN slope_num >= 0
           |  THEN slope_num DIV (slope_den DIV 1000)
           |ELSE -((-slope_num) DIV (slope_den DIV 1000)) END""".stripMargin))
+  }
+
+  /** Persisted TOKEN INDEX of a corpus: one row per distinct token —
+    * `(token, n_occ, first_doc)` — the artifact that gives both
+    * corpus cards a steady-state incremental form (the
+    * [[Spans.sentenceIndex]] / q75 pattern at token grain). Hash the
+    * corpus once, persist this vocabulary-sized relation, then fold
+    * each arriving batch in with [[tokenIndexMerge]] and recompute
+    * the cards from the index with [[zipfCardFromIndex]] /
+    * [[heapsCurveFromIndex]] — the corpus itself is never rescanned.
+    * Counts ADD and first-seen doc ids MIN across batches, so the
+    * merged index is a pure function of the union corpus regardless
+    * of batch boundaries (spec-pinned batch ≡ incremental). */
+  def tokenIndex(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    tokenStream(docs, idCol, textCol)
+      .groupBy(col("__w").as("token"))
+      .agg(count(lit(1)).as("n_occ"), min(col(idCol)).as("first_doc"))
+
+  /** Fold a new batch into a persisted [[tokenIndex]]: counts sum,
+    * first-seen docs min. One vocabulary-keyed partial agg over
+    * index ∪ batch-index — per-merge work ∝ vocabulary + batch
+    * tokens, never ∝ corpus occurrences. */
+  def tokenIndexMerge(index: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    index.unionByName(tokenIndex(batch, idCol, textCol))
+      .groupBy(col("token"))
+      .agg(sum(col("n_occ")).as("n_occ"),
+        min(col("first_doc")).as("first_doc"))
+
+  /** [[zipfCard]] recomputed from a persisted [[tokenIndex]]: the
+    * identical regression over the index's `(token, n_occ)` histogram
+    * — bit-identical to the batch card on the same corpus. */
+  def zipfCardFromIndex(index: DataFrame, k: Int = 1000): DataFrame =
+    zipfFromHist(index.select(col("token").as("__w"),
+      col("n_occ").as("__c")), k)
+
+  /** Per-document token counts `(idCol, n_tokens)` — the append-only
+    * companion relation of [[tokenIndex]] (a document's count never
+    * changes once written; each batch appends its own rows). Includes
+    * zero rows for token-free documents so
+    * [[heapsCurveFromIndex]] sees the full doc-id list. */
+  def docTokenCounts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val perDoc = tokenStream(docs, idCol, textCol)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+
+  /** [[heapsCurve]] recomputed from the persisted [[tokenIndex]] plus
+    * the append-only [[docTokenCounts]] relation: first-seen news per
+    * doc from the index's `first_doc`, token mass from the counts
+    * relation, then the same banded prefix sums — bit-identical to
+    * the batch curve on the same corpus (first-seen is min-doc-id in
+    * both, a pure function of the union corpus). */
+  def heapsCurveFromIndex(index: DataFrame, docCounts: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val perDocNew = index.groupBy(col("first_doc").as(idCol))
+      .agg(count(lit(1)).as("n_new_tokens"))
+    heapsFromParts(docCounts.select(col(idCol)),
+      docCounts.select(col(idCol), col("n_tokens")), perDocNew, idCol)
   }
 }

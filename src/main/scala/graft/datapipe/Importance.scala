@@ -95,10 +95,17 @@ object Importance {
       .agg(sum(col("__c")).as("__cr"))
     val tgtBuckets = bucketStream(target, textCol, mask, Seq.empty)
       .groupBy(col("__bucket")).agg(count(lit(1)).as("__ct"))
-    val wb = rawBuckets.join(tgtBuckets, Seq("__bucket"), "left_outer")
+    // FULL outer: a bucket present only in the target corpus still
+    // carries weight log2f(ct+1) − log2f(0+1) > 0 — dropping it (the
+    // old left join) would score exactly the most target-like unseen
+    // features as 0 in the collected/streaming model. Batch
+    // importanceWeights is unaffected either way (raw docs only probe
+    // raw buckets), so the two faces stay bit-identical where both see
+    // the bucket.
+    val wb = rawBuckets.join(tgtBuckets, Seq("__bucket"), "full_outer")
       .select(col("__bucket"),
         (log2f(coalesce(col("__ct"), lit(0L)) + 1L)
-          - log2f(col("__cr") + 1L)).as("__wb"))
+          - log2f(coalesce(col("__cr"), lit(0L)) + 1L)).as("__wb"))
     // corpus-size normalizer: log2f(Nr + B) − log2f(Nt + B), one row
     val nr = rawBuckets.agg(sum(col("__cr")).as("__nr"))
     val nt = tgtBuckets.agg(sum(col("__ct")).as("__nt"))
@@ -113,10 +120,10 @@ object Importance {
     * probes the map the way LM scoring probes its gram table):
     * (bucket → Q16 log-weight, corpus-size normalizer). The collect
     * is bounded by `buckets` rows — model-sized, like the k-means
-    * centroid collects, never corpus-sized. Buckets the raw corpus
-    * never touched are absent: both smoothed counts are 0 there, so
-    * their weight is exactly 0 — a map miss scores 0, which IS the
-    * model's answer, not an approximation. */
+    * centroid collects, never corpus-sized. The map carries every
+    * bucket either corpus touched (full-outer model build), so a map
+    * miss means BOTH smoothed counts are 0 and the weight is exactly
+    * 0 — the model's answer, not an approximation. */
   def importanceModelCollected(raw: DataFrame, target: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       buckets: Int = 4096): (Map[Long, Long], Long) = {

@@ -100,10 +100,12 @@ object QualityScore {
     * spaces) so the arithmetic is exact and engine-portable — raw-text
     * char offsets would make the metric depend on runs of whitespace
     * that tokenization already erased. Keep flags apply the published
-    * thresholds as cross-multiplied integer tests (top-2-gram ≤ 0.20,
-    * dup-5-gram ≤ 0.15); the raw integers are emitted so downstream
-    * re-thresholds (or evaluates the other published n) without a
-    * second scan.
+    * Gopher Table A1 threshold FOR THE REQUESTED GRAM SIZE (top-2
+    * 0.20, top-3 0.18, top-4 0.16; dup-5 0.15 … dup-10 0.10) as
+    * cross-multiplied integer tests; gram sizes outside the published
+    * table are rejected eagerly rather than silently scored with the
+    * 2/5 thresholds. The raw integers are emitted so downstream
+    * re-thresholds without a second scan.
     *
     * Scale shape: positional tokens (one doc-keyed window for char
     * offsets — per-doc partitions, bounded by document length, the
@@ -115,7 +117,7 @@ object QualityScore {
     * outlives a key. */
   def repetitionCharMetrics(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", nTop: Int = 2, nDup: Int = 5): DataFrame = {
-    require(nTop >= 1 && nDup >= 1, s"n-gram sizes must be >= 1: $nTop, $nDup")
+    val (topPct, dupPct) = (gopherTopPct(nTop), gopherDupPct(nDup))
     val nLead = math.max(nTop, nDup)
     val base = graft.util.Par.ensure(docs).select(col(idCol),
       expr(s"filter(split(lower($textCol), '${Tok.WsSqlLit}'), t -> t <> '')")
@@ -171,8 +173,27 @@ object QualityScore {
         coalesce(col("top_count"), lit(0L)).as(s"top${nTop}_count"),
         cTop.as(s"top${nTop}_chars"),
         cDup.as(s"dup${nDup}_chars"),
-        when(cTop * 5 <= cChars && cDup * 20 <= cChars * 3, 1L)
-          .otherwise(0L).as("keep_rep"))
+        when(cTop * 100 <= cChars * topPct && cDup * 100 <= cChars * dupPct,
+          1L).otherwise(0L).as("keep_rep"))
+  }
+
+  /** Gopher repetition thresholds (Rae et al. 2021, Table A1), as
+    * integer percentages of normalized characters: the max fraction
+    * covered by the single most frequent n-gram (n = 2..4). Gram
+    * sizes outside the published table have no defined keep flag. */
+  private[datapipe] def gopherTopPct(n: Int): Int = n match {
+    case 2 => 20; case 3 => 18; case 4 => 16
+    case _ => throw new IllegalArgumentException(
+      s"no published top-$n-gram threshold (Gopher Table A1 covers 2..4)")
+  }
+
+  /** Gopher duplicate-n-gram coverage thresholds (Table A1), integer
+    * percentages: n = 5..10 map to 15..10. */
+  private[datapipe] def gopherDupPct(n: Int): Int = n match {
+    case 5 => 15; case 6 => 14; case 7 => 13; case 8 => 12
+    case 9 => 11; case 10 => 10
+    case _ => throw new IllegalArgumentException(
+      s"no published dup-$n-gram threshold (Gopher Table A1 covers 5..10)")
   }
 
   /** Driver/closure-side twin of [[repetitionCharMetrics]] for one
@@ -183,6 +204,7 @@ object QualityScore {
     * .repetitionCharsStream]]) and its parity spec. */
   def repetitionCharRow(text: String, nTop: Int = 2, nDup: Int = 5):
       (Long, Long, Long, Long, Long) = {
+    val (topPct, dupPct) = (gopherTopPct(nTop), gopherDupPct(nDup))
     val toks =
       if (text == null) Array.empty[String]
       else Tok.WsRegex.split(text.toLowerCase(java.util.Locale.ROOT))
@@ -222,7 +244,9 @@ object QualityScore {
       if (e > prevEnd) prevEnd = e
     }
     val keep =
-      if (topChars * 5 <= nChars && covered * 20 <= nChars * 3) 1L else 0L
+      if (topChars * 100 <= nChars * topPct && covered * 100 <= nChars * dupPct)
+        1L
+      else 0L
     (nChars, topCount, topChars, covered, keep)
   }
 
@@ -573,28 +597,88 @@ object QualityScore {
         coalesce(col("__n0"), lit(0L)).as("n_oov"))
   }
 
+  /** The `(gram, count)` relation of the `n`-grams of the tokenized
+    * reference corpus (`base` = one `__toks` array column). */
+  private def gramCountsDf(base: DataFrame, n: Int): DataFrame = base
+    .filter(size(col("__toks")) >= n)
+    .select(explode(expr(
+      s"""transform(sequence(1, size(__toks) - ${n - 1}),
+         |  i -> concat_ws(' ', slice(__toks, i, $n)))""".stripMargin))
+      .as("__g"))
+    .groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+
+  private def tokenizedBase(refDocs: DataFrame, textCol: String): DataFrame =
+    graft.util.Par.ensure(refDocs).select(
+      expr(s"filter(split(lower($textCol), '${Tok.WsSqlLit}'), t -> t <> '')")
+        .as("__toks"))
+
   /** The trained backoff LM of [[backoffLmScore]] as driver-side
     * artifacts for online scoring
     * ([[graft.streaming.StreamingPipeline.backoffLmScoreStream]]):
     * (trigram counts, bigram counts, unigram counts, total tokens).
-    * The collect is ∝ the REFERENCE vocabulary — the same size caveat
-    * as [[lmGramProbs]]' streaming consumer: at production scale ship
-    * a pruned or file-backed model. */
+    * The collect is ∝ the REFERENCE vocabulary — fine for a curated
+    * reference slice; at production vocabulary sizes use
+    * [[backoffLmModelPruned]], whose collect is explicitly bounded. */
   def backoffLmModelCollected(refDocs: DataFrame, textCol: String = "text"):
       (Map[String, Long], Map[String, Long], Map[String, Long], Long) = {
-    val base = graft.util.Par.ensure(refDocs).select(
-      expr(s"filter(split(lower($textCol), '${Tok.WsSqlLit}'), t -> t <> '')")
-        .as("__toks"))
-    def cnt(n: Int): Map[String, Long] = base
-      .filter(size(col("__toks")) >= n)
-      .select(explode(expr(
-        s"""transform(sequence(1, size(__toks) - ${n - 1}),
-           |  i -> concat_ws(' ', slice(__toks, i, $n)))""".stripMargin))
-        .as("__g"))
-      .groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+    val base = tokenizedBase(refDocs, textCol)
+    def cnt(n: Int): Map[String, Long] = gramCountsDf(base, n)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val c1 = cnt(1)
     (cnt(3), cnt(2), c1, c1.values.sum)
+  }
+
+  /** PRUNED driver-side backoff LM: [[backoffLmModelCollected]]'s
+    * artifacts restricted to grams with count ≥ `minCount` (the
+    * count-cutoff pruning of Brants et al. 2007) and to the top-`topK`
+    * continuations per conditioning prefix (count desc, gram asc on
+    * ties). Kept counts are the UNPRUNED corpus counts and `n` is the
+    * full corpus token mass, so every score the pruned model CAN
+    * resolve is bit-identical to the full model's at the same backoff
+    * level; a pruned gram degrades through the backoff chain exactly
+    * as an unseen gram would (spec-pinned).
+    *
+    * Closure invariant (enforced by construction): a kept trigram's
+    * conditioning bigram (its first two words) survives in the bigram
+    * table, and a kept bigram's conditioning unigram survives — so
+    * [[backoffLmRow]]'s denominator lookups can never miss. The count
+    * cutoffs compose (c1(w1) ≥ c2(w1 w2) ≥ c3(w1 w2 w3)), and the
+    * per-prefix caps are re-checked with explicit semi-joins because a
+    * prefix can lose ITS OWN top-K race while its extension survives.
+    *
+    * Size bound: ≤ N/minCount unigrams (Zipf mass bound), ≤ topK
+    * bigrams per kept unigram, ≤ topK trigrams per kept bigram — the
+    * collect is ≤ (N/minCount)·(1 + topK + topK²) rows worst case and
+    * in practice vastly smaller; prune work is distributed (the top-K
+    * windows partition by prefix — bounded per-key state, never a
+    * global sort). */
+  def backoffLmModelPruned(refDocs: DataFrame, textCol: String = "text",
+      minCount: Long = 2L, topK: Int = 100):
+      (Map[String, Long], Map[String, Long], Map[String, Long], Long) = {
+    require(minCount >= 1L, s"minCount must be >= 1: $minCount")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val base = tokenizedBase(refDocs, textCol)
+    val c1All = gramCountsDf(base, 1).localCheckpoint(true)
+    val nTotal = c1All.agg(coalesce(sum(col("__c")), lit(0L)))
+      .collect()(0).getLong(0)
+    val c1k = c1All.filter(col("__c") >= minCount).localCheckpoint(true)
+    def topPerPrefix(df: DataFrame, prefixWords: Int,
+        kept: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("__p"))
+        .orderBy(col("__c").desc, col("__g").asc)
+      df.filter(col("__c") >= minCount)
+        .withColumn("__p", substring_index(col("__g"), " ", prefixWords))
+        .join(kept.select(col("__g").as("__p")), Seq("__p"), "left_semi")
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= topK)
+        .select(col("__g"), col("__c"))
+    }
+    val c2k = topPerPrefix(gramCountsDf(base, 2), 1, c1k)
+      .localCheckpoint(true)
+    val c3k = topPerPrefix(gramCountsDf(base, 3), 2, c2k)
+    def toMap(df: DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (toMap(c3k), toMap(c2k), toMap(c1k), nTotal)
   }
 
   /** Driver/closure-side twin of [[backoffLmScore]] for one document
@@ -609,12 +693,21 @@ object QualityScore {
       else Tok.WsRegex.split(text.toLowerCase(java.util.Locale.ROOT))
         .filter(_.nonEmpty)
     if (toks.length < 3) return (0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    // mirror of the batch plan's raise_error bound: the twins must
+    // stay bit-identical OR fail identically — never silently wrap
+    val bound = (1L << 60) / fp
     var (cnt, sum, mn) = (0L, 0L, Long.MaxValue)
     var (h3, h2, h1, h0) = (0L, 0L, 0L, 0L)
     var i = 0
     while (i < toks.length - 2) {
       val g3 = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
       val g2s = toks(i + 1) + " " + toks(i + 2)
+      val gmax = math.max(c3.getOrElse(g3, 0L),
+        math.max(c2.getOrElse(g2s, 0L), c1.getOrElse(toks(i + 2), 0L)))
+      if (gmax >= bound)
+        throw new IllegalStateException(
+          s"backoffLmScore overflow bound exceeded: ref count * fp=$fp" +
+            " would exceed 2^62 - shard the corpus")
       val s = c3.get(g3) match {
         case Some(t) => h3 += 1; t * fp / c2(toks(i) + " " + toks(i + 1))
         case None => c2.get(g2s) match {

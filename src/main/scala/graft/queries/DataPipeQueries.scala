@@ -2998,10 +2998,10 @@ object DataPipeQueries {
        |  LEFT JOIN pdn ON d.doc_id = pdn.doc_id
        |)
        |SELECT doc_id, n_tokens, n_new AS n_new_tokens,
-       |  SUM(n_tokens) OVER (ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
-       |  SUM(n_new) OVER (ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+       |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       |  CAST(SUM(n_new) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
        |FROM b ORDER BY doc_id""".stripMargin
 
   /** q132's budget and epoch cap: at maxEpochs = 1 and budget 25,000
@@ -3268,4 +3268,42 @@ object DataPipeQueries {
        |  UNION ALL SELECT '4_canonical', CAST(COUNT(*) AS BIGINT) FROM s4
        |  UNION ALL SELECT '5_dsir', CAST(COUNT(*) AS BIGINT) FROM s5
        |) ORDER BY stage""".stripMargin
+
+  /** Incremental Zipf card (q133): the corpus split into two arrival
+    * batches by doc-id parity, the even batch indexed
+    * ([[CorpusStats.tokenIndex]]), the odd batch folded in with
+    * [[CorpusStats.tokenIndexMerge]], and the card recomputed from
+    * the merged index — the steady-state form of q127. The oracle is
+    * the ONE-SHOT q127 SQL: the driver's hash compare pins
+    * batch ≡ incremental, the index-pattern guarantee (q75/q129
+    * precedent at token grain). */
+  def zipfCardIncQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val merged = CorpusStats.tokenIndexMerge(
+      CorpusStats.tokenIndex(docs.filter(col("doc_id") % 2 === 0))
+        .localCheckpoint(true),
+      docs.filter(col("doc_id") % 2 =!= 0))
+    CorpusStats.zipfCardFromIndex(merged)
+  }
+
+  def zipfCardIncOracle: String = zipfCardOracle
+
+  /** Incremental Heaps' curve (q134): same two-batch split; the
+    * merged [[CorpusStats.tokenIndex]] supplies first-seen news, the
+    * append-only [[CorpusStats.docTokenCounts]] rows supply token
+    * mass — oracle = the one-shot q131 SQL (batch ≡ incremental under
+    * the hash compare). */
+  def heapsCurveIncQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 =!= 0)
+    val merged = CorpusStats.tokenIndexMerge(
+      CorpusStats.tokenIndex(even).localCheckpoint(true), odd)
+    val counts = CorpusStats.docTokenCounts(even)
+      .unionByName(CorpusStats.docTokenCounts(odd))
+    CorpusStats.heapsCurveFromIndex(merged, counts)
+      .orderBy(col("doc_id"))
+  }
+
+  def heapsCurveIncOracle: String = heapsCurveOracle
 }

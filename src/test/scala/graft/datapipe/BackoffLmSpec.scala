@@ -75,4 +75,68 @@ class BackoffLmSpec extends AnyFunSuite {
       assert(got == want, s"parts=$parts")
     }
   }
+
+  private val PrunedRef = (1L to 40L).map(i =>
+    i -> s"w${i % 6} w${i % 4} w${i % 3} w${i % 5} w${i % 2}")
+
+  test("pruned model with no-op bounds equals the full model exactly") {
+    import spark.implicits._
+    val ref = PrunedRef.toDF("doc_id", "text")
+    val full = QualityScore.backoffLmModelCollected(ref)
+    val pruned = QualityScore.backoffLmModelPruned(ref,
+      minCount = 1L, topK = 1000000)
+    assert(pruned == full)
+  }
+
+  test("pruned model honors bounds, closure, and unpruned counts") {
+    import spark.implicits._
+    val ref = PrunedRef.toDF("doc_id", "text")
+    val (f3, f2, f1, fn) = QualityScore.backoffLmModelCollected(ref)
+    val minCount = 2L
+    val topK = 2
+    val (p3, p2, p1, pn) = QualityScore.backoffLmModelPruned(ref,
+      minCount = minCount, topK = topK)
+    // n is the FULL corpus mass even under pruning
+    assert(pn == fn)
+    // every kept gram keeps its unpruned count and clears the cutoff
+    for ((m, fm) <- Seq(p3 -> f3, p2 -> f2, p1 -> f1); (g, c) <- m) {
+      assert(c == fm(g), s"count changed for $g")
+      assert(c >= minCount, s"cutoff violated for $g")
+    }
+    // per-prefix cap
+    def prefix(g: String, words: Int) =
+      g.split(' ').take(words).mkString(" ")
+    assert(p2.keys.groupBy(prefix(_, 1)).values.forall(_.size <= topK))
+    assert(p3.keys.groupBy(prefix(_, 2)).values.forall(_.size <= topK))
+    // closure: denominators of every kept gram are themselves kept
+    assert(p3.keys.forall(g => p2.contains(prefix(g, 2))), "c3 prefix miss")
+    assert(p2.keys.forall(g => p1.contains(prefix(g, 1))), "c2 prefix miss")
+    // and the pruning was non-trivial on this corpus
+    assert(p3.size < f3.size && p2.size < f2.size)
+  }
+
+  test("pruned model scores equal the full model wherever it covers the gram") {
+    import spark.implicits._
+    val ref = PrunedRef.toDF("doc_id", "text")
+    val (f3, f2, f1, fn) = QualityScore.backoffLmModelCollected(ref)
+    val (p3, p2, p1, pn) = QualityScore.backoffLmModelPruned(ref,
+      minCount = 2L, topK = 2)
+    // every kept trigram resolves at the hit3 tier in both models with
+    // a bit-identical score (single-trigram documents isolate the tier)
+    for (g <- p3.keys) {
+      val got = QualityScore.backoffLmRow(g, p3, p2, p1, pn)
+      val want = QualityScore.backoffLmRow(g, f3, f2, f1, fn)
+      assert(got == want, s"covered trigram $g diverged")
+      assert(got._4 == 1L, s"$g should resolve at hit3")
+    }
+    // a PRUNED trigram degrades through the chain like an unseen one:
+    // it must score strictly at a lower tier, never crash
+    val dropped = f3.keySet -- p3.keySet
+    assert(dropped.nonEmpty)
+    for (g <- dropped) {
+      val (cnt, _, _, h3, _, _, _) =
+        QualityScore.backoffLmRow(g, p3, p2, p1, pn)
+      assert(cnt == 1L && h3 == 0L, s"pruned trigram $g still hit3")
+    }
+  }
 }

@@ -1,6 +1,7 @@
 package graft.datapipe
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.SparkTestSession
 
 /** [[CorpusStats.zipfCard]] — exact-rational Zipf slope. */
@@ -95,5 +96,73 @@ class CorpusStatsSpec extends AnyFunSuite {
     val b = CorpusStats.zipfCard(docs.toDF("doc_id", "text").repartition(9))
       .collect()(0).toSeq
     assert(a == b)
+  }
+
+  // ----- incremental corpus cards (tokenIndex steady-state form) -----
+
+  // three "arrival batches" with overlapping vocabulary, out-of-order
+  // doc ids across batches (first-seen must resolve to MIN doc id,
+  // not arrival order), an empty doc, and a null text
+  private lazy val incBatches = {
+    import spark.implicits._
+    Seq(
+      Seq(5L -> "a b a c", 9L -> "b d", 30L -> ""),
+      Seq(2L -> "a e", 17L -> "c f g", 31L -> null.asInstanceOf[String]),
+      Seq(11L -> "e h a", 23L -> "h h i")
+    ).map(_.toDF("doc_id", "text"))
+  }
+  private lazy val incFull = incBatches.reduce(_ unionByName _)
+
+  test("tokenIndex merged per batch equals the one-shot corpus index") {
+    val oneShot = CorpusStats.tokenIndex(incFull)
+      .orderBy("token").collect().map(_.toSeq)
+    val merged = incBatches.tail.foldLeft(
+        CorpusStats.tokenIndex(incBatches.head)) { (ix, b) =>
+        // localCheckpoint stands in for the persist-reload each round
+        CorpusStats.tokenIndexMerge(ix.localCheckpoint(true), b)
+      }
+      .orderBy("token").collect().map(_.toSeq)
+    assert(merged.toSeq == oneShot.toSeq)
+  }
+
+  test("zipf card from the merged index equals the batch card") {
+    val batchCard = CorpusStats.zipfCard(incFull).collect()(0).toSeq
+    val merged = incBatches.tail.foldLeft(
+      CorpusStats.tokenIndex(incBatches.head))(
+      (ix, b) => CorpusStats.tokenIndexMerge(ix, b))
+    val incCard = CorpusStats.zipfCardFromIndex(merged).collect()(0).toSeq
+    assert(incCard == batchCard)
+  }
+
+  test("heaps curve from the merged index equals the batch curve") {
+    val batchCurve = CorpusStats.heapsCurve(incFull)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val merged = incBatches.tail.foldLeft(
+      CorpusStats.tokenIndex(incBatches.head))(
+      (ix, b) => CorpusStats.tokenIndexMerge(ix, b))
+    // docTokenCounts is append-only: each batch contributes its rows
+    val counts = incBatches.map(CorpusStats.docTokenCounts(_))
+      .reduce(_ unionByName _)
+    val incCurve = CorpusStats.heapsCurveFromIndex(merged, counts)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(incCurve.toSeq == batchCurve.toSeq)
+  }
+
+  test("incremental cards on the sf0.001 documents table match batch") {
+    val docs = graft.util.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val merged = CorpusStats.tokenIndexMerge(
+      CorpusStats.tokenIndex(half1).localCheckpoint(true), half2)
+    val counts = CorpusStats.docTokenCounts(half1)
+      .unionByName(CorpusStats.docTokenCounts(half2))
+    assert(CorpusStats.zipfCardFromIndex(merged).collect()(0).toSeq ==
+      CorpusStats.zipfCard(docs).collect()(0).toSeq)
+    val inc = CorpusStats.heapsCurveFromIndex(merged, counts)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val batch = CorpusStats.heapsCurve(docs)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(inc.toSeq == batch.toSeq)
   }
 }

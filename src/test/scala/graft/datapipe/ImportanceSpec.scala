@@ -109,6 +109,35 @@ class ImportanceSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("collected model carries target-only buckets (disjoint corpora)") {
+    // raw and target share NO grams: every target bucket is absent
+    // from the raw corpus. The DSIR estimator gives such a bucket
+    // weight log2f(ct+1) − log2f(0+1) > 0; the collected model must
+    // carry it (full-outer build), not drop it to a 0-scoring miss.
+    val raw = docs(1L -> "aaa bbb", 2L -> "ccc ddd")
+    val tgt = docs(10L -> "xxx yyy", 11L -> "xxx zzz")
+    val B = 256
+    val (model, norm) =
+      Importance.importanceModelCollected(raw, tgt, buckets = B)
+    def lg(x: Long) = Log2FixedExpr.log2Fixed(x, Importance.FracBits)
+    // "xxx" appears twice in the target, never in raw
+    val bXxx = Hashing.fnv64("xxx") & (B - 1L)
+    assert(model.get(bXxx).contains(lg(3L) - lg(1L)), model.get(bXxx).toString)
+    // a target-only document scores ABOVE a fully-unseen document
+    val (nT, sT) = Importance.scoreRow("xxx yyy", model, norm, B)
+    val (nU, sU) = Importance.scoreRow("qqq www", model, norm, B)
+    assert(nT == 3L && nU == 3L)
+    assert(sT > sU, s"target-like $sT should outscore unseen $sU")
+    // and the batch face still scores raw docs off raw buckets only:
+    // adding target-only buckets to the model must not disturb it
+    val batch = Importance.importanceWeights(raw, tgt, buckets = B)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val viaModel = Seq(1L -> "aaa bbb", 2L -> "ccc ddd").map { case (id, t) =>
+      id -> Importance.scoreRow(t, model, norm, B)._2
+    }.toMap
+    assert(batch == viaModel)
+  }
+
   test("driver-side replay equality on a small corpus") {
     val raw = Seq(1L -> "x y z x", 2L -> "y y q", 3L -> "z q r s")
     val tgt = Seq(10L -> "x y x y", 11L -> "x z")

@@ -40,17 +40,28 @@ class RepetitionCharsSpec extends AnyFunSuite {
   }
 
   test("duplicated-gram coverage merges overlapping occurrences") {
-    // tokens: a b a b a — dup bigrams "a b" (×2) and "b a" (×2) cover
-    // the whole 9-char normalized text once merged (not 4×3 = 12)
-    val r = metrics(2, 2, 1L -> "a b a b a")(1L)
-    assert(r.getAs[Long]("n_chars") == 9L)
-    assert(r.getAs[Long]("dup2_chars") == 9L)
+    // tokens: (a b c d e) ×3 — every 5-gram recurs 5 positions later,
+    // so the merged duplicated spans cover the whole 29-char
+    // normalized text once merged (not sum-of-span-lengths)
+    val r = metrics(2, 5, 1L -> "a b c d e a b c d e a b c d e")(1L)
+    assert(r.getAs[Long]("n_chars") == 29L)
+    assert(r.getAs[Long]("dup5_chars") == 29L)
   }
 
   test("disjoint duplicated occurrences sum without double counting") {
-    // tokens: a b x a b — "a b" ×2 covers [0,2] and [6,8]: 6 chars
-    val r = metrics(2, 2, 1L -> "a b x a b")(1L)
-    assert(r.getAs[Long]("dup2_chars") == 6L)
+    // tokens: a b c d e v w x y a b c d e — only "a b c d e" recurs,
+    // covering chars [0,8] and [18,26]: 18 of the 27 normalized chars
+    val r = metrics(2, 5, 1L -> "a b c d e v w x y a b c d e")(1L)
+    assert(r.getAs[Long]("n_chars") == 27L)
+    assert(r.getAs[Long]("dup5_chars") == 18L)
+  }
+
+  test("gram sizes outside the published Gopher table are rejected") {
+    intercept[IllegalArgumentException] { QualityScore.gopherTopPct(5) }
+    intercept[IllegalArgumentException] { QualityScore.gopherDupPct(2) }
+    // covered sizes resolve to the size-specific published threshold
+    assert(QualityScore.gopherTopPct(3) == 18)
+    assert(QualityScore.gopherDupPct(6) == 14)
   }
 
   test("documents shorter than the gram sizes emit zeros and keep") {

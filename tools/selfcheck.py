@@ -57,6 +57,25 @@ def main():
             print(f"FAIL {name}: rows oracle={len(oracle)} spark={len(spark)}")
             failures += 1
             continue
+        # dtype-parity gate: the driver hash-compares raw values, so an
+        # oracle column that DuckDB types as HUGEINT/DOUBLE (-> float64)
+        # against an integer Spark column fails there even though the
+        # float-laundered value compare below would pass. Fail loudly
+        # here so that class of oracle bug can never ship red again.
+        dtype_bad = []
+        for c in oracle.columns:
+            o_f = pd.api.types.is_float_dtype(oracle[c])
+            s_f = pd.api.types.is_float_dtype(spark[c])
+            o_i = pd.api.types.is_integer_dtype(oracle[c])
+            s_i = pd.api.types.is_integer_dtype(spark[c])
+            if (o_f and s_i) or (o_i and s_f):
+                dtype_bad.append((c, str(oracle[c].dtype), str(spark[c].dtype)))
+        if dtype_bad:
+            print(f"FAIL {name}: dtype mismatch (oracle vs spark) {dtype_bad}"
+                  " — CAST the oracle column (DuckDB HUGEINT/DOUBLE lands as"
+                  " float64; the driver's hash compare will flag this)")
+            failures += 1
+            continue
         # sort rows by all columns for order-insensitive compare
         o = oracle.sort_values(list(oracle.columns)).reset_index(drop=True)
         s = spark.sort_values(list(spark.columns)).reset_index(drop=True)
