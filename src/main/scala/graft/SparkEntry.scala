@@ -151,6 +151,7 @@ object SparkEntry {
     "q132_unimax_allocate" -> (DataPipeQueries.unimaxAllocateQ _),
     "q133_zipf_card_inc" -> (DataPipeQueries.zipfCardIncQ _),
     "q134_heaps_curve_inc" -> (DataPipeQueries.heapsCurveIncQ _),
+    "q135_backoff_lm_pruned" -> (DataPipeQueries.backoffLmPruned _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -539,5 +540,6 @@ object SparkEntry {
     "q132_unimax_allocate" -> DataPipeQueries.unimaxAllocateOracle,
     "q133_zipf_card_inc" -> DataPipeQueries.zipfCardIncOracle,
     "q134_heaps_curve_inc" -> DataPipeQueries.heapsCurveIncOracle,
+    "q135_backoff_lm_pruned" -> DataPipeQueries.backoffLmPrunedOracle,
   )
 }

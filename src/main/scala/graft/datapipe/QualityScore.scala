@@ -520,23 +520,48 @@ object QualityScore {
   def backoffLmScore(docs: DataFrame, refDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       fp: Long = 1L << 20): DataFrame = {
+    val ref = tokenizedBase(refDocs, textCol)
+    def named(df: DataFrame, out: String, c: String) =
+      df.select(col("__g").as(out), col("__c").as(c))
+    val c1 = named(gramCountsDf(ref, 1), "__w", "__c1")
+    val c2 = named(gramCountsDf(ref, 2), "__g2", "__c2")
+    val c3 = named(gramCountsDf(ref, 3), "__g3", "__c3")
+    val n1 = c1.agg(coalesce(sum(col("__c1")), lit(0L)).as("__n1"))
+    backoffLmScoreAgainst(docs, c3, c2, c1, n1, idCol, textCol, fp)
+  }
+
+  /** [[backoffLmScore]] under a PRUNED reference LM: the count
+    * relations are restricted exactly as [[backoffLmModelPruned]]
+    * (count ≥ `minCount`, top-`topK` continuations per prefix, closed
+    * under conditioning prefixes) but stay DISTRIBUTED — the batch
+    * face of the pruned online scorer, and the path that makes its
+    * semantics oracle-checkable. `n` stays the FULL corpus mass, so
+    * scores the pruned model resolves are bit-identical to
+    * [[backoffLmScore]]'s; pruned grams degrade down the chain. */
+  def backoffLmScorePruned(docs: DataFrame, refDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      minCount: Long = 2L, topK: Int = 100,
+      fp: Long = 1L << 20): DataFrame = {
+    val (c3k, c2k, c1k, n1) =
+      prunedCountRelations(tokenizedBase(refDocs, textCol), minCount, topK)
+    def named(df: DataFrame, out: String, c: String) =
+      df.select(col("__g").as(out), col("__c").as(c))
+    backoffLmScoreAgainst(docs,
+      named(c3k, "__g3", "__c3"), named(c2k, "__g2", "__c2"),
+      named(c1k, "__w", "__c1"), n1, idCol, textCol, fp)
+  }
+
+  /** The scoring back half shared by the full and pruned batch faces:
+    * five keyed left joins of the eval trigram stream against the
+    * given count relations. */
+  private def backoffLmScoreAgainst(docs: DataFrame, c3: DataFrame,
+      c2: DataFrame, c1: DataFrame, n1: DataFrame, idCol: String,
+      textCol: String, fp: Long): DataFrame = {
     require(fp > 0, s"fixed-point scale must be positive: $fp")
     def toksOf(df: DataFrame, cols: Seq[Column]) =
       graft.util.Par.ensure(df).select(cols :+
         expr(s"filter(split(lower($textCol), '${Tok.WsSqlLit}'), t -> t <> '')")
           .as("__toks"): _*)
-    def grams(df: DataFrame, n: Int, out: String) = df
-      .filter(size(col("__toks")) >= n)
-      .select(explode(expr(
-        s"""transform(sequence(1, size(__toks) - ${n - 1}),
-           |  i -> concat_ws(' ', slice(__toks, i, $n)))""".stripMargin))
-        .as(out))
-      .groupBy(col(out)).agg(count(lit(1)).as(s"__c$n"))
-    val ref = toksOf(refDocs, Seq.empty)
-    val c1 = grams(ref, 1, "__w")
-    val c2 = grams(ref, 2, "__g2")
-    val c3 = grams(ref, 3, "__g3")
-    val n1 = c1.agg(coalesce(sum(col("__c1")), lit(0L)).as("__n1"))
     val occ = toksOf(docs, Seq(col(idCol)))
       .filter(size(col("__toks")) >= 3)
       .select(col(idCol), explode(expr(
@@ -655,12 +680,25 @@ object QualityScore {
   def backoffLmModelPruned(refDocs: DataFrame, textCol: String = "text",
       minCount: Long = 2L, topK: Int = 100):
       (Map[String, Long], Map[String, Long], Map[String, Long], Long) = {
+    val (c3k, c2k, c1k, n1) =
+      prunedCountRelations(tokenizedBase(refDocs, textCol), minCount, topK)
+    def toMap(df: DataFrame): Map[String, Long] =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (toMap(c3k), toMap(c2k), toMap(c1k), n1.collect()(0).getLong(0))
+  }
+
+  /** The pruned `(gram, count)` relations shared by
+    * [[backoffLmModelPruned]] (collect) and [[backoffLmScorePruned]]
+    * (distributed joins): (c3, c2, c1) each as `(__g, __c)` plus the
+    * 1-row FULL-mass `(__n1)`. Eagerly materialized (model-sized)
+    * because each level feeds both its closure semi-join and its
+    * consumer. */
+  private def prunedCountRelations(base: DataFrame, minCount: Long,
+      topK: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(minCount >= 1L, s"minCount must be >= 1: $minCount")
     require(topK >= 1, s"topK must be >= 1: $topK")
-    val base = tokenizedBase(refDocs, textCol)
     val c1All = gramCountsDf(base, 1).localCheckpoint(true)
-    val nTotal = c1All.agg(coalesce(sum(col("__c")), lit(0L)))
-      .collect()(0).getLong(0)
+    val n1 = c1All.agg(coalesce(sum(col("__c")), lit(0L)).as("__n1"))
     val c1k = c1All.filter(col("__c") >= minCount).localCheckpoint(true)
     def topPerPrefix(df: DataFrame, prefixWords: Int,
         kept: DataFrame): DataFrame = {
@@ -675,10 +713,11 @@ object QualityScore {
     }
     val c2k = topPerPrefix(gramCountsDf(base, 2), 1, c1k)
       .localCheckpoint(true)
+    // c1All/c1k/c2k each feed TWO consumers (total + closure + score
+    // join) and earn their eager materialization; c3k feeds exactly
+    // one action in either face, so a checkpoint would be pure cost
     val c3k = topPerPrefix(gramCountsDf(base, 3), 2, c2k)
-    def toMap(df: DataFrame): Map[String, Long] =
-      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    (toMap(c3k), toMap(c2k), toMap(c1k), nTotal)
+    (c3k, c2k, c1k, n1)
   }
 
   /** Driver/closure-side twin of [[backoffLmScore]] for one document

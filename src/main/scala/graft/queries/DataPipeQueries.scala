@@ -2529,9 +2529,42 @@ object DataPipeQueries {
       .orderBy(col("doc_id"))
   }
 
-  def backoffLmOracle: String = {
+  def backoffLmOracle: String = backoffLmOracleSql(pruned = false)
+
+  /** Shared SQL for q125 (full LM) and q135 (pruned LM): identical
+    * train-split model build and scoring chain; the pruned variant
+    * inserts the count-cutoff + per-prefix top-K CTEs (closure via the
+    * IN-subquery semi-joins, binary-collation tie order matching
+    * Spark's UTF8String byte comparison) and redirects the score
+    * joins at the pruned relations. n1 stays the FULL corpus mass in
+    * both, mirroring [[QualityScore.backoffLmScorePruned]]. */
+  private def backoffLmOracleSql(pruned: Boolean): String = {
     val key = "substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)"
     val fp = 1L << 20
+    val (t3, t2, t1) =
+      if (pruned) ("c3k", "c2k", "c1k") else ("c3", "c2", "c1")
+    val pruneCtes = if (!pruned) "" else
+      s""", c1k AS MATERIALIZED (
+         |  SELECT w, c FROM c1 WHERE c >= $PrunedLmMinCount
+         |), c2k AS MATERIALIZED (
+         |  SELECT g, c FROM (
+         |    SELECT g, c, row_number() OVER (
+         |      PARTITION BY string_split(g, ' ')[1]
+         |      ORDER BY c DESC, g ASC) AS r
+         |    FROM c2 WHERE c >= $PrunedLmMinCount
+         |      AND string_split(g, ' ')[1] IN (SELECT w FROM c1k)
+         |  ) WHERE r <= $PrunedLmTopK
+         |), c3k AS MATERIALIZED (
+         |  SELECT g, c FROM (
+         |    SELECT g, c, row_number() OVER (
+         |      PARTITION BY p ORDER BY c DESC, g ASC) AS r
+         |    FROM (
+         |      SELECT g, c,
+         |        array_to_string(string_split(g, ' ')[1:2], ' ') AS p
+         |      FROM c3 WHERE c >= $PrunedLmMinCount)
+         |    WHERE p IN (SELECT g FROM c2k)
+         |  ) WHERE r <= $PrunedLmTopK
+         |)""".stripMargin
     s"""WITH sp AS (
        |  SELECT doc_id,
        |    CASE WHEN $key < '${Sampling.hexThreshold(0.8)}' THEN 'train'
@@ -2556,7 +2589,7 @@ object DataPipeQueries {
        |    SELECT unnest(list_transform(range(1, len(toks) - 1),
        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
        |    FROM rtk WHERE len(toks) >= 3) GROUP BY 1
-       |), n1 AS (
+       |)$pruneCtes, n1 AS (
        |  SELECT COALESCE(SUM(c), 0) AS n FROM c1
        |), etk AS (
        |  SELECT doc_id,
@@ -2587,11 +2620,11 @@ object DataPipeQueries {
        |    CASE WHEN t3.c IS NULL AND s2.c IS NULL AND u3.c IS NULL
        |      THEN 1 ELSE 0 END AS h0
        |  FROM occ
-       |  LEFT JOIN c3 t3 ON occ.g3 = t3.g
-       |  LEFT JOIN c2 p2 ON occ.g2p = p2.g
-       |  LEFT JOIN c2 s2 ON occ.g2s = s2.g
-       |  LEFT JOIN c1 u2 ON occ.w2 = u2.w
-       |  LEFT JOIN c1 u3 ON occ.w3 = u3.w
+       |  LEFT JOIN $t3 t3 ON occ.g3 = t3.g
+       |  LEFT JOIN $t2 p2 ON occ.g2p = p2.g
+       |  LEFT JOIN $t2 s2 ON occ.g2s = s2.g
+       |  LEFT JOIN $t1 u2 ON occ.w2 = u2.w
+       |  LEFT JOIN $t1 u3 ON occ.w3 = u3.w
        |  CROSS JOIN n1
        |), pd AS (
        |  SELECT doc_id, COUNT(*) AS n, SUM(s) AS ssum, MIN(s) AS smin,
@@ -2611,6 +2644,40 @@ object DataPipeQueries {
        |LEFT JOIN pd ON d.doc_id = pd.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** q135's pruning bounds — aggressive enough that pruning visibly
+    * fires on the sf corpora (topK 3 cuts real continuation lists). */
+  private val PrunedLmMinCount = 2L
+  private val PrunedLmTopK = 3
+
+  /** Pruned-LM cross-split scoring (q135): q125's exact shape under
+    * [[QualityScore.backoffLmScorePruned]] — the batch face of the
+    * production-bounded online LM (count-cutoff + per-prefix top-K,
+    * closure-complete, full-mass normalizer). The oracle replays the
+    * pruning in SQL, so the driver hash-pins that a pruned gram
+    * degrades through the backoff chain exactly like an unseen one.
+    * Cost note: the pruning windows and closure semi-joins run over
+    * the VOCABULARY-sized gram relations (never corpus rows), but
+    * they are real extra exchanges vs q125 — this is train-once model
+    * construction (a production pipeline builds the pruned LM once
+    * and scores forever), so the scoring steady state is q125's. */
+  def backoffLmPruned(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val split = Sampling.assignSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0), salt = "split")
+      .select(col("doc_id"), col("split"))
+    val ref = docs.join(split.filter(col("split") === "train")
+      .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    QualityScore.backoffLmScorePruned(docs, ref,
+        minCount = PrunedLmMinCount, topK = PrunedLmTopK)
+      .join(split, Seq("doc_id"))
+      .select(col("doc_id"), col("split"), col("n_trigrams"),
+        col("sum_s_fp"), col("min_s_fp"), col("n_hit3"), col("n_bo2"),
+        col("n_bo1"), col("n_oov"))
+      .orderBy(col("doc_id"))
+  }
+
+  def backoffLmPrunedOracle: String = backoffLmOracleSql(pruned = true)
 
   /** Sentence-level dedup (q126): [[Spans.sentenceDedup]] — the C4
     * sentence-span dedup convention at this corpus's natural grain

@@ -139,4 +139,33 @@ class BackoffLmSpec extends AnyFunSuite {
       assert(cnt == 1L && h3 == 0L, s"pruned trigram $g still hit3")
     }
   }
+
+  test("batch pruned scorer: no-op bounds equal the full scorer, " +
+      "aggressive bounds equal the collected-model twin") {
+    import spark.implicits._
+    val ref = PrunedRef.toDF("doc_id", "text")
+    val docs = (100L to 140L)
+      .map(i => i -> s"w${i % 6} w${i % 4} w${i % 3} w${i % 5} q$i")
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // no-op bounds: identical to the unpruned cross-split scorer
+    assert(rows(QualityScore.backoffLmScorePruned(docs, ref,
+        minCount = 1L, topK = 1000000)) ==
+      rows(QualityScore.backoffLmScore(docs, ref)))
+    // aggressive bounds: the distributed scorer IS the collected-model
+    // twin (the streaming face scores with the same pruned maps)
+    val (p3, p2, p1, pn) = QualityScore.backoffLmModelPruned(ref,
+      minCount = 2L, topK = 2)
+    val got = rows(QualityScore.backoffLmScorePruned(docs, ref,
+      minCount = 2L, topK = 2))
+    val want = docs.as[(Long, String)].collect().map { case (id, t) =>
+      val r = QualityScore.backoffLmRow(t, p3, p2, p1, pn)
+      id -> Seq(r._1, r._2, r._3, r._4, r._5, r._6, r._7)
+    }.toMap
+    assert(got == want)
+    // and pruning actually changed some document's tier histogram
+    val full = rows(QualityScore.backoffLmScore(docs, ref))
+    assert(got != full)
+  }
 }
