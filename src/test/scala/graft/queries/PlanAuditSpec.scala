@@ -435,6 +435,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("partial_sum".r.findAllIn(p).nonEmpty, p.take(3000))
   }
 
+  test("q133 incremental zipf: merged-index card keeps top-k + 1-row totals shape") {
+    val p = plan("q133_zipf_card_inc")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // tot × s stays the single 1-row BNLJ; the index merge adds
+    // token-keyed partial aggs, never a broadcast of corpus rows
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    assert("partial_count|partial_sum".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("q134 incremental heaps: banded prefix sums survive the index path") {
+    val p = plan("q134_heaps_curve_inc")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(2000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    // the row-data cumsum windows still partition on the doc-id band
+    assert("hashpartitioning\\(__band".r.findAllIn(p).nonEmpty, p.take(3000))
+    assert("partial_count|partial_sum".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("q135 pruned LM: prefix-keyed pruning windows, keyed gram joins, 1-row N") {
+    val p = plan("q135_backoff_lm_pruned")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // crossJoin(broadcast(n1)) stays the only nested-loop join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(!p.contains("BatchEvalPython") &&
+      !"\\bUDF\\b".r.findFirstIn(p).isDefined, p.take(2000))
+    // the top-K pruning windows partition by conditioning prefix —
+    // vocabulary-keyed, never a single-partition global window
+    assert("hashpartitioning\\(__p".r.findAllIn(p).nonEmpty, p.take(3000))
+    assert(!"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isDefined,
+      "global (unpartitioned) window found: " + p.take(3000))
+    assert("partial_count".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
   test("q122 epoch shuffle: banded rank (no global window), offsets broadcast") {
     val p = plan("q122_epoch_shuffle")
     assert(!p.contains("CartesianProduct") &&
