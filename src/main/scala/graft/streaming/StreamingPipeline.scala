@@ -672,6 +672,94 @@ object StreamingPipeline {
     }
   }
 
+  /** STREAMING corpus-card maintenance: each micro-batch folds into
+    * the persisted token index
+    * ([[graft.datapipe.CorpusStats.tokenIndexMerge]] — counts sum,
+    * first-seen doc ids min) and appends its per-doc token counts, so
+    * [[corpusCardsSnapshot]] serves the live Zipf card and Heaps'
+    * curve at any moment — the steady-state streaming form of
+    * q127/q131 (q133/q134's incremental semantics behind a stream).
+    *
+    * Durability is the [[upsertStream]] snapshot/manifest model: the
+    * merged index lands as a COMPLETE new `index/v{N}` and `_LATEST`
+    * flips after; counts land under `counts/batch_id=N` BEFORE the
+    * flip. Replay of a committed batch is detected via the manifest
+    * and skipped — essential here because re-MERGING a batch is NOT
+    * idempotent (counts would double), unlike the upsert merge.
+    * Per-batch work ∝ index vocabulary + batch tokens, never corpus
+    * occurrences. */
+  def tokenIndexStream(docs: DataFrame, stateDir: String,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyTokenIndexBatch(batch, batchId, stateDir, idCol, textCol)
+    }
+
+  /** One [[tokenIndexStream]] micro-batch, factored out (the
+    * [[applyUpsertBatch]] pattern) so crash-replay recovery is
+    * directly testable. */
+  private[streaming] def applyTokenIndexBatch(batch: DataFrame,
+      batchId: Long, stateDir: String, idCol: String,
+      textCol: String): Unit = {
+    import graft.datapipe.CorpusStats
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val indexRoot = new org.apache.hadoop.fs.Path(root, "index")
+    val target = new org.apache.hadoop.fs.Path(indexRoot, s"v$batchId")
+    val current = currentSnapshotPath(fs, indexRoot)
+    val alreadyApplied = current.exists(_.getName == target.getName)
+    val countsDir =
+      new org.apache.hadoop.fs.Path(root, s"counts/batch_id=$batchId")
+    if (!alreadyApplied) {
+      // counts first (deterministic pure function of the batch —
+      // overwrite-idempotent), so a crash after the manifest flip
+      // leaves nothing left to redo on replay
+      CorpusStats.docTokenCounts(batch.select(col(idCol), col(textCol)),
+          idCol, textCol)
+        .write.mode("overwrite").parquet(countsDir.toString)
+      val merged = current match {
+        case Some(p) => CorpusStats.tokenIndexMerge(
+          spark.read.parquet(p.toString), batch, idCol, textCol)
+        case None => CorpusStats.tokenIndex(batch, idCol, textCol)
+      }
+      merged.write.mode("overwrite").parquet(target.toString)
+    }
+    val tmp = new org.apache.hadoop.fs.Path(indexRoot, "_LATEST.tmp")
+    val out = fs.create(tmp, true)
+    out.write(s"v$batchId".getBytes("UTF-8"))
+    out.close()
+    val manifest = new org.apache.hadoop.fs.Path(indexRoot, "_LATEST")
+    if (fs.exists(manifest)) fs.delete(manifest, false)
+    if (!fs.rename(tmp, manifest))
+      throw new java.io.IOException(s"could not flip $manifest to v$batchId")
+    fs.listStatus(indexRoot).map(_.getPath)
+      .filter(p => p.getName.startsWith("v") &&
+        p.getName.drop(1).nonEmpty &&
+        p.getName.drop(1).forall(_.isDigit) &&
+        p.getName.drop(1).toLong < batchId - 1)
+      .foreach(p => fs.delete(p, true))
+    ()
+  }
+
+  /** Live corpus cards from the [[tokenIndexStream]] state: (Zipf
+    * card, Heaps' curve) over everything ingested so far. None until
+    * the first batch commits. */
+  def corpusCardsSnapshot(spark: SparkSession, stateDir: String,
+      k: Int = 1000, idCol: String = "doc_id")
+      : Option[(DataFrame, DataFrame)] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val indexRoot = new org.apache.hadoop.fs.Path(root, "index")
+    currentSnapshotPath(fs, indexRoot).map { p =>
+      val ix = spark.read.parquet(p.toString)
+      val counts = spark.read.parquet(
+        new org.apache.hadoop.fs.Path(root, "counts").toString)
+      (graft.datapipe.CorpusStats.zipfCardFromIndex(ix, k),
+        graft.datapipe.CorpusStats.heapsCurveFromIndex(ix, counts, idCol))
+    }
+  }
+
   /** Stream-stream interval join: pair each right-stream event with
     * the left-stream events of the same key that happened in the
     * window (right.ts - horizon, right.ts] — the "attribute a

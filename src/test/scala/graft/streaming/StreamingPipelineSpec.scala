@@ -724,4 +724,62 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(rows == Set((1L, "a", 9.99), (1L, "b", 9.99)), rows)
     query.stop()
   }
+
+  test("streaming token index serves live corpus cards equal to batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("tokenix_stream").toString
+    val state = s"$dir/state"
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingPipeline.tokenIndexStream(
+        input.toDF().toDF("doc_id", "text"), state)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+
+    assert(StreamingPipeline.corpusCardsSnapshot(spark, state).isEmpty)
+    // out-of-order doc ids across batches: first-seen must resolve to
+    // MIN doc id, not arrival order
+    val b1 = Seq(5L -> "a b a c", 9L -> "b d", 30L -> "")
+    val b2 = Seq(2L -> "a e", 17L -> "c f g")
+    val b3 = Seq(11L -> "e h a", 23L -> "h h i")
+    input.addData(b1: _*); query.processAllAvailable()
+    input.addData(b2: _*); query.processAllAvailable()
+    input.addData(b3: _*); query.processAllAvailable()
+    query.stop()
+
+    val all = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+    val (zipf, heaps) = StreamingPipeline.corpusCardsSnapshot(spark, state).get
+    assert(zipf.collect()(0).toSeq ==
+      graft.datapipe.CorpusStats.zipfCard(all).collect()(0).toSeq)
+    assert(heaps.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
+      graft.datapipe.CorpusStats.heapsCurve(all)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("token index batch replay across the flip-then-crash window never double-counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tokenix_replay").toString
+    val state = s"$dir/state"
+    def batch(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    StreamingPipeline.applyTokenIndexBatch(
+      batch(1L -> "x y x", 2L -> "y z"), 0L, state, "doc_id", "text")
+    StreamingPipeline.applyTokenIndexBatch(
+      batch(3L -> "x q"), 1L, state, "doc_id", "text")
+    def index() = StreamingPipeline.corpusCardsSnapshot(spark, state).get
+    val before = index()._2.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // crash window: _LATEST points at v1 but the stream checkpoint
+    // didn't commit — the restarted stream re-delivers batch 1. A
+    // re-MERGE would double every batch-1 count; replay must skip.
+    StreamingPipeline.applyTokenIndexBatch(
+      batch(3L -> "x q"), 1L, state, "doc_id", "text")
+    assert(index()._2.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      == before)
+    // and the stream continues normally afterwards
+    StreamingPipeline.applyTokenIndexBatch(
+      batch(4L -> "q r"), 2L, state, "doc_id", "text")
+    val curve = index()._2.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    // cum_tokens 3,5,7,9; cum_vocab: x,y | z | q | r → 2,3,4,5
+    assert(curve == Seq((1L, 3L, 2L), (2L, 5L, 3L), (3L, 7L, 4L),
+      (4L, 9L, 5L)), curve)
+  }
 }
