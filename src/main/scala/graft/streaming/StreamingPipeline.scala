@@ -686,8 +686,13 @@ object StreamingPipeline {
     * flip. Replay of a committed batch is detected via the manifest
     * and skipped — essential here because re-MERGING a batch is NOT
     * idempotent (counts would double), unlike the upsert merge.
-    * Per-batch work ∝ index vocabulary + batch tokens, never corpus
-    * occurrences. */
+    * Contract: the stream is an APPEND-ONLY corpus — doc ids unique
+    * across batches (the q75/q129 index convention); a revised
+    * document should flow through [[upsertStream]] and the index be
+    * rebuilt, not re-merged. Per-batch work ∝ index vocabulary +
+    * batch tokens, never corpus occurrences; a transactional table
+    * format would replace the full-snapshot index rewrite with MERGE
+    * INTO, as with [[upsertStream]]. */
   def tokenIndexStream(docs: DataFrame, stateDir: String,
       idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
