@@ -326,4 +326,138 @@ object VideoContainer {
     }.toDF("media_id", "container", "codec", "width", "height",
       "n_frames", "duration_ms", "n_tracks")
   }
+
+  // ---------------------------------------------------------------
+  // uncompressed-DIB frames: REAL frame decode (round 13)
+  // ---------------------------------------------------------------
+
+  /** DIB AVI geometry for `id`: width a multiple of 4 so each
+    * bottom-up BGR row is 4-byte aligned with no DIB pad bytes. */
+  def dibFieldsFor(id: Long): (Int, Int, Int) =
+    (8 + (id % 5).toInt * 4, 6 + (id % 3).toInt * 2, 2 + (id % 3).toInt)
+
+  /** Payload byte for channel `c` (0=B 1=G 2=R) of pixel (`x`,
+    * DIB-row `y`) of frame `f` — pure doc-id arithmetic, the
+    * q74/q92/q93 oracle convention (keep in sync with
+    * DataPipeQueries.videoFramesOracle). */
+  def dibByte(id: Long, f: Int, y: Int, x: Int, c: Int): Int =
+    ((id + f * 31L + y * 7L + x * 3L + c) % 251).toInt
+
+  /** Real RIFF/AVI container whose video stream is UNCOMPRESSED DIB
+    * ('DIB ' handler, biCompression 0, one '00db' chunk per frame of
+    * raw bottom-up BGR rows) — the one video codec decodable with no
+    * codec library at all, which is what puts REAL frame decode in
+    * scope for this slice (mjpg/h264/vp80 remain metadata-only,
+    * honestly: no JDK codec). */
+  def synthAviDib(id: Long): Array[Byte] = {
+    val (w, h, nf) = dibFieldsFor(id)
+    val usf = 40000L
+    val vids = list("strl",
+      strh("vids", "DIB ", scale = usf, rate = 1000000L, length = nf.toLong) ++
+        chunk("strf", le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++
+          new Array[Byte](28)))
+    val hdrl = list("hdrl", avih(usf, nf.toLong, 1, w, h) ++ vids)
+    val frames = (0 until nf).map { f =>
+      val px = new Array[Byte](h * w * 3)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < 3) { px(i) = dibByte(id, f, y, x, c).toByte; i += 1; c += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      chunk("00db", px)
+    }.reduce(_ ++ _)
+    val form = fourcc("AVI ") ++ hdrl ++ list("movi", frames)
+    fourcc("RIFF") ++ le32(form.length.toLong) ++ form
+  }
+
+  def synthDibTable(spark: SparkSession, docs: DataFrame): Dataset[VideoRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map(id => VideoRow(id, synthAviDib(id)))
+  }
+
+  /** Decoded-frame statistics: exact integers so the whole decode is
+    * hash-checkable. `sumLumaMilli` is Rec.601 luma ×1000
+    * (299R + 587G + 114B) summed over every decoded pixel of every
+    * frame; `cornerLumaMilli` is frame 0's decoded TOP-LEFT pixel —
+    * which lives in the LAST stored DIB row, so the stat pins the
+    * bottom-up row convention, not just byte sums. */
+  final case class FrameStats(media_id: Long, width: Int, height: Int,
+      n_frames_dec: Long, n_bytes: Long, sum_luma_milli: Long,
+      corner_luma_milli: Long)
+
+  /** REAL frame decode for one DIB AVI: header walk for geometry,
+    * then every '00db' chunk interpreted as bottom-up BGR rows.
+    * Returns None for non-AVI, non-DIB, or geometry-inconsistent
+    * payloads (a truncated frame is corruption, not a partial
+    * answer). */
+  def decodeDib(data: Array[Byte]): Option[FrameStats] = {
+    val meta = parseAvi(data).filter(_.codec == "DIB ").getOrElse(return None)
+    val (w, h) = (meta.width, meta.height)
+    if (w <= 0 || h <= 0) return None
+    val frameBytes = w * h * 3
+    val end = math.min(data.length.toLong, 8 + rdLe32(data, 4)).toInt
+    var nFrames = 0L
+    var sumLuma = 0L
+    var corner = -1L
+    def decodeFrame(body: Int): Boolean = {
+      var y = 0
+      var i = body
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val b = data(i) & 0xff; val g = data(i + 1) & 0xff
+          val r = data(i + 2) & 0xff
+          sumLuma += 299L * r + 587L * g + 114L * b
+          // decoded top-left = (x=0, top row) = LAST dib row
+          if (nFrames == 0 && y == h - 1 && x == 0)
+            corner = 299L * (data(i + 2) & 0xff) + 587L * (data(i + 1) & 0xff) +
+              114L * (data(i) & 0xff)
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      true
+    }
+    def walk(from: Int, to: Int): Unit = {
+      var o = from
+      while (o + 8 <= to) {
+        val id = cc(data, o)
+        val sz = rdLe32(data, o + 4)
+        val body = o + 8
+        if (sz < 0 || body + sz > to) return
+        id match {
+          case "LIST" if sz >= 4 && cc(data, body) == "movi" =>
+            walk(body + 4, (body + sz).toInt)
+          case "00db" =>
+            if (sz != frameBytes) return // corrupt geometry: stop
+            decodeFrame(body)
+            nFrames += 1
+          case _ => ()
+        }
+        o = body + sz.toInt + (sz.toInt & 1)
+      }
+    }
+    walk(12, end)
+    if (nFrames == 0 || corner < 0) None
+    else Some(FrameStats(0L, w, h, nFrames, nFrames * frameBytes,
+      sumLuma, corner))
+  }
+
+  /** Batched frame decode over a DIB video table (the [[videoMeta]]
+    * mapPartitions shape — per-row work ∝ payload bytes, which is the
+    * point: this IS the decode stage, emitting exact integer stats a
+    * curation pipeline thresholds on). */
+  def decodeDibFrames(spark: SparkSession,
+      media: Dataset[VideoRow]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(r => decodeDib(r.data).map(_.copy(media_id = r.media_id)))
+    }.toDF()
+  }
 }

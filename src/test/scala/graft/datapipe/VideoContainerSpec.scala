@@ -106,4 +106,44 @@ class VideoContainerSpec extends AnyFunSuite {
     assert(Multimodal.decodeAudio(avi).isEmpty)
     assert(VideoContainer.parseVideoMeta(avi).nonEmpty)
   }
+
+  test("DIB frame decode: exact stats, bottom-up corner, driver replay") {
+    for (id <- Seq(0L, 1L, 2L, 7L, 123L, 9998L)) {
+      val (w, h, nf) = VideoContainer.dibFieldsFor(id)
+      val got = VideoContainer.decodeDib(VideoContainer.synthAviDib(id))
+      assert(got.isDefined, s"id=$id")
+      val s = got.get
+      assert((s.width, s.height, s.n_frames_dec) == (w, h, nf.toLong))
+      assert(s.n_bytes == nf.toLong * h * w * 3)
+      // driver replay of the pixel arithmetic
+      var sum = 0L
+      for (f <- 0 until nf; y <- 0 until h; x <- 0 until w)
+        sum += 299L * VideoContainer.dibByte(id, f, y, x, 2) +
+          587L * VideoContainer.dibByte(id, f, y, x, 1) +
+          114L * VideoContainer.dibByte(id, f, y, x, 0)
+      assert(s.sum_luma_milli == sum, s"id=$id")
+      // decoded top-left of frame 0 = LAST stored DIB row (bottom-up)
+      val corner = 299L * VideoContainer.dibByte(id, 0, h - 1, 0, 2) +
+        587L * VideoContainer.dibByte(id, 0, h - 1, 0, 1) +
+        114L * VideoContainer.dibByte(id, 0, h - 1, 0, 0)
+      assert(s.corner_luma_milli == corner, s"id=$id")
+    }
+  }
+
+  test("DIB decode rejects non-DIB codecs and corrupt geometry") {
+    // a compressed-codec AVI (q93 fixture) must not pretend to decode
+    assert(VideoContainer.decodeDib(VideoContainer.synthAvi(2L)).isEmpty)
+    // truncating mid-frame leaves a short trailing chunk: the walk
+    // must stop cleanly (no partial-frame stats, no exception)
+    val full = VideoContainer.synthAviDib(5L)
+    val cut = java.util.Arrays.copyOf(full, full.length - 10)
+    val maybe = VideoContainer.decodeDib(cut)
+    // either rejected outright or fewer frames than advertised — but
+    // never a partial frame counted
+    val (_, _, nf) = VideoContainer.dibFieldsFor(5L)
+    maybe.foreach(s => assert(s.n_frames_dec < nf))
+    // flipping a size field to an impossible geometry rejects
+    assert(VideoContainer.decodeDib(Array[Byte]()).isEmpty)
+    assert(VideoContainer.decodeDib(null).isEmpty)
+  }
 }
