@@ -152,6 +152,8 @@ object SparkEntry {
     "q133_zipf_card_inc" -> (DataPipeQueries.zipfCardIncQ _),
     "q134_heaps_curve_inc" -> (DataPipeQueries.heapsCurveIncQ _),
     "q135_backoff_lm_pruned" -> (DataPipeQueries.backoffLmPruned _),
+    "q136_video_frames" -> (DataPipeQueries.videoFrames _),
+    "q137_pca_power" -> (DataPipeQueries.pcaPower _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -541,5 +543,7 @@ object SparkEntry {
     "q133_zipf_card_inc" -> DataPipeQueries.zipfCardIncOracle,
     "q134_heaps_curve_inc" -> DataPipeQueries.heapsCurveIncOracle,
     "q135_backoff_lm_pruned" -> DataPipeQueries.backoffLmPrunedOracle,
+    "q136_video_frames" -> DataPipeQueries.videoFramesOracle,
+    "q137_pca_power" -> DataPipeQueries.pcaPowerOracle,
   )
 }

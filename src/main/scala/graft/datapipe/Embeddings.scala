@@ -251,4 +251,73 @@ object Embeddings {
     val (mean, cov) = meanCovariance(emb, vecCol, d)
     project(emb, vecCol, outCol, mean, topEigenvectors(cov, k))
   }
+
+  /** Dominant eigenvector of the EXACT integer scaled covariance
+    * `A = n·P − s·sᵀ` (= n²·Cov in ×2⁴⁰ fixed point, PSD by
+    * construction) by `iters` power-iteration steps in pure integer
+    * arithmetic: `w = A·v`, then `v ← (w·2²⁰) / max|w|` with
+    * truncating division (BigInt `/` truncates toward zero, which is
+    * exactly DuckDB 1.0 `//` — verified: `-7 // 2 = -3` there), the
+    * iterate re-normalized to max-component scale 2²⁰ each step.
+    * Every operation is exact big-integer add/multiply/divide, so the
+    * whole solve — unlike the float Jacobi basis ([[topEigenvectors]])
+    * — is REPLAYABLE BY AN INDEPENDENT SQL ENGINE: the q137 oracle
+    * runs the identical iteration in DuckDB HUGEINT from the raw
+    * floats and must reproduce every component bit-for-bit. This
+    * closes the oracle seam around the one PCA stage that was
+    * spec-pinned only (the driver eigensolve): the float Jacobi basis
+    * is cross-checked against this integer witness by
+    * `PowerIterSpec` (cosine ≈ 1 with Jacobi's first eigenvector).
+    *
+    * Returns (v, lam): `v` the final iterate (d components, scale
+    * 2²⁰, |v_i| ≤ 2²⁰), `lam` the floor'd Rayleigh quotient
+    * `⌊vᵀAv / (vᵀv·n²)⌋` — the dominant eigenvalue of the covariance
+    * in ×2⁴⁰ fixed point (non-negative: A is PSD, so the integer
+    * quadratic form is ≥ 0 for ANY integer v).
+    *
+    * Overflow posture: all driver arithmetic is BigInt (unbounded);
+    * the enforced headroom bound below guarantees the ORACLE's
+    * 128-bit HUGEINT never overflows either (d²·maxA·2⁴⁰ < 2¹²⁶
+    * bounds every partial sum in the mat-vec and the Rayleigh
+    * numerator), so both engines fail loudly, never silently. */
+  def powerIterationFixed(m: Array[Long], d: Int,
+      iters: Int): (Array[BigInt], BigInt) = {
+    require(iters >= 1 && m.length == 2 + d + d * (d + 1) / 2,
+      s"bad moment buffer for d=$d")
+    val n = BigInt(m(0))
+    require(n >= 2, "power iteration needs at least 2 vectors")
+    val s = Array.tabulate(d)(i => BigInt(m(1 + i)))
+    val a = Array.ofDim[BigInt](d, d)
+    var o = 1 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val v = n * BigInt(m(o)) - s(i) * s(j)
+        a(i)(j) = v; a(j)(i) = v
+        o += 1; j += 1
+      }
+      i += 1
+    }
+    val maxA = a.iterator.flatten.map(_.abs).max
+    require(maxA * BigInt(d) * BigInt(d) * Fp * Fp < (BigInt(1) << 126),
+      s"powerIterationFixed HUGEINT headroom exceeded (max|A|=$maxA): " +
+        "the DuckDB replay would overflow 128-bit — shard or rescale")
+    val fp = BigInt(Fp)
+    var v = Array.fill(d)(fp)
+    def matVec(x: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(d)(i => (0 until d).iterator.map(j => a(i)(j) * x(j))
+        .foldLeft(BigInt(0))(_ + _))
+    for (_ <- 1 to iters) {
+      val w = matVec(v)
+      val mx = w.iterator.map(_.abs).max
+      v = if (mx.signum == 0) Array.fill(d)(BigInt(0))
+          else w.map(x => (x * fp) / mx)
+    }
+    val wf = matVec(v)
+    val vtv = (0 until d).iterator.map(i => v(i) * v(i)).foldLeft(BigInt(0))(_ + _)
+    val num = (0 until d).iterator.map(i => v(i) * wf(i)).foldLeft(BigInt(0))(_ + _)
+    val lam = if (vtv.signum == 0) BigInt(0) else num / (vtv * n * n)
+    (v, lam)
+  }
 }

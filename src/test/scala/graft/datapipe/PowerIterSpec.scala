@@ -1,0 +1,102 @@
+package graft.datapipe
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+
+/** Pins the exact-integer power iteration (q137) against the float
+  * Jacobi eigensolve it witnesses: the two solvers share nothing but
+  * the moment buffer, so agreement here cross-checks the driver
+  * eigensolve that used to be spec-pinned only.
+  */
+class PowerIterSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def moments(df: org.apache.spark.sql.DataFrame, d: Int): Array[Long] = {
+    import spark.implicits._
+    df.select(col("vec")).as[Seq[Float]]
+      .select(new Embeddings.MomentsAgg(d).toColumn.name("m")).head()
+  }
+
+  /** The EmbeddingsSpec fixture: dims 0/1 strongly correlated → a
+    * clearly dominant principal direction. */
+  private def vecs(n: Int, d: Int = 8) = {
+    import spark.implicits._
+    (1 to n).map { r =>
+      val base = ((r * 2654435761L) % 1000).toFloat / 500f - 1f
+      (r.toLong, Seq.tabulate(d) { i =>
+        val noise = (((r * 48271L + i * 7919L) % 997).toFloat / 997f - 0.5f) * 0.1f
+        if (i == 0) base + noise
+        else if (i == 1) 0.8f * base + noise
+        else noise
+      })
+    }.toDF("id", "vec")
+  }
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    dot / (na * nb)
+  }
+
+  private def rayleigh(cov: Array[Array[Double]], v: Array[Double]): Double = {
+    val d = v.length
+    val num = (0 until d).map(i => (0 until d).map(j => cov(i)(j) * v(j)).sum * v(i)).sum
+    num / v.map(x => x * x).sum
+  }
+
+  test("power iteration matches the Jacobi dominant eigenvector on a spiked fixture") {
+    val df = vecs(300)
+    val m = moments(df, 8)
+    val (v, lam) = Embeddings.powerIterationFixed(m, 8, 32)
+    val (_, cov) = Embeddings.meanCovariance(df, "vec", 8)
+    val jac = Embeddings.topEigenvectors(cov, 1)(0)
+    val vd = v.map(_.toDouble)
+    assert(math.abs(cosine(vd, jac)) > 0.9999,
+      s"cos=${cosine(vd, jac)}")
+    // Rayleigh eigenvalue (×2^40) within quantization of Jacobi's λ1
+    val l1 = rayleigh(cov, jac)
+    val lamReal = lam.toDouble / (Embeddings.Fp.toDouble * Embeddings.Fp)
+    assert(lam.signum >= 0) // A is PSD: integer quadratic form >= 0
+    assert(math.abs(lamReal - l1) < 1e-4 * math.max(1.0, l1),
+      s"lam=$lamReal l1=$l1")
+  }
+
+  test("pure function of the moments: partitioning cannot change a bit") {
+    val df = vecs(257)
+    val m1 = moments(df, 8)
+    val m13 = moments(df.repartition(13), 8)
+    assert(m1.sameElements(m13))
+    val (v1, l1) = Embeddings.powerIterationFixed(m1, 8, 32)
+    val (v2, l2) = Embeddings.powerIterationFixed(m13, 8, 32)
+    assert(v1.sameElements(v2) && l1 == l2)
+  }
+
+  test("real embeddings: power vector captures the top Jacobi variance") {
+    val emb = graft.util.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumnRenamed("embedding", "vec")
+    val m = moments(emb, 64)
+    val (v, _) = Embeddings.powerIterationFixed(m, 64, 64)
+    val (_, cov) = Embeddings.meanCovariance(emb, "vec", 64)
+    val jac = Embeddings.topEigenvectors(cov, 1)(0)
+    val vd = v.map(_.toDouble)
+    // Rayleigh-quotient criterion: robust even if eigenvalues cluster
+    assert(rayleigh(cov, vd) >= 0.999 * rayleigh(cov, jac))
+  }
+
+  test("HUGEINT headroom bound is enforced, zero matrix degrades to zero") {
+    // d=2 buffer [n, s0, s1, p00, p01, p11, max] with absurd scale
+    val huge = Array[Long](1L << 40, 0L, 0L, 1L << 60, 0L, 1L << 60, 1L << 30)
+    val ex = intercept[IllegalArgumentException] {
+      Embeddings.powerIterationFixed(huge, 2, 4)
+    }
+    assert(ex.getMessage.contains("headroom"))
+    // all-equal vectors → zero covariance → zero vector, zero lambda
+    import spark.implicits._
+    val const = (1 to 10).map(i => (i.toLong, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("id", "vec")
+    val (v, lam) = Embeddings.powerIterationFixed(moments(const, 3), 3, 8)
+    assert(v.forall(_.signum == 0) && lam.signum == 0)
+  }
+}
