@@ -154,6 +154,7 @@ object SparkEntry {
     "q135_backoff_lm_pruned" -> (DataPipeQueries.backoffLmPruned _),
     "q136_video_frames" -> (DataPipeQueries.videoFrames _),
     "q137_pca_power" -> (DataPipeQueries.pcaPower _),
+    "q138_pca_power_inc" -> (DataPipeQueries.pcaPowerInc _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -545,5 +546,6 @@ object SparkEntry {
     "q135_backoff_lm_pruned" -> DataPipeQueries.backoffLmPrunedOracle,
     "q136_video_frames" -> DataPipeQueries.videoFramesOracle,
     "q137_pca_power" -> DataPipeQueries.pcaPowerOracle,
+    "q138_pca_power_inc" -> DataPipeQueries.pcaPowerIncOracle,
   )
 }

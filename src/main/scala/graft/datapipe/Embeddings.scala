@@ -252,6 +252,26 @@ object Embeddings {
     project(emb, vecCol, outCol, mean, topEigenvectors(cov, k))
   }
 
+  /** Fold two `(slot, val)` moment relations (the q106 buffer layout
+    * as rows) into the buffer of the UNION corpus: every slot but the
+    * last sums (n, component sums, pair-product sums — integer
+    * addition commutes), the trailing max-|component| slot takes the
+    * max — exactly [[MomentsAgg.merge]], expressed relationally over
+    * persisted buffers. This is the steady-state PCA fit: moments are
+    * a mergeable sketch (buffer-sized state, 2+d+d(d+1)/2 rows), so
+    * each arriving batch folds in with one tiny agg and the corpus is
+    * never rescanned; the merged buffer is a pure function of the
+    * union corpus regardless of batch boundaries (q138 pins this with
+    * the one-shot oracle under the driver hash compare). */
+  def momentsMerge(a: DataFrame, b: DataFrame, d: Int): DataFrame = {
+    val maxSlot = 1 + d + d * (d + 1) / 2
+    a.unionByName(b).groupBy(col("slot"))
+      .agg(sum(col("val")).as("__s"), max(col("val")).as("__m"))
+      .select(col("slot"),
+        when(col("slot") === maxSlot, col("__m")).otherwise(col("__s"))
+          .as("val"))
+  }
+
   /** Dominant eigenvector of the EXACT integer scaled covariance
     * `A = n·P − s·sᵀ` (= n²·Cov in ×2⁴⁰ fixed point, PSD by
     * construction) by `iters` power-iteration steps in pure integer

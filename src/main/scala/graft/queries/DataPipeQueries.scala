@@ -3506,4 +3506,38 @@ object DataPipeQueries {
   }
 
   def heapsCurveIncOracle: String = heapsCurveOracle
+
+  /** Incremental PCA fit (q138): the embedding corpus split into two
+    * arrival batches by vec_id parity, each batch's exact moment
+    * buffer computed independently ([[Embeddings.MomentsAgg]]), the
+    * two persisted `(slot, val)` buffers folded with
+    * [[Embeddings.momentsMerge]] (sums add, max-slot maxes — moments
+    * are a mergeable sketch), and the dominant eigenvector solved
+    * from the MERGED buffer. The oracle is the ONE-SHOT q137 SQL:
+    * the driver's hash compare pins batch ≡ incremental for the
+    * entire PCA fit — covariance accumulation AND eigensolve — the
+    * steady-state form in which a 100 TB corpus actually fits PCA
+    * (per-batch work ∝ batch, merge work ∝ buffer: 2,146 rows). */
+  def pcaPowerInc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    def momentsOf(df: DataFrame): DataFrame = df
+      .select(col("embedding")).as[Seq[Float]]
+      .select(new Embeddings.MomentsAgg(EmbDim).toColumn.name("m"))
+      .select(posexplode(col("m")).as(Seq("slot", "val")))
+    val even = momentsOf(emb.filter(col("vec_id") % 2 === 0))
+      .localCheckpoint(true)
+    val merged = Embeddings.momentsMerge(
+      even, momentsOf(emb.filter(col("vec_id") % 2 =!= 0)), EmbDim)
+    val m: Array[Long] = merged.orderBy(col("slot"))
+      .select(col("val")).as[Long].collect()
+    val (v, lam) = Embeddings.powerIterationFixed(m, EmbDim, PowerIters)
+    val rows = v.zipWithIndex.map { case (x, i) => (i, x.toLong) } :+
+      ((EmbDim, lam.toLong))
+    s.createDataFrame(rows.toIndexedSeq).toDF("slot", "val")
+      .select(col("slot").cast("int").as("slot"), col("val"))
+      .orderBy(col("slot"))
+  }
+
+  def pcaPowerIncOracle: String = pcaPowerOracle
 }

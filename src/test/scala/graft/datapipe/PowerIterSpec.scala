@@ -85,6 +85,30 @@ class PowerIterSpec extends AnyFunSuite {
     assert(rayleigh(cov, vd) >= 0.999 * rayleigh(cov, jac))
   }
 
+  test("momentsMerge: merged buffer is a pure function of the union corpus") {
+    import spark.implicits._
+    val df = vecs(301)
+    def momentsOf(part: org.apache.spark.sql.DataFrame) = part
+      .select(col("vec")).as[Seq[Float]]
+      .select(new Embeddings.MomentsAgg(8).toColumn.name("m"))
+      .select(posexplode(col("m")).as(Seq("slot", "val")))
+    val oneShot = momentsOf(df).orderBy("slot").select("val").as[Long].collect()
+    // two-way parity split
+    val m2 = Embeddings.momentsMerge(
+      momentsOf(df.filter(col("id") % 2 === 0)),
+      momentsOf(df.filter(col("id") % 2 =!= 0)), 8)
+      .orderBy("slot").select("val").as[Long].collect()
+    assert(oneShot.sameElements(m2))
+    // three-way split, folded left-to-right (merge associates)
+    val m3 = Embeddings.momentsMerge(
+      Embeddings.momentsMerge(
+        momentsOf(df.filter(col("id") % 3 === 0)),
+        momentsOf(df.filter(col("id") % 3 === 1)), 8),
+      momentsOf(df.filter(col("id") % 3 === 2)), 8)
+      .orderBy("slot").select("val").as[Long].collect()
+    assert(oneShot.sameElements(m3))
+  }
+
   test("HUGEINT headroom bound is enforced, zero matrix degrades to zero") {
     // d=2 buffer [n, s0, s1, p00, p01, p11, max] with absurd scale
     val huge = Array[Long](1L << 40, 0L, 0L, 1L << 60, 0L, 1L << 60, 1L << 30)
