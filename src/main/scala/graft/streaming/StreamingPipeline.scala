@@ -730,15 +730,24 @@ object StreamingPipeline {
       }
       merged.write.mode("overwrite").parquet(target.toString)
     }
-    val tmp = new org.apache.hadoop.fs.Path(indexRoot, "_LATEST.tmp")
+    commitSnapshot(fs, indexRoot, batchId)
+  }
+
+  /** Flip `_LATEST` to `v{batchId}` (tmp-write + rename) and GC
+    * snapshot versions older than the previous one — the shared
+    * commit step of every versioned-snapshot stream state
+    * ([[applyTokenIndexBatch]], [[applyMomentsBatch]]). */
+  private def commitSnapshot(fs: org.apache.hadoop.fs.FileSystem,
+      snapRoot: org.apache.hadoop.fs.Path, batchId: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(snapRoot, "_LATEST.tmp")
     val out = fs.create(tmp, true)
     out.write(s"v$batchId".getBytes("UTF-8"))
     out.close()
-    val manifest = new org.apache.hadoop.fs.Path(indexRoot, "_LATEST")
+    val manifest = new org.apache.hadoop.fs.Path(snapRoot, "_LATEST")
     if (fs.exists(manifest)) fs.delete(manifest, false)
     if (!fs.rename(tmp, manifest))
       throw new java.io.IOException(s"could not flip $manifest to v$batchId")
-    fs.listStatus(indexRoot).map(_.getPath)
+    fs.listStatus(snapRoot).map(_.getPath)
       .filter(p => p.getName.startsWith("v") &&
         p.getName.drop(1).nonEmpty &&
         p.getName.drop(1).forall(_.isDigit) &&
@@ -762,6 +771,79 @@ object StreamingPipeline {
         new org.apache.hadoop.fs.Path(root, "counts").toString)
       (graft.datapipe.CorpusStats.zipfCardFromIndex(ix, k),
         graft.datapipe.CorpusStats.heapsCurveFromIndex(ix, counts, idCol))
+    }
+  }
+
+  /** Maintain a persisted PCA moment buffer over an embedding stream
+    * — the streaming face of the q138 incremental fit. Per
+    * micro-batch: one map-side-combined
+    * [[graft.datapipe.Embeddings.MomentsAgg]] pass over the batch
+    * (work ∝ batch), then
+    * [[graft.datapipe.Embeddings.momentsMerge]] folds the batch
+    * buffer into the current snapshot (work ∝ the 2+d+d(d+1)/2-row
+    * buffer — the corpus is never rescanned), written as a new
+    * version and atomically flipped via the `_LATEST` manifest (the
+    * [[tokenIndexStream]] convention: a crash-replayed batch id is
+    * recognized as already applied and never double-merged).
+    * [[pcaSnapshot]] serves the live dominant eigenvector from the
+    * newest committed buffer — identical, by the q138 merge
+    * guarantee, to refitting the whole corpus ingested so far. */
+  def momentsStream(emb: DataFrame, stateDir: String, d: Int,
+      vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    emb.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyMomentsBatch(batch, batchId, stateDir, d, vecCol)
+    }
+
+  /** One [[momentsStream]] micro-batch, factored out so crash-replay
+    * recovery is directly testable. */
+  private[streaming] def applyMomentsBatch(batch: DataFrame,
+      batchId: Long, stateDir: String, d: Int, vecCol: String): Unit = {
+    import graft.datapipe.Embeddings
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val momRoot = new org.apache.hadoop.fs.Path(root, "moments")
+    val target = new org.apache.hadoop.fs.Path(momRoot, s"v$batchId")
+    val current = currentSnapshotPath(fs, momRoot)
+    if (!current.exists(_.getName == target.getName)) {
+      val bm = batch.select(col(vecCol)).as[Seq[Float]]
+        .select(new Embeddings.MomentsAgg(d).toColumn.name("m"))
+        .select(posexplode(col("m")).as(Seq("slot", "val")))
+      val merged = current match {
+        case Some(p) =>
+          Embeddings.momentsMerge(spark.read.parquet(p.toString), bm, d)
+        case None => bm
+      }
+      merged.write.mode("overwrite").parquet(target.toString)
+    }
+    commitSnapshot(fs, momRoot, batchId)
+  }
+
+  /** Live PCA from the [[momentsStream]] state: the q137-shaped
+    * `(slot, val)` dominant-eigenvector frame (slots 0..d−1 the
+    * vector ×2²⁰, slot d the Rayleigh eigenvalue ×2⁴⁰) over
+    * everything ingested so far. None until the first committed
+    * batch brings at least 2 vectors. */
+  def pcaSnapshot(spark: SparkSession, stateDir: String, d: Int,
+      iters: Int = 64): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val momRoot = new org.apache.hadoop.fs.Path(root, "moments")
+    currentSnapshotPath(fs, momRoot).flatMap { p =>
+      import spark.implicits._
+      val m: Array[Long] = spark.read.parquet(p.toString)
+        .orderBy(col("slot")).select(col("val")).as[Long].collect()
+      if (m.length == 0 || m(0) < 2L) None
+      else {
+        val (v, lam) =
+          graft.datapipe.Embeddings.powerIterationFixed(m, d, iters)
+        val rows = v.zipWithIndex.map { case (x, i) => (i, x.toLong) } :+
+          ((d, lam.toLong))
+        Some(spark.createDataFrame(rows.toIndexedSeq).toDF("slot", "val")
+          .select(col("slot").cast("int").as("slot"), col("val")))
+      }
     }
   }
 

@@ -755,6 +755,74 @@ class StreamingPipelineSpec extends AnyFunSuite {
         .orderBy("doc_id").collect().map(_.toSeq).toSeq)
   }
 
+  test("streaming PCA moments serve a live eigenvector equal to the batch fit") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("moments_stream").toString
+    val state = s"$dir/state"
+    val d = 8
+    def vec(r: Int): Seq[Float] = {
+      val base = ((r * 2654435761L) % 1000).toFloat / 500f - 1f
+      Seq.tabulate(d) { i =>
+        val noise = (((r * 48271L + i * 7919L) % 997).toFloat / 997f - 0.5f) * 0.1f
+        if (i == 0) base + noise else if (i == 1) 0.8f * base + noise else noise
+      }
+    }
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = StreamingPipeline.momentsStream(
+        input.toDF().toDF("vec_id", "embedding"), state, d)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+
+    assert(StreamingPipeline.pcaSnapshot(spark, state, d).isEmpty)
+    val b1 = (1 to 40).map(r => (r.toLong, vec(r)))
+    val b2 = (41 to 90).map(r => (r.toLong, vec(r)))
+    input.addData(b1: _*); query.processAllAvailable()
+    val mid = StreamingPipeline.pcaSnapshot(spark, state, d).get
+      .orderBy("slot").collect().map(_.getLong(1))
+    input.addData(b2: _*); query.processAllAvailable()
+    query.stop()
+
+    // live snapshot == one-shot fit of everything ingested, bit-for-bit
+    val all = (b1 ++ b2).map(_._2)
+    val m = all.toDF("vec").select(col("vec")).as[Seq[Float]]
+      .select(new graft.datapipe.Embeddings.MomentsAgg(d).toColumn.name("m"))
+      .head()
+    val (v, lam) = graft.datapipe.Embeddings.powerIterationFixed(m, d, 64)
+    val got = StreamingPipeline.pcaSnapshot(spark, state, d).get
+      .orderBy("slot").collect().map(_.getLong(1))
+    assert(got.toSeq == (v.map(_.toLong) :+ lam.toLong).toSeq)
+    // and the mid-stream snapshot was the fit of batch 1 alone
+    val m1 = b1.map(_._2).toDF("vec").select(col("vec")).as[Seq[Float]]
+      .select(new graft.datapipe.Embeddings.MomentsAgg(d).toColumn.name("m"))
+      .head()
+    val (v1, lam1) = graft.datapipe.Embeddings.powerIterationFixed(m1, d, 64)
+    assert(mid.toSeq == (v1.map(_.toLong) :+ lam1.toLong).toSeq)
+  }
+
+  test("PCA moments batch replay across the flip-then-crash window never double-merges") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("moments_replay").toString
+    val state = s"$dir/state"
+    val d = 4
+    def batch(rows: (Long, Seq[Float])*) = rows.toDF("vec_id", "embedding")
+    val r1 = Seq(1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0.9f, 0.1f, 0f, 0f))
+    val r2 = Seq(3L -> Seq(0.8f, 0.2f, 0.1f, 0f))
+    StreamingPipeline.applyMomentsBatch(batch(r1: _*), 0L, state, d, "embedding")
+    StreamingPipeline.applyMomentsBatch(batch(r2: _*), 1L, state, d, "embedding")
+    def snap() = StreamingPipeline.pcaSnapshot(spark, state, d).get
+      .orderBy("slot").collect().map(_.getLong(1)).toSeq
+    val before = snap()
+    // crash window: _LATEST points at v1 but the stream checkpoint
+    // didn't commit — batch 1 is re-delivered; a re-merge would
+    // double batch 1's moment mass
+    StreamingPipeline.applyMomentsBatch(batch(r2: _*), 1L, state, d, "embedding")
+    assert(snap() == before)
+    // n slot reflects exactly 3 vectors, not 4
+    val buf = spark.read.parquet(s"$state/moments/v1")
+      .orderBy("slot").collect().map(_.getLong(1))
+    assert(buf(0) == 3L, buf(0))
+  }
+
   test("token index batch replay across the flip-then-crash window never double-counts") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("tokenix_replay").toString
