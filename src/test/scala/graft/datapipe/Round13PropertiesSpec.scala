@@ -100,4 +100,80 @@ class Round13PropertiesSpec extends AnyFunSuite {
       assert(batch == viaModel, s"raw=$raw tgt=$tgt")
     }
   }
+
+  /** Driver replay of [[Embeddings.MomentsAgg]] over a vector list —
+    * the reference implementation for the power-iteration properties
+    * (no Spark round-trip per generated case). */
+  private def momentsOf(vs: Seq[Seq[Float]], d: Int): Array[Long] = {
+    val len = 2 + d + d * (d + 1) / 2
+    val buf = new Array[Long](len)
+    vs.foreach { v =>
+      val f = Array.tabulate(d)(i => math.round(v(i).toDouble * Embeddings.Fp))
+      buf(0) += 1L
+      var i = 0
+      var o = 1 + d
+      while (i < d) {
+        buf(1 + i) += f(i)
+        if (math.abs(f(i)) > buf(len - 1)) buf(len - 1) = math.abs(f(i))
+        var j = i
+        while (j < d) { buf(o) += f(i) * f(j); o += 1; j += 1 }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  private val smallVec: Gen[Seq[Float]] = Gen.choose(0, 3).flatMap(_ =>
+    Gen.listOfN(4, Gen.choose(-1000, 1000).map(_.toFloat / 700f)))
+
+  test("property: power iteration — PSD eigenvalue bounds and normalization invariants") {
+    val gen = for {
+      n <- Gen.choose(2, 20)
+      vs <- Gen.listOfN(n, smallVec)
+      iters <- Gen.choose(1, 24)
+    } yield (vs, iters)
+    forAll(gen, n = 40) { case (vs, iters) =>
+      val d = 4
+      val m = momentsOf(vs, d)
+      val (v, lam) = Embeddings.powerIterationFixed(m, d, iters)
+      // PSD: the floor'd Rayleigh quotient can never be negative
+      assert(lam.signum >= 0, s"lam=$lam vs=$vs")
+      // eigenvalue <= trace: lam * n^2 <= sum of A's diagonal
+      val n = BigInt(m(0))
+      val s = Array.tabulate(d)(i => BigInt(m(1 + i)))
+      var o = 1 + d
+      var trace = BigInt(0)
+      for (i <- 0 until d; j <- i until d) {
+        if (i == j) trace += n * BigInt(m(o)) - s(i) * s(j)
+        o += 1
+      }
+      assert(lam * n * n <= trace, s"lam=$lam trace=$trace n=$n")
+      // normalization: components bounded by 2^20, and unless the
+      // covariance is identically zero the max |component| IS 2^20
+      val fp = BigInt(Embeddings.Fp)
+      assert(v.forall(_.abs <= fp))
+      if (v.exists(_.signum != 0)) assert(v.map(_.abs).max == fp)
+      // pure function: same buffer, same result
+      val (v2, lam2) = Embeddings.powerIterationFixed(m, d, iters)
+      assert(v.sameElements(v2) && lam == lam2)
+    }
+  }
+
+  test("property: moment buffers merge associatively across any batch split") {
+    val gen = for {
+      n <- Gen.choose(2, 16)
+      vs <- Gen.listOfN(n, smallVec)
+      cut <- Gen.choose(0, n)
+    } yield (vs, cut)
+    forAll(gen, n = 25) { case (vs, cut) =>
+      val d = 4
+      val (b1, b2) = vs.splitAt(cut)
+      val one = momentsOf(vs, d)
+      val (m1, m2) = (momentsOf(b1, d), momentsOf(b2, d))
+      // MomentsAgg.merge semantics: sums add, trailing max-slot maxes
+      val merged = Array.tabulate(one.length)(i =>
+        if (i == one.length - 1) math.max(m1(i), m2(i)) else m1(i) + m2(i))
+      assert(merged.sameElements(one), s"cut=$cut")
+    }
+  }
 }

@@ -473,6 +473,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("partial_count".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
+  test("q136 video frame decode: one object-pipeline stage, no shuffle before decode") {
+    val p = plan("q136_video_frames")
+    // synth + decode are per-row object pipelines (MapElements /
+    // MapPartitions) — decoding must not shuffle payload bytes; the
+    // only exchange is the final presentation sort
+    assert(p.contains("MapPartitions"), p.take(3000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(2000))
+    assert(!p.contains("BatchEvalPython"), p.take(2000))
+    assert("Exchange (?!rangepartitioning)".r.findAllIn(p).isEmpty,
+      "non-sort exchange in the decode path: " + p.take(3000))
+  }
+
+  test("q137/q138 PCA power: emitted frame is driver-local; moments agg map-side combines") {
+    // the emitted (slot, val) frame is the driver-solved eigenvector —
+    // no distributed work may hide in it
+    val p137 = plan("q137_pca_power")
+    assert(p137.contains("LocalTableScan"), p137.take(1000))
+    // the distributed half: ONE map-side-combined typed aggregate over
+    // the embeddings scan (partial on the scan side, single exchange)
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val mp = graft.util.Tables.embeddings(spark, d)
+      .select(col("embedding")).as[Seq[Float]]
+      .select(new graft.datapipe.Embeddings.MomentsAgg(64).toColumn.name("m"))
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate|SortAggregate".r.findAllIn(mp).size == 2, mp.take(3000))
+    assert("Exchange".r.findAllIn(mp).size == 1, mp.take(3000))
+    assert(!mp.contains("CartesianProduct"), mp.take(2000))
+  }
+
   test("q122 epoch shuffle: banded rank (no global window), offsets broadcast") {
     val p = plan("q122_epoch_shuffle")
     assert(!p.contains("CartesianProduct") &&
