@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * map-side-combining typed Aggregator, same scale shape as the KMV
   * sketch. Overflow headroom: unit-scale components in fixed point are
   * ~2²⁰, pair products ~2⁴⁰, so ~2²³ rows fit in a signed long — at
-  * larger corpora raise the bound by sharding the sum (not needed at
-  * this SF; asserted in the aggregator).
+  * larger corpora shard the sum with [[shardedMoments]] (per-shard
+  * buffers each inside the bound, merged exactly in BigInt on the
+  * driver; the q137 query runs this path), asserted in the
+  * aggregator either way.
   *
   * The eigensolve runs on the driver over the d×d matrix (d = 64 →
   * trivial): cyclic Jacobi rotations, deterministic given the exact
@@ -272,6 +274,44 @@ object Embeddings {
           .as("val"))
   }
 
+  /** The exact moment buffer of a corpus TOO LARGE for one Long
+    * accumulator: rows split into `shards` deterministic hash groups,
+    * each shard accumulating its own [[MomentsAgg]] buffer (the
+    * per-shard headroom bound n_shard·max|f|² < 2⁶² still enforced —
+    * this is the scaladoc'd "shard the sum" escape hatch,
+    * implemented), and the S buffers merged on the driver in BigInt,
+    * where sums may exceed a Long (the point: a 2²³-row ceiling per
+    * buffer becomes shards·2²³ rows overall — pick
+    * shards ≥ n/2²² and a 1e9-vector corpus fits). The merged buffer
+    * EQUALS the single-aggregator buffer wherever both are in range
+    * (integer addition is associative and commutative; spec-pinned on
+    * the real table), and feeds the BigInt [[powerIterationFixed]]
+    * overload directly. Scale shape: ONE map-side-combined shuffle
+    * whose payload is ≤ shards·(2+d+d(d+1)/2) longs — shard count
+    * does not change the corpus-scan cost. */
+  def shardedMoments(emb: DataFrame, idCol: String, vecCol: String,
+      d: Int, shards: Int): Array[BigInt] = {
+    require(shards >= 1 && shards <= (1 << 20), s"bad shard count $shards")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bufs: Array[Array[Long]] = emb
+      .select(pmod(hash(col(idCol)), lit(shards)).as("__shard"),
+        col(vecCol).as("__v"))
+      .as[(Int, Seq[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new MomentsAgg(d).toColumn)
+      .collect().map(_._2)
+    val len = 2 + d + d * (d + 1) / 2
+    val out = Array.fill(len)(BigInt(0))
+    bufs.foreach { b =>
+      var i = 0
+      while (i < len - 1) { out(i) += BigInt(b(i)); i += 1 }
+      if (BigInt(b(len - 1)) > out(len - 1)) out(len - 1) = BigInt(b(len - 1))
+    }
+    out
+  }
+
   /** Dominant eigenvector of the EXACT integer scaled covariance
     * `A = n·P − s·sᵀ` (= n²·Cov in ×2⁴⁰ fixed point, PSD by
     * construction) by `iters` power-iteration steps in pure integer
@@ -301,19 +341,26 @@ object Embeddings {
     * bounds every partial sum in the mat-vec and the Rayleigh
     * numerator), so both engines fail loudly, never silently. */
   def powerIterationFixed(m: Array[Long], d: Int,
+      iters: Int): (Array[BigInt], BigInt) =
+    powerIterationFixed(m.map(BigInt(_)), d, iters)
+
+  /** BigInt-buffer overload — the entry point for SHARDED moment
+    * buffers ([[shardedMoments]]), whose merged sums may exceed a
+    * Long even though every per-shard buffer fits one. */
+  def powerIterationFixed(m: Array[BigInt], d: Int,
       iters: Int): (Array[BigInt], BigInt) = {
     require(iters >= 1 && m.length == 2 + d + d * (d + 1) / 2,
       s"bad moment buffer for d=$d")
-    val n = BigInt(m(0))
+    val n = m(0)
     require(n >= 2, "power iteration needs at least 2 vectors")
-    val s = Array.tabulate(d)(i => BigInt(m(1 + i)))
+    val s = Array.tabulate(d)(i => m(1 + i))
     val a = Array.ofDim[BigInt](d, d)
     var o = 1 + d
     var i = 0
     while (i < d) {
       var j = i
       while (j < d) {
-        val v = n * BigInt(m(o)) - s(i) * s(j)
+        val v = n * m(o) - s(i) * s(j)
         a(i)(j) = v; a(j)(i) = v
         o += 1; j += 1
       }

@@ -1680,11 +1680,12 @@ object DataPipeQueries {
     * iteration is d×d driver work replayed bit-for-bit by the second
     * engine. */
   def pcaPower(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val m: Array[Long] = Tables.embeddings(s, d)
-      .select(col("embedding")).as[Seq[Float]]
-      .select(new Embeddings.MomentsAgg(EmbDim).toColumn.name("m"))
-      .head()
+    // the SHARDED accumulation path — the form that holds past the
+    // single-buffer 2²³-row headroom at 100 TB; bit-identical to one
+    // aggregator here (integer sums commute), so the oracle pins the
+    // scale path itself
+    val m = Embeddings.shardedMoments(
+      Tables.embeddings(s, d), "vec_id", "embedding", EmbDim, shards = 8)
     val (v, lam) = Embeddings.powerIterationFixed(m, EmbDim, PowerIters)
     val rows = v.zipWithIndex.map { case (x, i) => (i, x.toLong) } :+
       ((EmbDim, lam.toLong))

@@ -109,6 +109,22 @@ class PowerIterSpec extends AnyFunSuite {
     assert(oneShot.sameElements(m3))
   }
 
+  test("shardedMoments: S hash-sharded buffers merge to the single-aggregator buffer") {
+    import spark.implicits._
+    val emb = graft.util.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val single: Array[Long] = emb.select(col("embedding")).as[Seq[Float]]
+      .select(new Embeddings.MomentsAgg(64).toColumn.name("m")).head()
+    for (s <- Seq(1, 8, 61)) {
+      val sharded = Embeddings.shardedMoments(emb, "vec_id", "embedding", 64, s)
+      assert(sharded.map(_.toLong).sameElements(single), s"shards=$s")
+    }
+    // and the solve from either buffer is the same object
+    val (v1, l1) = Embeddings.powerIterationFixed(single, 64, 16)
+    val (v2, l2) = Embeddings.powerIterationFixed(
+      Embeddings.shardedMoments(emb, "vec_id", "embedding", 64, 8), 64, 16)
+    assert(v1.sameElements(v2) && l1 == l2)
+  }
+
   test("HUGEINT headroom bound is enforced, zero matrix degrades to zero") {
     // d=2 buffer [n, s0, s1, p00, p01, p11, max] with absurd scale
     val huge = Array[Long](1L << 40, 0L, 0L, 1L << 60, 0L, 1L << 60, 1L << 30)
