@@ -155,6 +155,7 @@ object SparkEntry {
     "q136_video_frames" -> (DataPipeQueries.videoFrames _),
     "q137_pca_power" -> (DataPipeQueries.pcaPower _),
     "q138_pca_power_inc" -> (DataPipeQueries.pcaPowerInc _),
+    "q139_ann_index_inc" -> (DataPipeQueries.annIndexInc _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -547,5 +548,6 @@ object SparkEntry {
     "q136_video_frames" -> DataPipeQueries.videoFramesOracle,
     "q137_pca_power" -> DataPipeQueries.pcaPowerOracle,
     "q138_pca_power_inc" -> DataPipeQueries.pcaPowerIncOracle,
+    "q139_ann_index_inc" -> DataPipeQueries.annIndexIncOracle,
   )
 }

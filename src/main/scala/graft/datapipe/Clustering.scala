@@ -87,6 +87,55 @@ object Clustering {
     df.select(col(idCol), cl.as("cluster"), dist.as("sq_dist"))
   }
 
+  /** One IVF index relation `(idCol, cluster, __cv)` for a batch
+    * under FIXED centroids: the assignment plus the quantized vector
+    * the probe scores against — what an IVF index physically stores.
+    * Stateless narrow map (per-batch work ∝ batch), so batches
+    * append and the index never rebuilds. */
+  def ivfIndex(df: DataFrame, centroids: Array[Array[Long]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (cl, _) = assignCols(quantize(col(vecCol)), centroids)
+    df.select(col(idCol), cl.as("cluster"),
+      quantize(col(vecCol)).as("__cv"))
+  }
+
+  /** Probe a persisted [[ivfIndex]] relation: for each (query id,
+    * quantized query vector), the `nProbe` nearest cells by integer
+    * centroid distance (ties → lower cell id), then the exact integer
+    * squared-L2 top-`k` among the probed cells' stored vectors
+    * (ties → lower id, self excluded). The tiny (query, cell, qv)
+    * relation broadcasts against the cluster-keyed index — unprobed
+    * cells are never scanned. Integer end-to-end (the q139 oracle
+    * replays it bit-for-bit). */
+  def ivfProbe(idx: DataFrame, centroids: Array[Array[Long]],
+      queries: Seq[(Long, Array[Long])], nProbe: Int, k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = idx.sparkSession
+    import spark.implicits._
+    val probeRows: Seq[(Long, Long, Seq[Long])] = queries.flatMap {
+      case (qid, qv) =>
+        centroids.zipWithIndex.map { case (c, cl) =>
+          var dist = 0L
+          var i = 0
+          while (i < qv.length) { val t = qv(i) - c(i); dist += t * t; i += 1 }
+          (cl.toLong, dist)
+        }.sortBy { case (cl, dist) => (dist, cl) }.take(nProbe)
+          .map { case (cl, _) => (qid, cl, qv.toSeq) }
+    }
+    val probeDf = probeRows.toDF("query_id", "cluster", "__qv")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("__dist"), col(idCol))
+    probeDf.join(idx, Seq("cluster"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("__dist", expr(
+        "aggregate(zip_with(__qv, __cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"),
+        col("__dist").as("sq_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Lloyd training alone: the centroids after `iters` updates —
     * feed [[assignWithCentroids]] to score other data (or a stream)
     * with the trained model. */

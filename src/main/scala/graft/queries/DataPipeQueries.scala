@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.datapipe._
 import graft.text.StopWords
@@ -3541,4 +3542,77 @@ object DataPipeQueries {
   }
 
   def pcaPowerIncOracle: String = pcaPowerOracle
+
+  /** Incremental ANN index (q139): the steady-state 100 TB ANN shape
+    * — a persisted IVF index whose coarse quantizer is trained ONCE
+    * (the q95 fixed-point k-means, on the FIRST arrival batch only)
+    * and then each arriving batch is assigned under the FIXED model
+    * (per-batch work ∝ batch — the q75/q129/q138 index pattern; the
+    * index is append-only and never rebuilt). Probe: the q15 query
+    * convention (vec_id < 5), nProbe = 2 cells by integer quantized
+    * distance (ties → lower cell id), exact integer squared-L2 top-5
+    * within the probed cells (ties → lower vec_id). Integer
+    * arithmetic end-to-end, so the oracle replays EVERYTHING —
+    * quantizer training on the even half (the shared q95 CTE chain),
+    * whole-corpus assignment, probe-cell selection, candidate
+    * distances, final ranks — bit-for-bit. */
+  def annIndexInc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 =!= 0)
+    val centroids = Clustering.kmeansCentroids(even, k = KmK, iters = KmIters)
+    // persisted index: one append-only (vec_id, cluster, stored
+    // quantized vector) relation, each batch assigned under the fixed
+    // model — Clustering.ivfIndex, the relation the streaming twin
+    // persists per batch
+    val idx = Clustering.ivfIndex(even, centroids)
+      .unionByName(Clustering.ivfIndex(odd, centroids))
+      .localCheckpoint(true)
+    // query vectors (bounded: 5) quantized with the model convention
+    val qs: Seq[(Long, Array[Long])] = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toIndexedSeq.map { case (id, v) =>
+        id -> v.map(x =>
+          math.floor(x.toDouble * Clustering.Fp).toLong).toArray
+      }
+    Clustering.ivfProbe(idx, centroids, qs, nProbe = 2, k = 5)
+  }
+
+  def annIndexIncOracle: String =
+    s"""WITH ${kmeansCtesFrom("(SELECT * FROM embeddings WHERE vec_id % 2 = 0)")},
+       |qall AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * ${Clustering.Fp}) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), qe2 AS MATERIALIZED (
+       |  SELECT vec_id, unnest(qv) AS comp, generate_subscripts(qv, 1) - 1 AS pos FROM qall
+       |), adist AS MATERIALIZED (
+       |  SELECT qe2.vec_id, c.cl,
+       |    SUM((qe2.comp - c.comp)*(qe2.comp - c.comp)) AS dist
+       |  FROM qe2 JOIN c$KmIters c ON c.pos = qe2.pos GROUP BY 1, 2
+       |), idx AS MATERIALIZED (
+       |  SELECT vec_id, cl FROM (
+       |    SELECT vec_id, cl,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+       |    FROM adist) WHERE rn = 1
+       |), probe AS (
+       |  SELECT vec_id AS query_id, cl FROM (
+       |    SELECT vec_id, cl,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+       |    FROM adist WHERE vec_id < 5) WHERE rn <= 2
+       |), cand AS (
+       |  SELECT p.query_id, i.vec_id,
+       |    CAST(SUM((a.comp - b.comp)*(a.comp - b.comp)) AS BIGINT) AS dist
+       |  FROM probe p JOIN idx i ON i.cl = p.cl AND i.vec_id <> p.query_id
+       |  JOIN qe2 a ON a.vec_id = p.query_id
+       |  JOIN qe2 b ON b.vec_id = i.vec_id AND b.pos = a.pos
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+       |  vec_id AS neighbor_id, dist AS sq_dist FROM (
+       |  SELECT query_id, vec_id, dist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+       |  FROM cand)
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 }

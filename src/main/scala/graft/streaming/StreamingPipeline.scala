@@ -847,6 +847,83 @@ object StreamingPipeline {
     }
   }
 
+  /** Maintain a persisted incremental IVF index over an embedding
+    * stream — the streaming face of q139. The FIRST arriving batch
+    * trains the coarse quantizer (the q95 fixed-point k-means,
+    * deterministic, so a crash-replay of that batch retrains the
+    * identical model); every batch then appends its
+    * [[graft.datapipe.Clustering.ivfIndex]] relation (vec, cell,
+    * stored quantized vector) as one overwrite-idempotent partition
+    * — per-batch work ∝ batch, the index is never rebuilt.
+    * [[annIndexSnapshot]] probes the live index. */
+  def annIndexStream(emb: DataFrame, stateDir: String, k: Int = 8,
+      iters: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    emb.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyAnnIndexBatch(batch, batchId, stateDir, k, iters, idCol, vecCol)
+    }
+
+  private def annModelPath(stateDir: String) = s"$stateDir/model"
+
+  private[streaming] def readAnnModel(spark: SparkSession,
+      stateDir: String): Array[Array[Long]] = {
+    import spark.implicits._
+    spark.read.parquet(annModelPath(stateDir))
+      .orderBy(col("cl")).select(col("comps")).as[Seq[Long]]
+      .collect().map(_.toArray)
+  }
+
+  /** One [[annIndexStream]] micro-batch, factored out so crash-replay
+    * recovery is directly testable. */
+  private[streaming] def applyAnnIndexBatch(batch: DataFrame,
+      batchId: Long, stateDir: String, k: Int, iters: Int,
+      idCol: String, vecCol: String): Unit = {
+    import graft.datapipe.Clustering
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val modelPath = new org.apache.hadoop.fs.Path(annModelPath(stateDir))
+    val centroids =
+      if (fs.exists(modelPath)) readAnnModel(spark, stateDir)
+      else {
+        // first arrival trains the quantizer; deterministic training
+        // makes the write replay-idempotent
+        val cs = Clustering.kmeansCentroids(batch, idCol, vecCol, k, iters)
+        cs.zipWithIndex.map { case (c, cl) => (cl, c.toSeq) }.toIndexedSeq
+          .toDF("cl", "comps")
+          .write.mode("overwrite").parquet(modelPath.toString)
+        cs
+      }
+    // assignment partition: a pure function of (batch, model) —
+    // overwrite-idempotent under replay (the docTokenCounts pattern)
+    Clustering.ivfIndex(batch, centroids, idCol, vecCol)
+      .write.mode("overwrite")
+      .parquet(s"$stateDir/assign/batch_id=$batchId")
+  }
+
+  /** Probe the live [[annIndexStream]] index: q139-shaped
+    * (query_id, rank, neighbor_id, sq_dist) over everything ingested
+    * so far. None until the model exists. Queries are given as raw
+    * float vectors and quantized with the model convention. */
+  def annIndexSnapshot(spark: SparkSession, stateDir: String,
+      queries: Seq[(Long, Seq[Float])], nProbe: Int = 2,
+      k: Int = 5): Option[DataFrame] = {
+    import graft.datapipe.Clustering
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(annModelPath(stateDir))))
+      return None
+    val centroids = readAnnModel(spark, stateDir)
+    val idx = spark.read.parquet(s"$stateDir/assign")
+      .select(col("vec_id"), col("cluster"), col("__cv"))
+    val qs = queries.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * Clustering.Fp).toLong).toArray
+    }
+    Some(Clustering.ivfProbe(idx, centroids, qs, nProbe, k))
+  }
+
   /** Stream-stream interval join: pair each right-stream event with
     * the left-stream events of the same key that happened in the
     * window (right.ts - horizon, right.ts] — the "attribute a

@@ -1,0 +1,71 @@
+package graft.datapipe
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+
+/** q139 — persisted incremental IVF index. The oracle pins the exact
+  * integer semantics; this spec pins the two claims the oracle can't:
+  * the probe is a real ANN (measured recall vs integer-L2 brute
+  * force), and assignment under the fixed model is batch-invariant
+  * (the append-only-index guarantee). */
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def quant(v: Seq[Float]): Array[Long] =
+    v.map(x => math.floor(x.toDouble * Clustering.Fp).toLong).toArray
+
+  test("probe recall vs integer-L2 brute force (measured floor)") {
+    import spark.implicits._
+    val emb = graft.util.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().map { case (id, v) => id -> quant(v) }
+    val got = graft.queries.DataPipeQueries.annIndexInc(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    val recalls = (0L to 4L).map { qid =>
+      val qv = emb.find(_._1 == qid).get._2
+      val brute = emb.filter(_._1 != qid).map { case (id, v) =>
+        var s = 0L
+        var i = 0
+        while (i < qv.length) { val df = qv(i) - v(i); s += df * df; i += 1 }
+        (s, id)
+      }.sorted.take(5).map(_._2).toSet
+      (got(qid) & brute).size / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    // measured on sf0.001: 0.76 mean recall (0.8/0.8/1.0/0.4/0.8) at
+    // nProbe=2 of 8 cells — pin a floor with margin (a real ANN
+    // trade-off, not cell-local noise)
+    assert(mean >= 0.5, s"mean recall $mean, per-query $recalls")
+    // every returned neighbor is ranked by true integer distance:
+    // rank order within the result must be non-decreasing in sq_dist
+    val rows = graft.queries.DataPipeQueries.annIndexInc(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._2).map(_._3)
+      assert(byRank.sameElements(byRank.sorted))
+    }
+  }
+
+  test("fixed-model assignment is batch-invariant: append == rebuild") {
+    val emb = graft.util.Tables.embeddings(spark, dir)
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val centroids = Clustering.kmeansCentroids(even, k = 8, iters = 3)
+    val whole = Clustering.assignWithCentroids(emb, centroids)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val appended = Clustering.assignWithCentroids(even, centroids)
+      .unionByName(Clustering.assignWithCentroids(
+        emb.filter(col("vec_id") % 2 =!= 0), centroids))
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(whole == appended)
+    // and a third arrival order (3-way split) changes nothing
+    val thirds = (0 to 2).map(r =>
+      Clustering.assignWithCentroids(
+        emb.filter(col("vec_id") % 3 === r), centroids))
+      .reduce(_ unionByName _).orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(whole == thirds)
+  }
+}

@@ -505,6 +505,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!mp.contains("CartesianProduct"), mp.take(2000))
   }
 
+  test("q139 incremental ANN index: broadcast probe join, no cartesian, keyed rank window") {
+    val p = plan("q139_ann_index_inc")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(2000))
+    // the 10-row (query, probed-cell) relation broadcasts against the
+    // persisted index — candidate generation is a keyed join, never a
+    // scan of unprobed cells
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BatchEvalPython"), p.take(2000))
+    // top-k ranks inside per-query windows (query-keyed partitioning)
+    assert("hashpartitioning\\(query_id".r.findAllIn(p).nonEmpty, p.take(3000))
+  }
+
   test("q122 epoch shuffle: banded rank (no global window), offsets broadcast") {
     val p = plan("q122_epoch_shuffle")
     assert(!p.contains("CartesianProduct") &&

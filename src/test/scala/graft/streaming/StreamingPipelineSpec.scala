@@ -799,6 +799,35 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(mid.toSeq == (v1.map(_.toLong) :+ lam1.toLong).toSeq)
   }
 
+  test("streaming ANN index: live probe equals the q139 batch result, replay-safe") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ann_stream").toString
+    val state = s"$dir/state"
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.util.Tables.embeddings(spark, sf)
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 =!= 0)
+    // batch 0 trains the quantizer (= q139's training batch), batch 1 appends
+    StreamingPipeline.applyAnnIndexBatch(even, 0L, state, 8, 3, "vec_id", "embedding")
+    StreamingPipeline.applyAnnIndexBatch(odd, 1L, state, 8, 3, "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toIndexedSeq
+    def snap() = StreamingPipeline.annIndexSnapshot(spark, state, queries)
+      .get.collect().map(_.toSeq).toSeq
+    val expected = graft.queries.DataPipeQueries.annIndexInc(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(snap() == expected)
+    // crash-replay of batch 1: overwrite-idempotent, model untouched
+    val modelBefore = spark.read.parquet(s"$state/model")
+      .orderBy("cl").collect().map(_.toSeq).toSeq
+    StreamingPipeline.applyAnnIndexBatch(odd, 1L, state, 8, 3, "vec_id", "embedding")
+    assert(snap() == expected)
+    val modelAfter = spark.read.parquet(s"$state/model")
+      .orderBy("cl").collect().map(_.toSeq).toSeq
+    assert(modelBefore == modelAfter)
+  }
+
   test("PCA moments batch replay across the flip-then-crash window never double-merges") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("moments_replay").toString
