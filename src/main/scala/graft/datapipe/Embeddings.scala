@@ -341,8 +341,22 @@ object Embeddings {
     * bounds every partial sum in the mat-vec and the Rayleigh
     * numerator), so both engines fail loudly, never silently. */
   def powerIterationFixed(m: Array[Long], d: Int,
-      iters: Int): (Array[BigInt], BigInt) =
+      iters: Int): (Array[BigInt], BigInt) = {
+    // A Long-stored buffer is only trustworthy inside the single-
+    // aggregator headroom bound (n·max|f|² < 2⁶²). A buffer built by
+    // RELATIONAL merges (q138, momentsStream) never passed through
+    // one aggregator's check, and repeated folds can exceed the bound
+    // while every individual batch was inside it — re-assert at read
+    // time so a wrapped Long can never be solved silently.
+    if (m.nonEmpty) {
+      val mx = BigInt(m.last)
+      require(mx == 0 || BigInt(m(0)) * mx * mx < (BigInt(1) << 62),
+        s"Long moment buffer outside the n*max|f|^2 < 2^62 headroom " +
+          s"(n=${m(0)}, max|f|=${m.last}): sums may have wrapped — " +
+          "accumulate with shardedMoments and solve the BigInt buffer")
+    }
     powerIterationFixed(m.map(BigInt(_)), d, iters)
+  }
 
   /** BigInt-buffer overload — the entry point for SHARDED moment
     * buffers ([[shardedMoments]]), whose merged sums may exceed a

@@ -909,7 +909,7 @@ object StreamingPipeline {
     * float vectors and quantized with the model convention. */
   def annIndexSnapshot(spark: SparkSession, stateDir: String,
       queries: Seq[(Long, Seq[Float])], nProbe: Int = 2,
-      k: Int = 5): Option[DataFrame] = {
+      k: Int = 5, idCol: String = "vec_id"): Option[DataFrame] = {
     import graft.datapipe.Clustering
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -917,11 +917,11 @@ object StreamingPipeline {
       return None
     val centroids = readAnnModel(spark, stateDir)
     val idx = spark.read.parquet(s"$stateDir/assign")
-      .select(col("vec_id"), col("cluster"), col("__cv"))
+      .select(col(idCol), col("cluster"), col("__cv"))
     val qs = queries.map { case (id, v) =>
       id -> v.map(x => math.floor(x.toDouble * Clustering.Fp).toLong).toArray
     }
-    Some(Clustering.ivfProbe(idx, centroids, qs, nProbe, k))
+    Some(Clustering.ivfProbe(idx, centroids, qs, nProbe, k, idCol))
   }
 
   /** Stream-stream interval join: pair each right-stream event with

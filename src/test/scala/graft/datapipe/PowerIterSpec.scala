@@ -128,10 +128,18 @@ class PowerIterSpec extends AnyFunSuite {
   test("HUGEINT headroom bound is enforced, zero matrix degrades to zero") {
     // d=2 buffer [n, s0, s1, p00, p01, p11, max] with absurd scale
     val huge = Array[Long](1L << 40, 0L, 0L, 1L << 60, 0L, 1L << 60, 1L << 30)
-    val ex = intercept[IllegalArgumentException] {
+    // Long entry point: the read-time n*max^2 gate fires first (a
+    // relationally-merged buffer outside it may have wrapped)
+    val exLong = intercept[IllegalArgumentException] {
       Embeddings.powerIterationFixed(huge, 2, 4)
     }
-    assert(ex.getMessage.contains("headroom"))
+    assert(exLong.getMessage.contains("shardedMoments"), exLong.getMessage)
+    // BigInt entry point (trusted exact sums): the HUGEINT replay
+    // bound fires instead
+    val exBig = intercept[IllegalArgumentException] {
+      Embeddings.powerIterationFixed(huge.map(BigInt(_)), 2, 4)
+    }
+    assert(exBig.getMessage.contains("HUGEINT"), exBig.getMessage)
     // all-equal vectors → zero covariance → zero vector, zero lambda
     import spark.implicits._
     val const = (1 to 10).map(i => (i.toLong, Seq(1.0f, 2.0f, 3.0f)))
