@@ -50,6 +50,32 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("probing every cell is exactly integer-L2 brute force (q15/q16 relationship)") {
+    import spark.implicits._
+    val emb = graft.util.Tables.embeddings(spark, dir)
+    val centroids = Clustering.kmeansCentroids(
+      emb.filter(col("vec_id") % 2 === 0), k = 8, iters = 3)
+    val idx = Clustering.ivfIndex(emb, centroids).localCheckpoint(true)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toIndexedSeq.map { case (id, v) => id -> quant(v) }
+    val got = Clustering.ivfProbe(idx, centroids, qs, nProbe = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val all = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().map { case (id, v) => id -> quant(v) }
+    val brute = qs.flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid).map { case (id, v) =>
+        var s = 0L
+        var i = 0
+        while (i < qv.length) { val t = qv(i) - v(i); s += t * t; i += 1 }
+        (s, id)
+      }.sorted.take(5).zipWithIndex.map { case ((s, id), r) =>
+        (qid, (r + 1).toLong, id, s)
+      }
+    }
+    assert(got.toSeq.sorted == brute.sorted)
+  }
+
   test("fixed-model assignment is batch-invariant: append == rebuild") {
     val emb = graft.util.Tables.embeddings(spark, dir)
     val even = emb.filter(col("vec_id") % 2 === 0)
