@@ -888,8 +888,12 @@ object StreamingPipeline {
     val centroids =
       if (fs.exists(modelPath)) readAnnModel(spark, stateDir)
       else {
-        // first arrival trains the quantizer; deterministic training
-        // makes the write replay-idempotent
+        // first NON-EMPTY arrival trains the quantizer (deterministic
+        // training makes the write replay-idempotent). An empty first
+        // micro-batch — routine at stream start — must NOT train: a
+        // 0-centroid model would persist and silently assign every
+        // later vector to cluster 0. Wait for data instead.
+        if (batch.isEmpty) return
         val cs = Clustering.kmeansCentroids(batch, idCol, vecCol, k, iters)
         cs.zipWithIndex.map { case (c, cl) => (cl, c.toSeq) }.toIndexedSeq
           .toDF("cl", "comps")

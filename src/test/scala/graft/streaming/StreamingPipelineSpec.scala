@@ -807,6 +807,11 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val emb = graft.util.Tables.embeddings(spark, sf)
     val even = emb.filter(col("vec_id") % 2 === 0)
     val odd = emb.filter(col("vec_id") % 2 =!= 0)
+    // an empty first micro-batch (routine at stream start) must not
+    // train a degenerate 0-centroid model — no model, no snapshot yet
+    StreamingPipeline.applyAnnIndexBatch(even.limit(0), 0L, state, 8, 3,
+      "vec_id", "embedding")
+    assert(StreamingPipeline.annIndexSnapshot(spark, state, Seq.empty).isEmpty)
     // batch 0 trains the quantizer (= q139's training batch), batch 1 appends
     StreamingPipeline.applyAnnIndexBatch(even, 0L, state, 8, 3, "vec_id", "embedding")
     StreamingPipeline.applyAnnIndexBatch(odd, 1L, state, 8, 3, "vec_id", "embedding")
