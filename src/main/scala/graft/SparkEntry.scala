@@ -156,6 +156,7 @@ object SparkEntry {
     "q137_pca_power" -> (DataPipeQueries.pcaPower _),
     "q138_pca_power_inc" -> (DataPipeQueries.pcaPowerInc _),
     "q139_ann_index_inc" -> (DataPipeQueries.annIndexInc _),
+    "q140_audio_features" -> (DataPipeQueries.audioFeatures _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -549,5 +550,6 @@ object SparkEntry {
     "q137_pca_power" -> DataPipeQueries.pcaPowerOracle,
     "q138_pca_power_inc" -> DataPipeQueries.pcaPowerIncOracle,
     "q139_ann_index_inc" -> DataPipeQueries.annIndexIncOracle,
+    "q140_audio_features" -> DataPipeQueries.audioFeaturesOracle,
   )
 }

@@ -260,6 +260,78 @@ object Multimodal {
     }.toDF("media_id", "modality", "n_bytes", "sum_bytes", "n_payload")
   }
 
+  /** REAL full-resolution sample decode: the 16-bit twin of
+    * [[decodeAudio]] (which emits the 8-bit high-byte payload) —
+    * same `javax.sound.sampled` path, same PCM_SIGNED/16-bit/LE
+    * target format, but the signed samples themselves. For PCM input
+    * at the target format the conversion is a bit-exact passthrough,
+    * which is what lets q140's oracle recompute features from the
+    * synthesis arithmetic without parsing a byte. */
+  def decodeAudioSamples(data: Array[Byte]): Option[Array[Int]] = {
+    if (data == null || data.length < 12) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(data))
+      try {
+        val fmt = ais.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels, fmt.getChannels * 2,
+          fmt.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+        val raw = pcm.readAllBytes()
+        val out = new Array[Int](raw.length / 2)
+        var i = 0
+        while (i < out.length) {
+          out(i) = (raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff)
+          i += 1
+        }
+        Some(out)
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Windowed audio FEATURE EXTRACTION over really-decoded samples —
+    * the "feature-extract" stage of a multimodal curation pipeline,
+    * emitting the exact integer per-frame features an audio-quality
+    * gate thresholds on: per `frameLen`-sample frame (trailing
+    * partial frame included, `n_in_frame` says) the sample sum,
+    * min, max, and the zero-crossing count (sign convention:
+    * negative vs non-negative; only within-frame adjacent pairs
+    * count, so frames are independently recomputable). One batched
+    * mapPartitions pass, per-row work ∝ payload — the decode stage
+    * shape, no shuffle. */
+  def audioFrameFeatures(spark: SparkSession, media: Dataset[MediaRow],
+      frameLen: Int = 64): DataFrame = {
+    require(frameLen >= 2, s"frameLen too small: $frameLen")
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeAudioSamples(r.data).iterator.flatMap { s =>
+          (0 until s.length by frameLen).iterator.map { st =>
+            val en = math.min(st + frameLen, s.length)
+            var sum = 0L
+            var mn = Int.MaxValue
+            var mx = Int.MinValue
+            var zc = 0L
+            var i = st
+            while (i < en) {
+              val v = s(i)
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              if (i > st && ((v >= 0) != (s(i - 1) >= 0))) zc += 1
+              i += 1
+            }
+            (r.media_id, (st / frameLen).toLong, (en - st).toLong,
+              sum, mn.toLong, mx.toLong, zc)
+          }
+        }
+      }
+    }.toDF("media_id", "frame_id", "n_in_frame", "sum_s", "min_s",
+      "max_s", "n_zc")
+  }
+
   /** Frame sampling for video rows: every `stride`-th frame index
     * (plumbing only — frames are index markers over the stub). */
   def sampleFrames(media: Dataset[MediaRow], stride: Int): DataFrame = {

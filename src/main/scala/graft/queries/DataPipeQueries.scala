@@ -193,6 +193,45 @@ object DataPipeQueries {
       |  CAST(SUM(CAST(floor((((doc_id * 7 + i * 37) % 65536) - 32768) / 256.0) AS BIGINT) + 128) AS BIGINT) AS sum_bytes
       |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** Windowed audio feature extraction (q140): the "feature-extract"
+    * stage of the multimodal pipeline made real AND oracle-pinned —
+    * [[Multimodal.audioFrameFeatures]] REALLY decodes each document's
+    * synthesized 16-bit WAV through `javax.sound.sampled` (the
+    * full-resolution twin of q74's byte-stat decode) and emits exact
+    * integer per-64-sample-frame features (sum, min, max,
+    * zero-crossing count). The decode is a bit-exact PCM passthrough,
+    * so the oracle recomputes every frame from the synthesis
+    * arithmetic `((doc_id·7 + i·37) mod 65536) − 32768` without
+    * parsing a byte. Scale shape: one batched mapPartitions pass,
+    * per-row work ∝ payload, no shuffle before the presentation
+    * sort. */
+  def audioFeatures(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.synthWavTable(s, Tables.documents(s, d))
+    Multimodal.audioFrameFeatures(s, media)
+      .orderBy(col("media_id"), col("frame_id"))
+  }
+
+  def audioFeaturesOracle: String =
+    """WITH n AS (
+      |  SELECT doc_id, 200 + doc_id % 100 AS n FROM documents
+      |), sq AS (
+      |  SELECT doc_id, n, unnest(range(n)) AS i FROM n
+      |), v AS (
+      |  SELECT doc_id, i, i // 64 AS f,
+      |    ((doc_id * 7 + i * 37) % 65536) - 32768 AS s,
+      |    CASE WHEN i % 64 <> 0
+      |      THEN ((doc_id * 7 + (i - 1) * 37) % 65536) - 32768 END AS sp
+      |  FROM sq
+      |)
+      |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_in_frame,
+      |  CAST(SUM(s) AS BIGINT) AS sum_s,
+      |  CAST(MIN(s) AS BIGINT) AS min_s,
+      |  CAST(MAX(s) AS BIGINT) AS max_s,
+      |  CAST(SUM(CASE WHEN sp IS NOT NULL AND ((s >= 0) <> (sp >= 0))
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zc
+      |FROM v GROUP BY doc_id, f ORDER BY media_id, frame_id""".stripMargin
+
   /** Perceptual image near-dup (q92): one REAL PNG per document
     * (xor-mixed synthetic pixels, docs id % 10 == 1 planted as noisy
     * near-dups of id − 1), decoded through the real `javax.imageio`

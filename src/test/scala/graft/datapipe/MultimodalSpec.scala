@@ -161,4 +161,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rmeta.width == 8 && rmeta.height == 8 && rmeta.format == "png")
     assert(rpay.length == 64)
   }
+
+  test("audio frame features: real decode, driver replay, frame-local ZCR") {
+    import spark.implicits._
+    val docs = Seq(3L, 17L, 64L).toDF("doc_id")
+    val media = Multimodal.synthWavTable(spark, docs)
+    val got = Multimodal.audioFrameFeatures(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    for (id <- Seq(3L, 17L, 64L)) {
+      val n = (200 + id % 100).toInt
+      val s = Array.tabulate(n)(i => (((id * 7 + i * 37) % 65536) - 32768).toInt)
+      val frames = (0 until n by 64)
+      assert(got.keySet.count(_._1 == id) == frames.size)
+      for (st <- frames) {
+        val en = math.min(st + 64, n)
+        val fr = s.slice(st, en)
+        val zc = (st + 1 until en)
+          .count(i => (s(i) >= 0) != (s(i - 1) >= 0)).toLong
+        val want = ((en - st).toLong, fr.map(_.toLong).sum,
+          fr.min.toLong, fr.max.toLong, zc)
+        assert(got((id, (st / 64).toLong)) == want, s"id=$id frame=${st / 64}")
+      }
+      // trailing partial frame really is partial (n % 64 != 0 here)
+      assert(got((id, (n - 1) / 64L))._1 == (n % 64 + (if (n % 64 == 0) 64 else 0)).toLong)
+    }
+    // a sign flip straddling a frame boundary is NOT counted: ZCR is
+    // recomputable per frame in isolation (the oracle convention)
+    val gotAll = got.filterKeys(_._1 == 3L).values.map(_._5).sum
+    val s3 = Array.tabulate(203)(i => (((3L * 7 + i * 37) % 65536) - 32768).toInt)
+    val zcGlobal = (1 until 203).count(i => (s3(i) >= 0) != (s3(i - 1) >= 0))
+    val zcBoundaries = (1 until 203).filter(_ % 64 == 0)
+      .count(i => (s3(i) >= 0) != (s3(i - 1) >= 0))
+    assert(gotAll == (zcGlobal - zcBoundaries).toLong)
+  }
 }
