@@ -176,4 +176,64 @@ class Round13PropertiesSpec extends AnyFunSuite {
       assert(merged.sameElements(one), s"cut=$cut")
     }
   }
+
+  test("property: ivfProbe with every cell probed is integer-L2 brute force") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(6, 30)
+      vs <- Gen.listOfN(n, smallVec)
+      k <- Gen.choose(2, 4)
+      topK <- Gen.choose(1, 4)
+    } yield (vs, k, topK)
+    forAll(gen, n = 6) { case (vs, k, topK) =>
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = rows.toDF("vec_id", "embedding")
+      val centroids = Clustering.kmeansCentroids(df, k = k, iters = 2)
+      val idx = Clustering.ivfIndex(df, centroids)
+      def quant(v: Seq[Float]): Array[Long] =
+        v.map(x => math.floor(x.toDouble * Clustering.Fp).toLong).toArray
+      val qs = rows.take(2).map { case (id, v) => id -> quant(v) }
+      val got = Clustering.ivfProbe(idx, centroids, qs, nProbe = k, k = topK)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val all = rows.map { case (id, v) => id -> quant(v) }
+      val brute = qs.flatMap { case (qid, qv) =>
+        all.filter(_._1 != qid).map { case (id, v) =>
+          ((0 until qv.length).map(i => (qv(i) - v(i)) * (qv(i) - v(i))).sum, id)
+        }.sorted.take(topK).zipWithIndex.map { case ((s, id), r) =>
+          (qid, (r + 1).toLong, id, s)
+        }
+      }
+      assert(got.toSeq.sorted == brute.sorted, s"k=$k topK=$topK")
+    }
+  }
+
+  test("property: audio frame features are frame-local at any frame length") {
+    // per-frame features recomputed from the synthesis arithmetic
+    // must match the real-decode path for arbitrary frame lengths
+    import spark.implicits._
+    val gen = for {
+      ids <- Gen.pick(2, 0L to 50L)
+      fl <- Gen.choose(2, 200)
+    } yield (ids.toSeq, fl)
+    forAll(gen, n = 5) { case (ids, fl) =>
+      val media = Multimodal.synthWavTable(spark, ids.toDF("doc_id"))
+      val got = Multimodal.audioFrameFeatures(spark, media, frameLen = fl)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toMap
+      for (id <- ids) {
+        val n = (200 + id % 100).toInt
+        val s = Array.tabulate(n)(i => (((id * 7 + i * 37) % 65536) - 32768).toInt)
+        for (st <- 0 until n by fl) {
+          val en = math.min(st + fl, n)
+          val fr = s.slice(st, en)
+          val zc = (st + 1 until en)
+            .count(i => (s(i) >= 0) != (s(i - 1) >= 0)).toLong
+          assert(got((id, (st / fl).toLong)) ==
+            ((en - st).toLong, fr.map(_.toLong).sum, fr.min.toLong,
+              fr.max.toLong, zc), s"id=$id fl=$fl st=$st")
+        }
+      }
+    }
+  }
 }
