@@ -157,6 +157,7 @@ object SparkEntry {
     "q138_pca_power_inc" -> (DataPipeQueries.pcaPowerInc _),
     "q139_ann_index_inc" -> (DataPipeQueries.annIndexInc _),
     "q140_audio_features" -> (DataPipeQueries.audioFeatures _),
+    "q141_pca_deflate" -> (DataPipeQueries.pcaDeflate _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -551,5 +552,6 @@ object SparkEntry {
     "q138_pca_power_inc" -> DataPipeQueries.pcaPowerIncOracle,
     "q139_ann_index_inc" -> DataPipeQueries.annIndexIncOracle,
     "q140_audio_features" -> DataPipeQueries.audioFeaturesOracle,
+    "q141_pca_deflate" -> DataPipeQueries.pcaDeflateOracle,
   )
 }

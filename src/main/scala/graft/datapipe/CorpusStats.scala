@@ -164,16 +164,30 @@ object CorpusStats {
       .groupBy(col("__w").as("token"))
       .agg(count(lit(1)).as("n_occ"), min(col(idCol)).as("first_doc"))
 
+  /** Fold any union of [[tokenIndex]] relations (a base plus delta
+    * indexes) into the index of the union corpus: counts sum,
+    * first-seen docs min — both associative+commutative, so the fold
+    * is a pure function of the union corpus regardless of how it was
+    * sliced into parts. This is the READ-side half of the base+delta
+    * layout ([[graft.streaming.StreamingPipeline.tokenIndexStream]]):
+    * batches WRITE only their own batch-sized delta index; the
+    * vocabulary-sized fold runs on demand (and at periodic
+    * compaction), never on the per-batch write path. */
+  def tokenIndexFold(parts: DataFrame): DataFrame =
+    parts.groupBy(col("token"))
+      .agg(sum(col("n_occ")).as("n_occ"),
+        min(col("first_doc")).as("first_doc"))
+
   /** Fold a new batch into a persisted [[tokenIndex]]: counts sum,
     * first-seen docs min. One vocabulary-keyed partial agg over
     * index ∪ batch-index — per-merge work ∝ vocabulary + batch
-    * tokens, never ∝ corpus occurrences. */
+    * tokens, never ∝ corpus occurrences. (The q133/q134 one-shot
+    * faces; the streaming path amortizes further with the
+    * [[tokenIndexFold]] base+delta layout so per-BATCH writes are
+    * ∝ batch only.) */
   def tokenIndexMerge(index: DataFrame, batch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    index.unionByName(tokenIndex(batch, idCol, textCol))
-      .groupBy(col("token"))
-      .agg(sum(col("n_occ")).as("n_occ"),
-        min(col("first_doc")).as("first_doc"))
+    tokenIndexFold(index.unionByName(tokenIndex(batch, idCol, textCol)))
 
   /** [[zipfCard]] recomputed from a persisted [[tokenIndex]]: the
     * identical regression over the index's `(token, n_occ)` histogram

@@ -363,6 +363,16 @@ object Embeddings {
     * Long even though every per-shard buffer fits one. */
   def powerIterationFixed(m: Array[BigInt], d: Int,
       iters: Int): (Array[BigInt], BigInt) = {
+    val a = covMatrix(m, d, iters)
+    val v = iterate(a, d, iters)
+    (v, rayleighOf(a, v, d, m(0)))
+  }
+
+  /** Exact scaled covariance `A = n·P − s·sᵀ` from a moment buffer,
+    * with the HUGEINT-replay headroom asserted — the shared front of
+    * both integer solves. */
+  private def covMatrix(m: Array[BigInt], d: Int,
+      iters: Int): Array[Array[BigInt]] = {
     require(iters >= 1 && m.length == 2 + d + d * (d + 1) / 2,
       s"bad moment buffer for d=$d")
     val n = m(0)
@@ -384,21 +394,88 @@ object Embeddings {
     require(maxA * BigInt(d) * BigInt(d) * Fp * Fp < (BigInt(1) << 126),
       s"powerIterationFixed HUGEINT headroom exceeded (max|A|=$maxA): " +
         "the DuckDB replay would overflow 128-bit — shard or rescale")
+    a
+  }
+
+  private def matVec(a: Array[Array[BigInt]], x: Array[BigInt],
+      d: Int): Array[BigInt] =
+    Array.tabulate(d)(i => (0 until d).iterator.map(j => a(i)(j) * x(j))
+      .foldLeft(BigInt(0))(_ + _))
+
+  /** `iters` steps of `w = A·v; v ← (w·2²⁰) / max|w|` from the
+    * all-2²⁰ start, truncating division — the exact loop both DuckDB
+    * replays unroll. */
+  private def iterate(a: Array[Array[BigInt]], d: Int,
+      iters: Int): Array[BigInt] = {
     val fp = BigInt(Fp)
     var v = Array.fill(d)(fp)
-    def matVec(x: Array[BigInt]): Array[BigInt] =
-      Array.tabulate(d)(i => (0 until d).iterator.map(j => a(i)(j) * x(j))
-        .foldLeft(BigInt(0))(_ + _))
     for (_ <- 1 to iters) {
-      val w = matVec(v)
+      val w = matVec(a, v, d)
       val mx = w.iterator.map(_.abs).max
       v = if (mx.signum == 0) Array.fill(d)(BigInt(0))
           else w.map(x => (x * fp) / mx)
     }
-    val wf = matVec(v)
+    v
+  }
+
+  /** Floor'd Rayleigh quotient `⌊vᵀAv / (vᵀv·n²)⌋` — the eigenvalue
+    * estimate in covariance ×2⁴⁰ fixed point. */
+  private def rayleighOf(a: Array[Array[BigInt]], v: Array[BigInt],
+      d: Int, n: BigInt): BigInt = {
+    val wf = matVec(a, v, d)
     val vtv = (0 until d).iterator.map(i => v(i) * v(i)).foldLeft(BigInt(0))(_ + _)
     val num = (0 until d).iterator.map(i => v(i) * wf(i)).foldLeft(BigInt(0))(_ + _)
-    val lam = if (vtv.signum == 0) BigInt(0) else num / (vtv * n * n)
-    (v, lam)
+    if (vtv.signum == 0) BigInt(0) else num / (vtv * n * n)
+  }
+
+  /** SECOND principal component by exact-integer Hotelling deflation
+    * (q141) — the step that extends the q137 oracle seam closure past
+    * the dominant eigenvector. From the same moment buffer:
+    *
+    *  1. solve v₁ by [[powerIterationFixed]]'s iteration (identical
+    *     64 truncating steps);
+    *  2. deflate with INTEGER arithmetic only: with `den = v₁ᵀv₁` and
+    *     the truncated A-scale eigenvalue `λ̂ = ⌊v₁ᵀAv₁ / den⌋`,
+    *     form `A′ = A·den − λ̂·v₁v₁ᵀ` — exactly `den` times the
+    *     Hotelling deflation `A − λ·v₁v₁ᵀ/den` (a positive scalar
+    *     multiple, so the eigenvectors are unchanged; the ≤1-ulp
+    *     truncation of λ̂ perturbs the annihilated direction by
+    *     < 2⁻⁴⁰ relative — far below the 2⁻²⁰ iterate resolution);
+    *  3. renormalize the matrix itself to max-entry scale ~2²¹ with
+    *     one truncating division `A″ = A′ // max(1, ⌊max|A′|/2²⁰⌋)`
+    *     (again a ~scalar multiple; keeps the second solve's matvec
+    *     partial sums ≤ d·2⁴² — trivially inside HUGEINT, so the
+    *     oracle replay cannot overflow no matter how large A was);
+    *  4. run the identical 64-step iteration on A″; report the
+    *     Rayleigh eigenvalue of the iterate against the ORIGINAL A
+    *     (covariance ×2⁴⁰ scale, same as q137's slot d).
+    *
+    * Every step is add/multiply/truncating-divide on integers, so the
+    * whole deflation is REPLAYED BIT-FOR-BIT by the q141 DuckDB
+    * oracle (HUGEINT CTEs). Headroom: the covMatrix bound
+    * maxA·d²·2⁴⁰ < 2¹²⁶ already caps both A′ terms (|A·den| ≤
+    * maxA·d·2⁴⁰ and |λ̂·v_i·v_j| ≤ d²·maxA·2⁴⁰), and max|A′| < 2¹²⁷
+    * is re-asserted explicitly below. Degenerate inputs (zero
+    * covariance ⇒ v₁ = 0 ⇒ den = 0) flow through as the zero matrix
+    * and a zero result in both engines. */
+  def deflatedPowerIterationFixed(m: Array[BigInt], d: Int,
+      iters: Int): (Array[BigInt], BigInt) = {
+    val a = covMatrix(m, d, iters)
+    val n = m(0)
+    val v1 = iterate(a, d, iters)
+    val den = (0 until d).iterator.map(i => v1(i) * v1(i))
+      .foldLeft(BigInt(0))(_ + _)
+    val w1 = matVec(a, v1, d)
+    val num1 = (0 until d).iterator.map(i => v1(i) * w1(i))
+      .foldLeft(BigInt(0))(_ + _)
+    val lamHat = if (den.signum == 0) BigInt(0) else num1 / den
+    val defl = Array.tabulate(d, d)((i, j) => a(i)(j) * den - lamHat * v1(i) * v1(j))
+    val maxD = defl.iterator.flatten.map(_.abs).max
+    require(maxD < (BigInt(1) << 127),
+      s"deflated matrix outside HUGEINT (max|A'|=$maxD) — shard or rescale")
+    val sc = (maxD / BigInt(Fp)).max(BigInt(1))
+    val a2 = defl.map(_.map(_ / sc))
+    val v2 = iterate(a2, d, iters)
+    (v2, rayleighOf(a, v2, d, n))
   }
 }

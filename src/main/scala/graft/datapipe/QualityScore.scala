@@ -592,7 +592,8 @@ object QualityScore {
            |               coalesce(__c1w3, 0)) >= $bound
            |  THEN CAST(raise_error(concat(
            |    'backoffLmScore overflow bound exceeded: ref count * fp=$fp',
-           |    ' would exceed 2^62 - shard the corpus')) AS BIGINT)
+           |    ' would exceed 2^60 (2^62 incl. the 4x backoff factor)',
+           |    ' - shard the corpus')) AS BIGINT)
            |WHEN __c3 IS NOT NULL THEN CAST(__c3 * $fp AS BIGINT) DIV __c2p
            |WHEN __c2s IS NOT NULL
            |  THEN CAST(2 * __c2s * $fp AS BIGINT) DIV (5 * __c1w2)
@@ -746,7 +747,8 @@ object QualityScore {
       if (gmax >= bound)
         throw new IllegalStateException(
           s"backoffLmScore overflow bound exceeded: ref count * fp=$fp" +
-            " would exceed 2^62 - shard the corpus")
+            " would exceed 2^60 (2^62 incl. the 4x backoff factor)" +
+            " - shard the corpus")
       val s = c3.get(g3) match {
         case Some(t) => h3 += 1; t * fp / c2(toks(i) + " " + toks(i + 1))
         case None => c2.get(g2s) match {

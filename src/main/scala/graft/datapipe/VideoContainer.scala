@@ -196,7 +196,7 @@ object VideoContainer {
         val id = cc(data, o)
         val sz = rdLe32(data, o + 4)
         val body = o + 8
-        if (sz < 0 || body + sz > to) return
+        if (sz < 0 || body.toLong + sz > to) return
         id match {
           case "LIST" if sz >= 4 =>
             val kind = cc(data, body)
@@ -400,7 +400,12 @@ object VideoContainer {
     val meta = parseAvi(data).filter(_.codec == "DIB ").getOrElse(return None)
     val (w, h) = (meta.width, meta.height)
     if (w <= 0 || h <= 0) return None
-    val frameBytes = w * h * 3
+    // geometry straight from untrusted header bytes: compute the frame
+    // size in Long so a crafted w*h can't wrap to a small positive Int
+    // that matches a chunk size and drive reads past the array
+    val frameBytesL = w.toLong * h * 3L
+    if (frameBytesL > Int.MaxValue || frameBytesL > data.length) return None
+    val frameBytes = frameBytesL.toInt
     val end = math.min(data.length.toLong, 8 + rdLe32(data, 4)).toInt
     var nFrames = 0L
     var sumLuma = 0L
@@ -430,7 +435,7 @@ object VideoContainer {
         val id = cc(data, o)
         val sz = rdLe32(data, o + 4)
         val body = o + 8
-        if (sz < 0 || body + sz > to) return
+        if (sz < 0 || body.toLong + sz > to) return
         id match {
           case "LIST" if sz >= 4 && cc(data, body) == "movi" =>
             walk(body + 4, (body + sz).toInt)

@@ -1734,11 +1734,33 @@ object DataPipeQueries {
       .orderBy(col("slot"))
   }
 
-  def pcaPowerOracle: String = {
-    val d = EmbDim
+  /** Shared front of the q137/q141 oracles: raw floats → quantized
+    * moments → HUGEINT covariance `cov` → `iters` unrolled truncating
+    * power-iteration CTEs over matrix `mat`, iterates named
+    * `$p0..$p$iters`, each step's matvec `${w}$t`. */
+  private def powerLoopSql(mat: String, p: String, w: String,
+      iters: Int): String = {
     val fp = Embeddings.Fp
     val sb = new StringBuilder
-    sb ++= s"""WITH f AS MATERIALIZED (
+    for (t <- 1 to iters) sb ++=
+      s""",
+      | $w$t AS MATERIALIZED (
+      |  SELECT c.i AS i, SUM(c.a * v.v) AS w
+      |  FROM $mat c JOIN $p${t - 1} v ON c.j = v.i GROUP BY c.i
+      |), $p$t AS MATERIALIZED (
+      |  SELECT i, CASE WHEN m.m = 0 THEN CAST(0 AS HUGEINT)
+      |    ELSE (w * $fp) // m.m END AS v
+      |  FROM $w$t, (SELECT MAX(ABS(w)) AS m FROM $w$t) m
+      |)""".stripMargin
+    sb.toString
+  }
+
+  /** f/nn/sums/pu/cov/it0 + the first 64-step solve + its final
+    * matvec `wf` — everything q137 emits before its tail, reused
+    * verbatim as q141's first stage. */
+  private def powerPrefixSql: String = {
+    val fp = Embeddings.Fp
+    s"""WITH f AS MATERIALIZED (
       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $fp + 0.5) AS BIGINT) AS f
       |  FROM embeddings
@@ -1755,31 +1777,85 @@ object DataPipeQueries {
       |  FROM (SELECT i, j, p FROM pu
       |        UNION ALL SELECT j AS i, i AS j, p FROM pu WHERE i < j) pf
       |  JOIN sums sa ON sa.i = pf.i JOIN sums sb2 ON sb2.i = pf.j
-      |), it0 AS (SELECT i, CAST($fp AS HUGEINT) AS v FROM sums)""".stripMargin
-    for (t <- 1 to PowerIters) sb ++=
-      s""",
-      | w$t AS MATERIALIZED (
-      |  SELECT c.i AS i, SUM(c.a * v.v) AS w
-      |  FROM cov c JOIN it${t - 1} v ON c.j = v.i GROUP BY c.i
-      |), it$t AS MATERIALIZED (
-      |  SELECT i, CASE WHEN m.m = 0 THEN CAST(0 AS HUGEINT)
-      |    ELSE (w * $fp) // m.m END AS v
-      |  FROM w$t, (SELECT MAX(ABS(w)) AS m FROM w$t) m
-      |)""".stripMargin
-    sb ++= s""",
+      |), it0 AS (SELECT i, CAST($fp AS HUGEINT) AS v FROM sums)""".stripMargin +
+    powerLoopSql("cov", "it", "w", PowerIters) +
+    s""",
       | wf AS MATERIALIZED (
       |  SELECT c.i AS i, SUM(c.a * v.v) AS w
       |  FROM cov c JOIN it$PowerIters v ON c.j = v.i GROUP BY c.i
-      |), ray AS (
+      |)""".stripMargin
+  }
+
+  def pcaPowerOracle: String =
+    powerPrefixSql + s""",
+      | ray AS (
       |  SELECT CASE WHEN SUM(v.v * v.v) = 0 THEN CAST(0 AS HUGEINT)
       |    ELSE SUM(v.v * wf.w)
       |      // (SUM(v.v * v.v) * (SELECT n * n FROM nn)) END AS lam
       |  FROM it$PowerIters v JOIN wf ON wf.i = v.i
       |)
       |SELECT CAST(i AS INTEGER) AS slot, CAST(v AS BIGINT) AS val FROM it$PowerIters
-      |UNION ALL SELECT $d, CAST(lam AS BIGINT) FROM ray
+      |UNION ALL SELECT $EmbDim, CAST(lam AS BIGINT) FROM ray
       |ORDER BY slot""".stripMargin
-    sb.toString
+
+  /** SECOND principal component by exact-integer Hotelling deflation
+    * (q141): retires the q137 caveat that only the DOMINANT
+    * eigenvector was oracle-pinned. Same distributed part (the one
+    * sharded-moments pass over the corpus — nothing new touches the
+    * 100 TB); the driver then deflates `A′ = A·(v₁ᵀv₁) −
+    * ⌊v₁ᵀAv₁/v₁ᵀv₁⌋·v₁v₁ᵀ`, renormalizes the matrix with one
+    * truncating division, and re-runs the identical 64-step
+    * iteration ([[Embeddings.deflatedPowerIterationFixed]]). The
+    * oracle replays BOTH solves and the deflation arithmetic in
+    * HUGEINT — 128 unrolled iteration CTEs — so component #2 is now
+    * held to the same bit-for-bit second-engine standard as #1; the
+    * float Jacobi basis column #2 is tied to this witness by
+    * `PowerIterSpec`. Emits (slot, val): slots 0..d−1 the deflated
+    * eigenvector (×2²⁰), slot d its Rayleigh eigenvalue against the
+    * ORIGINAL covariance (×2⁴⁰). */
+  def pcaDeflate(s: SparkSession, d: String): DataFrame = {
+    val m = Embeddings.shardedMoments(
+      Tables.embeddings(s, d), "vec_id", "embedding", EmbDim, shards = 8)
+    val (v, lam) = Embeddings.deflatedPowerIterationFixed(m, EmbDim, PowerIters)
+    val rows = v.zipWithIndex.map { case (x, i) => (i, x.toLong) } :+
+      ((EmbDim, lam.toLong))
+    s.createDataFrame(rows.toIndexedSeq).toDF("slot", "val")
+      .select(col("slot").cast("int").as("slot"), col("val"))
+      .orderBy(col("slot"))
+  }
+
+  def pcaDeflateOracle: String = {
+    val fp = Embeddings.Fp
+    powerPrefixSql + s""",
+      | den AS (SELECT SUM(v.v * v.v) AS d2 FROM it$PowerIters v),
+      | lama AS (
+      |  SELECT CASE WHEN (SELECT d2 FROM den) = 0 THEN CAST(0 AS HUGEINT)
+      |    ELSE (SELECT SUM(v.v * wf.w) FROM it$PowerIters v
+      |          JOIN wf ON wf.i = v.i)
+      |      // (SELECT d2 FROM den) END AS l),
+      | defl AS MATERIALIZED (
+      |  SELECT c.i AS i, c.j AS j,
+      |    c.a * (SELECT d2 FROM den) - (SELECT l FROM lama) * va.v * vb.v AS a
+      |  FROM cov c JOIN it$PowerIters va ON va.i = c.i
+      |  JOIN it$PowerIters vb ON vb.i = c.j),
+      | sc AS (SELECT GREATEST(CAST(1 AS HUGEINT),
+      |    (SELECT MAX(ABS(a)) FROM defl) // $fp) AS s),
+      | cov2 AS MATERIALIZED (
+      |  SELECT i, j, a // (SELECT s FROM sc) AS a FROM defl),
+      | jt0 AS (SELECT i, CAST($fp AS HUGEINT) AS v FROM sums)""".stripMargin +
+    powerLoopSql("cov2", "jt", "x", PowerIters) + s""",
+      | wf2 AS MATERIALIZED (
+      |  SELECT c.i AS i, SUM(c.a * v.v) AS w
+      |  FROM cov c JOIN jt$PowerIters v ON c.j = v.i GROUP BY c.i
+      |), ray2 AS (
+      |  SELECT CASE WHEN SUM(v.v * v.v) = 0 THEN CAST(0 AS HUGEINT)
+      |    ELSE SUM(v.v * wf2.w)
+      |      // (SUM(v.v * v.v) * (SELECT n * n FROM nn)) END AS lam
+      |  FROM jt$PowerIters v JOIN wf2 ON wf2.i = v.i
+      |)
+      |SELECT CAST(i AS INTEGER) AS slot, CAST(v AS BIGINT) AS val FROM jt$PowerIters
+      |UNION ALL SELECT $EmbDim, CAST(lam AS BIGINT) FROM ray2
+      |ORDER BY slot""".stripMargin
   }
 
   /** Per-source rank normalization (q100): each document's n_chars

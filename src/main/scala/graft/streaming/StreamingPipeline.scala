@@ -672,32 +672,37 @@ object StreamingPipeline {
     }
   }
 
-  /** STREAMING corpus-card maintenance: each micro-batch folds into
-    * the persisted token index
-    * ([[graft.datapipe.CorpusStats.tokenIndexMerge]] — counts sum,
-    * first-seen doc ids min) and appends its per-doc token counts, so
-    * [[corpusCardsSnapshot]] serves the live Zipf card and Heaps'
-    * curve at any moment — the steady-state streaming form of
-    * q127/q131 (q133/q134's incremental semantics behind a stream).
+  /** STREAMING corpus-card maintenance in a BASE+DELTA layout: each
+    * micro-batch writes only its own batch-sized relations — per-doc
+    * token counts under `counts/batch_id=N` and a batch token index
+    * under `index_delta/batch_id=N` (both pure functions of the
+    * batch, so crash-replay overwrites identical bytes) — then flips
+    * the `_COMMITTED` marker. Every `compactEvery` batches the deltas
+    * fold into a new compacted base `index/v{N}`
+    * ([[graft.datapipe.CorpusStats.tokenIndexFold]], written through
+    * [[graft.ops.Compaction]] so base file count stays bounded) and
+    * the absorbed delta partitions are deleted. Per-BATCH write work
+    * is ∝ batch tokens — a tiny batch no longer pays a
+    * vocabulary-sized index rewrite; the vocabulary-sized fold runs
+    * once per `compactEvery` batches and on snapshot reads.
     *
-    * Durability is the [[upsertStream]] snapshot/manifest model: the
-    * merged index lands as a COMPLETE new `index/v{N}` and `_LATEST`
-    * flips after; counts land under `counts/batch_id=N` BEFORE the
-    * flip. Replay of a committed batch is detected via the manifest
-    * and skipped — essential here because re-MERGING a batch is NOT
-    * idempotent (counts would double), unlike the upsert merge.
-    * Contract: the stream is an APPEND-ONLY corpus — doc ids unique
-    * across batches (the q75/q129 index convention); a revised
-    * document should flow through [[upsertStream]] and the index be
-    * rebuilt, not re-merged. Per-batch work ∝ index vocabulary +
-    * batch tokens, never corpus occurrences; a transactional table
-    * format would replace the full-snapshot index rewrite with MERGE
-    * INTO, as with [[upsertStream]]. */
+    * Crash-safety: reads gate counts AND deltas on `_COMMITTED`, and
+    * deltas additionally on `batch_id > base`, so every crash window
+    * (before the marker; between the marker and the base flip; between
+    * the base flip and delta GC — a replay-resurrected absorbed delta
+    * is ≤ base and ignored) serves a consistent frontier. Compaction
+    * replay is detected by the base manifest already naming
+    * `v{batchId}`. Contract: the stream is an APPEND-ONLY corpus —
+    * doc ids unique across batches (the q75/q129 index convention); a
+    * revised document should flow through [[upsertStream]] and the
+    * index be rebuilt, not re-merged. */
   def tokenIndexStream(docs: DataFrame, stateDir: String,
-      idCol: String = "doc_id", textCol: String = "text")
+      idCol: String = "doc_id", textCol: String = "text",
+      compactEvery: Int = 8)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      applyTokenIndexBatch(batch, batchId, stateDir, idCol, textCol)
+      applyTokenIndexBatch(batch, batchId, stateDir, idCol, textCol,
+        compactEvery)
     }
 
   /** One [[tokenIndexStream]] micro-batch, factored out (the
@@ -705,33 +710,90 @@ object StreamingPipeline {
     * directly testable. */
   private[streaming] def applyTokenIndexBatch(batch: DataFrame,
       batchId: Long, stateDir: String, idCol: String,
-      textCol: String): Unit = {
+      textCol: String, compactEvery: Int = 8): Unit = {
     import graft.datapipe.CorpusStats
+    require(compactEvery >= 1, s"bad compactEvery $compactEvery")
     val spark = batch.sparkSession
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val indexRoot = new org.apache.hadoop.fs.Path(root, "index")
-    val target = new org.apache.hadoop.fs.Path(indexRoot, s"v$batchId")
-    val current = currentSnapshotPath(fs, indexRoot)
-    val alreadyApplied = current.exists(_.getName == target.getName)
-    val countsDir =
-      new org.apache.hadoop.fs.Path(root, s"counts/batch_id=$batchId")
-    if (!alreadyApplied) {
-      // counts first (deterministic pure function of the batch —
-      // overwrite-idempotent), so a crash after the manifest flip
-      // leaves nothing left to redo on replay
-      CorpusStats.docTokenCounts(batch.select(col(idCol), col(textCol)),
-          idCol, textCol)
-        .write.mode("overwrite").parquet(countsDir.toString)
-      val merged = current match {
-        case Some(p) => CorpusStats.tokenIndexMerge(
-          spark.read.parquet(p.toString), batch, idCol, textCol)
-        case None => CorpusStats.tokenIndex(batch, idCol, textCol)
-      }
-      merged.write.mode("overwrite").parquet(target.toString)
+    val deltaRoot = new org.apache.hadoop.fs.Path(root, "index_delta")
+    // 1+2: batch-sized relations, overwrite-idempotent under replay
+    CorpusStats.docTokenCounts(batch.select(col(idCol), col(textCol)),
+        idCol, textCol)
+      .write.mode("overwrite").parquet(
+        new org.apache.hadoop.fs.Path(root, s"counts/batch_id=$batchId").toString)
+    CorpusStats.tokenIndex(batch, idCol, textCol)
+      .write.mode("overwrite").parquet(
+        new org.apache.hadoop.fs.Path(deltaRoot, s"batch_id=$batchId").toString)
+    // 3: commit the batch frontier — reads gate on this marker
+    advanceMarker(fs, new org.apache.hadoop.fs.Path(root, "_COMMITTED"), batchId)
+    // 4: periodic compaction (always at batch 0, so a base exists)
+    val baseId = currentSnapshotPath(fs, indexRoot)
+      .map(_.getName.drop(1).toLong)
+    if (baseId.forall(b => batchId - b >= compactEvery)) {
+      val deltas = spark.read.parquet(deltaRoot.toString)
+        .filter(col("batch_id") > baseId.getOrElse(-1L) &&
+          col("batch_id") <= batchId)
+        .select(col("token"), col("n_occ"), col("first_doc"))
+      val folded = CorpusStats.tokenIndexFold(baseId match {
+        case Some(b) => spark.read.parquet(
+          new org.apache.hadoop.fs.Path(indexRoot, s"v$b").toString)
+          .unionByName(deltas)
+        case None => deltas
+      }).localCheckpoint(true) // one compute for the sizing count + write
+      graft.ops.Compaction.writeCompacted(folded,
+        new org.apache.hadoop.fs.Path(indexRoot, s"v$batchId").toString,
+        targetRows = 1L << 22)
+      commitSnapshot(fs, indexRoot, batchId)
+      deleteDeltasUpTo(fs, deltaRoot, batchId)
     }
-    commitSnapshot(fs, indexRoot, batchId)
   }
+
+  /** Flip a last-committed-batch marker forward (tmp-write + rename;
+    * never regresses). The cross-relation consistency gate where one
+    * batch writes several relations that must be read at a single
+    * frontier. */
+  private def advanceMarker(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path, batchId: Long): Unit = {
+    if (readMarker(fs, marker).exists(_ >= batchId)) return
+    val tmp = new org.apache.hadoop.fs.Path(
+      marker.getParent, marker.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    out.write(batchId.toString.getBytes("UTF-8"))
+    out.close()
+    if (fs.exists(marker)) fs.delete(marker, false)
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(s"could not flip $marker to $batchId")
+  }
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val s = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      in.close()
+      Some(s.toLong)
+    }
+
+  /** GC delta partitions absorbed by a compacted base — pure cleanup:
+    * reads already exclude `batch_id <= base`, so a crash between the
+    * base flip and this delete (or a replay resurrecting an absorbed
+    * delta) changes nothing a reader sees. */
+  private def deleteDeltasUpTo(fs: org.apache.hadoop.fs.FileSystem,
+      deltaRoot: org.apache.hadoop.fs.Path, upTo: Long): Unit =
+    if (fs.exists(deltaRoot))
+      fs.listStatus(deltaRoot).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith("batch_id=") &&
+            n.drop("batch_id=".length).forall(_.isDigit) &&
+            n.drop("batch_id=".length).nonEmpty &&
+            n.drop("batch_id=".length).toLong <= upTo
+        }
+        .foreach(p => fs.delete(p, true))
 
   /** Flip `_LATEST` to `v{batchId}` (tmp-write + rename) and GC
     * snapshot versions older than the previous one — the shared
@@ -762,15 +824,37 @@ object StreamingPipeline {
   def corpusCardsSnapshot(spark: SparkSession, stateDir: String,
       k: Int = 1000, idCol: String = "doc_id")
       : Option[(DataFrame, DataFrame)] = {
+    import graft.datapipe.CorpusStats
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val indexRoot = new org.apache.hadoop.fs.Path(root, "index")
-    currentSnapshotPath(fs, indexRoot).map { p =>
-      val ix = spark.read.parquet(p.toString)
+    // every relation is read at the `_COMMITTED` frontier: counts and
+    // deltas past it may exist mid-write/mid-crash and would serve a
+    // transiently inconsistent card (token mass whose tokens the
+    // index hasn't absorbed); deltas at or below the base id are
+    // absorbed copies awaiting GC. The base manifest never leads the
+    // marker (the marker flips first), so base ∪ gated-deltas is
+    // exactly the committed corpus.
+    readMarker(fs, new org.apache.hadoop.fs.Path(root, "_COMMITTED")).map {
+      committed =>
+      val base = currentSnapshotPath(fs,
+        new org.apache.hadoop.fs.Path(root, "index"))
+      val baseId = base.map(_.getName.drop(1).toLong).getOrElse(-1L)
+      val deltaRoot = new org.apache.hadoop.fs.Path(root, "index_delta")
+      // after compaction GC the delta dir can exist but hold no
+      // partitions — a schema-less parquet read would throw
+      val parts =
+        base.map(p => spark.read.parquet(p.toString)).toSeq ++
+        (if (fs.exists(deltaRoot) && fs.listStatus(deltaRoot).nonEmpty)
+          Seq(spark.read.parquet(deltaRoot.toString)
+            .filter(col("batch_id") > baseId && col("batch_id") <= committed)
+            .select(col("token"), col("n_occ"), col("first_doc")))
+         else Seq.empty)
+      val ix = CorpusStats.tokenIndexFold(parts.reduce(_ unionByName _))
       val counts = spark.read.parquet(
-        new org.apache.hadoop.fs.Path(root, "counts").toString)
-      (graft.datapipe.CorpusStats.zipfCardFromIndex(ix, k),
-        graft.datapipe.CorpusStats.heapsCurveFromIndex(ix, counts, idCol))
+          new org.apache.hadoop.fs.Path(root, "counts").toString)
+        .filter(col("batch_id") <= committed)
+      (CorpusStats.zipfCardFromIndex(ix, k),
+        CorpusStats.heapsCurveFromIndex(ix, counts, idCol))
     }
   }
 
@@ -858,10 +942,11 @@ object StreamingPipeline {
     * [[annIndexSnapshot]] probes the live index. */
   def annIndexStream(emb: DataFrame, stateDir: String, k: Int = 8,
       iters: Int = 3, idCol: String = "vec_id",
-      vecCol: String = "embedding")
+      vecCol: String = "embedding", compactEvery: Int = 8)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     emb.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      applyAnnIndexBatch(batch, batchId, stateDir, k, iters, idCol, vecCol)
+      applyAnnIndexBatch(batch, batchId, stateDir, k, iters, idCol, vecCol,
+        compactEvery)
     }
 
   private def annModelPath(stateDir: String) = s"$stateDir/model"
@@ -878,8 +963,9 @@ object StreamingPipeline {
     * recovery is directly testable. */
   private[streaming] def applyAnnIndexBatch(batch: DataFrame,
       batchId: Long, stateDir: String, k: Int, iters: Int,
-      idCol: String, vecCol: String): Unit = {
+      idCol: String, vecCol: String, compactEvery: Int = 8): Unit = {
     import graft.datapipe.Clustering
+    require(compactEvery >= 1, s"bad compactEvery $compactEvery")
     val spark = batch.sparkSession
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(stateDir)
@@ -900,11 +986,40 @@ object StreamingPipeline {
           .write.mode("overwrite").parquet(modelPath.toString)
         cs
       }
-    // assignment partition: a pure function of (batch, model) —
+    // assignment delta: a pure function of (batch, model) —
     // overwrite-idempotent under replay (the docTokenCounts pattern)
     Clustering.ivfIndex(batch, centroids, idCol, vecCol)
       .write.mode("overwrite")
       .parquet(s"$stateDir/assign/batch_id=$batchId")
+    // periodic compaction: consolidate the per-batch delta partitions
+    // into one compacted base (`assign_base/v{N}`, bounded file count
+    // via [[graft.ops.Compaction]]) so steady-state append-only
+    // ingestion can't become a small-files explosion. Reads take
+    // base ∪ deltas past the base id, so a crash before the flip, a
+    // crash before delta GC, or a replay-resurrected absorbed delta
+    // (id ≤ base) all serve the identical index; a replayed
+    // compaction batch finds the manifest already at v{batchId} and
+    // skips (batchId − base = 0 < compactEvery).
+    val baseRoot = new org.apache.hadoop.fs.Path(root, "assign_base")
+    val baseId = currentSnapshotPath(fs, baseRoot)
+      .map(_.getName.drop(1).toLong)
+    if (baseId.forall(b => batchId - b >= compactEvery)) {
+      val deltas = spark.read.parquet(s"$stateDir/assign")
+        .filter(col("batch_id") > baseId.getOrElse(-1L) &&
+          col("batch_id") <= batchId)
+        .drop("batch_id")
+      val all = baseId match {
+        case Some(b) => spark.read.parquet(
+          new org.apache.hadoop.fs.Path(baseRoot, s"v$b").toString)
+          .unionByName(deltas)
+        case None => deltas
+      }
+      graft.ops.Compaction.writeCompacted(all,
+        new org.apache.hadoop.fs.Path(baseRoot, s"v$batchId").toString,
+        targetRows = 1L << 22)
+      commitSnapshot(fs, baseRoot, batchId)
+      deleteDeltasUpTo(fs, new org.apache.hadoop.fs.Path(root, "assign"), batchId)
+    }
   }
 
   /** Probe the live [[annIndexStream]] index: q139-shaped
@@ -919,8 +1034,27 @@ object StreamingPipeline {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new org.apache.hadoop.fs.Path(annModelPath(stateDir))))
       return None
+    // a crash can land between the first batch's model write and its
+    // assign write: the model exists but no assignment data does yet —
+    // the index is still empty, not broken, so keep answering None
+    // instead of letting the parquet read throw
+    val base = currentSnapshotPath(fs,
+      new org.apache.hadoop.fs.Path(s"$stateDir/assign_base"))
+    val baseId = base.map(_.getName.drop(1).toLong).getOrElse(-1L)
+    val assignRoot = new org.apache.hadoop.fs.Path(s"$stateDir/assign")
+    // after compaction GC the delta dir can exist but hold no
+    // partitions — a schema-less parquet read would throw
+    val deltasExist =
+      fs.exists(assignRoot) && fs.listStatus(assignRoot).nonEmpty
+    if (base.isEmpty && !deltasExist) return None
     val centroids = readAnnModel(spark, stateDir)
-    val idx = spark.read.parquet(s"$stateDir/assign")
+    val parts =
+      base.map(p => spark.read.parquet(p.toString)).toSeq ++
+      (if (deltasExist)
+        Seq(spark.read.parquet(s"$stateDir/assign")
+          .filter(col("batch_id") > baseId).drop("batch_id"))
+       else Seq.empty)
+    val idx = parts.reduce(_ unionByName _)
       .select(col(idCol), col("cluster"), col("__cv"))
     val qs = queries.map { case (id, v) =>
       id -> v.map(x => math.floor(x.toDouble * Clustering.Fp).toLong).toArray

@@ -85,6 +85,79 @@ class PowerIterSpec extends AnyFunSuite {
     assert(rayleigh(cov, vd) >= 0.999 * rayleigh(cov, jac))
   }
 
+  /** Two independent spiked directions: dims 0/1 carry one factor,
+    * dims 2/3 a second, weaker one — eigenvalues λ1 > λ2 >> noise, so
+    * both Jacobi columns are well-determined and the deflated solve
+    * has a clean target. */
+  private def vecs2(n: Int, d: Int = 8) = {
+    import spark.implicits._
+    (1 to n).map { r =>
+      val f1 = ((r * 2654435761L) % 1000).toFloat / 500f - 1f
+      val f2 = ((r * 1103515245L + 12345) % 1000).toFloat / 500f - 1f
+      (r.toLong, Seq.tabulate(d) { i =>
+        val noise = (((r * 48271L + i * 7919L) % 997).toFloat / 997f - 0.5f) * 0.05f
+        if (i == 0) f1 + noise
+        else if (i == 1) 0.8f * f1 + noise
+        else if (i == 2) 0.6f * f2 + noise
+        else if (i == 3) 0.5f * f2 + noise
+        else noise
+      })
+    }.toDF("id", "vec")
+  }
+
+  test("deflated power iteration matches the Jacobi SECOND eigenvector (q141)") {
+    val df = vecs2(400)
+    val m = moments(df, 8).map(BigInt(_))
+    val (v1, _) = Embeddings.powerIterationFixed(m, 8, 64)
+    val (v2, lam2) = Embeddings.deflatedPowerIterationFixed(m, 8, 64)
+    val (_, cov) = Embeddings.meanCovariance(df, "vec", 8)
+    val jac = Embeddings.topEigenvectors(cov, 2)
+    val v1d = v1.map(_.toDouble)
+    val v2d = v2.map(_.toDouble)
+    // the deflated iterate is the SECOND Jacobi direction…
+    assert(math.abs(cosine(v2d, jac(1))) > 0.999,
+      s"cos2=${cosine(v2d, jac(1))}")
+    // …orthogonal to the first solve's direction…
+    assert(math.abs(cosine(v2d, v1d)) < 1e-3, s"cos12=${cosine(v2d, v1d)}")
+    // …and its Rayleigh eigenvalue (×2^40, against the ORIGINAL
+    // covariance) sits at Jacobi's λ2, below λ1
+    val l1 = rayleigh(cov, jac(0))
+    val l2 = rayleigh(cov, jac(1))
+    val lamReal = lam2.toDouble / (Embeddings.Fp.toDouble * Embeddings.Fp)
+    assert(math.abs(lamReal - l2) < 1e-4 * math.max(1.0, l2),
+      s"lam2=$lamReal l2=$l2")
+    assert(lamReal < l1)
+  }
+
+  test("deflated solve on the real embeddings: second Jacobi variance, orthogonal to v1") {
+    val emb = graft.util.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumnRenamed("embedding", "vec")
+    val m = moments(emb, 64).map(BigInt(_))
+    val (v1, _) = Embeddings.powerIterationFixed(m, 64, 64)
+    val (v2, _) = Embeddings.deflatedPowerIterationFixed(m, 64, 64)
+    val (_, cov) = Embeddings.meanCovariance(emb, "vec", 64)
+    val jac = Embeddings.topEigenvectors(cov, 2)
+    val v2d = v2.map(_.toDouble)
+    // Rayleigh criterion (robust to clustered eigenvalues), plus the
+    // deflation guarantee itself: orthogonality to the first iterate
+    assert(rayleigh(cov, v2d) >= 0.999 * rayleigh(cov, jac(1)))
+    // the real table's eigengap is narrower than the fixture's, so
+    // the ×2⁻²⁰ iterate quantization leaves ~2e-3 of v1 in v2
+    assert(math.abs(cosine(v2d, v1.map(_.toDouble))) < 0.01)
+    // and it must NOT be the dominant direction
+    assert(math.abs(cosine(v2d, jac(0))) < 0.05)
+  }
+
+  test("deflated solve degrades to zero on a zero-covariance corpus") {
+    import spark.implicits._
+    // 3 identical vectors: A = n·P − s·sᵀ = 0 exactly
+    val df = (1 to 3).map(r => (r.toLong, Seq(0.5f, -0.25f, 0.125f, 1f)))
+      .toDF("id", "vec")
+    val m = moments(df, 4).map(BigInt(_))
+    val (v2, lam2) = Embeddings.deflatedPowerIterationFixed(m, 4, 16)
+    assert(v2.forall(_.signum == 0) && lam2.signum == 0)
+  }
+
   test("momentsMerge: merged buffer is a pure function of the union corpus") {
     import spark.implicits._
     val df = vecs(301)
