@@ -158,6 +158,7 @@ object SparkEntry {
     "q139_ann_index_inc" -> (DataPipeQueries.annIndexInc _),
     "q140_audio_features" -> (DataPipeQueries.audioFeatures _),
     "q141_pca_deflate" -> (DataPipeQueries.pcaDeflate _),
+    "q142_audio_spectral" -> (DataPipeQueries.audioSpectral _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -553,5 +554,6 @@ object SparkEntry {
     "q139_ann_index_inc" -> DataPipeQueries.annIndexIncOracle,
     "q140_audio_features" -> DataPipeQueries.audioFeaturesOracle,
     "q141_pca_deflate" -> DataPipeQueries.pcaDeflateOracle,
+    "q142_audio_spectral" -> DataPipeQueries.audioSpectralOracle,
   )
 }

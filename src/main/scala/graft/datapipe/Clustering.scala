@@ -99,6 +99,43 @@ object Clustering {
       quantize(col(vecCol)).as("__cv"))
   }
 
+  /** Mean squared quantizer distortion of an [[ivfIndex]] relation
+    * under its model — the DRIFT statistic of the fixed-quantizer
+    * regime. Per stored vector: exact integer squared L2 to its
+    * assigned centroid (one codegen'd `zip_with`/`aggregate` against
+    * the broadcast centroid table); averaged in double (a monitor,
+    * not an oracle surface — double keeps the mean scale-safe at any
+    * corpus size). One narrow pass over the index, no shuffle beyond
+    * the broadcast join. */
+  def ivfDistortion(idx: DataFrame, centroids: Array[Array[Long]]): Double = {
+    val spark = idx.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (c, cl) => (cl.toLong, c.toSeq) }.toIndexedSeq
+      .toDF("cluster", "__cent")
+    idx.join(broadcast(cents), Seq("cluster"))
+      .select(expr("aggregate(zip_with(__cv, __cent, " +
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)").as("__d"))
+      .agg(avg(col("__d").cast("double"))).head().getDouble(0)
+  }
+
+  /** The documented REINDEX TRIGGER for the train-once quantizer
+    * ([[ivfIndex]], q139, `annIndexStream`): retrain + reindex when a
+    * batch's mean distortion under the fixed model exceeds `maxRatio`
+    * × the training batch's own distortion. Rationale: IVF recall
+    * degrades when the ingested distribution drifts away from the
+    * trained cells — vectors land far from every centroid, cells stop
+    * being tight, and a fixed `nProbe` covers a shrinking fraction of
+    * true neighbors. Distortion is the standard proxy (the k-means
+    * objective itself); in-distribution batches score ≈ the training
+    * distortion, so the ratio is a scale-free alarm. The policy is
+    * measured, not assumed: `AnnIndexSpec` plants a shifted
+    * distribution and shows the trigger fires there while an
+    * in-distribution batch stays quiet with margin. */
+  def ivfReindexDue(trainDistortion: Double, batchDistortion: Double,
+      maxRatio: Double = 2.0): Boolean =
+    batchDistortion > maxRatio * trainDistortion
+
   /** Probe a persisted [[ivfIndex]] relation: for each (query id,
     * quantized query vector), the `nProbe` nearest cells by integer
     * centroid distance (ties → lower cell id), then the exact integer

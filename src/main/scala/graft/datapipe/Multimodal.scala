@@ -332,6 +332,75 @@ object Multimodal {
       "max_s", "n_zc")
   }
 
+  /** Fixed-point trig table for [[audioSpectralFeatures]]: phase
+    * j ∈ 0..63 → (⌊cos(2πj/64)·2¹⁵⌉, ⌊sin(2πj/64)·2¹⁵⌉). The SINGLE
+    * source of truth for both engines — the Scala executor loop reads
+    * this array and the q142 oracle embeds the SAME integers as a
+    * VALUES literal table (the q109 shared-literal convention), so
+    * there is no cross-engine trig or rounding to disagree on. */
+  val SpectralFp: Long = 1L << 15
+  val SpectralPhases: Int = 64
+  lazy val trigTable: Array[(Int, Long, Long)] =
+    Array.tabulate(SpectralPhases) { j =>
+      val th = 2.0 * math.Pi * j / SpectralPhases
+      (j, math.round(math.cos(th) * SpectralFp),
+        math.round(math.sin(th) * SpectralFp))
+    }
+
+  /** The analysis bins (cycles per 64-sample frame): one low, two
+    * mid, one high — the fixed comb an audio-quality gate thresholds
+    * (e.g. hum at a low bin, hiss at a high one). */
+  val SpectralBins: Array[Int] = Array(1, 3, 7, 15)
+
+  /** SPECTRAL feature extraction (q142): exact integer DFT bin
+    * energies per frame — the frequency-domain companion of
+    * [[audioFrameFeatures]]'s time-domain stats. Per frame and bin k:
+    *
+    *   re = Σ_j x_j·cosT[(k·j) mod 64], im = Σ_j x_j·sinT[(k·j) mod 64]
+    *   energy = (re² + im²) // 2¹⁵
+    *
+    * with cosT/sinT the [[trigTable]] integers — every operation is
+    * integer multiply/add plus one truncating division, so the q142
+    * oracle recomputes all three from the synthesis arithmetic and
+    * the same literal table, bit-for-bit (re/im ≤ 64·2¹⁵·2¹⁵ = 2³⁶
+    * fit a BIGINT; the squares are formed in 128-bit both sides).
+    * Trailing partial frames use local sample index j — frames are
+    * independently recomputable (frame-local, property-pinned). Same
+    * scale shape as q140: one batched mapPartitions decode pass,
+    * per-row work ∝ payload × bins, no shuffle before the
+    * presentation sort. */
+  def audioSpectralFeatures(spark: SparkSession, media: Dataset[MediaRow],
+      frameLen: Int = 64): DataFrame = {
+    require(frameLen >= 2, s"frameLen too small: $frameLen")
+    import spark.implicits._
+    val cosT = trigTable.map(_._2)
+    val sinT = trigTable.map(_._3)
+    val bins = SpectralBins
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeAudioSamples(r.data).iterator.flatMap { s =>
+          (0 until s.length by frameLen).iterator.flatMap { st =>
+            val en = math.min(st + frameLen, s.length)
+            bins.iterator.map { k =>
+              var re = 0L
+              var im = 0L
+              var i = st
+              while (i < en) {
+                val ph = (k * (i - st)) % SpectralPhases
+                re += s(i) * cosT(ph)
+                im += s(i) * sinT(ph)
+                i += 1
+              }
+              val energy = ((BigInt(re) * re + BigInt(im) * im) /
+                BigInt(SpectralFp)).toLong
+              (r.media_id, (st / frameLen).toLong, k, re, im, energy)
+            }
+          }
+        }
+      }
+    }.toDF("media_id", "frame_id", "bin", "re_fp", "im_fp", "energy_fp")
+  }
+
   /** Frame sampling for video rows: every `stride`-th frame index
     * (plumbing only — frames are index markers over the stub). */
   def sampleFrames(media: Dataset[MediaRow], stride: Int): DataFrame = {

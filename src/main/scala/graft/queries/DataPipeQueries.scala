@@ -232,6 +232,50 @@ object DataPipeQueries {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zc
       |FROM v GROUP BY doc_id, f ORDER BY media_id, frame_id""".stripMargin
 
+  /** Spectral audio features (q142): exact integer DFT bin energies
+    * per q140 frame ([[Multimodal.audioSpectralFeatures]]) — the
+    * frequency-domain stats an audio-quality gate thresholds (hum /
+    * hiss bins), REALLY decoded through `javax.sound.sampled` and
+    * recomputed by the oracle from the synthesis arithmetic plus the
+    * SAME 64-entry fixed-point trig literal table both engines share
+    * ([[Multimodal.trigTable]] — the q109 shared-literal convention).
+    * re/im are plain BIGINT sums; the energy squares are formed in
+    * 128-bit on both sides and truncate-divided back into range. */
+  def audioSpectral(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.synthWavTable(s, Tables.documents(s, d))
+    Multimodal.audioSpectralFeatures(s, media)
+      .orderBy(col("media_id"), col("frame_id"), col("bin"))
+  }
+
+  def audioSpectralOracle: String = {
+    val trig = Multimodal.trigTable
+      .map { case (j, c, sn) => s"($j, $c, $sn)" }.mkString(", ")
+    val bins = Multimodal.SpectralBins.map(k => s"($k)").mkString(", ")
+    val fp = Multimodal.SpectralFp
+    s"""WITH n AS (
+      |  SELECT doc_id, 200 + doc_id % 100 AS n FROM documents
+      |), sq AS (
+      |  SELECT doc_id, n, unnest(range(n)) AS i FROM n
+      |), v AS (
+      |  SELECT doc_id, i // 64 AS f, i % 64 AS j,
+      |    ((doc_id * 7 + i * 37) % 65536) - 32768 AS s
+      |  FROM sq
+      |), trig(j, c, sn) AS (VALUES $trig
+      |), bins(k) AS (VALUES $bins
+      |), b AS (
+      |  SELECT v.doc_id, v.f, bins.k,
+      |    CAST(SUM(v.s * t.c) AS BIGINT) AS re,
+      |    CAST(SUM(v.s * t.sn) AS BIGINT) AS im
+      |  FROM v CROSS JOIN bins JOIN trig t ON t.j = (bins.k * v.j) % 64
+      |  GROUP BY v.doc_id, v.f, bins.k
+      |)
+      |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_id,
+      |  CAST(k AS INTEGER) AS bin, re AS re_fp, im AS im_fp,
+      |  CAST((CAST(re AS HUGEINT) * re + CAST(im AS HUGEINT) * im)
+      |    // $fp AS BIGINT) AS energy_fp
+      |FROM b ORDER BY media_id, frame_id, bin""".stripMargin
+  }
+
   /** Perceptual image near-dup (q92): one REAL PNG per document
     * (xor-mixed synthetic pixels, docs id % 10 == 1 planted as noisy
     * near-dups of id − 1), decoded through the real `javax.imageio`

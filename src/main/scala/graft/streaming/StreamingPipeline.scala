@@ -939,7 +939,16 @@ object StreamingPipeline {
     * [[graft.datapipe.Clustering.ivfIndex]] relation (vec, cell,
     * stored quantized vector) as one overwrite-idempotent partition
     * — per-batch work ∝ batch, the index is never rebuilt.
-    * [[annIndexSnapshot]] probes the live index. */
+    * [[annIndexSnapshot]] probes the live index.
+    *
+    * DRIFT POLICY: train-once is correct while ingestion stays
+    * in-distribution; a drifting stream erodes probe recall (never
+    * exactness — all vectors stay indexed). Monitor each batch with
+    * [[graft.datapipe.Clustering.ivfDistortion]] against the training
+    * batch's value and rebuild the state dir under a fresh model when
+    * [[graft.datapipe.Clustering.ivfReindexDue]] fires (measured in
+    * `AnnIndexSpec`: an in-distribution batch stays within ~1.5× the
+    * training distortion, a unit-shifted distribution trips 2×). */
   def annIndexStream(emb: DataFrame, stateDir: String, k: Int = 8,
       iters: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding", compactEvery: Int = 8)

@@ -94,4 +94,52 @@ class AnnIndexSpec extends AnyFunSuite {
       .reduce(_ unionByName _).orderBy("vec_id").collect().map(_.toSeq).toSeq
     assert(whole == thirds)
   }
+
+  test("model drift: in-distribution batches stay quiet, a shifted distribution fires the reindex trigger") {
+    import spark.implicits._
+    val emb = graft.util.Tables.embeddings(spark, dir)
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 =!= 0)
+    val centroids = Clustering.kmeansCentroids(even, k = 8, iters = 3)
+    val trainDist = Clustering.ivfDistortion(
+      Clustering.ivfIndex(even, centroids), centroids)
+    assert(trainDist > 0)
+    // control: a later batch FROM THE SAME DISTRIBUTION — distortion
+    // sits at the training level, trigger quiet with margin
+    val controlDist = Clustering.ivfDistortion(
+      Clustering.ivfIndex(odd, centroids), centroids)
+    assert(!Clustering.ivfReindexDue(trainDist, controlDist),
+      s"control ratio ${controlDist / trainDist}")
+    assert(controlDist < 1.5 * trainDist, s"ratio ${controlDist / trainDist}")
+    // drift: the same vectors shifted +1.0 in every dimension — mass
+    // lands away from every trained cell
+    val drifted = odd.withColumn("embedding",
+      expr("transform(embedding, x -> x + CAST(1.0 AS FLOAT))"))
+    val driftDist = Clustering.ivfDistortion(
+      Clustering.ivfIndex(drifted, centroids), centroids)
+    assert(Clustering.ivfReindexDue(trainDist, driftDist),
+      s"drift ratio ${driftDist / trainDist}")
+    // the index itself never degrades in EXACTNESS — probing every
+    // cell on the drifted index is still integer-L2 brute force, so
+    // drift costs selectivity (recall at fixed nProbe), never
+    // correctness; reindexing is a performance response
+    val all = drifted.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().map { case (id, v) => id -> quant(v) }
+    val qs = all.take(3).toIndexedSeq
+    val got = Clustering.ivfProbe(
+        Clustering.ivfIndex(drifted, centroids), centroids, qs,
+        nProbe = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val brute = qs.flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid).map { case (id, v) =>
+        var s = 0L
+        var i = 0
+        while (i < qv.length) { val t = qv(i) - v(i); s += t * t; i += 1 }
+        (s, id)
+      }.sorted.take(3).zipWithIndex.map { case ((s, id), r) =>
+        (qid, (r + 1).toLong, id, s)
+      }
+    }
+    assert(got.toSeq.sorted == brute.sorted)
+  }
 }
