@@ -135,18 +135,21 @@ object ScaleRehearsal {
       times(name) = (System.nanoTime() - t0) / 1e9
     }
 
-    // MEDLINE pipeline at 10x the bench corpus (32 files x 7000 vs 700)
-    val medDir = s"/tmp/graft_scale_medline_${factor}x"
-    if (!new java.io.File(s"$medDir/pubmed20n0000.xml.gz").exists())
-      ops.MedlineGen.generate(medDir, nFiles = 32, perFile = 700 * factor)
-    val t0 = System.nanoTime()
-    val parsed = ops.MedlineParser.parse(spark,
-      ops.MedlineSource.fragments(spark, s"$medDir/*.xml.gz"))
-    val latest = ops.Dedup.latestNonDeleted(spark, parsed)
-    graft.ops.Enrich.enrich(spark, latest, Bench.medlineVocab)
-      .write.mode("overwrite").format("noop").save()
-    times("medline_pipeline") = (System.nanoTime() - t0) / 1e9
-    counts("medline_pipeline") = parsed.count()
+    // MEDLINE pipeline at factor x the bench corpus (skipped when a
+    // name filter narrows the run to a query spot-rehearsal)
+    if (args.lift(1).isEmpty) {
+      val medDir = s"/tmp/graft_scale_medline_${factor}x"
+      if (!new java.io.File(s"$medDir/pubmed20n0000.xml.gz").exists())
+        ops.MedlineGen.generate(medDir, nFiles = 32, perFile = 700 * factor)
+      val t0 = System.nanoTime()
+      val parsed = ops.MedlineParser.parse(spark,
+        ops.MedlineSource.fragments(spark, s"$medDir/*.xml.gz"))
+      val latest = ops.Dedup.latestNonDeleted(spark, parsed)
+      graft.ops.Enrich.enrich(spark, latest, Bench.medlineVocab)
+        .write.mode("overwrite").format("noop").save()
+      times("medline_pipeline") = (System.nanoTime() - t0) / 1e9
+      counts("medline_pipeline") = parsed.count()
+    }
 
     val qs = times.map { case (k, v) =>
       "\"" + k + "\":{\"sec\":" + f"$v%.2f" + ",\"rows\":" + counts(k) + "}" }

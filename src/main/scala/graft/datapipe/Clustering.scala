@@ -58,6 +58,10 @@ object Clustering {
     * oracle replay is unaffected. */
   private def assignUdf(cs: Array[Array[Long]]) =
     udf((v: Seq[Long]) => {
+      // one primitive copy up front: Seq.apply inside the k×d loop is
+      // interface-dispatch-bound and dominates wall time at large k
+      // (measured ~100× at k=448); identical integer math either way
+      val a = v.toArray
       var best = 0
       var bestD = Long.MaxValue
       var j = 0
@@ -65,7 +69,7 @@ object Clustering {
         val c = cs(j)
         var s = 0L
         var i = 0
-        while (i < c.length) { val t = v(i) - c(i); s += t * t; i += 1 }
+        while (i < c.length) { val t = a(i) - c(i); s += t * t; i += 1 }
         if (s < bestD) { bestD = s; best = j }
         j += 1
       }
@@ -251,24 +255,27 @@ object Clustering {
     * clusters — a document is dropped iff it has a SAME-CLUSTER
     * cosine neighbor (sim ≥ threshold) with a smaller id (keep-first,
     * the same deterministic policy as exact dedup and q89 span
-    * removal). Composes [[kmeansAssign]] with the cell-pruned exact
-    * pair search of [[Similarity.cosineNearDupPairs]] — the cluster
-    * gate FILTERS the provably-complete pair set rather than running
-    * a quadratic within-cluster scan, so the pair stage keeps its
-    * bounded per-task state and the cluster stage never shuffles row
-    * data. Survivors carry their cluster id. */
+    * removal). Composes [[kmeansAssign]] with the GROUP-RESTRICTED
+    * exact pair search [[Similarity.cosineNearDupPairsWithin]]: the
+    * removal rule only consults same-cluster pairs, so the scan
+    * enumerates ONLY same-cluster candidates — bit-identical output
+    * to filtering the global pair set, at 1/k of its scan (measured
+    * at the 100× rehearsal: 463 s → within-cluster; global cell
+    * geometry cannot prune cross-cluster pairs at 64-d because the
+    * threshold ball rivals the data's ~√2 spread). Per-task state
+    * stays chunk-bounded. Survivors carry their cluster id. At
+    * 100 TB, scale k with the corpus (SemDeDup's own regime:
+    * cluster size ~constant ⇒ total scan ∝ n). */
   def semanticDedupSurvivors(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.45,
       k: Int = 8, iters: Int = 3, nCells: Int = 16): DataFrame = {
     val assign = kmeansAssign(df, idCol, vecCol, k, iters)
       .select(col(idCol), col("cluster"))
-    val pairs = Similarity.cosineNearDupPairs(df, threshold, nCells, idCol, vecCol)
-    val sameCluster = pairs
-      .join(assign.withColumnRenamed(idCol, "id_a").withColumnRenamed("cluster", "cl_a"), "id_a")
-      .join(assign.withColumnRenamed(idCol, "id_b").withColumnRenamed("cluster", "cl_b"), "id_b")
-      .filter(col("cl_a") === col("cl_b"))
-    // id_b is always the larger id (pairs emit id_a < id_b)
-    val removed = sameCluster.select(col("id_b").as(idCol)).distinct()
+    val pairs = Similarity.cosineNearDupPairsWithin(df, assign, threshold,
+      nCells, idCol, vecCol)
+    // id_b is always the larger id (pairs emit id_a < id_b), and every
+    // pair is same-cluster by construction
+    val removed = pairs.select(col("id_b").as(idCol)).distinct()
     assign.join(removed, Seq(idCol), "left_anti")
   }
 }

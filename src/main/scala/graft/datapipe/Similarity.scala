@@ -307,7 +307,46 @@ object Similarity {
       nCells: Int = 16,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      maxCell: Int = 4096): DataFrame = {
+      maxCell: Int = 4096): DataFrame =
+    cosineNearDupPairsImpl(corpus, None, threshold, nCells, idCol, vecCol,
+      maxCell)
+
+  /** [[cosineNearDupPairs]] restricted to pairs INSIDE one group of a
+    * disjoint partition (`groups`: idCol → groupCol, e.g. a k-means
+    * cluster assignment): only same-group pairs are scanned OR
+    * emitted. This is the SemDeDup scan shape — its removal rule only
+    * ever consults same-cluster pairs, so enumerating the global pair
+    * set first (and filtering after) pays a ×(number of groups)
+    * overscan that high-dimensional cell geometry cannot prune away
+    * (at 64-d the threshold ball radius r = √(2(1−t)) rivals the
+    * ~√2 spread of near-orthogonal data, so cross-group candidate
+    * pairs survive admissibility and each costs a full dot product —
+    * measured at the 100× rehearsal: restricting the scan took q96
+    * from 463 s to the per-group quadratic). Exactness argument is
+    * unchanged — the group key simply rides the cell/chunk key, and a
+    * same-group pair lands in exactly one (group, cell-pair, chunk-
+    * pair); per-(group, cell) radii only ever shrink admissibility
+    * relative to global radii. */
+  def cosineNearDupPairsWithin(
+      corpus: DataFrame,
+      groups: DataFrame,
+      threshold: Double,
+      nCells: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      groupCol: String = "cluster",
+      maxCell: Int = 4096): DataFrame =
+    cosineNearDupPairsImpl(corpus, Some((groups, groupCol)), threshold,
+      nCells, idCol, vecCol, maxCell)
+
+  private def cosineNearDupPairsImpl(
+      corpus: DataFrame,
+      groupsOpt: Option[(DataFrame, String)],
+      threshold: Double,
+      nCells: Int,
+      idCol: String,
+      vecCol: String,
+      maxCell: Int): DataFrame = {
     require(threshold > 0.0, s"threshold must be > 0, got $threshold")
     require(maxCell > 0, s"maxCell must be > 0, got $maxCell")
     val spark = corpus.sparkSession
@@ -328,55 +367,72 @@ object Similarity {
       }
       (best, bestD)
     })
-    val assigned = corpus
+    val base = corpus
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .filter(normUdf(col("vec")) > 0.0)
+    val grouped = groupsOpt match {
+      case Some((g, gc)) => base.join(
+        g.select(col(idCol).as("id"), col(gc).cast("long").as("grp")), "id")
+      case None => base.withColumn("grp", lit(0L))
+    }
+    val assigned = grouped
       .withColumn("ad", assignUdf(col("vec")))
-      .select(col("id"), col("vec"), col("ad._1").as("cell"), col("ad._2").as("cdist"))
+      .select(col("id"), col("vec"), col("grp"),
+        col("ad._1").as("cell"), col("ad._2").as("cdist"))
     // cache only for the stats collection; the main job recomputes the
     // (deterministic, cheap) assignment rather than pinning the corpus
     // in executor storage for the session lifetime
     assigned.cache()
-    // one pass for radii AND member counts: O(nCells) rows to the driver
-    val radii = new Array[Double](centroids.length)
-    val nChunks = Array.fill(centroids.length)(1L)
-    assigned.groupBy(col("cell"))
+    // one pass for radii AND member counts, per (group, cell):
+    // O(groups × nCells) rows to the driver
+    val radii = scala.collection.mutable.Map.empty[(Long, Int), Double]
+    val nChunks = scala.collection.mutable.Map.empty[(Long, Int), Long]
+    assigned.groupBy(col("grp"), col("cell"))
       .agg(max(col("cdist")).as("radius"), count(lit(1)).as("n"))
       .collect().foreach { row =>
-        radii(row.getInt(0)) = row.getDouble(1)
-        nChunks(row.getInt(0)) = (row.getLong(2) + maxCell - 1) / maxCell
+        val key = (row.getLong(0), row.getInt(1))
+        radii(key) = row.getDouble(2)
+        nChunks(key) = (row.getLong(3) + maxCell - 1) / maxCell
       }
     assigned.unpersist()
-    // admissible unordered cell pairs i <= j (triangle inequality); each
-    // vector lives in exactly one cell, so a vector pair appears in at
-    // most one cell pair — no distinct needed
+    val grps = radii.keySet.map(_._1).toSeq.sorted
+    // admissible unordered cell pairs i <= j per group (triangle
+    // inequality over that group's own radii — never wider than the
+    // global radii); each vector lives in exactly one (group, cell),
+    // so a same-group pair appears in at most one pair — no distinct
     val cellPairs = for {
+      g <- grps
       i <- centroids.indices
+      if radii.contains((g, i))
       j <- i until centroids.length
-      if euclid(centroids(i), centroids(j)) <= radii(i) + radii(j) + r
-    } yield (i, j)
+      if radii.contains((g, j))
+      if euclid(centroids(i), centroids(j)) <=
+        radii((g, i)) + radii((g, j)) + r
+    } yield (g, i, j)
     import spark.implicits._
     // expand admissible cell pairs to chunk pairs; within one cell only
     // the unordered chunk pairs ca <= cb (the scan handles ca == cb with
     // its same-group triangular loop)
-    val chunkPairs = cellPairs.flatMap { case (i, j) =>
+    val chunkPairs = cellPairs.flatMap { case (g, i, j) =>
       for {
-        ca <- 0L until nChunks(i)
-        cb <- 0L until nChunks(j)
+        ca <- 0L until nChunks((g, i))
+        cb <- 0L until nChunks((g, j))
         if i != j || ca <= cb
-      } yield (i, ca, j, cb)
-    }.toDF("cell_a", "chunk_a", "cell_b", "chunk_b")
+      } yield (g, i, ca, j, cb)
+    }.toDF("grp", "cell_a", "chunk_a", "cell_b", "chunk_b")
     // join at CHUNK-pair granularity, not member-pair granularity: the
     // quadratic scan runs inside the UDF over primitive arrays, so no
     // per-candidate-pair rows cross an operator boundary
-    val nChunksOf = udf((cell: Int) => nChunks(cell))
+    val nChunksMap = nChunks.toMap
+    val nChunksOf = udf((grp: Long, cell: Int) => nChunksMap((grp, cell)))
     val chunkMembers = assigned
-      .withColumn("chunk", pmod(xxhash64(col("id")), nChunksOf(col("cell"))))
-      .groupBy(col("cell"), col("chunk"))
+      .withColumn("chunk",
+        pmod(xxhash64(col("id")), nChunksOf(col("grp"), col("cell"))))
+      .groupBy(col("grp"), col("cell"), col("chunk"))
       .agg(collect_list(struct(col("id"), col("vec"))).as("ms"))
-    val a = chunkMembers.select(col("cell").as("cell_a"),
+    val a = chunkMembers.select(col("grp"), col("cell").as("cell_a"),
       col("chunk").as("chunk_a"), col("ms").as("ms_a"))
-    val b = chunkMembers.select(col("cell").as("cell_b"),
+    val b = chunkMembers.select(col("grp"), col("cell").as("cell_b"),
       col("chunk").as("chunk_b"), col("ms").as("ms_b"))
     val scanUdf = udf((msA: Seq[org.apache.spark.sql.Row], msB: Seq[org.apache.spark.sql.Row], same: Boolean) => {
       def unpack(ms: Seq[org.apache.spark.sql.Row]): (Array[Long], Array[Array[Float]]) = {
@@ -408,8 +464,8 @@ object Similarity {
       }
       out.toSeq
     })
-    a.join(broadcast(chunkPairs), Seq("cell_a", "chunk_a"))
-      .join(b, Seq("cell_b", "chunk_b"))
+    a.join(broadcast(chunkPairs), Seq("grp", "cell_a", "chunk_a"))
+      .join(b, Seq("grp", "cell_b", "chunk_b"))
       .select(explode(scanUdf(col("ms_a"), col("ms_b"),
         col("cell_a") === col("cell_b") && col("chunk_a") === col("chunk_b"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"),

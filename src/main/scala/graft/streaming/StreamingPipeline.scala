@@ -747,6 +747,28 @@ object StreamingPipeline {
         targetRows = 1L << 22)
       commitSnapshot(fs, indexRoot, batchId)
       deleteDeltasUpTo(fs, deltaRoot, batchId)
+      // the append-only counts relation compacts too (rows never
+      // change, so its fold is a plain union): many per-batch dirs
+      // consolidate into counts_base/v{N}. It keeps its OWN manifest —
+      // a crash between the index flip and this one must leave the
+      // counts read (its base ∪ deltas past its OWN id) complete.
+      val countsBaseRoot = new org.apache.hadoop.fs.Path(root, "counts_base")
+      val countsRoot = new org.apache.hadoop.fs.Path(root, "counts")
+      val prevCounts = currentSnapshotPath(fs, countsBaseRoot)
+      val prevCountsId = prevCounts.map(_.getName.drop(1).toLong)
+      if (prevCountsId.forall(_ < batchId)) {
+        val countDeltas = spark.read.parquet(countsRoot.toString)
+          .filter(col("batch_id") > prevCountsId.getOrElse(-1L) &&
+            col("batch_id") <= batchId)
+          .select(col(idCol), col("n_tokens"))
+        graft.ops.Compaction.writeCompacted(
+          prevCounts.map(p => spark.read.parquet(p.toString)
+            .unionByName(countDeltas)).getOrElse(countDeltas),
+          new org.apache.hadoop.fs.Path(countsBaseRoot, s"v$batchId").toString,
+          targetRows = 1L << 22)
+        commitSnapshot(fs, countsBaseRoot, batchId)
+        deleteDeltasUpTo(fs, countsRoot, batchId)
+      }
     }
   }
 
@@ -850,9 +872,23 @@ object StreamingPipeline {
             .select(col("token"), col("n_occ"), col("first_doc")))
          else Seq.empty)
       val ix = CorpusStats.tokenIndexFold(parts.reduce(_ unionByName _))
-      val counts = spark.read.parquet(
-          new org.apache.hadoop.fs.Path(root, "counts").toString)
-        .filter(col("batch_id") <= committed)
+      // counts = its own base ∪ deltas past the counts-base id, both
+      // inside the committed frontier (base id ≤ committed by the
+      // flip order)
+      val countsBase = currentSnapshotPath(fs,
+        new org.apache.hadoop.fs.Path(root, "counts_base"))
+      val countsBaseId = countsBase.map(_.getName.drop(1).toLong)
+        .getOrElse(-1L)
+      val countsRoot = new org.apache.hadoop.fs.Path(root, "counts")
+      val countParts =
+        countsBase.map(p => spark.read.parquet(p.toString)).toSeq ++
+        (if (fs.exists(countsRoot) && fs.listStatus(countsRoot).nonEmpty)
+          Seq(spark.read.parquet(countsRoot.toString)
+            .filter(col("batch_id") > countsBaseId &&
+              col("batch_id") <= committed)
+            .select(col(idCol), col("n_tokens")))
+         else Seq.empty)
+      val counts = countParts.reduce(_ unionByName _)
       (CorpusStats.zipfCardFromIndex(ix, k),
         CorpusStats.heapsCurveFromIndex(ix, counts, idCol))
     }

@@ -50,6 +50,11 @@ class CompactionStreamSpec extends AnyFunSuite {
     val bases = ls(s"$state/index").filter(_.startsWith("v"))
     assert(bases.size <= 2, bases)
     assert(bases.contains("v8"), bases)
+    // the append-only counts relation compacts under the same cycle
+    val countDeltas = ls(s"$state/counts").filter(_.startsWith("batch_id="))
+    assert(countDeltas.toSet ==
+      Set("batch_id=9", "batch_id=10", "batch_id=11"), countDeltas)
+    assert(ls(s"$state/counts_base").count(_.startsWith("v")) <= 2)
   }
 
   test("token index: compaction-batch replay across every crash window changes nothing") {
