@@ -460,22 +460,49 @@ object Embeddings {
     * and a zero result in both engines. */
   def deflatedPowerIterationFixed(m: Array[BigInt], d: Int,
       iters: Int): (Array[BigInt], BigInt) = {
+    val basis = deflatedBasisFixed(m, d, iters, 2)
+    basis(1)
+  }
+
+  /** Top-`k` integer eigenbasis by ITERATED Hotelling deflation — the
+    * generalization of the q137/q141 chain: solve, deflate with the
+    * exact-integer rule `A′ = A·(vᵀv) − ⌊vᵀAv/vᵀv⌋·vvᵀ`, renormalize
+    * the matrix with one truncating division to max-entry ~2²¹, and
+    * repeat. Each returned (vector ×2²⁰, Rayleigh eigenvalue ×2⁴⁰)
+    * reports the eigenvalue against the ORIGINAL covariance, so the
+    * sequence is the λ₁ ≥ λ₂ ≥ … spectrum head. Every step is
+    * add/multiply/truncating-divide — the whole chain is replayable
+    * by the q137/q141 oracle pattern (q137 pins step 1, q141 pins a
+    * full deflation round in the second engine; further components
+    * repeat the identical arithmetic, tied to the float Jacobi basis
+    * by `PowerIterSpec`). The renormalization between rounds caps
+    * every matrix at max-entry ~2²¹ after the first deflation, so
+    * chain depth cannot grow the operand width: the k=2 headroom
+    * argument covers any k. */
+  def deflatedBasisFixed(m: Array[BigInt], d: Int, iters: Int,
+      k: Int): Array[(Array[BigInt], BigInt)] = {
+    require(k >= 1 && k <= d, s"bad component count $k for d=$d")
     val a = covMatrix(m, d, iters)
     val n = m(0)
-    val v1 = iterate(a, d, iters)
-    val den = (0 until d).iterator.map(i => v1(i) * v1(i))
-      .foldLeft(BigInt(0))(_ + _)
-    val w1 = matVec(a, v1, d)
-    val num1 = (0 until d).iterator.map(i => v1(i) * w1(i))
-      .foldLeft(BigInt(0))(_ + _)
-    val lamHat = if (den.signum == 0) BigInt(0) else num1 / den
-    val defl = Array.tabulate(d, d)((i, j) => a(i)(j) * den - lamHat * v1(i) * v1(j))
-    val maxD = defl.iterator.flatten.map(_.abs).max
-    require(maxD < (BigInt(1) << 127),
-      s"deflated matrix outside HUGEINT (max|A'|=$maxD) — shard or rescale")
-    val sc = (maxD / BigInt(Fp)).max(BigInt(1))
-    val a2 = defl.map(_.map(_ / sc))
-    val v2 = iterate(a2, d, iters)
-    (v2, rayleighOf(a, v2, d, n))
+    val out = Array.newBuilder[(Array[BigInt], BigInt)]
+    var cur = a
+    for (_ <- 1 to k) {
+      val v = iterate(cur, d, iters)
+      out += ((v, rayleighOf(a, v, d, n)))
+      val den = (0 until d).iterator.map(i => v(i) * v(i))
+        .foldLeft(BigInt(0))(_ + _)
+      val w = matVec(cur, v, d)
+      val num = (0 until d).iterator.map(i => v(i) * w(i))
+        .foldLeft(BigInt(0))(_ + _)
+      val lamHat = if (den.signum == 0) BigInt(0) else num / den
+      val defl = Array.tabulate(d, d)((i, j) =>
+        cur(i)(j) * den - lamHat * v(i) * v(j))
+      val maxD = defl.iterator.flatten.map(_.abs).max
+      require(maxD < (BigInt(1) << 127),
+        s"deflated matrix outside HUGEINT (max|A'|=$maxD) — shard or rescale")
+      val sc = (maxD / BigInt(Fp)).max(BigInt(1))
+      cur = defl.map(_.map(_ / sc))
+    }
+    out.result()
   }
 }

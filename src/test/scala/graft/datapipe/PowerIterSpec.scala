@@ -148,6 +148,49 @@ class PowerIterSpec extends AnyFunSuite {
     assert(math.abs(cosine(v2d, jac(0))) < 0.05)
   }
 
+  test("iterated deflation: top-3 integer basis matches the Jacobi spectrum head") {
+    import spark.implicits._
+    // three independent spiked directions with separated strengths
+    val df = (1 to 500).map { r =>
+      val f1 = ((r * 2654435761L) % 1000).toFloat / 500f - 1f
+      val f2 = ((r * 1103515245L + 12345) % 1000).toFloat / 500f - 1f
+      val f3 = ((r * 69069L + 777) % 1000).toFloat / 500f - 1f
+      (r.toLong, Seq.tabulate(8) { i =>
+        val noise = (((r * 48271L + i * 7919L) % 997).toFloat / 997f - 0.5f) * 0.03f
+        i match {
+          case 0 => f1 + noise
+          case 1 => 0.8f * f1 + noise
+          case 2 => 0.6f * f2 + noise
+          case 3 => 0.5f * f2 + noise
+          case 4 => 0.35f * f3 + noise
+          case 5 => 0.3f * f3 + noise
+          case _ => noise
+        }
+      })
+    }.toDF("id", "vec")
+    val m = moments(df, 8).map(BigInt(_))
+    val basis = Embeddings.deflatedBasisFixed(m, 8, 64, k = 3)
+    val (_, cov) = Embeddings.meanCovariance(df, "vec", 8)
+    val jac = Embeddings.topEigenvectors(cov, 3)
+    // each component matches its Jacobi column, eigenvalues descend,
+    // and the basis is pairwise orthogonal
+    for (c <- 0 until 3) {
+      val vd = basis(c)._1.map(_.toDouble)
+      assert(math.abs(cosine(vd, jac(c))) > 0.999, s"c=$c cos=${cosine(vd, jac(c))}")
+      val lamReal = basis(c)._2.toDouble / (Embeddings.Fp.toDouble * Embeddings.Fp)
+      val lJac = rayleigh(cov, jac(c))
+      assert(math.abs(lamReal - lJac) < 1e-3 * math.max(1.0, lJac),
+        s"c=$c lam=$lamReal jac=$lJac")
+    }
+    assert(basis(0)._2 >= basis(1)._2 && basis(1)._2 >= basis(2)._2)
+    for (x <- 0 until 3; y <- (x + 1) until 3)
+      assert(math.abs(cosine(basis(x)._1.map(_.toDouble),
+        basis(y)._1.map(_.toDouble))) < 1e-3, s"pair $x,$y")
+    // the k=2 chain IS q141's pair (bit-identical refactor guarantee)
+    val (v2, l2) = Embeddings.deflatedPowerIterationFixed(m, 8, 64)
+    assert(v2.sameElements(basis(1)._1) && l2 == basis(1)._2)
+  }
+
   test("deflated solve degrades to zero on a zero-covariance corpus") {
     import spark.implicits._
     // 3 identical vectors: A = n·P − s·sᵀ = 0 exactly
