@@ -94,18 +94,26 @@ object StreamingPipeline {
     * work ∝ batch size + matched postings, never the corpus. */
   def nearDupStream(docs: DataFrame, stateDir: String,
       idCol: String = "doc_id", textCol: String = "text",
-      minJaccard: Double = 0.5)
+      minJaccard: Double = 0.5, compactEvery: Int = 8)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      applyNearDupBatch(batch, batchId, stateDir, idCol, textCol, minJaccard)
+      applyNearDupBatch(batch, batchId, stateDir, idCol, textCol, minJaccard,
+        compactEvery)
     }
 
   /** One [[nearDupStream]] micro-batch, factored out (same pattern as
-    * [[applyUpsertBatch]]) so replay recovery is directly testable. */
+    * [[applyUpsertBatch]]) so replay recovery is directly testable.
+    * Round 14: the postings/texts state follows the shared BASE+DELTA
+    * discipline — per-batch dirs compact into `postings_base/v{N}` /
+    * `texts_base/v{N}` every `compactEvery` batches (the base sorted
+    * by its probe key, so parquet min/max stats prune probe reads);
+    * reads take base ∪ deltas past the base id, so the steady-state
+    * file count stays bounded. */
   private[streaming] def applyNearDupBatch(batch: DataFrame, batchId: Long,
       stateDir: String, idCol: String, textCol: String,
-      minJaccard: Double): Unit = {
+      minJaccard: Double, compactEvery: Int = 8): Unit = {
     import graft.datapipe.DedupOps
+    require(compactEvery >= 1, s"bad compactEvery $compactEvery")
     val spark = batch.sparkSession
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -121,21 +129,38 @@ object StreamingPipeline {
     for (stale <- Seq(new org.apache.hadoop.fs.Path(postingsRoot, s"batch_id=$batchId"),
         new org.apache.hadoop.fs.Path(textsRoot, s"batch_id=$batchId")))
       if (fs.exists(stale)) fs.delete(stale, true)
-    val hasCorpus = fs.exists(postingsRoot) &&
+    val pBase = currentSnapshotPath(fs,
+      new org.apache.hadoop.fs.Path(root, "postings_base"))
+    val tBase = currentSnapshotPath(fs,
+      new org.apache.hadoop.fs.Path(root, "texts_base"))
+    val pBaseId = pBase.map(_.getName.drop(1).toLong).getOrElse(-1L)
+    val tBaseId = tBase.map(_.getName.drop(1).toLong).getOrElse(-1L)
+    val hasDeltas = fs.exists(postingsRoot) &&
       fs.listStatus(postingsRoot).nonEmpty
+    val hasCorpus = hasDeltas || pBase.nonEmpty
     val b = batch.select(col(idCol), col(textCol)).cache()
-    // batch_id < current: defense in depth on top of the cleanup above
-    // — probing this batch's own leftovers would make every batch doc
-    // a near-dup of itself on replay
+    // deltas: base id < batch_id < current. The upper bound is defense
+    // in depth on top of the cleanup above — probing this batch's own
+    // leftovers would make every batch doc a near-dup of itself on
+    // replay; the lower bound skips absorbed copies awaiting GC.
     val index =
-      if (hasCorpus) spark.read.parquet(postingsRoot.toString)
-        .filter(col("batch_id") < batchId)
-        .select(col("band_idx"), col("band_key"), col("id"))
+      if (hasCorpus)
+        (pBase.map(p => spark.read.parquet(p.toString)).toSeq ++
+         (if (hasDeltas) Seq(spark.read.parquet(postingsRoot.toString)
+            .filter(col("batch_id") > pBaseId && col("batch_id") < batchId)
+            .drop("batch_id")) else Seq.empty))
+          .reduce(_ unionByName _)
+          .select(col("band_idx"), col("band_key"), col("id"))
       else DedupOps.minhashIndex(b.limit(0), idCol, textCol, md5Based = true)
+    val textParts =
+      tBase.map(p => spark.read.parquet(p.toString)).toSeq ++
+      (if (fs.exists(textsRoot) && fs.listStatus(textsRoot).nonEmpty)
+        Seq(spark.read.parquet(textsRoot.toString)
+          .filter(col("batch_id") > tBaseId && col("batch_id") < batchId)
+          .drop("batch_id")) else Seq.empty)
     val corpusTexts =
-      if (hasCorpus) spark.read.parquet(textsRoot.toString)
-        .filter(col("batch_id") < batchId)
-        .select(col(idCol), col(textCol))
+      if (hasCorpus && textParts.nonEmpty)
+        textParts.reduce(_ unionByName _).select(col(idCol), col(textCol))
       else b.limit(0)
     // dropDuplicates: a re-delivered id may appear in both corpus and
     // batch; the verify join must see one text per id
@@ -170,6 +195,45 @@ object StreamingPipeline {
     novel.write.mode("overwrite").parquet(novelDir.toString)
     b.unpersist()
     novel.unpersist()
+    // periodic compaction AFTER the commit marker (a replayed
+    // committed batch early-returns and never re-compacts): fold
+    // base ∪ absorbed deltas into a new base version, sorted by the
+    // probe key so parquet min/max stats prune probe reads; each base
+    // keeps its own manifest, and delta GC is pure cleanup (reads
+    // already exclude ids ≤ base)
+    if (pBase.map(_.getName.drop(1).toLong)
+        .forall(bid => batchId - bid >= compactEvery)) {
+      compactDeltasInto(spark, fs, root, "postings", "postings_base",
+        pBaseId, batchId, sortCol = Some("band_key"))
+      compactDeltasInto(spark, fs, root, "texts", "texts_base",
+        tBaseId, batchId, sortCol = Some(idCol))
+    }
+  }
+
+  /** Shared delta→base compaction step: read `base ∪ deltas in
+    * (baseId, upTo]`, write a compacted `baseName/v{upTo}` (optionally
+    * sort-clustered), flip its manifest, GC absorbed deltas. */
+  private def compactDeltasInto(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, deltaName: String, baseName: String,
+      baseId: Long, upTo: Long, sortCol: Option[String]): Unit = {
+    val deltaRoot = new org.apache.hadoop.fs.Path(root, deltaName)
+    val baseRoot = new org.apache.hadoop.fs.Path(root, baseName)
+    val parts =
+      (if (baseId >= 0L) Seq(spark.read.parquet(
+        new org.apache.hadoop.fs.Path(baseRoot, s"v$baseId").toString))
+       else Seq.empty) ++
+      (if (fs.exists(deltaRoot) && fs.listStatus(deltaRoot).nonEmpty)
+        Seq(spark.read.parquet(deltaRoot.toString)
+          .filter(col("batch_id") > baseId && col("batch_id") <= upTo)
+          .drop("batch_id"))
+       else Seq.empty)
+    if (parts.isEmpty) return
+    graft.ops.Compaction.writeCompacted(parts.reduce(_ unionByName _),
+      new org.apache.hadoop.fs.Path(baseRoot, s"v$upTo").toString,
+      targetRows = 1L << 22, sortCol = sortCol)
+    commitSnapshot(fs, baseRoot, upTo)
+    deleteDeltasUpTo(fs, deltaRoot, upTo)
   }
 
   /** Per-shard Misra-Gries summary state (counts bounded to k pairs). */

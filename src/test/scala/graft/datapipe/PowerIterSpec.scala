@@ -191,6 +191,37 @@ class PowerIterSpec extends AnyFunSuite {
     assert(v2.sameElements(basis(1)._1) && l2 == basis(1)._2)
   }
 
+  test("real table: the integer top-8 basis captures the q109 Jacobi basis variance") {
+    // the q109 projection basis (float Jacobi, 8 components) tied to
+    // the fully-integer deflation chain on the actual embeddings:
+    // captured-variance parity via the summed Rayleigh quotient —
+    // robust even where the spectrum tail clusters — plus pairwise
+    // near-orthogonality of the integer chain itself
+    val emb = graft.util.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumnRenamed("embedding", "vec")
+    val m = moments(emb, 64).map(BigInt(_))
+    val basis = Embeddings.deflatedBasisFixed(m, 64, 64, k = 8)
+    val (_, cov) = Embeddings.meanCovariance(emb, "vec", 64)
+    val jac = Embeddings.topEigenvectors(cov, 8)
+    val sumInt = basis.map(c => rayleigh(cov, c._1.map(_.toDouble))).sum
+    val sumJac = jac.map(rayleigh(cov, _)).sum
+    assert(sumInt >= 0.999 * sumJac, s"int=$sumInt jac=$sumJac")
+    // deep-tail components sit on clustered eigenvalues, so the
+    // iterate quantization leaves ~2e-2 cross-leakage there (measured
+    // 0.0202 at pair 5,6); the variance-parity bound above is the
+    // operative claim, orthogonality is the sanity rail
+    for (x <- 0 until 8; y <- (x + 1) until 8) {
+      val c = cosine(basis(x)._1.map(_.toDouble), basis(y)._1.map(_.toDouble))
+      assert(math.abs(c) < 0.05, s"pair $x,$y cos=$c")
+    }
+    // eigenvalue head is non-increasing up to cluster-swap slack (the
+    // tail holds near-equal eigenvalues whose order the deflation
+    // chain may permute within quantization)
+    val slack = basis(0)._2 / 100
+    assert(basis.map(_._2).sliding(2).forall(p => p(0) >= p(1) - slack),
+      basis.map(_._2).mkString(","))
+  }
+
   test("deflated solve degrades to zero on a zero-covariance corpus") {
     import spark.implicits._
     // 3 identical vectors: A = n·P − s·sᵀ = 0 exactly

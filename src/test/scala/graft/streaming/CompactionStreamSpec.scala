@@ -85,6 +85,37 @@ class CompactionStreamSpec extends AnyFunSuite {
     assert(curve().size == before.size + 2)
   }
 
+  test("near-dup stream: compaction preserves suppression across the base boundary, bounded dirs") {
+    import spark.implicits._
+    val dirA = java.nio.file.Files.createTempDirectory("neardup_compact").toString
+    val dirB = java.nio.file.Files.createTempDirectory("neardup_plain").toString
+    def words(seed: Int, n: Int) = (0 until n).map(i => s"w${seed * 100 + i}")
+    // 10 batches of distinct docs; batch 9 near-dups batch 0's doc
+    // (absorbed into the base by then) and must still be suppressed
+    val batches = (0 until 9).map { bi =>
+      Seq(((bi + 1).toLong, words(bi + 1, 40).mkString(" ")))
+    } :+ Seq(
+      (100L, (words(1, 36) ++ words(50, 4)).mkString(" ")), // dup of doc 1
+      (101L, words(60, 40).mkString(" ")))                   // novel
+    batches.zipWithIndex.foreach { case (rows, bi) =>
+      StreamingPipeline.applyNearDupBatch(rows.toDF("doc_id", "text"),
+        bi.toLong, dirA, "doc_id", "text", 0.5, compactEvery = 4)
+      StreamingPipeline.applyNearDupBatch(rows.toDF("doc_id", "text"),
+        bi.toLong, dirB, "doc_id", "text", 0.5, compactEvery = 1000000)
+    }
+    def novel(d: String) = spark.read.parquet(s"$d/novel")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(novel(dirA) == novel(dirB))
+    assert(!novel(dirA).contains(100L) && novel(dirA).contains(101L))
+    // compactions at 0, 4, 8 → only delta 9 remains in the compacted
+    // state; the uncompacted twin keeps one dir per batch after 0
+    val deltas = ls(s"$dirA/postings").filter(_.startsWith("batch_id="))
+    assert(deltas.toSet == Set("batch_id=9"), deltas)
+    assert(ls(s"$dirA/postings_base").count(_.startsWith("v")) <= 2)
+    assert(ls(s"$dirA/texts_base").count(_.startsWith("v")) <= 2)
+    assert(ls(s"$dirB/postings").count(_.startsWith("batch_id=")) == 9)
+  }
+
   test("ANN index: compacted probe equals uncompacted probe and the delta count is bounded") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
