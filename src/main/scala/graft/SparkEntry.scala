@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DataPipeQueries, RelationalQueries, Round4Queries}
+import graft.queries.{DataPipeQueries, GraphSketchQueries, RelationalQueries, Round4Queries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -159,6 +159,8 @@ object SparkEntry {
     "q140_audio_features" -> (DataPipeQueries.audioFeatures _),
     "q141_pca_deflate" -> (DataPipeQueries.pcaDeflate _),
     "q142_audio_spectral" -> (DataPipeQueries.audioSpectral _),
+    "q143_pagerank" -> (GraphSketchQueries.pageRankQ _),
+    "q144_hll_distinct" -> (GraphSketchQueries.hllDistinct _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -555,5 +557,7 @@ object SparkEntry {
     "q140_audio_features" -> DataPipeQueries.audioFeaturesOracle,
     "q141_pca_deflate" -> DataPipeQueries.pcaDeflateOracle,
     "q142_audio_spectral" -> DataPipeQueries.audioSpectralOracle,
+    "q143_pagerank" -> GraphSketchQueries.pageRankOracle,
+    "q144_hll_distinct" -> GraphSketchQueries.hllOracle,
   )
 }

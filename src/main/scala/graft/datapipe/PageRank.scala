@@ -1,0 +1,104 @@
+package graft.datapipe
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact-integer fixed-point PageRank (Brin & Page 1998) — graph
+  * authority scoring for curation pipelines (CommonCrawl-style domain
+  * ranking feeds quality filters and sampling weights at 100 TB).
+  *
+  * Every arithmetic step is integer with truncating division, so a
+  * second engine replays the whole T-iteration solve bit-for-bit
+  * (q143 unrolls it as T MATERIALIZED CTEs in DuckDB — the q137
+  * pattern, but with the iteration state NODE-sized rather than
+  * model-sized, so unlike the eigensolves the iteration itself stays
+  * DISTRIBUTED: each step is one join + one aggregation, the classic
+  * Pregel-without-Pregel shape).
+  *
+  * Fixed point: ranks carry ×2⁴⁰. At 10⁹ nodes a rank still has
+  * ~2³⁰/node of resolution (2²⁰ would underflow to 0 — the scale
+  * consideration that fixed the constant). Update rule per node v:
+  *
+  *   R'(v) = (15·2⁴⁰) div (100·N) + (85 · Σ_{u→v} R(u) div deg(u)) div 100
+  *
+  * all in BIGINT (max intermediate ≈ 85·2⁴⁰ ≪ 2⁶³). Caller provides
+  * an edge relation where EVERY node has out-degree ≥ 1 (e.g. by
+  * symmetrizing, as q143 does) — this removes the dangling-mass term
+  * and keeps the recurrence purely local. Callers should use COMPACT
+  * integer node ids (dictionary-encode once, decode once at the end):
+  * shuffling and hash-joining long string keys T times is the classic
+  * avoidable cost of iterative graph jobs.
+  *
+  * Plan shape per iteration: the degree column is folded into the
+  * persisted edge relation ONCE, so an iteration is exactly
+  * edges ⋈ ranks → project (r div deg) → groupBy(dst) sum — one
+  * shuffle of node-sized data. With `broadcastRanks` the join side
+  * is broadcast (right at domain-graph scale: ~1e7 nodes vs ~1e11
+  * edges) and the edge relation is never re-partitioned at all;
+  * without it, edges are hash-partitioned by src once and every
+  * iteration's join reuses that layout (the 1e9-node-safe shape).
+  * Each iterate is materialized (eager localCheckpoint) — lineage
+  * depth stays 1, nothing re-executes, and on a real cluster the
+  * same barrier is where reliable checkpointing would go.
+  */
+object PageRank {
+
+  /** Rank fixed-point scale: ×2⁴⁰. */
+  val Fp: Long = 1L << 40
+
+  /** Damping d = 85/100, as an exact rational. */
+  val DampNum = 85L
+  val DampDen = 100L
+
+  /** Run `iters` exact-integer PageRank steps over `edges` (columns
+    * `src`, `dst`; every node must appear as a `src`). Returns
+    * (node, r) with r the ×2⁴⁰ fixed-point rank. */
+  def pageRankFixed(edges0: DataFrame, iters: Int,
+      broadcastRanks: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val spark = edges0.sparkSession
+    // materialize the input once: both the degree aggregation and the
+    // deg-folded edge build read it (without this the upstream build —
+    // typically a join+distinct — executes twice)
+    val raw = edges0.select(col("src"), col("dst")).persist()
+    val nEdges = raw.count()
+    require(nEdges > 0, "pageRankFixed needs a non-empty graph")
+    // partition count ∝ edge volume (compact 3-long rows → ~250k rows
+    // per task keeps task-scheduling overhead below the work; capped
+    // at the session's parallelism — at cluster scale the cap, i.e.
+    // total cores, governs and AQE re-coalesces after each shuffle)
+    val nPart = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (nEdges / 250000L).toInt + 1))
+    val pre = raw
+    val deg = pre.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
+    val n = deg.count()
+    // deg folded into the edge relation once: iterations never join it
+    // broadcast path: free layout, sized round-robin; co-partitioned
+    // path: MUST stay hash-partitioned by src (the layout every
+    // iteration's join reuses), so re-key on src with the sized count
+    val edges = {
+      val folded = pre
+        .join(if (broadcastRanks) broadcast(deg) else deg, "src")
+        .select(col("src"), col("dst"), col("deg"))
+      (if (broadcastRanks) folded.repartition(nPart)
+       else folded.repartition(nPart, col("src"))).persist()
+    }
+    edges.count()
+    raw.unpersist()
+    val base = (15L * Fp) / (DampDen * n) // teleport mass per node
+    var ranks = deg.select(col("src").as("node"), lit(Fp / n).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val rside = if (broadcastRanks) broadcast(ranks) else ranks
+      ranks = edges.join(rside, col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg((lit(base) + expr(s"($DampNum * sum(c)) div $DampDen")).as("r"))
+        .select(col("dst").as("node"), col("r"))
+        .localCheckpoint(true) // iteration barrier: lineage depth 1
+    }
+    deg.unpersist()
+    edges.unpersist()
+    ranks
+  }
+}

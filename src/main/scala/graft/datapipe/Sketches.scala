@@ -131,6 +131,45 @@ object Sketches {
        |  ORDER BY h LIMIT $k
        |)""".stripMargin
 
+  /** HyperLogLog register width: m = 2⁶ = 64 registers (p = 6). The
+    * [[kmvHash]] 60-bit value splits into a 6-bit register index (top
+    * bits) and a 54-bit suffix whose leading-zero rank feeds the
+    * register. */
+  val HllP = 6
+  val HllM: Int = 1 << HllP // 64
+  val HllRestBits: Int = 60 - HllP // 54
+  val HllRhoMax: Int = HllRestBits + 1 // 55 (all-zero suffix)
+
+  /** HyperLogLog registers (Flajolet et al. 2007) over `keyCol`,
+    * engine-portable: hash = [[kmvHash]] (md5-based — DuckDB replays
+    * it bit-for-bit, unlike Spark's own HLL++ whose sketch bytes are
+    * version-private), register = top 6 hash bits, ρ = 1-based
+    * position of the first 1-bit in the remaining 54
+    * (= 55 − bitlength(suffix), via `bin()` — present in BOTH
+    * engines with no leading zeros).
+    *
+    * Returns the NON-EMPTY registers only, (key_name, idx, m): a
+    * ≤ 64-row relation per key. This is the part that touches all
+    * 100 TB — one codegen'd md5 per row and a 64-group max with
+    * map-side partial combine, so per-partition state is ≤ 64 longs
+    * and merge is register-wise MAX (the HLL mergeability property,
+    * expressed as an ordinary groupBy-max). KMV (q56) estimates
+    * distinct counts too; HLL completes the family with O(m) FIXED
+    * state — at a billion distinct keys KMV's k-smallest set is the
+    * same size but HLL's registers never exceed 64 bytes-ish and the
+    * estimate error is known (~1.04/√m). */
+  def hllRegisters(df: DataFrame, keyCol: String, label: String): DataFrame = {
+    val h = kmvHash(col(keyCol))
+    val rest = h.bitwiseAND(lit((1L << HllRestBits) - 1))
+    df.filter(col(keyCol).isNotNull)
+      .select(shiftright(h, HllRestBits).as("idx"),
+        when(rest === 0, lit(HllRhoMax.toLong))
+          .otherwise(lit(HllRhoMax.toLong) - length(bin(rest)).cast("long"))
+          .as("rho"))
+      .groupBy(col("idx")).agg(max(col("rho")).as("m"))
+      .select(lit(label).as("key_name"), col("idx"), col("m"))
+  }
+
   /** COUNT-MIN sketch (Cormode & Muthukrishnan 2005) over a key
     * stream, built RELATIONALLY: the sketch is the (row_idx, bucket,
     * cnt) relation itself — at most depth·width rows — and each

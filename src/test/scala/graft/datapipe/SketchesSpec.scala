@@ -103,4 +103,45 @@ class SketchesSpec extends AnyFunSuite {
     assert(agg.reduce(Array(1L, 2L, 3L, 4L), 0L).toSeq == Seq(0L, 1L, 2L, 3L))
     assert(agg.reduce(Array(1L, 2L, 3L, 4L), 2L).toSeq == Seq(1L, 2L, 3L, 4L))
   }
+
+  def hllMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    Sketches.hllRegisters(df, "k", "t").collect()
+      .map(r => r.getAs[Long]("idx") -> r.getAs[Long]("m")).toMap
+
+  test("HLL registers match an independent md5 bit-walk") {
+    import spark.implicits._
+    val keys = (1 to 200).map(_.toString)
+    // independent mirror: java MessageDigest, BigInt hex parse, bit ops
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = keys.map { k =>
+      val hex = md.digest(k.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val idx = h >>> Sketches.HllRestBits
+      val rest = h & ((1L << Sketches.HllRestBits) - 1)
+      val rho = if (rest == 0) Sketches.HllRhoMax.toLong
+        else Sketches.HllRestBits - (63 - java.lang.Long.numberOfLeadingZeros(rest))
+      idx -> rho
+    }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(hllMap(keys.map(k => k.toLong).toDF("k")) == expect)
+  }
+
+  test("HLL registers are invariant to partitioning and duplicates") {
+    import spark.implicits._
+    val once = (1 to 1000).map(_.toLong).toDF("k")
+    val dup = (1 to 1000).flatMap(i => Seq.fill(4)(i.toLong)).toDF("k")
+    assert(hllMap(once) == hllMap(once.repartition(13)))
+    assert(hllMap(once) == hllMap(dup))
+  }
+
+  test("HLL merge is register-wise max") {
+    import spark.implicits._
+    val a = (1 to 500).map(_.toLong).toDF("k")
+    val b = (400 to 900).map(_.toLong).toDF("k")
+    val merged = hllMap(a.unionByName(b))
+    val ma = hllMap(a); val mb = hllMap(b)
+    val expect = (ma.keySet ++ mb.keySet)
+      .map(j => j -> math.max(ma.getOrElse(j, 0L), mb.getOrElse(j, 0L))).toMap
+    assert(merged == expect)
+  }
 }
