@@ -161,6 +161,7 @@ object SparkEntry {
     "q142_audio_spectral" -> (DataPipeQueries.audioSpectral _),
     "q143_pagerank" -> (GraphSketchQueries.pageRankQ _),
     "q144_hll_distinct" -> (GraphSketchQueries.hllDistinct _),
+    "q145_triangle_census" -> (GraphSketchQueries.triangleCensus _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -559,5 +560,6 @@ object SparkEntry {
     "q142_audio_spectral" -> DataPipeQueries.audioSpectralOracle,
     "q143_pagerank" -> GraphSketchQueries.pageRankOracle,
     "q144_hll_distinct" -> GraphSketchQueries.hllOracle,
+    "q145_triangle_census" -> GraphSketchQueries.triangleOracle,
   )
 }

@@ -1274,7 +1274,7 @@ object DataPipeQueries {
       |)""".stripMargin
   }
 
-  private def minhashPairsCtes(srcRel: String): String = {
+  private[queries] def minhashPairsCtes(srcRel: String): String = {
     s"""${minhashBandedCtes(srcRel)}, bsz AS (
       |  SELECT band_idx, band_key, count(*) AS n FROM banded GROUP BY band_idx, band_key
       |), cand AS (

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.datapipe.{PageRank, Sketches}
+import graft.datapipe.{Graph, PageRank, Sketches}
 import graft.functions.Log2FixedExpr
 import graft.util.Tables
 
@@ -90,6 +90,68 @@ object GraphSketchQueries {
          |SELECT node, r AS rank_fp FROM r$PrIters ORDER BY node""".stripMargin
     sb.toString
   }
+
+  /** Triangle census of the verified near-dup graph (q145): nodes =
+    * documents, edges = the q13 LSH-candidate pairs that pass exact
+    * Jaccard ≥ 0.5 — so this measures the STRUCTURE of what dedup
+    * would merge: cc_fp = 2²⁰ for a node means its neighborhood is
+    * pairwise-duplicate (a true duplicate family); cc_fp = 0 with
+    * deg ≥ 2 means the node is a bridge in a chain of borderline
+    * pairs, the known MinHash-transitivity failure mode. Emits
+    * (doc_id, deg, tri, cc_fp) for every non-isolated node — see
+    * [[Graph.triangleCensus]] for the O(√m)-bounded orientation plan.
+    * The edge build is the 100 TB part and is exactly q13's (bucketed
+    * LSH, never all-pairs); the census is output-bound on the edge
+    * relation. */
+  def triangleCensus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val edges = graft.datapipe.DedupOps
+      .minhashNearDupPairs(docs, minJaccard = 0.5, md5Based = true)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    Graph.triangleCensus(edges)
+      .select(col("node").as("doc_id"), col("deg"), col("tri"), col("cc_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the q13 mirrored candidate-pair chain → thresholded edge
+    * set, then the SAME degree-orientation wedge join and truncating
+    * cc division. */
+  def triangleOracle: String =
+    s"""WITH ${DataPipeQueries.minhashPairsCtes("documents")}, ned AS MATERIALIZED (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  WHERE n_inter >= 0.5 * (sum_len - n_inter)
+       |), deg AS MATERIALIZED (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT u AS node FROM ned UNION ALL SELECT v FROM ned
+       |  ) GROUP BY node
+       |), orient AS MATERIALIZED (
+       |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.u < e.v)
+       |           THEN e.u ELSE e.v END AS src,
+       |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.u < e.v)
+       |           THEN e.v ELSE e.u END AS dst
+       |  FROM ned e
+       |  JOIN deg da ON da.node = e.u
+       |  JOIN deg db ON db.node = e.v
+       |), tri AS MATERIALIZED (
+       |  SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+       |  FROM orient o1
+       |  JOIN orient o2 ON o2.src = o1.src AND o1.dst < o2.dst
+       |  JOIN ned e ON e.u = least(o1.dst, o2.dst)
+       |    AND e.v = greatest(o1.dst, o2.dst)
+       |), tcnt AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+       |    SELECT a AS node FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri
+       |  ) GROUP BY node
+       |)
+       |SELECT d.node AS doc_id, d.deg, COALESCE(t.tri, 0) AS tri,
+       |  CASE WHEN d.deg >= 2
+       |    THEN (2 * COALESCE(t.tri, 0) * ${Graph.CcFp})
+       |      // (d.deg * (d.deg - 1))
+       |    ELSE 0 END AS cc_fp
+       |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+       |ORDER BY doc_id""".stripMargin
 
   /** Estimate fixed-point scale for q144: counts carry ×2¹⁰. */
   private val EstFp = 1024L

@@ -1,0 +1,66 @@
+package graft.datapipe
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  def census(pairs: (Long, Long)*): Map[Long, (Long, Long, Long)] = {
+    import spark.implicits._
+    Graph.triangleCensus(pairs.toDF("u", "v")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  /** Independent plain-Scala mirror: brute-force triple scan. */
+  def mirror(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] = {
+    val es = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(p => p._1 != p._2).distinct.toSet
+    val nodes = es.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val deg = nodes.map(n => n -> es.count(p => p._1 == n || p._2 == n).toLong).toMap
+    val tris = for {
+      a <- nodes; b <- nodes if a < b && es((a, b))
+      c <- nodes if b < c && es((b, c)) && es((a, c))
+    } yield Seq(a, b, c)
+    val tcnt = tris.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    nodes.map { n =>
+      val d = deg(n); val t = tcnt.getOrElse(n, 0L)
+      n -> ((d, t, if (d >= 2) 2L * t * Graph.CcFp / (d * (d - 1)) else 0L))
+    }.toMap
+  }
+
+  test("K4: every node has 3 triangles and cc = 1.0") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val got = census(k4: _*)
+    assert(got.size == 4)
+    got.values.foreach { case (d, t, cc) =>
+      assert(d == 3L && t == 3L && cc == Graph.CcFp)
+    }
+  }
+
+  test("star graph: no triangles, hub cc = 0") {
+    val star = (2L to 8L).map(i => (1L, i))
+    val got = census(star: _*)
+    assert(got(1L) == ((7L, 0L, 0L)))
+    assert(got(5L) == ((1L, 0L, 0L)))
+  }
+
+  test("matches the brute-force mirror on an irregular graph") {
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 4L -> 5L,
+      5L -> 3L, 5L -> 6L, 6L -> 7L, 7L -> 5L, 1L -> 7L, 2L -> 7L, 1L -> 4L)
+    assert(census(pairs: _*) == mirror(pairs))
+  }
+
+  test("invariant to partitioning, edge direction and duplicate edges") {
+    import spark.implicits._
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 1L -> 4L)
+    val base = census(pairs: _*)
+    val messy = (pairs ++ pairs.map(_.swap) ++ pairs).toDF("u", "v")
+      .repartition(7)
+    val got = Graph.triangleCensus(messy).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == base)
+  }
+}
