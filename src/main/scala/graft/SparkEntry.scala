@@ -162,6 +162,7 @@ object SparkEntry {
     "q143_pagerank" -> (GraphSketchQueries.pageRankQ _),
     "q144_hll_distinct" -> (GraphSketchQueries.hllDistinct _),
     "q145_triangle_census" -> (GraphSketchQueries.triangleCensus _),
+    "q146_kmv_setops" -> (GraphSketchQueries.kmvSetOps _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -561,5 +562,6 @@ object SparkEntry {
     "q143_pagerank" -> GraphSketchQueries.pageRankOracle,
     "q144_hll_distinct" -> GraphSketchQueries.hllOracle,
     "q145_triangle_census" -> GraphSketchQueries.triangleOracle,
+    "q146_kmv_setops" -> GraphSketchQueries.kmvSetOpsOracle,
   )
 }

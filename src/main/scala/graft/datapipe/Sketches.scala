@@ -84,6 +84,27 @@ object Sketches {
     val arrayLong: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
+  /** [[KmvAgg]] over (group, hash) tuples — the shape
+    * `ds.groupByKey(_._1).agg(...)` needs, so ONE pass builds a sketch
+    * per group (map-side partial aggregation, O(k) state per group)
+    * instead of one filtered job per slice. This is the 100 TB shape
+    * for "sketch every slice of a dimension". */
+  final class KmvKeyedAgg(k: Int)
+      extends Aggregator[(String, Long), Array[Long], Array[Long]] {
+    private val inner = new KmvAgg(k)
+    override def zero: Array[Long] = inner.zero
+    override def reduce(buf: Array[Long], a: (String, Long)): Array[Long] =
+      inner.reduce(buf, a._2)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      inner.merge(a, b)
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = ExprEnc.arrayLong
+    override def outputEncoder: Encoder[Array[Long]] = ExprEnc.arrayLong
+  }
+
+  def kmvSketchKeyed(k: Int): TypedColumn[(String, Long), Array[Long]] =
+    new KmvKeyedAgg(k).toColumn
+
   /** The sketch as a typed aggregation column over a hash column
     * (use with `df.select(kmvHash(col("x")).as[Long]).agg(...)` or any
     * `groupBy` — partial aggregation and AQE apply as with any agg). */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.datapipe.{Graph, PageRank, Sketches}
 import graft.functions.Log2FixedExpr
-import graft.util.Tables
+import graft.util.{Tables, Tok}
 
 /** q143 (integer PageRank) and q144 (HyperLogLog) — graph authority
   * scoring and fixed-state distinct counting, the two classic
@@ -208,6 +208,131 @@ object GraphSketchQueries {
     s.createDataFrame(out).toDF("key_name", "slot", "val")
       .select(col("key_name"), col("slot").cast("int").as("slot"), col("val"))
       .orderBy(col("key_name"), col("slot"))
+  }
+
+  /** q146 sketch size (the q56 convention). */
+  private val SetK = 256
+
+  /** The (pair, relA, relB) catalog for q146, as DuckDB source
+    * relations producing one VARCHAR column `kk` — shared shape
+    * between the Spark slices below and [[kmvSetOpsOracle]]. */
+  private val setPairs = Seq(
+    ("tok_src0_src1", "src0", "src1"),
+    ("cust_1995_1996", "1995", "1996"),
+    ("cust_1995_2001", "1995", "2001"))
+
+  /** KMV set-operation estimates (q146): for three pairs of key sets
+    * — the token vocabularies of two document sources (does src1 add
+    * vocabulary over src0, or is it the same corpus resampled?) and
+    * two pairs of customer-year cohorts (retention: how much of one
+    * year's customer base is active in another) — estimate
+    * |A∪B|, |A∩B| and Jaccard from the two KMV sketches
+    * alone (Beyer et al., SIGMOD 2007): the k smallest hashes of
+    * A∪B are a subset of sketchA ∪ sketchB (anything among the union's
+    * k smallest is among its own set's k smallest), so the union
+    * sketch needs NO second data pass, and ρ = |union-sketch ∩ A ∩
+    * B|/k estimates the Jaccard. The distributed work is ONE pass per
+    * table ([[Sketches.kmvSketchKeyed]] — keyed typed agg, O(k) state
+    * per group, map-side partials); everything after is model-sized
+    * driver math (≤ 6 arrays of 256 longs) in exact integers, ×2¹⁰
+    * fixed point, truncating division — so the oracle replays every
+    * estimate bit-for-bit (HUGEINT for the (k−1)·2⁶⁰·2¹⁰ numerator).
+    * When a union sketch holds fewer than k hashes it IS the union
+    * and every output is exact — the token pair (31-token synthetic
+    * vocabulary) pins that branch while the year cohorts (≈1,200
+    * customers each) pin the k-saturated estimator branch with real
+    * partial overlap (J ≈ 0.64 and ≈ 0.5). */
+  def kmvSetOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val years = setPairs.collect {
+      case (_, a, b) if !a.startsWith("src") => Seq(a.toInt, b.toInt) }
+      .flatten.distinct
+    val evSk = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")).isin(years: _*))
+      .select(year(col("o_orderdate")).cast("string").as("slice"),
+        Sketches.kmvHash(col("o_custkey")).as("h"))
+      .as[(String, Long)].groupByKey(_._1)
+      .agg(Sketches.kmvSketchKeyed(SetK).name("mins"))
+      .collect().toMap // bounded: |years| rows x <= k longs
+    val tokSk = Tables.documents(s, d)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"),
+        explode(split(lower(col("text")), Tok.WS)).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("source"), Sketches.kmvHash(col("tok")).as("h"))
+      .as[(String, Long)].groupByKey(_._1)
+      .agg(Sketches.kmvSketchKeyed(SetK).name("mins"))
+      .collect().toMap // bounded: 2 rows x <= k longs
+    val rows = setPairs.map { case (label, a, b) =>
+      val (ska, skb) =
+        if (a.startsWith("src")) (tokSk(a), tokSk(b)) else (evSk(a), evSk(b))
+      val merged = new Sketches.KmvAgg(SetK).merge(ska, skb)
+      val inA = ska.toSet; val inB = skb.toSet
+      val nU = merged.length.toLong
+      val kthU = if (merged.nonEmpty) merged.last else 0L
+      val nCommon = merged.count(h => inA(h) && inB(h)).toLong
+      val estU =
+        if (nU < SetK) nU * EstFp
+        else (BigInt(SetK - 1) * (BigInt(1) << 60) * EstFp / kthU).toLong
+      val estI =
+        if (nU < SetK) nCommon * EstFp
+        else (BigInt(estU) * nCommon / SetK).toLong
+      val jac = if (nU > 0) nCommon * EstFp / nU else 0L
+      (label, ska.length.toLong, skb.length.toLong, nU, kthU, nCommon,
+        estU, estI, jac)
+    }
+    s.createDataFrame(rows).toDF("pair", "n_a", "n_b", "n_u", "kth_u",
+      "n_common", "est_union_fp", "est_inter_fp", "jaccard_fp")
+      .orderBy(col("pair"))
+  }
+
+  def kmvSetOpsOracle: String = {
+    def rel(slice: String): String =
+      if (slice.startsWith("src"))
+        s"""(SELECT unnest(list_filter(string_split_regex(lower(text), '${graft.util.Tok.WS}'), t -> t <> '')) AS kk
+           | FROM documents WHERE source = '$slice')""".stripMargin
+      else
+        s"""(SELECT CAST(o_custkey AS VARCHAR) AS kk FROM orders
+           | WHERE year(o_orderdate) = $slice)""".stripMargin
+    val blocks = setPairs.zipWithIndex.map { case ((label, a, b), i) =>
+      s"""ska_$i AS MATERIALIZED (
+         |  SELECT DISTINCT CAST('0x' || substr(md5(kk), 1, 15) AS BIGINT) AS h
+         |  FROM ${rel(a)} ORDER BY h LIMIT $SetK
+         |), skb_$i AS MATERIALIZED (
+         |  SELECT DISTINCT CAST('0x' || substr(md5(kk), 1, 15) AS BIGINT) AS h
+         |  FROM ${rel(b)} ORDER BY h LIMIT $SetK
+         |), sku_$i AS MATERIALIZED (
+         |  SELECT h FROM (SELECT h FROM ska_$i UNION SELECT h FROM skb_$i)
+         |  ORDER BY h LIMIT $SetK
+         |), st_$i AS (
+         |  SELECT '$label' AS pair,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ska_$i) AS n_a,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM skb_$i) AS n_b,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM sku_$i) AS n_u,
+         |    (SELECT COALESCE(MAX(h), 0) FROM sku_$i) AS kth_u,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM sku_$i
+         |     WHERE h IN (SELECT h FROM ska_$i)
+         |       AND h IN (SELECT h FROM skb_$i)) AS n_common
+         |), est_$i AS (
+         |  SELECT *, CASE WHEN n_u < $SetK THEN n_u * $EstFp
+         |    ELSE CAST((CAST(${SetK - 1} AS HUGEINT) * ${1L << 60} * $EstFp)
+         |      // kth_u AS BIGINT) END AS est_union_fp
+         |  FROM st_$i
+         |), fin_$i AS (
+         |  SELECT pair, n_a, n_b, n_u, kth_u, n_common, est_union_fp,
+         |    CASE WHEN n_u < $SetK THEN n_common * $EstFp
+         |      ELSE CAST((CAST(est_union_fp AS HUGEINT) * n_common)
+         |        // $SetK AS BIGINT) END AS est_inter_fp,
+         |    CASE WHEN n_u > 0 THEN (n_common * $EstFp) // n_u
+         |      ELSE 0 END AS jaccard_fp
+         |  FROM est_$i
+         |)""".stripMargin
+    }
+    val unions = setPairs.indices.map(i => s"SELECT * FROM fin_$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${blocks.mkString(", ")}
+       |$unions
+       |ORDER BY pair""".stripMargin
   }
 
   def hllOracle: String = {

@@ -134,6 +134,34 @@ class SketchesSpec extends AnyFunSuite {
     assert(hllMap(once) == hllMap(dup))
   }
 
+  test("keyed KMV one-pass sketch equals a per-slice KmvAgg run") {
+    import spark.implicits._
+    val rows = (1 to 3000).map(i => (s"g${i % 3}", i.toLong))
+    val keyed = rows.toDF("g", "x")
+      .select(col("g"), Sketches.kmvHash(col("x")).as("h"))
+      .as[(String, Long)].groupByKey(_._1)
+      .agg(Sketches.kmvSketchKeyed(16).name("mins"))
+      .collect().toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val slice = rows.filter(_._1 == g).map(_._2).toDF("x")
+        .select(Sketches.kmvHash(col("x")).as("h")).as[Long]
+        .select(Sketches.kmvSketch(16).name("mins"))
+        .head()
+      assert(keyed(g).toSeq == slice.toSeq, g)
+    }
+  }
+
+  test("KMV union sketch is exactly the k smallest of the merged sets") {
+    // the Beyer et al. identity the q146 estimator rests on: the k
+    // smallest hashes of A ∪ B are recoverable from the two sketches
+    val hashes = (1 to 800).map(i => (i * 2654435761L) & ((1L << 60) - 1))
+    val (a, b) = (hashes.take(500).distinct, hashes.drop(300).distinct)
+    val agg = new Sketches.KmvAgg(32)
+    def sketch(xs: Seq[Long]) = xs.foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(sketch(a), sketch(b))
+    assert(merged.toSeq == (a ++ b).distinct.sorted.take(32))
+  }
+
   test("HLL merge is register-wise max") {
     import spark.implicits._
     val a = (1 to 500).map(_.toLong).toDF("k")
