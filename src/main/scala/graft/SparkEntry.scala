@@ -163,6 +163,7 @@ object SparkEntry {
     "q144_hll_distinct" -> (GraphSketchQueries.hllDistinct _),
     "q145_triangle_census" -> (GraphSketchQueries.triangleCensus _),
     "q146_kmv_setops" -> (GraphSketchQueries.kmvSetOps _),
+    "q147_label_prop" -> (GraphSketchQueries.labelPropQ _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -563,5 +564,6 @@ object SparkEntry {
     "q144_hll_distinct" -> GraphSketchQueries.hllOracle,
     "q145_triangle_census" -> GraphSketchQueries.triangleOracle,
     "q146_kmv_setops" -> GraphSketchQueries.kmvSetOpsOracle,
+    "q147_label_prop" -> GraphSketchQueries.labelPropOracle,
   )
 }

@@ -28,6 +28,48 @@ object Graph {
   /** Clustering-coefficient fixed-point scale: ×2²⁰. */
   val CcFp: Long = 1L << 20
 
+  /** Synchronous label propagation (Raghavan et al. 2007) with self-
+    * retention, fully deterministic: every node starts labeled with
+    * its own id; each step relabels v to the label with the highest
+    * count among v's neighbors PLUS v's own current label (the
+    * self-vote dampens the bipartite 2-cycle oscillation synchronous
+    * LPA is known for), ties broken toward the SMALLEST label — so
+    * the whole run is a pure function of the edge set and any engine
+    * replays it step for step.
+    *
+    * Plan per iteration (the q143 shape): edges ⋈ labels is a keyed
+    * join against the once-partitioned edge relation, label counting
+    * is a partial-agg groupBy, and the argmax is `max_by` over a
+    * (count, −label) struct — one more node-sized shuffle, no window
+    * over raw data. State between iterations is one (node, label)
+    * row per node, eagerly materialized (lineage depth 1). Iterations
+    * move node-sized data only; the edge relation never re-shuffles.
+    *
+    * `edges` must be symmetric (u→v and v→u both present). Returns
+    * (node, label). */
+  def labelPropagation(edges0: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val edges = edges0.select(col("src"), col("dst")).persist()
+    edges.count()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val votes = edges.join(labels, col("src") === col("node"))
+        .select(col("dst"), col("label"))
+        .unionByName(labels.select(col("node").as("dst"), col("label")))
+      labels = votes
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max_by(col("label"),
+          struct(col("cnt"), (-col("label")).as("neg"))).as("label"))
+        .select(col("dst").as("node"), col("label"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Per-node (node, deg, tri, cc_fp) for every endpoint of `edges0`
     * — (u, v) unordered unique pairs, u ≠ v. `tri` counts triangles
     * through the node; `cc_fp` = (2·tri·2²⁰) div (deg·(deg−1))

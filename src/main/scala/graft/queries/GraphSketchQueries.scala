@@ -30,28 +30,87 @@ object GraphSketchQueries {
     * 16 iterations shuffle only node-sized rank relations against
     * the once-partitioned edge set. Emits every node's ×2⁴⁰
     * fixed-point rank. */
-  def pageRankQ(s: SparkSession, d: String): DataFrame = {
-    // integer node ids throughout the iteration (customers even,
-    // suppliers odd — disjoint without a dictionary); the 'c:'/'s:'
-    // presentation strings exist only in the final projection. String
-    // keys hashed/shuffled T times are the classic avoidable cost of
-    // iterative graph jobs.
+  /** The symmetrized customer↔supplier purchase graph with integer
+    * node ids (customers even, suppliers odd — disjoint without a
+    * dictionary; the 'c:'/'s:' presentation strings exist only in
+    * final projections. String keys hashed/shuffled T times are the
+    * classic avoidable cost of iterative graph jobs). Shared by q143
+    * and q147. */
+  private def purchaseGraph(s: SparkSession, d: String): DataFrame = {
     val e0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    val sym = e0.unionByName(
-      e0.select(col("dst").as("src"), col("src").as("dst")))
-    PageRank.pageRankFixed(sym, PrIters, broadcastRanks = true)
-      .select(
-        when(col("node") % 2 === 0,
-          concat(lit("c:"), expr("node div 2").cast("string")))
-          .otherwise(concat(lit("s:"), expr("node div 2").cast("string")))
-          .as("node"),
-        col("r").as("rank_fp"))
+    e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** The even/odd integer id rendered back to its 'c:'/'s:' string. */
+  private def nodeStr(c: String) =
+    when(col(c) % 2 === 0, concat(lit("c:"), expr(s"$c div 2").cast("string")))
+      .otherwise(concat(lit("s:"), expr(s"$c div 2").cast("string")))
+
+  def pageRankQ(s: SparkSession, d: String): DataFrame = {
+    PageRank.pageRankFixed(purchaseGraph(s, d), PrIters, broadcastRanks = true)
+      .select(nodeStr("node").as("node"), col("r").as("rank_fp"))
       .orderBy(col("node"))
+  }
+
+  /** q147 iteration count: LPA converges in a handful of sweeps on
+    * most graphs (Raghavan et al. report ~5); 8 keeps the oracle at 8
+    * unrolled joins. Determinism never depends on convergence. */
+  private val LpIters = 8
+
+  /** Label-propagation communities (q147) on the purchase graph —
+    * the label a node settles on IS its community (co-purchase
+    * cluster: which customer population shares which supplier pool).
+    * Deterministic self-retaining synchronous LPA ([[Graph.labelPropagation]]);
+    * the oracle replays all 8 sweeps, argmax tie-breaks included. On
+    * TPC-H's uniform purchase pattern the graph has NO community
+    * structure, so LPA correctly collapses to the bipartition (all
+    * customers → c:0, all suppliers → s:0) — the planted-partition
+    * recovery that shows the operator working lives in `GraphSpec`. */
+  def labelPropQ(s: SparkSession, d: String): DataFrame =
+    Graph.labelPropagation(purchaseGraph(s, d), LpIters)
+      .select(nodeStr("node").as("node_s"), nodeStr("label").as("community"))
+      .select(col("node_s").as("node"), col("community"))
+      .orderBy(col("node"))
+
+  def labelPropOracle: String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |), e AS MATERIALIZED (
+         |  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+         |), l0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node, src AS label FROM e
+         |)""".stripMargin
+    for (t <- 1 to LpIters) sb ++=
+      s""",
+         | l$t AS MATERIALIZED (
+         |  SELECT dst AS node, label FROM (
+         |    SELECT dst, label,
+         |      row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM (
+         |      SELECT v.dst, v.label, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |        SELECT e.dst, c.label FROM e JOIN l${t - 1} c ON c.node = e.src
+         |        UNION ALL SELECT node AS dst, label FROM l${t - 1}
+         |      ) v GROUP BY v.dst, v.label
+         |    )
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    sb ++=
+      s"""
+         |SELECT
+         |  CASE WHEN node % 2 = 0 THEN 'c:' || CAST(node // 2 AS VARCHAR)
+         |       ELSE 's:' || CAST(node // 2 AS VARCHAR) END AS node,
+         |  CASE WHEN label % 2 = 0 THEN 'c:' || CAST(label // 2 AS VARCHAR)
+         |       ELSE 's:' || CAST(label // 2 AS VARCHAR) END AS community
+         |FROM l$LpIters ORDER BY node""".stripMargin
+    sb.toString
   }
 
   /** The whole 16-step solve replayed in DuckDB: same symmetric edge

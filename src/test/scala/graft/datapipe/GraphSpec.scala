@@ -52,6 +52,58 @@ class GraphSpec extends AnyFunSuite {
     assert(census(pairs: _*) == mirror(pairs))
   }
 
+  def lpa(iters: Int, pairs: (Long, Long)*): Map[Long, Long] = {
+    import spark.implicits._
+    val sym = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    Graph.labelPropagation(sym, iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Independent plain-Scala mirror of the deterministic update rule:
+    * argmax neighbor+self label count, ties to the smallest label. */
+  def lpaMirror(iters: Int, pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    var l = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      l = adj.map { case (v, ns) =>
+        val votes = (ns.map(l) :+ l(v)).groupBy(identity)
+          .view.mapValues(_.size).toMap
+        val best = votes.values.max
+        v -> votes.filter(_._2 == best).keys.min
+      }
+    }
+    l
+  }
+
+  test("label propagation recovers planted communities") {
+    // two 5-cliques bridged by one edge
+    val cliqueA = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val cliqueB = for (a <- 11L to 15L; b <- (a + 1) to 15L) yield (a, b)
+    val got = lpa(8, (cliqueA ++ cliqueB :+ (5L -> 11L)): _*)
+    assert((1L to 5L).map(got).distinct.size == 1)
+    assert((11L to 15L).map(got).distinct.size == 1)
+    assert(got(1L) != got(11L))
+  }
+
+  test("label propagation matches the independent mirror") {
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L,
+      5L -> 6L, 6L -> 4L, 2L -> 7L, 7L -> 8L)
+    for (t <- Seq(1, 3, 8))
+      assert(lpa(t, pairs: _*) == lpaMirror(t, pairs), s"iters=$t")
+  }
+
+  test("label propagation is invariant to input partitioning") {
+    import spark.implicits._
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 5L -> 1L)
+    val sym = (pairs ++ pairs.map(_.swap))
+    val a = Graph.labelPropagation(sym.toDF("src", "dst").coalesce(1), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = Graph.labelPropagation(sym.toDF("src", "dst").repartition(9), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("invariant to partitioning, edge direction and duplicate edges") {
     import spark.implicits._
     val pairs = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 1L -> 4L)
