@@ -164,6 +164,7 @@ object SparkEntry {
     "q145_triangle_census" -> (GraphSketchQueries.triangleCensus _),
     "q146_kmv_setops" -> (GraphSketchQueries.kmvSetOps _),
     "q147_label_prop" -> (GraphSketchQueries.labelPropQ _),
+    "q148_pmi_cooc" -> (GraphSketchQueries.pmiCooc _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -565,5 +566,6 @@ object SparkEntry {
     "q145_triangle_census" -> GraphSketchQueries.triangleOracle,
     "q146_kmv_setops" -> GraphSketchQueries.kmvSetOpsOracle,
     "q147_label_prop" -> GraphSketchQueries.labelPropOracle,
+    "q148_pmi_cooc" -> GraphSketchQueries.pmiOracle,
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.datapipe.{Graph, PageRank, Sketches}
+import graft.datapipe.{Cooccurrence, Graph, PageRank, Sketches}
 import graft.functions.Log2FixedExpr
 import graft.util.{Tables, Tok}
 
@@ -211,6 +211,57 @@ object GraphSketchQueries {
        |    ELSE 0 END AS cc_fp
        |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
        |ORDER BY doc_id""".stripMargin
+
+  private val PmiWindow = 4
+  private val PmiTopK = 200
+
+  /** Windowed co-occurrence PMI (q148): top-200 token pairs of the
+    * document corpus by co-occurrence count within a 4-token forward
+    * window, scored with Q16 fixed-point PMI — see
+    * [[Cooccurrence.pmiPairs]] for the equi-join window plan and the
+    * exact-integer log chain the oracle replays value-for-value. */
+  def pmiCooc(s: SparkSession, d: String): DataFrame =
+    Cooccurrence.pmiPairs(Tables.documents(s, d), PmiWindow, PmiTopK)
+
+  def pmiOracle: String =
+    s"""WITH tokd AS MATERIALIZED (
+       |  SELECT doc_id, string_split_regex(lower(text), '${Tok.WS}') AS toks
+       |  FROM documents
+       |), tpos AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, toks[i + 1] AS tok FROM (
+       |    SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM tokd
+       |  ) WHERE toks[i + 1] <> ''
+       |), ev AS MATERIALIZED (
+       |  SELECT least(a.tok, b.tok) AS t1, greatest(a.tok, b.tok) AS t2
+       |  FROM tpos a JOIN tpos b ON b.doc_id = a.doc_id
+       |    AND b.pos BETWEEN a.pos + 1 AND a.pos + $PmiWindow
+       |), pc AS MATERIALIZED (
+       |  SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_pair
+       |  FROM ev GROUP BY t1, t2
+       |), marg AS MATERIALIZED (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS m FROM (
+       |    SELECT t1 AS tok FROM ev UNION ALL SELECT t2 AS tok FROM ev
+       |  ) GROUP BY tok
+       |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev),
+       |topk AS MATERIALIZED (
+       |  SELECT * FROM pc ORDER BY n_pair DESC, t1, t2 LIMIT $PmiTopK
+       |), lv AS (
+       |  SELECT n_pair AS v FROM topk
+       |  UNION SELECT m FROM marg
+       |  UNION SELECT n FROM tot
+       |),
+       |${FixedLogSql.logCtes()}
+       |SELECT k.t1 AS tok_a, k.t2 AS tok_b, k.n_pair,
+       |  ma.m AS n_a, mb.m AS n_b,
+       |  lp.lg + ln.lg - la.lg - lb.lg AS pmi_q16
+       |FROM topk k
+       |JOIN marg ma ON ma.tok = k.t1
+       |JOIN marg mb ON mb.tok = k.t2
+       |JOIN llog lp ON lp.v = k.n_pair
+       |JOIN llog la ON la.v = ma.m
+       |JOIN llog lb ON lb.v = mb.m
+       |JOIN llog ln ON ln.v = (SELECT n FROM tot)
+       |ORDER BY n_pair DESC, tok_a, tok_b""".stripMargin
 
   /** Estimate fixed-point scale for q144: counts carry ×2¹⁰. */
   private val EstFp = 1024L
