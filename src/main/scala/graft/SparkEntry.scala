@@ -165,6 +165,7 @@ object SparkEntry {
     "q146_kmv_setops" -> (GraphSketchQueries.kmvSetOps _),
     "q147_label_prop" -> (GraphSketchQueries.labelPropQ _),
     "q148_pmi_cooc" -> (GraphSketchQueries.pmiCooc _),
+    "q149_random_walks" -> (GraphSketchQueries.randomWalksQ _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -567,5 +568,6 @@ object SparkEntry {
     "q146_kmv_setops" -> GraphSketchQueries.kmvSetOpsOracle,
     "q147_label_prop" -> GraphSketchQueries.labelPropOracle,
     "q148_pmi_cooc" -> GraphSketchQueries.pmiOracle,
+    "q149_random_walks" -> GraphSketchQueries.randomWalksOracle,
   )
 }

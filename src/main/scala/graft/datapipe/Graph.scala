@@ -70,6 +70,59 @@ object Graph {
     labels
   }
 
+  /** Deterministic random-walk corpus (the DeepWalk / node2vec(p=q=1)
+    * input: Perozzi et al. 2014) — one `steps`-step walk started at
+    * EVERY node, with the "random" neighbor choice derived from a
+    * portable hash instead of an RNG: at step t the walk at node v
+    * moves to neighbor number  md5("w<walk>:<t>") mod deg(v)  under a
+    * fixed neighbor numbering (row_number by dst within src). The
+    * whole corpus is therefore a pure function of the edge set — same
+    * result on any engine, any partitioning, any rerun (the property
+    * that makes walk corpora cacheable and incremental at 100 TB,
+    * and lets DuckDB replay every step).
+    *
+    * Plan: the indexed adjacency (edge + idx + deg folded in) is
+    * built ONCE with a src-keyed window and persisted; each step is
+    * walk-state ⋈ adjacency on the composite (node, selected-index)
+    * key — walk-state is node-sized, the adjacency never re-shuffles,
+    * and the hash/mod arithmetic is codegen'd column work. State
+    * between steps is eagerly materialized (lineage depth 1).
+    * Returns (walk, step, node): walk = start node id, step 0..steps.
+    */
+  def randomWalks(edges0: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1: $steps")
+    import org.apache.spark.sql.expressions.Window
+    val edges = edges0.select(col("src"), col("dst")).persist()
+    edges.count()
+    // neighbor numbering + out-degree, one shuffle, persisted for all steps
+    val adj = edges
+      .withColumn("idx",
+        row_number().over(Window.partitionBy(col("src")).orderBy(col("dst")))
+          .cast("long") - 1L)
+      .withColumn("deg",
+        count(lit(1)).over(Window.partitionBy(col("src"))))
+      .persist()
+    adj.count()
+    edges.unpersist()
+    var state = adj.select(col("src").as("walk"), col("src").as("node"))
+      .distinct().localCheckpoint(true)
+    val frames = scala.collection.mutable.ArrayBuffer(
+      state.select(col("walk"), lit(0).as("step"), col("node")))
+    for (t <- 1 to steps) {
+      val sel = Sketches.kmvHash(
+        concat(lit("w"), col("walk").cast("string"), lit(s":$t")))
+      state = state
+        .join(adj, col("node") === col("src") &&
+          col("idx") === sel % col("deg"))
+        .select(col("walk"), col("dst").as("node"))
+        .localCheckpoint(true)
+      frames += state.select(col("walk"), lit(t).as("step"), col("node"))
+    }
+    val out = frames.reduce(_ unionByName _)
+    adj.unpersist()
+    out
+  }
+
   /** Per-node (node, deg, tri, cc_fp) for every endpoint of `edges0`
     * — (u, v) unordered unique pairs, u ≠ v. `tri` counts triangles
     * through the node; `cc_fp` = (2·tri·2²⁰) div (deg·(deg−1))

@@ -212,6 +212,63 @@ object GraphSketchQueries {
        |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
        |ORDER BY doc_id""".stripMargin
 
+  /** q149 walk length. */
+  private val WalkSteps = 8
+
+  /** Deterministic random-walk corpus (q149) over the purchase graph
+    * — one 8-step hash-driven walk from every node, the DeepWalk
+    * input a graph-embedding pipeline materializes; see
+    * [[Graph.randomWalks]]. Emits (walk, step, node) with the
+    * 'c:'/'s:' presentation ids. */
+  def randomWalksQ(s: SparkSession, d: String): DataFrame =
+    Graph.randomWalks(purchaseGraph(s, d), WalkSteps)
+      .select(nodeStr("walk").as("walk_s"), col("step"),
+        nodeStr("node").as("node_s"))
+      .select(col("walk_s").as("walk"), col("step"),
+        col("node_s").as("node"))
+      .orderBy(col("walk"), col("step"))
+
+  def randomWalksOracle: String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |), e AS MATERIALIZED (
+         |  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+         |), adj AS MATERIALIZED (
+         |  SELECT src, dst,
+         |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx,
+         |    CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+         |  FROM e
+         |), w0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS walk, src AS node FROM e
+         |)""".stripMargin
+    for (t <- 1 to WalkSteps) sb ++=
+      s""",
+         | w$t AS MATERIALIZED (
+         |  SELECT w.walk, a.dst AS node
+         |  FROM w${t - 1} w JOIN adj a ON a.src = w.node
+         |    AND a.idx = CAST('0x' || substr(md5(
+         |      'w' || CAST(w.walk AS VARCHAR) || ':$t'), 1, 15) AS BIGINT) % a.deg
+         |)""".stripMargin
+    val unions = (0 to WalkSteps)
+      .map(t => s"SELECT walk, CAST($t AS INTEGER) AS step, node FROM w$t")
+      .mkString("\n  UNION ALL ")
+    sb ++=
+      s"""
+         |SELECT
+         |  CASE WHEN walk % 2 = 0 THEN 'c:' || CAST(walk // 2 AS VARCHAR)
+         |       ELSE 's:' || CAST(walk // 2 AS VARCHAR) END AS walk,
+         |  step,
+         |  CASE WHEN node % 2 = 0 THEN 'c:' || CAST(node // 2 AS VARCHAR)
+         |       ELSE 's:' || CAST(node // 2 AS VARCHAR) END AS node
+         |FROM (
+         |  $unions
+         |) ORDER BY walk, step""".stripMargin
+    sb.toString
+  }
+
   private val PmiWindow = 4
   private val PmiTopK = 200
 

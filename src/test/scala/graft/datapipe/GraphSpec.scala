@@ -104,6 +104,64 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  def walks(steps: Int, pairs: (Long, Long)*): Seq[(Long, Int, Long)] = {
+    import spark.implicits._
+    val sym = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    Graph.randomWalks(sym, steps).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+  }
+
+  /** Independent walk mirror: MessageDigest md5, BigInt hex parse,
+    * sorted-neighbor indexing — shares nothing with the Column path. */
+  def walkMirror(steps: Int, pairs: Seq[(Long, Long)]): Seq[(Long, Int, Long)] = {
+    val adj = (pairs ++ pairs.map(_.swap)).distinct.groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15), 16)
+    adj.keys.toSeq.sorted.flatMap { start =>
+      var v = start
+      (0 to steps).map { t =>
+        if (t > 0) {
+          val ns = adj(v)
+          v = ns((h(s"w$start:$t") % ns.size).toInt)
+        }
+        (start, t, v)
+      }
+    }.sortBy(t => (t._1, t._2))
+  }
+
+  test("random walks match the independent md5 mirror") {
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 1L -> 3L,
+      4L -> 5L, 5L -> 6L)
+    assert(walks(6, pairs: _*) == walkMirror(6, pairs))
+  }
+
+  test("every walk step follows an edge") {
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L)
+    val es = (pairs ++ pairs.map(_.swap)).toSet
+    val byWalk = walks(5, pairs: _*).groupBy(_._1)
+    byWalk.values.foreach { w =>
+      val path = w.sortBy(_._2).map(_._3)
+      assert(path.head == w.head._1)
+      path.sliding(2).foreach { case Seq(a, b) => assert(es((a, b))) }
+    }
+  }
+
+  test("walks are invariant to input partitioning") {
+    import spark.implicits._
+    val pairs = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)
+    val sym = pairs ++ pairs.map(_.swap)
+    val a = Graph.randomWalks(sym.toDF("src", "dst").coalesce(1), 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val b = Graph.randomWalks(sym.toDF("src", "dst").repartition(8), 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(a == b)
+  }
+
   test("invariant to partitioning, edge direction and duplicate edges") {
     import spark.implicits._
     val pairs = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 1L -> 4L)
