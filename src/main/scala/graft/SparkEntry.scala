@@ -166,6 +166,7 @@ object SparkEntry {
     "q147_label_prop" -> (GraphSketchQueries.labelPropQ _),
     "q148_pmi_cooc" -> (GraphSketchQueries.pmiCooc _),
     "q149_random_walks" -> (GraphSketchQueries.randomWalksQ _),
+    "q150_triangle_inc" -> (GraphSketchQueries.triangleCensusIncQ _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -569,5 +570,7 @@ object SparkEntry {
     "q147_label_prop" -> GraphSketchQueries.labelPropOracle,
     "q148_pmi_cooc" -> GraphSketchQueries.pmiOracle,
     "q149_random_walks" -> GraphSketchQueries.randomWalksOracle,
+    // batch ≡ incremental: the one-shot census SQL is the oracle
+    "q150_triangle_inc" -> GraphSketchQueries.triangleOracle,
   )
 }

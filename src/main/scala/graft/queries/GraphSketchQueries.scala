@@ -320,6 +320,33 @@ object GraphSketchQueries {
        |JOIN llog ln ON ln.v = (SELECT n FROM tot)
        |ORDER BY n_pair DESC, tok_a, tok_b""".stripMargin
 
+  /** Incremental triangle census (q150): the corpus-growth twin of
+    * q145 — documents with doc_id above the halfway mark "arrive
+    * later", so the near-dup edges incident to them are the delta
+    * batch ([[Graph.triangleCensusInc]]: probe-the-delta
+    * neighborhoods, dedupe the triple multiplicity, add counts). The
+    * oracle is the ONE-SHOT q145 census SQL over the full corpus, so
+    * the driver's hash compare IS the batch ≡ incremental proof (the
+    * q133/q138 convention). At sf0.01 the only triangle's three edges
+    * all live in the delta — the multiplicity-3 dedup path is
+    * exercised by the artifact itself. */
+  def triangleCensusIncQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val edges = graft.datapipe.DedupOps
+      .minhashNearDupPairs(docs, minJaccard = 0.5, md5Based = true)
+      .select(col("id_a").as("u"), col("id_b").as("v")).persist()
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    // u < v throughout, so v is the larger doc id of the pair
+    val base = edges.filter(col("v") <= cut)
+    val delta = edges.filter(col("v") > cut)
+    val out = Graph.triangleCensusInc(Graph.triangleCensus(base), base, delta)
+      .select(col("node").as("doc_id"), col("deg"), col("tri"), col("cc_fp"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    edges.unpersist()
+    out
+  }
+
   /** Estimate fixed-point scale for q144: counts carry ×2¹⁰. */
   private val EstFp = 1024L
 

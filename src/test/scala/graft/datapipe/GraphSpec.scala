@@ -162,6 +162,25 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("incremental census equals one-shot, incl. all-new-edge triangles") {
+    import spark.implicits._
+    val all = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 4L -> 5L,
+      5L -> 3L, 5L -> 6L, 6L -> 7L, 7L -> 5L, 1L -> 7L, 2L -> 7L, 1L -> 4L)
+    // splits exercising 1-, 2- and 3-new-edge triangles + brand-new nodes
+    for (nBase <- Seq(0, 3, 6, 9, 12)) {
+      val base = all.take(nBase).toDF("u", "v")
+      val delta = all.drop(nBase).toDF("u", "v")
+      val inc = Graph
+        .triangleCensusInc(Graph.triangleCensus(base), base, delta)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+      val full = Graph.triangleCensus(all.toDF("u", "v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+      assert(inc == full, s"nBase=$nBase")
+    }
+  }
+
   test("invariant to partitioning, edge direction and duplicate edges") {
     import spark.implicits._
     val pairs = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 1L -> 4L)
