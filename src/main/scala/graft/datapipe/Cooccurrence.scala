@@ -33,9 +33,11 @@ object Cooccurrence {
   /** Top-`topK` co-occurring unordered token pairs within a `window`-
     * token forward window, with marginal counts and Q16 PMI:
     * (tok_a, tok_b, n_pair, n_a, n_b, pmi_q16), n_pair desc. */
-  def pmiPairs(docs: DataFrame, window: Int, topK: Int,
+  /** The unordered pair-event relation (t1, t2) — one row per within-
+    * window co-occurrence. Package-visible so PlanAuditSpec can pin
+    * the equi-join shape. */
+  private[graft] def pairEvents(docs: DataFrame, window: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(window >= 1 && topK >= 1)
     val toks = docs
       .select(col(idCol).as("doc_id"),
         posexplode(split(lower(col(textCol)), Tok.WS)).as(Seq("pos", "tok")))
@@ -45,12 +47,17 @@ object Cooccurrence {
         explode(array((1 to window).map(lit): _*)).as("off"))
       .select(col("doc_id"), (col("pos") + col("off")).as("pos_b"),
         col("tok_a"))
-    val ev = probes
+    probes
       .join(toks.select(col("doc_id"), col("pos").as("pos_b"),
         col("tok").as("tok_b")), Seq("doc_id", "pos_b"))
       .select(least(col("tok_a"), col("tok_b")).as("t1"),
         greatest(col("tok_a"), col("tok_b")).as("t2"))
-      .persist()
+  }
+
+  def pmiPairs(docs: DataFrame, window: Int, topK: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 1 && topK >= 1)
+    val ev = pairEvents(docs, window, idCol, textCol).persist()
     val pairCnt = ev.groupBy(col("t1"), col("t2"))
       .agg(count(lit(1)).as("n_pair"))
     val marg = ev.select(explode(array(col("t1"), col("t2"))).as("tok"))

@@ -518,6 +518,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("hashpartitioning\\(query_id".r.findAllIn(p).nonEmpty, p.take(3000))
   }
 
+  test("q148 pair events: equi-join on (doc, pos+off), no cartesian, no UDF") {
+    val ev = graft.datapipe.Cooccurrence.pairEvents(
+      graft.util.Tables.documents(spark, d), window = 4)
+    val p = ev.queryExecution.executedPlan.toString
+    // the exploded-offset probe keys the join — a per-document
+    // quadratic join-then-filter would surface as BNLJ/cartesian here
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(2000))
+    assert(!p.contains("BatchEvalPython"), p.take(2000))
+    assert("hashpartitioning\\(doc_id[^)]*pos_b".r.findAllIn(p).nonEmpty ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q146 keyed KMV sketch aggregates partially before its exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val sk = (1 to 100).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "x")
+      .select(col("g"), graft.datapipe.Sketches.kmvHash(col("x")).as("h"))
+      .as[(String, Long)].groupByKey(_._1)
+      .agg(graft.datapipe.Sketches.kmvSketchKeyed(16).name("mins"))
+    val p = sk.queryExecution.executedPlan.toString
+    // typed Aggregator plans as ObjectHashAggregate with a partial
+    // (map-side) phase below the exchange — O(k) state per group
+    // crosses the wire, never the raw hashes
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2 ||
+      "SortAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+  }
+
   test("q122 epoch shuffle: banded rank (no global window), offsets broadcast") {
     val p = plan("q122_epoch_shuffle")
     assert(!p.contains("CartesianProduct") &&
