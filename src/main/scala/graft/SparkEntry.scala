@@ -167,6 +167,7 @@ object SparkEntry {
     "q148_pmi_cooc" -> (GraphSketchQueries.pmiCooc _),
     "q149_random_walks" -> (GraphSketchQueries.randomWalksQ _),
     "q150_triangle_inc" -> (GraphSketchQueries.triangleCensusIncQ _),
+    "q151_personalized_pr" -> (GraphSketchQueries.personalizedPageRankQ _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -572,5 +573,6 @@ object SparkEntry {
     "q149_random_walks" -> GraphSketchQueries.randomWalksOracle,
     // batch ≡ incremental: the one-shot census SQL is the oracle
     "q150_triangle_inc" -> GraphSketchQueries.triangleOracle,
+    "q151_personalized_pr" -> GraphSketchQueries.personalizedPageRankOracle,
   )
 }

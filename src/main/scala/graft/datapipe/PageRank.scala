@@ -52,9 +52,20 @@ object PageRank {
 
   /** Run `iters` exact-integer PageRank steps over `edges` (columns
     * `src`, `dst`; every node must appear as a `src`). Returns
-    * (node, r) with r the ×2⁴⁰ fixed-point rank. */
+    * (node, r) with r the ×2⁴⁰ fixed-point rank.
+    *
+    * `seeds` non-empty switches to PERSONALIZED PageRank (Jeh &
+    * Widom 2003): the teleport mass lands only on the seed set
+    * ((15·2⁴⁰) div (100·|S|) per seed instead of a per-node share)
+    * and the walk starts there — the result ranks nodes by proximity
+    * to the seeds (graph-based retrieval / recommendation), not
+    * global authority. Nodes the walk hasn't reached carry rank 0
+    * rather than being dropped: the output stays one row per node,
+    * same as the global variant. The seed list is driver-known and
+    * tiny (an `isin` literal — codegen'd, no join). */
   def pageRankFixed(edges0: DataFrame, iters: Int,
-      broadcastRanks: Boolean = false): DataFrame = {
+      broadcastRanks: Boolean = false,
+      seeds: Seq[Long] = Nil): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val spark = edges0.sparkSession
     // materialize the input once: both the degree aggregation and the
@@ -85,15 +96,23 @@ object PageRank {
     }
     edges.count()
     raw.unpersist()
-    val base = (15L * Fp) / (DampDen * n) // teleport mass per node
-    var ranks = deg.select(col("src").as("node"), lit(Fp / n).as("r"))
-      .localCheckpoint(true)
+    // teleport term: uniform for global PageRank, seed-only for PPR
+    val baseCol =
+      if (seeds.isEmpty) lit((15L * Fp) / (DampDen * n))
+      else when(col("dst").isin(seeds: _*),
+        lit((15L * Fp) / (DampDen * seeds.length))).otherwise(lit(0L))
+    val r0 =
+      if (seeds.isEmpty) deg.select(col("src").as("node"), lit(Fp / n).as("r"))
+      else deg.select(col("src").as("node"),
+        when(col("src").isin(seeds: _*), lit(Fp / seeds.length))
+          .otherwise(lit(0L)).as("r"))
+    var ranks = r0.localCheckpoint(true)
     for (_ <- 1 to iters) {
       val rside = if (broadcastRanks) broadcast(ranks) else ranks
       ranks = edges.join(rside, col("src") === col("node"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst"))
-        .agg((lit(base) + expr(s"($DampNum * sum(c)) div $DampDen")).as("r"))
+        .agg((baseCol + expr(s"($DampNum * sum(c)) div $DampDen")).as("r"))
         .select(col("dst").as("node"), col("r"))
         .localCheckpoint(true) // iteration barrier: lineage depth 1
     }

@@ -57,6 +57,26 @@ object GraphSketchQueries {
       .orderBy(col("node"))
   }
 
+  /** q151 seed suppliers (suppkeys 1–3 → odd integer ids 3, 5, 7). */
+  private val PprSeedKeys = Seq(1L, 2L, 3L)
+
+  /** Personalized PageRank (q151): teleport mass restricted to three
+    * seed suppliers, ranking every node by random-walk proximity to
+    * them (Jeh & Widom 2003) — the graph-retrieval/recommendation
+    * primitive ("customers and suppliers most associated with this
+    * supplier pool"), where q143 measures global authority. Same
+    * distributed iteration shape as q143; the seed test is a codegen'd
+    * `isin` literal, no extra join. Oracle: the q143 replay with the
+    * seed-restricted teleport and start vector. */
+  def personalizedPageRankQ(s: SparkSession, d: String): DataFrame =
+    PageRank.pageRankFixed(purchaseGraph(s, d), PrIters,
+        broadcastRanks = true, seeds = PprSeedKeys.map(_ * 2 + 1))
+      .select(nodeStr("node").as("node"), col("r").as("rank_fp"))
+      .orderBy(col("node"))
+
+  def personalizedPageRankOracle: String =
+    prOracle(PprSeedKeys.map(k => s"s:$k"))
+
   /** q147 iteration count: LPA converges in a handful of sweeps on
     * most graphs (Raghavan et al. report ~5); 8 keeps the oracle at 8
     * unrolled joins. Determinism never depends on convergence. */
@@ -118,8 +138,20 @@ object GraphSketchQueries {
     * — max intermediate ≈ 85·2⁴⁰ ≪ 2⁶³). MATERIALIZED per iterate:
     * each r_t is consumed by r_{t+1}'s join; without it the chain
     * re-inlines multiplicatively. */
-  def pageRankOracle: String = {
+  def pageRankOracle: String = prOracle(Nil)
+
+  /** Shared q143/q151 oracle builder: `seeds` empty replays global
+    * PageRank, non-empty replays the personalized variant (teleport
+    * and start mass on the seed set only). */
+  private def prOracle(seeds: Seq[String]): String = {
     val fp = PageRank.Fp
+    val seedList = seeds.map(s => s"'$s'").mkString(", ")
+    val baseSql =
+      if (seeds.isEmpty) s"(15 * $fp) // (100 * (SELECT n FROM nn))"
+      else s"CASE WHEN e.dst IN ($seedList) THEN (15 * $fp) // (100 * ${seeds.length}) ELSE 0 END"
+    val r0Sql =
+      if (seeds.isEmpty) s"$fp // (SELECT n FROM nn)"
+      else s"CASE WHEN src IN ($seedList) THEN ${fp / seeds.length} ELSE 0 END"
     val sb = new StringBuilder
     sb ++=
       s"""WITH e0 AS MATERIALIZED (
@@ -132,12 +164,12 @@ object GraphSketchQueries {
          |), deg AS MATERIALIZED (
          |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src
          |), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
-         | r0 AS (SELECT src AS node, $fp // (SELECT n FROM nn) AS r FROM deg)""".stripMargin
+         | r0 AS (SELECT src AS node, $r0Sql AS r FROM deg)""".stripMargin
     for (t <- 1 to PrIters) sb ++=
       s""",
          | r$t AS MATERIALIZED (
          |  SELECT e.dst AS node,
-         |    (15 * $fp) // (100 * (SELECT n FROM nn)) +
+         |    $baseSql +
          |    (85 * CAST(SUM(c.r // c.deg) AS BIGINT)) // 100 AS r
          |  FROM e JOIN (
          |    SELECT node, r, deg FROM r${t - 1} JOIN deg ON deg.src = r${t - 1}.node
