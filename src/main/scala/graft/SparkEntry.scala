@@ -168,6 +168,7 @@ object SparkEntry {
     "q149_random_walks" -> (GraphSketchQueries.randomWalksQ _),
     "q150_triangle_inc" -> (GraphSketchQueries.triangleCensusIncQ _),
     "q151_personalized_pr" -> (GraphSketchQueries.personalizedPageRankQ _),
+    "q152_cohort_retention" -> (DataPipeQueries.cohortRetention _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -574,5 +575,6 @@ object SparkEntry {
     // batch ≡ incremental: the one-shot census SQL is the oracle
     "q150_triangle_inc" -> GraphSketchQueries.triangleOracle,
     "q151_personalized_pr" -> GraphSketchQueries.personalizedPageRankOracle,
+    "q152_cohort_retention" -> DataPipeQueries.cohortRetentionOracle,
   )
 }

@@ -1343,6 +1343,55 @@ object DataPipeQueries {
       |SELECT doc_id, lang, n_chars FROM samp
       |ORDER BY doc_id""".stripMargin
 
+  /** Cohort retention matrix (q152): users grouped by first-activity
+    * day, tracked across every day they stay active (the events table
+    * spans one month, so DAY is its natural cohort granularity) — the
+    * product-analytics staple, and at corpus scale the same shape as
+    * "documents by ingestion batch × re-crawl survival". Exact SQL on
+    * both engines: distinct (user, month) activity ⋈ the min-month
+    * cohort assignment, counted per (cohort, month); retention is an
+    * exact ×2¹⁰ truncating ratio. All joins/aggs key on user_id or
+    * the tiny (cohort, month) pair — two user-keyed shuffles total,
+    * partial aggs everywhere; at 100 TB this is the canonical
+    * two-pass "first-touch then fan back" plan. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("m"))
+    val firstM = ev.groupBy(col("user_id")).agg(min(col("m")).as("cohort"))
+    val act = ev.distinct()
+    val na = act.join(firstM, "user_id")
+      .groupBy(col("cohort"), col("m"))
+      .agg(count(lit(1)).as("n_active"))
+    val cs = firstM.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    na.join(cs, "cohort")
+      .select(col("cohort"), col("m").as("active_day"), col("n_active"),
+        col("cohort_size"),
+        expr("(n_active * 1024) div cohort_size").as("retention_fp"))
+      .orderBy(col("cohort"), col("active_day"))
+  }
+
+  def cohortRetentionOracle: String =
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS m
+       |  FROM events WHERE user_id IS NOT NULL
+       |), fm AS MATERIALIZED (
+       |  SELECT user_id, MIN(m) AS cohort FROM ev GROUP BY user_id
+       |), act AS MATERIALIZED (
+       |  SELECT DISTINCT user_id, m FROM ev
+       |), na AS (
+       |  SELECT f.cohort, a.m, CAST(count(*) AS BIGINT) AS n_active
+       |  FROM act a JOIN fm f ON f.user_id = a.user_id
+       |  GROUP BY f.cohort, a.m
+       |), cs AS (
+       |  SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+       |  FROM fm GROUP BY cohort
+       |)
+       |SELECT na.cohort, na.m AS active_day, na.n_active, cs.cohort_size,
+       |  (na.n_active * 1024) // cs.cohort_size AS retention_fp
+       |FROM na JOIN cs ON cs.cohort = na.cohort
+       |ORDER BY na.cohort, active_day""".stripMargin
+
   /** Gaps-and-islands sessionization over the events stream table
     * (30-minute inactivity gap), summarized per session. */
   def sessionize(s: SparkSession, d: String): DataFrame =
