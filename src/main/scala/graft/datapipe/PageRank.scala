@@ -65,7 +65,15 @@ object PageRank {
     * tiny (an `isin` literal — codegen'd, no join). */
   def pageRankFixed(edges0: DataFrame, iters: Int,
       broadcastRanks: Boolean = false,
-      seeds: Seq[Long] = Nil): DataFrame = {
+      seeds: Seq[Long] = Nil,
+      materializeEvery: Int = 1): DataFrame = {
+    // measured (sf0.1, local[32], warm): materializeEvery=4 runs ~10%
+    // SLOWER than 1 (6.5 s vs 5.9 s for 16 iterations) — fusing k
+    // steps makes each broadcast build execute a k-deep join-agg plan,
+    // which costs more than the saved barrier writes. The classic
+    // per-step Pregel barrier is the right default; the knob stays for
+    // cluster-profile experiments where barrier cost dominates.
+    require(materializeEvery >= 1)
     require(iters >= 1, s"iters must be >= 1: $iters")
     val spark = edges0.sparkSession
     // materialize the input once: both the degree aggregation and the
@@ -107,14 +115,18 @@ object PageRank {
         when(col("src").isin(seeds: _*), lit(Fp / seeds.length))
           .otherwise(lit(0L)).as("r"))
     var ranks = r0.localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (t <- 1 to iters) {
       val rside = if (broadcastRanks) broadcast(ranks) else ranks
-      ranks = edges.join(rside, col("src") === col("node"))
+      val next = edges.join(rside, col("src") === col("node"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst"))
         .agg((baseCol + expr(s"($DampNum * sum(c)) div $DampDen")).as("r"))
         .select(col("dst").as("node"), col("r"))
-        .localCheckpoint(true) // iteration barrier: lineage depth 1
+      // materialization barrier: lineage depth capped at
+      // `materializeEvery` (1 = the classic per-step Pregel barrier;
+      // small k trades barrier latency for a k-deep fused plan)
+      ranks = if (t % materializeEvery == 0 || t == iters)
+        next.localCheckpoint(true) else next
     }
     deg.unpersist()
     edges.unpersist()
