@@ -46,7 +46,13 @@ object Graph {
     * `baseCensus` is the prior (node, deg, tri, cc_fp) output;
     * `baseEdges`/`newEdges` are unordered unique (u, v) pairs with
     * `newEdges` disjoint from `baseEdges`. */
-  def triangleCensusInc(baseCensus: DataFrame, baseEdges: DataFrame,
+  /** The updated census rows for ONLY the nodes the delta touches
+    * (endpoints of new edges, plus third corners of new triangles) —
+    * what a streaming state store appends per batch so its write is
+    * ∝ delta, never ∝ nodes. Same probe-the-delta algorithm as
+    * [[triangleCensusInc]]; that full-output face is delta ∪
+    * untouched base rows. */
+  def triangleCensusDelta(baseCensus: DataFrame, baseEdges: DataFrame,
       newEdges: DataFrame): DataFrame = {
     val norm = (df: DataFrame) => df
       .select(least(col("u"), col("v")).as("u"),
@@ -74,9 +80,13 @@ object Graph {
     val dDeg = nw.select(col("u").as("node"))
       .unionByName(nw.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d_deg"))
-    val out = baseCensus.select(col("node"), col("deg"), col("tri"))
-      .join(dDeg, Seq("node"), "full")
-      .join(dTri, Seq("node"), "full")
+    val touched = dDeg.select(col("node"))
+      .unionByName(dTri.select(col("node"))).distinct()
+    val out = touched
+      .join(baseCensus.select(col("node"), col("deg"), col("tri")),
+        Seq("node"), "left")
+      .join(dDeg, Seq("node"), "left")
+      .join(dTri, Seq("node"), "left")
       .select(col("node"),
         (coalesce(col("deg"), lit(0L)) + coalesce(col("d_deg"), lit(0L)))
           .as("deg"),
@@ -89,6 +99,14 @@ object Graph {
       .localCheckpoint(true)
     nw.unpersist(); all.unpersist()
     out
+  }
+
+  def triangleCensusInc(baseCensus: DataFrame, baseEdges: DataFrame,
+      newEdges: DataFrame): DataFrame = {
+    val delta = triangleCensusDelta(baseCensus, baseEdges, newEdges)
+    baseCensus
+      .join(delta.select(col("node")), Seq("node"), "left_anti")
+      .unionByName(delta)
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007) with self-

@@ -1171,6 +1171,140 @@ object StreamingPipeline {
     Some(Clustering.ivfProbe(idx, centroids, qs, nProbe, k, idCol))
   }
 
+  /** Maintain a live triangle census over an EDGE stream — the
+    * streaming face of q150. Per micro-batch: the fresh (never-seen)
+    * edges are appended as one overwrite-idempotent delta partition,
+    * and [[graft.datapipe.Graph.triangleCensusDelta]] writes updated
+    * census rows for ONLY the touched nodes (delta-probe work, write
+    * ∝ delta — never ∝ nodes; the base+delta discipline of
+    * `tokenIndexStream`/`annIndexStream` from day one). A cross-batch
+    * duplicate edge is dropped by an anti-join against the committed
+    * edge view, so replays and at-least-once sources both land on the
+    * same state. Every `compactEvery` batches both relations fold
+    * into fresh compacted bases (latest-per-node for the census,
+    * plain union for edges) under the manifest-flip convention.
+    * [[graphCensusSnapshot]] reads the live census; the
+    * `GraphStreamSpec` pins it bit-equal to the one-shot
+    * [[graft.datapipe.Graph.triangleCensus]] of everything ingested. */
+  def graphCensusStream(edges: DataFrame, stateDir: String,
+      compactEvery: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    edges.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyGraphCensusBatch(batch, batchId, stateDir, compactEvery)
+    }
+
+  /** Committed (u, v) edge view: compacted base ∪ deltas past it, up
+    * to the committed frontier. */
+  private def graphEdgesView(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
+      frontier: Long): DataFrame = {
+    import spark.implicits._
+    val base = currentSnapshotPath(fs,
+      new org.apache.hadoop.fs.Path(s"$stateDir/edges_base"))
+    val baseId = base.map(_.getName.drop(1).toLong).getOrElse(-1L)
+    val deltaRoot = new org.apache.hadoop.fs.Path(s"$stateDir/edges_delta")
+    val deltasExist = fs.exists(deltaRoot) && fs.listStatus(deltaRoot).nonEmpty
+    val parts =
+      base.map(p => spark.read.parquet(p.toString)).toSeq ++
+      (if (deltasExist)
+        Seq(spark.read.parquet(deltaRoot.toString)
+          .filter(col("batch_id") > baseId && col("batch_id") <= frontier)
+          .drop("batch_id"))
+       else Seq.empty)
+    if (parts.isEmpty) Seq.empty[(Long, Long)].toDF("u", "v")
+    else parts.reduce(_ unionByName _).select(col("u"), col("v"))
+  }
+
+  /** Committed latest-per-node census view (node, deg, tri, cc_fp). */
+  private def graphCensusView(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
+      frontier: Long): DataFrame = {
+    import spark.implicits._
+    val base = currentSnapshotPath(fs,
+      new org.apache.hadoop.fs.Path(s"$stateDir/census_base"))
+    val baseId = base.map(_.getName.drop(1).toLong).getOrElse(-1L)
+    val deltaRoot = new org.apache.hadoop.fs.Path(s"$stateDir/census_delta")
+    val deltasExist = fs.exists(deltaRoot) && fs.listStatus(deltaRoot).nonEmpty
+    val parts =
+      base.map(p => spark.read.parquet(p.toString)
+        .withColumn("batch_id", lit(-1L))).toSeq ++
+      (if (deltasExist)
+        Seq(spark.read.parquet(deltaRoot.toString)
+          .filter(col("batch_id") > baseId && col("batch_id") <= frontier))
+       else Seq.empty)
+    if (parts.isEmpty)
+      Seq.empty[(Long, Long, Long, Long)].toDF("node", "deg", "tri", "cc_fp")
+    else parts.reduce(_ unionByName _)
+      .groupBy(col("node"))
+      .agg(max_by(struct(col("deg"), col("tri"), col("cc_fp")),
+        col("batch_id")).as("s"))
+      .select(col("node"), col("s.deg").as("deg"), col("s.tri").as("tri"),
+        col("s.cc_fp").as("cc_fp"))
+  }
+
+  /** One [[graphCensusStream]] micro-batch, factored out so
+    * crash-replay recovery is directly testable. */
+  private[streaming] def applyGraphCensusBatch(batch: DataFrame,
+      batchId: Long, stateDir: String, compactEvery: Int = 8): Unit = {
+    import graft.datapipe.Graph
+    require(compactEvery >= 1, s"bad compactEvery $compactEvery")
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(root, "_COMMITTED")
+    if (readMarker(fs, marker).exists(_ >= batchId)) return // replayed batch
+    val frontier = readMarker(fs, marker).getOrElse(-1L)
+    val curEdges = graphEdgesView(spark, fs, stateDir, frontier)
+    val curCensus = graphCensusView(spark, fs, stateDir, frontier)
+    // never-seen edges only: idempotent under at-least-once delivery
+    val fresh = batch
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .join(curEdges, Seq("u", "v"), "left_anti")
+      .localCheckpoint(true) // consumed twice: census probe + delta write
+    val delta = Graph.triangleCensusDelta(curCensus, curEdges, fresh)
+    fresh.write.mode("overwrite").parquet(
+      new org.apache.hadoop.fs.Path(root,
+        s"edges_delta/batch_id=$batchId").toString)
+    delta.write.mode("overwrite").parquet(
+      new org.apache.hadoop.fs.Path(root,
+        s"census_delta/batch_id=$batchId").toString)
+    advanceMarker(fs, marker, batchId)
+    // periodic fold into compacted bases (always at batch 0)
+    val edgeBaseRoot = new org.apache.hadoop.fs.Path(root, "edges_base")
+    val cenBaseRoot = new org.apache.hadoop.fs.Path(root, "census_base")
+    val baseId = currentSnapshotPath(fs, edgeBaseRoot)
+      .map(_.getName.drop(1).toLong)
+    if (baseId.forall(b => batchId - b >= compactEvery)) {
+      graft.ops.Compaction.writeCompacted(
+        graphEdgesView(spark, fs, stateDir, batchId),
+        new org.apache.hadoop.fs.Path(edgeBaseRoot, s"v$batchId").toString,
+        targetRows = 1L << 22)
+      commitSnapshot(fs, edgeBaseRoot, batchId)
+      deleteDeltasUpTo(fs,
+        new org.apache.hadoop.fs.Path(root, "edges_delta"), batchId)
+      graft.ops.Compaction.writeCompacted(
+        graphCensusView(spark, fs, stateDir, batchId),
+        new org.apache.hadoop.fs.Path(cenBaseRoot, s"v$batchId").toString,
+        targetRows = 1L << 22)
+      commitSnapshot(fs, cenBaseRoot, batchId)
+      deleteDeltasUpTo(fs,
+        new org.apache.hadoop.fs.Path(root, "census_delta"), batchId)
+    }
+  }
+
+  /** Live census over everything ingested so far (node, deg, tri,
+    * cc_fp) — None until the first batch commits. */
+  def graphCensusSnapshot(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    readMarker(fs, new org.apache.hadoop.fs.Path(root, "_COMMITTED"))
+      .map(f => graphCensusView(spark, fs, stateDir, f)
+        .orderBy(col("node")))
+  }
+
   /** Stream-stream interval join: pair each right-stream event with
     * the left-stream events of the same key that happened in the
     * window (right.ts - horizon, right.ts] — the "attribute a
