@@ -1305,6 +1305,31 @@ object StreamingPipeline {
         .orderBy(col("node")))
   }
 
+  /** Live PageRank over the [[graphCensusStream]] edge store: the
+    * committed edge view, symmetrized, through the q143 exact-integer
+    * solve — the state machine accumulates edges incrementally, the
+    * rank solve runs on demand (ranks are global: an edge anywhere
+    * moves every score, so unlike the census there is no per-node
+    * delta shortcut — recompute-on-snapshot IS the honest incremental
+    * shape, priced at iterations × node-sized shuffles against the
+    * compacted base). None until the first batch commits or while the
+    * graph is empty. */
+  def graphPageRankSnapshot(spark: SparkSession, stateDir: String,
+      iters: Int = 16): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    readMarker(fs, new org.apache.hadoop.fs.Path(root, "_COMMITTED"))
+      .flatMap { f =>
+        val e = graphEdgesView(spark, fs, stateDir, f)
+        val sym = e.unionByName(
+          e.select(col("v").as("u"), col("u").as("v")))
+          .select(col("u").as("src"), col("v").as("dst"))
+        if (sym.isEmpty) None
+        else Some(graft.datapipe.PageRank.pageRankFixed(sym, iters)
+          .orderBy(col("node")))
+      }
+  }
+
   /** Stream-stream interval join: pair each right-stream event with
     * the left-stream events of the same key that happened in the
     * window (right.ts - horizon, right.ts] — the "attribute a

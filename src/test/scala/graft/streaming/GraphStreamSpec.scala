@@ -65,6 +65,23 @@ class GraphStreamSpec extends AnyFunSuite {
       == oneShot)
   }
 
+  test("live PageRank snapshot equals the one-shot solve") {
+    import spark.implicits._
+    val dir = freshDir()
+    allEdges.grouped(5).zipWithIndex.foreach { case (b, i) =>
+      StreamingPipeline.applyGraphCensusBatch(b.toDF("u", "v"), i, dir)
+    }
+    val snap = StreamingPipeline.graphPageRankSnapshot(spark, dir, iters = 6)
+    assert(snap.isDefined)
+    val sym = (allEdges ++ allEdges.map(_.swap)).toDF("src", "dst")
+    val oneShotPr = graft.datapipe.PageRank.pageRankFixed(sym, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = snap.get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == oneShotPr)
+    // empty state dir answers None, not an exception
+    assert(StreamingPipeline.graphPageRankSnapshot(spark, freshDir()).isEmpty)
+  }
+
   test("compaction folds deltas and bounds the file count") {
     import spark.implicits._
     val dir = freshDir()
