@@ -169,6 +169,7 @@ object SparkEntry {
     "q150_triangle_inc" -> (GraphSketchQueries.triangleCensusIncQ _),
     "q151_personalized_pr" -> (GraphSketchQueries.personalizedPageRankQ _),
     "q152_cohort_retention" -> (DataPipeQueries.cohortRetention _),
+    "q153_hybrid_search" -> (Round4Queries.hybridSearchRrf _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -576,5 +577,6 @@ object SparkEntry {
     "q150_triangle_inc" -> GraphSketchQueries.triangleOracle,
     "q151_personalized_pr" -> GraphSketchQueries.personalizedPageRankOracle,
     "q152_cohort_retention" -> DataPipeQueries.cohortRetentionOracle,
+    "q153_hybrid_search" -> Round4Queries.hybridOracle,
   )
 }

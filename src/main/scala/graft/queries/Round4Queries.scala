@@ -231,7 +231,10 @@ object Round4Queries {
     SearchFacade.searchBm25(Tables.documents(s, d), "doc_id", "text",
       searchQuery, k = 20)
 
-  def bm25Oracle: String = {
+  /** The q62 BM25 scoring chain as CTE text ending in `scored
+    * (doc_id, dl, score)` — shared by [[bm25Oracle]] and the q153
+    * hybrid-search oracle so the lexical leg can never diverge. */
+  private[queries] def bm25Ctes: String = {
     val terms = SearchFacade.analyzeQueryTerms(searchQuery).distinct
     val tfExprs = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i" }
@@ -245,7 +248,7 @@ object Round4Queries {
         .stripMargin.replace("\n", " ") }
       .mkString(" + ")
     val anyMatch = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  $analyzerTokSql
        |), pertok AS (
        |  SELECT doc_id, len(toks) AS dl,
@@ -259,11 +262,80 @@ object Round4Queries {
        |), scored AS (
        |  SELECT doc_id, dl, $scoreSum AS score
        |  FROM pertok, stats WHERE $anyMatch
-       |)
+       |)""".stripMargin
+  }
+
+  def bm25Oracle: String =
+    s"""WITH $bm25Ctes
        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
        |  doc_id, CAST(dl AS BIGINT) AS dl
        |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** RRF constant (Cormack et al. 2009's k = 60) and the ×2²⁰ score
+    * scale for q153. */
+  private val RrfK0 = 60
+  private val RrfFp = 1L << 20
+
+  /** Hybrid search (q153): reciprocal-rank fusion of the q62 BM25
+    * lexical top-20 and a brute-force cosine more-like-this top-20
+    * (query = document 0's embedding; embeddings align 1:1 with
+    * doc_ids) — the RAG-retrieval staple. Fusion is pure integer
+    * rank arithmetic, score = Σ_legs 2²⁰ div (60 + rank), so the
+    * fused ordering is exact given the legs' orderings (both
+    * oracle-green on their own: q62 and q15's portable-order
+    * argument). Each leg is output-bound (top-20); the fusion is a
+    * 40-row full outer join — the heavy work is the legs, which at
+    * 100 TB are the index scans a search tier already runs. */
+  def hybridSearchRrf(s: SparkSession, d: String): DataFrame = {
+    val lex = SearchFacade.searchBm25(Tables.documents(s, d), "doc_id",
+        "text", searchQuery, k = 20)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val sem = graft.datapipe.Similarity.knnBruteForce(
+        Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") === 0), k = 20)
+      .select(col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0L)).as("sem_rank"))
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        (when(col("lex_rank") > 0,
+          expr(s"$RrfFp div ($RrfK0 + lex_rank)")).otherwise(lit(0L)) +
+         when(col("sem_rank") > 0,
+           expr(s"$RrfFp div ($RrfK0 + sem_rank)")).otherwise(lit(0L)))
+          .as("rrf_fp"))
+      .orderBy(col("rrf_fp").desc, col("doc_id"))
+      .limit(10)
   }
+
+  def hybridOracle: String =
+    s"""WITH $bm25Ctes, lex AS (
+       |  SELECT doc_id, rank FROM (
+       |    SELECT doc_id,
+       |      CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |    FROM scored
+       |  ) WHERE rank <= 20
+       |), sem AS (
+       |  SELECT doc_id, rank FROM (
+       |    SELECT c.vec_id AS doc_id,
+       |      CAST(ROW_NUMBER() OVER (ORDER BY
+       |        list_cosine_similarity(q.embedding, c.embedding) DESC,
+       |        c.vec_id) AS BIGINT) AS rank
+       |    FROM embeddings q, embeddings c
+       |    WHERE q.vec_id = 0 AND c.vec_id <> 0
+       |  ) WHERE rank <= 20
+       |), fused AS (
+       |  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       |    COALESCE(l.rank, 0) AS lex_rank,
+       |    COALESCE(s.rank, 0) AS sem_rank
+       |  FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id
+       |)
+       |SELECT doc_id, lex_rank, sem_rank,
+       |  (CASE WHEN lex_rank > 0 THEN $RrfFp // ($RrfK0 + lex_rank) ELSE 0 END) +
+       |  (CASE WHEN sem_rank > 0 THEN $RrfFp // ($RrfK0 + sem_rank) ELSE 0 END)
+       |    AS rrf_fp
+       |FROM fused ORDER BY rrf_fp DESC, doc_id LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------- q63
   /** Salted skew join on the query surface: revenue per supplier where
