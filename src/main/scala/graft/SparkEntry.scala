@@ -170,6 +170,7 @@ object SparkEntry {
     "q151_personalized_pr" -> (GraphSketchQueries.personalizedPageRankQ _),
     "q152_cohort_retention" -> (DataPipeQueries.cohortRetention _),
     "q153_hybrid_search" -> (Round4Queries.hybridSearchRrf _),
+    "q154_source_simmatrix" -> (GraphSketchQueries.sourceSimilarityMatrix _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -578,5 +579,6 @@ object SparkEntry {
     "q151_personalized_pr" -> GraphSketchQueries.personalizedPageRankOracle,
     "q152_cohort_retention" -> DataPipeQueries.cohortRetentionOracle,
     "q153_hybrid_search" -> Round4Queries.hybridOracle,
+    "q154_source_simmatrix" -> GraphSketchQueries.sourceSimilarityOracle,
   )
 }

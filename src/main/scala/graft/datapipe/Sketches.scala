@@ -105,6 +105,32 @@ object Sketches {
   def kmvSketchKeyed(k: Int): TypedColumn[(String, Long), Array[Long]] =
     new KmvKeyedAgg(k).toColumn
 
+  /** Set-operation estimate fixed-point scale: ×2¹⁰. */
+  val KmvEstFp = 1024L
+
+  /** Exact-integer set-operation estimates from two KMV sketches
+    * (Beyer et al. 2007) — the shared q146/q154 driver math:
+    * (n_u, kth_u, n_common, est_union_fp, est_inter_fp, jaccard_fp),
+    * estimates ×2¹⁰ with truncating division. When the union sketch
+    * holds fewer than k hashes it IS the union and every output is
+    * exact. */
+  def kmvSetStats(a: Array[Long], b: Array[Long],
+      k: Int): (Long, Long, Long, Long, Long, Long) = {
+    val merged = new KmvAgg(k).merge(a, b)
+    val inA = a.toSet; val inB = b.toSet
+    val nU = merged.length.toLong
+    val kthU = if (merged.nonEmpty) merged.last else 0L
+    val nCommon = merged.count(h => inA(h) && inB(h)).toLong
+    val estU =
+      if (nU < k) nU * KmvEstFp
+      else (BigInt(k - 1) * (BigInt(1) << 60) * KmvEstFp / kthU).toLong
+    val estI =
+      if (nU < k) nCommon * KmvEstFp
+      else (BigInt(estU) * nCommon / k).toLong
+    val jac = if (nU > 0) nCommon * KmvEstFp / nU else 0L
+    (nU, kthU, nCommon, estU, estI, jac)
+  }
+
   /** The sketch as a typed aggregation column over a hash column
     * (use with `df.select(kmvHash(col("x")).as[Long]).agg(...)` or any
     * `groupBy` — partial aggregation and AQE apply as with any agg). */

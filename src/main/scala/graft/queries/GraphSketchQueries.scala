@@ -492,18 +492,8 @@ object GraphSketchQueries {
     val rows = setPairs.map { case (label, a, b) =>
       val (ska, skb) =
         if (a.startsWith("src")) (tokSk(a), tokSk(b)) else (evSk(a), evSk(b))
-      val merged = new Sketches.KmvAgg(SetK).merge(ska, skb)
-      val inA = ska.toSet; val inB = skb.toSet
-      val nU = merged.length.toLong
-      val kthU = if (merged.nonEmpty) merged.last else 0L
-      val nCommon = merged.count(h => inA(h) && inB(h)).toLong
-      val estU =
-        if (nU < SetK) nU * EstFp
-        else (BigInt(SetK - 1) * (BigInt(1) << 60) * EstFp / kthU).toLong
-      val estI =
-        if (nU < SetK) nCommon * EstFp
-        else (BigInt(estU) * nCommon / SetK).toLong
-      val jac = if (nU > 0) nCommon * EstFp / nU else 0L
+      val (nU, kthU, nCommon, estU, estI, jac) =
+        Sketches.kmvSetStats(ska, skb, SetK)
       (label, ska.length.toLong, skb.length.toLong, nU, kthU, nCommon,
         estU, estI, jac)
     }
@@ -560,6 +550,104 @@ object GraphSketchQueries {
        |$unions
        |ORDER BY pair""".stripMargin
   }
+
+  /** Pairwise source-similarity matrix (q154): estimated shingle-set
+    * Jaccard between EVERY pair of the 20 document sources — the
+    * corpus-provenance card a curation pipeline keeps ("is src7 a
+    * re-crawl of src3?"), and the generalization of q146 to the full
+    * slice×slice matrix. 3-token shingle sets (the q13 convention, so
+    * overlap means shared phrasing, not shared vocabulary) are
+    * sketched in ONE pass with the keyed KMV aggregator — O(k) state
+    * per source, the 190 pair estimates are model-sized driver math
+    * ([[Sketches.kmvSetStats]], ≤ 20×256 longs collected). The oracle
+    * recomputes the matrix RELATIONALLY (windowed k-smallest per
+    * source, per-pair union rank, membership flags) — one generic SQL
+    * statement, no per-pair unrolling. At bench scale every pair
+    * saturates k, so all 190 rows run the HUGEINT estimator branch
+    * with real partial overlaps. */
+  def sourceSimilarityMatrix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sk = Tables.documents(s, d)
+      .select(col("source"),
+        expr(s"filter(split(lower(text), '${Tok.WsSqlLit}'), t -> t != '')")
+          .as("toks"))
+      .select(col("source"), explode(expr(
+        """CASE WHEN size(toks) < 3 THEN array(array_join(toks, ' '))
+          |ELSE transform(sequence(1, size(toks) - 2),
+          |  i -> array_join(slice(toks, i, 3), ' ')) END""".stripMargin))
+        .as("sh"))
+      .filter(col("sh") =!= "")
+      .select(col("source"), Sketches.kmvHash(col("sh")).as("h"))
+      .as[(String, Long)].groupByKey(_._1)
+      .agg(Sketches.kmvSketchKeyed(SetK).name("mins"))
+      .collect().toMap // bounded: n_sources x <= k longs
+    val sources = sk.keys.toSeq.sorted
+    val rows = for {
+      i <- sources.indices
+      j <- (i + 1) until sources.size
+    } yield {
+      val (sa, sb) = (sources(i), sources(j))
+      val (nU, kthU, nCommon, estU, estI, jac) =
+        Sketches.kmvSetStats(sk(sa), sk(sb), SetK)
+      (sa, sb, nU, kthU, nCommon, estU, estI, jac)
+    }
+    s.createDataFrame(rows).toDF("src_a", "src_b", "n_u", "kth_u",
+      "n_common", "est_union_fp", "est_inter_fp", "jaccard_fp")
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  def sourceSimilarityOracle: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT source,
+       |    list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
+       |  FROM documents
+       |), shing AS MATERIALIZED (
+       |  SELECT DISTINCT source,
+       |    CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+       |  FROM (
+       |    SELECT source, unnest(
+       |      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |        ELSE list_transform(range(1, len(toks) - 1),
+       |          i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+       |    FROM toks
+       |  ) WHERE sh <> ''
+       |), sk AS MATERIALIZED (
+       |  SELECT source, h FROM (
+       |    SELECT source, h,
+       |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM shing
+       |  ) WHERE rn <= $SetK
+       |), prs AS (
+       |  SELECT a.source AS sa, b.source AS sb
+       |  FROM (SELECT DISTINCT source FROM sk) a
+       |  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+       |), u AS MATERIALIZED (
+       |  SELECT p.sa, p.sb, s.h,
+       |    MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ina,
+       |    MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS inb
+       |  FROM prs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+       |  GROUP BY p.sa, p.sb, s.h
+       |), uk AS (
+       |  SELECT sa, sb, h, ina, inb,
+       |    row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+       |  FROM u
+       |), agg AS (
+       |  SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_u, MAX(h) AS kth_u,
+       |    CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+       |  FROM uk WHERE rn <= $SetK GROUP BY sa, sb
+       |), est AS (
+       |  SELECT *, CASE WHEN n_u < $SetK THEN n_u * ${Sketches.KmvEstFp}
+       |    ELSE CAST((CAST(${SetK - 1} AS HUGEINT) * ${1L << 60} * ${Sketches.KmvEstFp})
+       |      // kth_u AS BIGINT) END AS est_union_fp
+       |  FROM agg
+       |)
+       |SELECT sa AS src_a, sb AS src_b, n_u, kth_u, n_common, est_union_fp,
+       |  CASE WHEN n_u < $SetK THEN n_common * ${Sketches.KmvEstFp}
+       |    ELSE CAST((CAST(est_union_fp AS HUGEINT) * n_common)
+       |      // $SetK AS BIGINT) END AS est_inter_fp,
+       |  CASE WHEN n_u > 0 THEN (n_common * ${Sketches.KmvEstFp}) // n_u
+       |    ELSE 0 END AS jaccard_fp
+       |FROM est ORDER BY src_a, src_b""".stripMargin
 
   def hllOracle: String = {
     val restMod = 1L << Sketches.HllRestBits // 2^54
