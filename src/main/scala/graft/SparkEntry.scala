@@ -171,6 +171,7 @@ object SparkEntry {
     "q152_cohort_retention" -> (DataPipeQueries.cohortRetention _),
     "q153_hybrid_search" -> (Round4Queries.hybridSearchRrf _),
     "q154_source_simmatrix" -> (GraphSketchQueries.sourceSimilarityMatrix _),
+    "q155_graph_card" -> (GraphSketchQueries.graphCard _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -580,5 +581,6 @@ object SparkEntry {
     "q152_cohort_retention" -> DataPipeQueries.cohortRetentionOracle,
     "q153_hybrid_search" -> Round4Queries.hybridOracle,
     "q154_source_simmatrix" -> GraphSketchQueries.sourceSimilarityOracle,
+    "q155_graph_card" -> GraphSketchQueries.graphCardOracle,
   )
 }

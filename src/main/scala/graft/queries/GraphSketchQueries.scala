@@ -208,7 +208,20 @@ object GraphSketchQueries {
     * set, then the SAME degree-orientation wedge join and truncating
     * cc division. */
   def triangleOracle: String =
-    s"""WITH ${DataPipeQueries.minhashPairsCtes("documents")}, ned AS MATERIALIZED (
+    s"""WITH $censusCtes
+       |SELECT d.node AS doc_id, d.deg, COALESCE(t.tri, 0) AS tri,
+       |  CASE WHEN d.deg >= 2
+       |    THEN (2 * COALESCE(t.tri, 0) * ${Graph.CcFp})
+       |      // (d.deg * (d.deg - 1))
+       |    ELSE 0 END AS cc_fp
+       |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+       |ORDER BY doc_id""".stripMargin
+
+  /** The near-dup-graph census CTE chain (pairs → ned/deg/orient/tri/
+    * tcnt) shared by [[triangleOracle]] (= the q150 oracle) and the
+    * q155 graph card. */
+  private def censusCtes: String =
+    s"""${DataPipeQueries.minhashPairsCtes("documents")}, ned AS MATERIALIZED (
        |  SELECT id_a AS u, id_b AS v FROM pairs
        |  WHERE n_inter >= 0.5 * (sum_len - n_inter)
        |), deg AS MATERIALIZED (
@@ -235,14 +248,7 @@ object GraphSketchQueries {
        |    UNION ALL SELECT b FROM tri
        |    UNION ALL SELECT c FROM tri
        |  ) GROUP BY node
-       |)
-       |SELECT d.node AS doc_id, d.deg, COALESCE(t.tri, 0) AS tri,
-       |  CASE WHEN d.deg >= 2
-       |    THEN (2 * COALESCE(t.tri, 0) * ${Graph.CcFp})
-       |      // (d.deg * (d.deg - 1))
-       |    ELSE 0 END AS cc_fp
-       |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
-       |ORDER BY doc_id""".stripMargin
+       |)""".stripMargin
 
   /** q149 walk length. */
   private val WalkSteps = 8
@@ -378,6 +384,87 @@ object GraphSketchQueries {
     edges.unpersist()
     out
   }
+
+  /** Graph card (q155): the one-page exact-integer structural summary
+    * of the near-dup graph — the dedup-health dashboard row a corpus
+    * pipeline recomputes per snapshot. Node/edge counts and degree
+    * moments come off the q145 census (one aggregate);
+    * wedges = Σ deg·(deg−1)/2 and the global clustering coefficient
+    * 3·triangles·2²⁰ div wedges are closed forms of those moments;
+    * component stats reuse the large-star/small-star components.
+    * Every value is an exact integer, so the oracle (census CTE chain
+    * + a recursive-CTE closure, the q55 pattern) replays the card
+    * bit-for-bit. Output: (stat, val) rows. */
+  def graphCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val edges = graft.datapipe.DedupOps
+      .minhashNearDupPairs(docs, minJaccard = 0.5, md5Based = true)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .localCheckpoint(true) // feeds census AND components
+    val census = Graph.triangleCensus(edges)
+    val st = census.agg(count(lit(1)).as("n"), max(col("deg")),
+      sum(col("deg")), sum(col("deg") * col("deg")), sum(col("tri"))).head()
+    val nNodes = st.getLong(0)
+    def lv(i: Int): Long = if (nNodes == 0) 0L else st.getLong(i)
+    val (degMax, degSum, degSq, triSum) = (lv(1), lv(2), lv(3), lv(4))
+    val wedges = (degSq - degSum) / 2
+    val triTotal = triSum / 3
+    val comp = graft.datapipe.ConnectedComponents.components(edges)
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)), max(col("sz"))).head()
+    val (nComp, maxComp) =
+      if (comp.isNullAt(1)) (0L, 0L) else (comp.getLong(0), comp.getLong(1))
+    val rows = Seq(
+      ("deg_max", degMax), ("deg_sq_sum", degSq), ("deg_sum", degSum),
+      ("global_cc_fp",
+        if (wedges > 0) 3L * triTotal * Graph.CcFp / wedges else 0L),
+      ("max_component", maxComp), ("n_components", nComp),
+      ("n_edges", degSum / 2), ("n_nodes", nNodes),
+      ("triangles", triTotal), ("wedges", wedges))
+    s.createDataFrame(rows).toDF("stat", "val").orderBy(col("stat"))
+  }
+
+  def graphCardOracle: String =
+    s"""WITH RECURSIVE $censusCtes, dstat AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    COALESCE(MAX(deg), 0) AS deg_max,
+       |    COALESCE(CAST(SUM(deg) AS BIGINT), 0) AS deg_sum,
+       |    COALESCE(CAST(SUM(deg * deg) AS BIGINT), 0) AS deg_sq_sum
+       |  FROM deg
+       |), tstat AS (
+       |  SELECT COALESCE(CAST(SUM(tri) AS BIGINT), 0) // 3 AS triangles
+       |  FROM tcnt
+       |), sym AS (
+       |  SELECT u AS a, v AS b FROM ned
+       |  UNION ALL SELECT v AS a, u AS b FROM ned
+       |), reach(node, label) AS (
+       |  SELECT node, node FROM deg
+       |  UNION
+       |  SELECT e.b, r.label FROM reach r JOIN sym e ON e.a = r.node
+       |), comp AS (
+       |  SELECT node, MIN(label) AS component FROM reach GROUP BY node
+       |), cstat AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+       |    COALESCE(MAX(sz), 0) AS max_component
+       |  FROM (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+       |        FROM comp GROUP BY component)
+       |)
+       |SELECT stat, val FROM (
+       |  SELECT 'deg_max' AS stat, deg_max AS val FROM dstat
+       |  UNION ALL SELECT 'deg_sq_sum', deg_sq_sum FROM dstat
+       |  UNION ALL SELECT 'deg_sum', deg_sum FROM dstat
+       |  UNION ALL SELECT 'global_cc_fp',
+       |    CASE WHEN (d.deg_sq_sum - d.deg_sum) // 2 > 0
+       |      THEN (3 * t.triangles * ${Graph.CcFp})
+       |        // ((d.deg_sq_sum - d.deg_sum) // 2)
+       |      ELSE 0 END FROM dstat d, tstat t
+       |  UNION ALL SELECT 'max_component', max_component FROM cstat
+       |  UNION ALL SELECT 'n_components', n_components FROM cstat
+       |  UNION ALL SELECT 'n_edges', deg_sum // 2 FROM dstat
+       |  UNION ALL SELECT 'n_nodes', n_nodes FROM dstat
+       |  UNION ALL SELECT 'triangles', triangles FROM tstat
+       |  UNION ALL SELECT 'wedges', (deg_sq_sum - deg_sum) // 2 FROM dstat
+       |) ORDER BY stat""".stripMargin
 
   /** Estimate fixed-point scale for q144: counts carry ×2¹⁰. */
   private val EstFp = 1024L
