@@ -172,6 +172,8 @@ object SparkEntry {
     "q153_hybrid_search" -> (Round4Queries.hybridSearchRrf _),
     "q154_source_simmatrix" -> (GraphSketchQueries.sourceSimilarityMatrix _),
     "q155_graph_card" -> (GraphSketchQueries.graphCard _),
+    "q156_kcore" -> (GraphSketchQueries.corenessQ _),
+    "q157_ppjoin_exact" -> (DataPipeQueries.ppjoinPairs _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -582,5 +584,7 @@ object SparkEntry {
     "q153_hybrid_search" -> Round4Queries.hybridOracle,
     "q154_source_simmatrix" -> GraphSketchQueries.sourceSimilarityOracle,
     "q155_graph_card" -> GraphSketchQueries.graphCardOracle,
+    "q156_kcore" -> GraphSketchQueries.corenessOracle,
+    "q157_ppjoin_exact" -> DataPipeQueries.ppjoinOracle,
   )
 }

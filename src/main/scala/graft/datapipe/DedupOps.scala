@@ -233,6 +233,101 @@ object DedupOps {
       .filter(col("n_inter") >= lit(minJaccard) * col("n_union"))
   }
 
+  /** EXACT all-pairs similarity join with prefix filtering (the
+    * AllPairs/PPJoin family: Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08; distributed formulation per Vernica et al. SIGMOD'10) —
+    * every document pair with n-gram Jaccard ≥ num/den, with ZERO
+    * false negatives. This is the complement of [[minhashNearDupPairs]]:
+    * LSH banding is probabilistic (a borderline pair can land in no
+    * shared bucket), so when the dedup contract is "no duplicate
+    * survives" — benchmark decontamination, eval-set hygiene, legal
+    * takedown sweeps — the exact join is the operator of record, and
+    * prefix filtering is what makes it feasible without the quadratic
+    * self-join.
+    *
+    * Why it's complete: J(x,y) ≥ t implies |x∩y| ≥ ⌈t·|x|⌉ (from
+    * i/(|x|+|y|−i) ≥ t and |y| ≥ i). Order all shingles by ONE global
+    * total order (document-frequency ascending, shingle string as
+    * tie-break) and keep each document's first
+    * p = |x| − ⌈t·|x|⌉ + 1 shingles as its prefix: a qualifying pair
+    * must share a prefix shingle of each side (pigeonhole — if every
+    * shared shingle sat outside x's prefix, the overlap would be at
+    * most |x| − p = ⌈t·|x|⌉ − 1). So joining prefix postings finds
+    * every qualifying pair; exact verification then removes false
+    * positives — the result is exactly the threshold join.
+    *
+    * Why it scales: the frequency-ASCENDING order puts the RAREST
+    * shingles in every prefix, so candidate buckets are small by
+    * construction — the hot boilerplate shingles that would explode a
+    * naive postings self-join are pushed out of the prefixes of all
+    * long documents (they remain only where they must for
+    * completeness). The length filter den·min ≥ num·max prunes
+    * mismatched-size pairs before verification. Worst case (a corpus
+    * of n IDENTICAL documents) degenerates to C(n,2) candidates — but
+    * those are all true results, i.e. the join is output-bound, which
+    * is the best any exact algorithm can do. Plan: one shingle-keyed
+    * shuffle for document frequencies, one doc-keyed window for
+    * prefix positions, one keyed self-join on prefix shingles, exact
+    * verify — no cartesian anywhere.
+    *
+    * Threshold is the exact rational num/den (default 1/2), so both
+    * the length filter and the final predicate den·i ≥ num·(|x|+|y|−i)
+    * are pure integer comparisons the oracle replays bit-for-bit.
+    * Output: (id_a, id_b, n_inter, n_union), id_a < id_b. */
+  def ppjoinExact(
+      docs: DataFrame,
+      num: Long = 1L,
+      den: Long = 2L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"bad threshold $num/$den")
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.util.Par.ensure(docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0))
+    val shg = base
+      .select(col(idCol).as("id"),
+        Contamination.shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val st = shg.select(col("id"), size(col("sh")).cast("long").as("n"),
+      explode(col("sh")).as("s")).persist()
+    st.count()
+    // one global document-frequency pass — the total order every
+    // prefix is cut against (df ascending ⇒ prefixes carry the rarest
+    // shingles ⇒ small candidate buckets)
+    val dfreq = st.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // prefix postings: position within the doc under the global order;
+    // p = n − ⌈t·n⌉ + 1 with ⌈num·n/den⌉ = (num·n + den − 1) div den
+    val pos = st.join(dfreq, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("df"), col("s"))).cast("long"))
+      .filter(col("rn") <=
+        col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1L)
+      .select(col("s"), col("id"), col("n"))
+    // candidate pairs from shared prefix shingles + length filter
+    val a = pos.select(col("s"), col("id").as("id_a"), col("n").as("na"))
+    val b = pos.select(col("s"), col("id").as("id_b"), col("n").as("nb"))
+    val cands = a.join(b, Seq("s"))
+      .filter(col("id_a") < col("id_b") &&
+        lit(den) * least(col("na"), col("nb")) >=
+          lit(num) * greatest(col("na"), col("nb")))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // exact verification (same shingle semantics as the postings)
+    val txt = docs.select(col(idCol).as("jid"), col(textCol).as("jtext"))
+    val out = cands
+      .join(txt, col("id_a") === col("jid")).withColumnRenamed("jtext", "text_a").drop("jid")
+      .join(txt, col("id_b") === col("jid")).withColumnRenamed("jtext", "text_b").drop("jid")
+      .withColumn("jc", jaccardCountsUdf(col("text_a"), col("text_b"), lit(shingleN)))
+      .select(col("id_a"), col("id_b"),
+        col("jc._1").as("n_inter"), col("jc._2").as("n_union"))
+      .filter(lit(den) * col("n_inter") >= lit(num) * col("n_union"))
+    val res = out.localCheckpoint(true)
+    st.unpersist()
+    res
+  }
+
   /** Connected-component style dedup: keep the min id of each near-dup
     * cluster (single-pass union via smallest-neighbor — documents whose
     * id equals the cluster min survive). For full transitive closure at

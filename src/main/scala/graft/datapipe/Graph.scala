@@ -204,6 +204,90 @@ object Graph {
     out
   }
 
+  /** k-core decomposition via synchronous H-index iteration (Lü,
+    * Zhou, Zhang & Stanley, Nature Communications 2016: iterating
+    * "my value ← H-index of my neighbors' values" from the degree
+    * converges to the coreness of every node). Coreness is the
+    * curation lens the triangle census can't give: a node's core
+    * number is robust to individual edge noise (one spurious
+    * near-dup edge can't raise it), so "coreness ≥ k" isolates the
+    * DENSE heart of a duplicate family while degree and even local
+    * clustering get inflated by hub noise — the standard "nested
+    * density" summary on similarity and link graphs.
+    *
+    * Why H-index iteration rather than the textbook sequential peel
+    * (Batagelj–Zaveršnik): peeling removes ONE minimum-degree node at
+    * a time — inherently serial, impossible at 10⁹ nodes. The
+    * H-operator form is embarrassingly parallel (every node updates
+    * from its neighbors only), monotone non-increasing, and exact at
+    * convergence — the shape that runs as `rounds` keyed join+agg
+    * passes on any cluster. Determinism: synchronous rounds from a
+    * deterministic start (degrees), so the full trajectory — not just
+    * the fixpoint — is a pure function of the edge set, and the
+    * oracle (q156) replays all `rounds` rounds as unrolled CTEs.
+    *
+    * Per round, per node: H-index of neighbor values = |{i : vᵢ ≥ i}|
+    * with neighbor values v₁ ≥ v₂ ≥ … (the predicate is prefix-closed
+    * under the descending sort, so a count equals the max index).
+    * Plan per round: values ⋈ adjacency (keyed join against the
+    * once-built, persisted symmetric adjacency — edge-sized relation
+    * never re-shuffles), then a node-keyed `row_number` window and a
+    * conditional count — the window and the aggregation share the
+    * node partitioning, so one round moves edge-sized data once.
+    * State between rounds is one (node, val) row per node, eagerly
+    * materialized (lineage depth 1, the q143/q147 convention).
+    *
+    * Returns (node, deg, coreness = the round-`rounds` value, and
+    * `stable` = whether the last round changed nothing — the
+    * convergence certificate; at convergence `coreness` IS the core
+    * number). `rounds` bounds worst-case convergence (path graphs
+    * need O(diameter)); near-dup graphs converge in a handful —
+    * `CorenessSpec` pins `stable = true` at both bench scales and
+    * ties the fixpoint to the exact sequential peel on generated
+    * graphs. Edges: unordered unique (u, v), u ≠ v, either
+    * orientation. */
+  def coreness(edges0: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val edges = edges0
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val adj = edges.select(col("u").as("node"), col("v").as("nb"))
+      .unionByName(edges.select(col("v").as("node"), col("u").as("nb")))
+      .persist()
+    adj.count()
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var vals = deg.select(col("node"), col("deg").as("val"))
+    var prev: DataFrame = null
+    for (_ <- 1 to rounds) {
+      prev = vals
+      val nbVals = adj.join(
+        vals.select(col("node").as("nb"), col("val")), "nb")
+      // ties in `val` are rank-order-invariant for the H-count (the
+      // rn block a tied group occupies is fixed); nb tiebreak keeps
+      // the intermediate fully deterministic anyway
+      vals = nbVals
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("node"))
+            .orderBy(col("val").desc, col("nb"))).cast("long"))
+        .groupBy(col("node"))
+        .agg(sum(when(col("val") >= col("rn"), 1L).otherwise(0L)).as("val"))
+        .localCheckpoint(true)
+    }
+    // convergence certificate: one node-sized join; `stable` is a
+    // global flag computed without collecting (broadcast 1-row count)
+    val changed = vals.join(prev.select(col("node"), col("val").as("pv")),
+      "node").filter(col("val") =!= col("pv")).count()
+    val out = deg.join(vals, "node")
+      .select(col("node"), col("deg"), col("val").as("coreness"),
+        lit(changed == 0L).as("stable"))
+    adj.unpersist()
+    out
+  }
+
   /** Per-node (node, deg, tri, cc_fp) for every endpoint of `edges0`
     * — (u, v) unordered unique pairs, u ≠ v. `tri` counts triangles
     * through the node; `cc_fp` = (2·tri·2²⁰) div (deg·(deg−1))

@@ -3823,4 +3823,47 @@ object DataPipeQueries {
        |    row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
        |  FROM cand)
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** EXACT similarity self-join (q157): every document pair with
+    * 3-shingle Jaccard ≥ 1/2, via prefix filtering — see
+    * [[DedupOps.ppjoinExact]] for the completeness argument and the
+    * 100 TB plan shape. Same output schema as q13, but q13's LSH
+    * candidate set is probabilistic (both engines mirror it); here the
+    * result is the full threshold join with zero false negatives —
+    * the operator of record when "no duplicate survives" is a hard
+    * contract. The oracle is INDEPENDENT of the prefix-filter
+    * algorithm: it computes Jaccard relationally for every pair
+    * sharing ANY shingle (Σ df² ≈ 2.8M partials at sf0.1 — bounded),
+    * so a prefix bug that dropped a qualifying pair would hash-fail,
+    * not silently agree. */
+  def ppjoinPairs(s: SparkSession, d: String): DataFrame =
+    DedupOps.ppjoinExact(Tables.documents(s, d))
+      .orderBy(col("id_a"), col("id_b"))
+
+  def ppjoinOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
+       |  FROM documents
+       |), shl AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |      ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+       |  FROM tok WHERE len(toks) > 0
+       |), st AS MATERIALIZED (
+       |  SELECT doc_id, unnest(sh) AS s FROM shl
+       |), sz AS MATERIALIZED (
+       |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM shl
+       |), inter AS MATERIALIZED (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM st a JOIN st b ON b.s = a.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.id_a, i.id_b, i.n_inter,
+       |  sa.n + sb.n - i.n_inter AS n_union
+       |FROM inter i
+       |JOIN sz sa ON sa.doc_id = i.id_a
+       |JOIN sz sb ON sb.doc_id = i.id_b
+       |WHERE 2 * i.n_inter >= sa.n + sb.n - i.n_inter
+       |ORDER BY id_a, id_b""".stripMargin
 }

@@ -217,10 +217,10 @@ object GraphSketchQueries {
        |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
        |ORDER BY doc_id""".stripMargin
 
-  /** The near-dup-graph census CTE chain (pairs → ned/deg/orient/tri/
-    * tcnt) shared by [[triangleOracle]] (= the q150 oracle) and the
-    * q155 graph card. */
-  private def censusCtes: String =
+  /** The near-dup edge set + degrees (pairs → ned/deg) — the prefix
+    * every near-dup-graph oracle shares ([[censusCtes]], q156
+    * coreness). */
+  private def nedDegCtes: String =
     s"""${DataPipeQueries.minhashPairsCtes("documents")}, ned AS MATERIALIZED (
        |  SELECT id_a AS u, id_b AS v FROM pairs
        |  WHERE n_inter >= 0.5 * (sum_len - n_inter)
@@ -228,7 +228,13 @@ object GraphSketchQueries {
        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
        |    SELECT u AS node FROM ned UNION ALL SELECT v FROM ned
        |  ) GROUP BY node
-       |), orient AS MATERIALIZED (
+       |)""".stripMargin
+
+  /** The near-dup-graph census CTE chain (pairs → ned/deg/orient/tri/
+    * tcnt) shared by [[triangleOracle]] (= the q150 oracle) and the
+    * q155 graph card. */
+  private def censusCtes: String =
+    s"""$nedDegCtes, orient AS MATERIALIZED (
        |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.u < e.v)
        |           THEN e.u ELSE e.v END AS src,
        |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.u < e.v)
@@ -465,6 +471,72 @@ object GraphSketchQueries {
        |  UNION ALL SELECT 'triangles', triangles FROM tstat
        |  UNION ALL SELECT 'wedges', (deg_sq_sum - deg_sum) // 2 FROM dstat
        |) ORDER BY stat""".stripMargin
+
+  /** q156 H-index rounds: bounds worst-case convergence; near-dup
+    * graphs settle in a handful and `stable` certifies it. */
+  private val CoreRounds = 16
+
+  /** k-core decomposition of the verified near-dup graph (q156):
+    * per-node core number via [[Graph.coreness]]'s synchronous
+    * H-index iteration — the dedup-health complement to the q145
+    * census (coreness ≥ k isolates the dense heart of a duplicate
+    * family; degree and cc inflate on hub noise, core numbers
+    * don't). Emits (doc_id, deg, coreness, stable); `stable` is the
+    * convergence certificate (last round changed nothing — at which
+    * point the value IS the core number). The edge build is the
+    * 100 TB part and is exactly q13's; each of the $CoreRounds
+    * rounds is one keyed join + one node-keyed window/agg against
+    * the once-shuffled adjacency. */
+  def corenessQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val edges = graft.datapipe.DedupOps
+      .minhashNearDupPairs(docs, minJaccard = 0.5, md5Based = true)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    Graph.coreness(edges, CoreRounds)
+      .select(col("node").as("doc_id"), col("deg"), col("coreness"),
+        col("stable"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the shared ned/deg chain, then all $CoreRounds H-index
+    * rounds unrolled as MATERIALIZED CTEs (the q143 pattern): each
+    * round re-sorts every node's neighbor values descending and
+    * counts positions with value ≥ position. `stable` replays the
+    * certificate as "round R vs round R−1 differs nowhere". */
+  def corenessOracle: String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH $nedDegCtes, adj AS MATERIALIZED (
+         |  SELECT u AS node, v AS nb FROM ned
+         |  UNION ALL SELECT v AS node, u AS nb FROM ned
+         |), c0 AS MATERIALIZED (
+         |  SELECT node, deg AS val FROM deg
+         |)""".stripMargin
+    for (t <- 1 to CoreRounds) sb ++=
+      s""",
+         | c$t AS MATERIALIZED (
+         |  SELECT node,
+         |    CAST(sum(CASE WHEN val >= rn THEN 1 ELSE 0 END) AS BIGINT) AS val
+         |  FROM (
+         |    SELECT a.node, c.val,
+         |      CAST(row_number() OVER (PARTITION BY a.node
+         |        ORDER BY c.val DESC, a.nb) AS BIGINT) AS rn
+         |    FROM adj a JOIN c${t - 1} c ON c.node = a.nb
+         |  ) GROUP BY node
+         |)""".stripMargin
+    sb ++=
+      s""",
+         | chg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n
+         |  FROM c$CoreRounds a JOIN c${CoreRounds - 1} b ON b.node = a.node
+         |  WHERE b.val <> a.val
+         |)
+         |SELECT d.node AS doc_id, d.deg, c.val AS coreness,
+         |  (SELECT n FROM chg) = 0 AS stable
+         |FROM deg d JOIN c$CoreRounds c ON c.node = d.node
+         |ORDER BY doc_id""".stripMargin
+    sb.toString
+  }
 
   /** Estimate fixed-point scale for q144: counts carry ×2¹⁰. */
   private val EstFp = 1024L

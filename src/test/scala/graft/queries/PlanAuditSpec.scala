@@ -559,4 +559,36 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("q156 coreness round: keyed join + node-keyed window, no cartesian") {
+    // one H-index round built directly (Graph.coreness materializes
+    // eagerly, so the query-level plan only shows the last stage)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val adj = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("node", "nb")
+    val vals = Seq((1L, 1L), (2L, 2L), (3L, 1L)).toDF("node", "val")
+    val round = adj.join(vals.select(col("node").as("nb"), col("val")), "nb")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("node"))
+          .orderBy(col("val").desc, col("nb"))).cast("long"))
+      .groupBy(col("node"))
+      .agg(sum(when(col("val") >= col("rn"), 1L).otherwise(0L)).as("val"))
+    val p = round.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(2000))
+    // the H-count window partitions by node — never single-partition
+    assert("hashpartitioning\\(node".r.findAllIn(p).nonEmpty, p.take(3000))
+    // the window's node partitioning is reused by the aggregation (no
+    // extra exchange between window and groupBy)
+    val nEx = "Exchange".r.findAllIn(p).size
+    assert(nEx <= 3, s"expected <= 3 exchanges, got $nEx\n" + p.take(3000))
+  }
+
+  test("q157 ppjoin: keyed joins only — prefix filter never goes cartesian") {
+    val p = plan("q157_ppjoin_exact")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(2000))
+    assert(!p.contains("BatchEvalPython"), p.take(2000))
+  }
 }
