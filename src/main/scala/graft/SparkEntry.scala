@@ -174,6 +174,7 @@ object SparkEntry {
     "q155_graph_card" -> (GraphSketchQueries.graphCard _),
     "q156_kcore" -> (GraphSketchQueries.corenessQ _),
     "q157_ppjoin_exact" -> (DataPipeQueries.ppjoinPairs _),
+    "q158_lsh_tuning" -> (DataPipeQueries.lshTuningCard _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -586,5 +587,6 @@ object SparkEntry {
     "q155_graph_card" -> GraphSketchQueries.graphCardOracle,
     "q156_kcore" -> GraphSketchQueries.corenessOracle,
     "q157_ppjoin_exact" -> DataPipeQueries.ppjoinOracle,
+    "q158_lsh_tuning" -> DataPipeQueries.lshTuningCardOracle,
   )
 }

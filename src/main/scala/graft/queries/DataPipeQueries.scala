@@ -1241,15 +1241,13 @@ object DataPipeQueries {
     * recall. */
   /** The tok → sh → signature → band-key → banded chain alone (shared
     * by [[minhashPairsCtes]] and the q75 incremental oracle). */
-  private def minhashBandedCtes(srcRel: String): String = {
+  /** tok → sh → xs → sig: the 128-minimum md5 MinHash signature chain
+    * (config-independent — band grouping happens downstream). */
+  private def minhashSigCtes(srcRel: String): String = {
     val p = "2305843009213693951::HUGEINT" // 2^61 - 1
-    val rows = DedupOps.NumPerm / DedupOps.Bands
     val sigCols = (0 until DedupOps.NumPerm).map { i =>
       s"list_min(list_transform(xs, x -> (${Hashing.permA(i)}::HUGEINT * x + ${Hashing.permB(i)}::HUGEINT) % $p)) AS m$i"
     }.mkString(",\n    ")
-    val keyList = (0 until DedupOps.Bands).map { b =>
-      (0 until rows).map(r => s"m${b * rows + r}").mkString("concat(", ", ',', ", ")")
-    }.mkString("[", ",\n    ", "]")
     s"""tok AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
       |  FROM $srcRel
@@ -1260,19 +1258,33 @@ object DataPipeQueries {
       |  FROM tok WHERE len(toks) > 0
       |), xs AS (
       |  SELECT doc_id, list_transform(sh, s -> md5_number_lower(s)::HUGEINT % $p) AS xs FROM sh
-      |), sig AS (
+      |), sig AS MATERIALIZED (
       |  SELECT doc_id,
       |    $sigCols
       |  FROM xs
-      |), bkeys AS (
+      |)""".stripMargin
+  }
+
+  /** bkeys/banded for a given band count over `sig` (rows =
+    * NumPerm/bands); `sfx` suffixes the CTE names so several configs
+    * coexist in one statement (q158). */
+  private def bandedCtesFor(bands: Int, sfx: String): String = {
+    val rows = DedupOps.NumPerm / bands
+    val keyList = (0 until bands).map { b =>
+      (0 until rows).map(r => s"m${b * rows + r}").mkString("concat(", ", ',', ", ")")
+    }.mkString("[", ",\n    ", "]")
+    s"""bkeys$sfx AS (
       |  SELECT doc_id,
       |    $keyList AS ks
       |  FROM sig
-      |), banded AS (
+      |), banded$sfx AS (
       |  SELECT doc_id, band_idx, ks[band_idx + 1] AS band_key
-      |  FROM bkeys, (SELECT unnest(range(${DedupOps.Bands})) AS band_idx) bi
+      |  FROM bkeys$sfx, (SELECT unnest(range($bands)) AS band_idx) bi
       |)""".stripMargin
   }
+
+  private def minhashBandedCtes(srcRel: String): String =
+    s"""${minhashSigCtes(srcRel)}, ${bandedCtesFor(DedupOps.Bands, "")}""".stripMargin
 
   private[queries] def minhashPairsCtes(srcRel: String): String = {
     s"""${minhashBandedCtes(srcRel)}, bsz AS (
@@ -3839,6 +3851,95 @@ object DataPipeQueries {
   def ppjoinPairs(s: SparkSession, d: String): DataFrame =
     DedupOps.ppjoinExact(Tables.documents(s, d))
       .orderBy(col("id_a"), col("id_b"))
+
+  /** q158 band configs (bands → rows = 128/bands → LSH threshold
+    * (1/b)^(1/r) ≈ 0.88 / 0.71 / 0.42 / 0.125): the sweep brackets
+    * the 0.5 dedup threshold from both sides. */
+  private val LshSweepBands = Seq(8, 16, 32, 64)
+
+  /** Precision/recall fixed point for q158: ×2²⁰. */
+  private val LshCardFp = 1L << 20
+
+  /** LSH tuning card (q158): MEASURED precision and recall of four
+    * MinHash band configurations against the EXACT threshold-join
+    * ground truth (q157's [[DedupOps.ppjoinExact]]) — the card a
+    * pipeline computes on a sample corpus to pick its LSH operating
+    * point, instead of trusting the (1/b)^(1/r) S-curve formula that
+    * assumes uniform similarity. All four configs share ONE signature
+    * pass per document (128 minima — banding is just regrouping), the
+    * ground truth is computed once, and the per-config numbers are
+    * aggregate-row driver math (the q155 card convention). The bucket
+    * cap (64) is part of the measured config, mirrored in the oracle.
+    * Output per config: (bands, rows_per_band, n_cand, n_true, tp,
+    * precision_fp, recall_fp) with ×2²⁰ truncating ratios. */
+  def lshTuningCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val truth = DedupOps.ppjoinExact(docs)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val nTrue = truth.count()
+    val rows = LshSweepBands.map { b =>
+      val cands = DedupOps.minhashCandidates(docs, bands = b,
+        md5Based = true).localCheckpoint(true)
+      val nCand = cands.count()
+      val tp = cands.join(truth, Seq("id_a", "id_b"), "left_semi").count()
+      (b.toLong, (DedupOps.NumPerm / b).toLong, nCand, nTrue, tp,
+        if (nCand > 0) tp * LshCardFp / nCand else 0L,
+        if (nTrue > 0) tp * LshCardFp / nTrue else 0L)
+    }
+    s.createDataFrame(rows).toDF("bands", "rows_per_band", "n_cand",
+      "n_true", "tp", "precision_fp", "recall_fp").orderBy(col("bands"))
+  }
+
+  /** Oracle: ONE shared signature chain ([[minhashSigCtes]]), four
+    * banded/bucketed/candidate chains ([[bandedCtesFor]]), the q157
+    * exact-pair chain as ground truth, and the same ×2²⁰ truncating
+    * ratios. */
+  def lshTuningCardOracle: String = {
+    val perConfig = LshSweepBands.map { b =>
+      s"""${bandedCtesFor(b, s"_$b")}, bsz_$b AS (
+         |  SELECT band_idx, band_key, count(*) AS n FROM banded_$b GROUP BY band_idx, band_key
+         |), cand_$b AS MATERIALIZED (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM banded_$b x
+         |  JOIN banded_$b y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+         |    AND x.doc_id < y.doc_id
+         |  JOIN bsz_$b z ON z.band_idx = x.band_idx AND z.band_key = x.band_key
+         |  WHERE z.n BETWEEN 2 AND 64
+         |), nc_$b AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cand_$b
+         |), tp_$b AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n
+         |  FROM cand_$b c JOIN tru t ON t.id_a = c.id_a AND t.id_b = c.id_b
+         |)""".stripMargin
+    }.mkString(",\n")
+    val rows = LshSweepBands.map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS bands,
+         |  CAST(${DedupOps.NumPerm / b} AS BIGINT) AS rows_per_band,
+         |  nc.n AS n_cand, nt.n AS n_true, tp.n AS tp,
+         |  CASE WHEN nc.n > 0 THEN tp.n * $LshCardFp // nc.n ELSE 0 END AS precision_fp,
+         |  CASE WHEN nt.n > 0 THEN tp.n * $LshCardFp // nt.n ELSE 0 END AS recall_fp
+         |FROM nc_$b nc, tp_$b tp, nt""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${minhashSigCtes("documents")}, st AS MATERIALIZED (
+       |  SELECT doc_id, unnest(sh) AS s FROM sh
+       |), szx AS MATERIALIZED (
+       |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM sh
+       |), interx AS MATERIALIZED (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM st a JOIN st b ON b.s = a.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), tru AS MATERIALIZED (
+       |  SELECT i.id_a, i.id_b
+       |  FROM interx i
+       |  JOIN szx sa ON sa.doc_id = i.id_a
+       |  JOIN szx sb ON sb.doc_id = i.id_b
+       |  WHERE 2 * i.n_inter >= sa.n + sb.n - i.n_inter
+       |), nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tru),
+       |$perConfig
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY bands""".stripMargin
+  }
 
   def ppjoinOracle: String =
     s"""WITH tok AS (
