@@ -175,6 +175,7 @@ object SparkEntry {
     "q156_kcore" -> (GraphSketchQueries.corenessQ _),
     "q157_ppjoin_exact" -> (DataPipeQueries.ppjoinPairs _),
     "q158_lsh_tuning" -> (DataPipeQueries.lshTuningCard _),
+    "q159_psi_drift" -> (DataPipeQueries.psiDrift _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -588,5 +589,6 @@ object SparkEntry {
     "q156_kcore" -> GraphSketchQueries.corenessOracle,
     "q157_ppjoin_exact" -> DataPipeQueries.ppjoinOracle,
     "q158_lsh_tuning" -> DataPipeQueries.lshTuningCardOracle,
+    "q159_psi_drift" -> DataPipeQueries.psiDriftOracle,
   )
 }

@@ -1,0 +1,77 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Expressions
+import graft.util.Tok
+
+/** Distribution-drift monitoring: Population Stability Index between
+  * a reference slice and an incoming slice of a corpus — the gate a
+  * production pipeline puts between ingestion and training ("has the
+  * crawl's length/language mix shifted enough to re-tune filters?").
+  * PSI = Σ_bins (p_i − q_i)·log(p_i/q_i), the symmetric KL sum; the
+  * conventional alert thresholds (0.1 = drifting, 0.25 = major) are
+  * in natural-log units — ours are log2·2¹⁶ fixed point (multiply by
+  * ln 2 to convert), chosen so the whole card is EXACT integers and
+  * hash-checkable across engines ([[Expressions.log2_fixed]], the
+  * q120/q124 convention — IEEE ln differs in ULPs across engines,
+  * floored integer log2 does not).
+  *
+  * Exact-integer form, per bin (add-1 Laplace smoothing so empty
+  * bins are defined; B = bin count, R/N = slice totals, r1 = r+1,
+  * R1 = R+B, …):
+  *
+  *   p_i/q_i = (r1·N1)/(n1·R1)
+  *   dlog    = log2f(r1·N1) − log2f(n1·R1)          (Q16)
+  *   term    = (r1·N1 − n1·R1) · dlog               (≥ 0 up to floor)
+  *   PSI·R1·N1·2¹⁶ = Σ terms                        (the emitted psi_num)
+  *
+  * Plan shape: one projection + one (axis, bin)-keyed partial
+  * aggregation over the corpus — bin counting is the only pass that
+  * touches row data. Everything after (totals, logs, terms) runs on
+  * the BIN-SIZED card relation (aggregate-row windows + a native
+  * constant-codegen log expression), the [[Importance]]/[[QualityScore]]
+  * discipline: logs on model-sized relations only. Log2FixedExpr's
+  * loud [1, 2⁴²) domain bounds r1·N1 — at planet scale compute the
+  * card on a bounded sample per slice (the statistic is scale-free).
+  */
+object Drift {
+
+  /** PSI card over two interleaved slices of `docs` (ref = even
+    * doc_id, new = odd — the q138 split convention) along two axes:
+    * token-length bins (width 16, clamped at 15) and language.
+    * Output, one row per (axis, bin): counts, smoothed totals, the
+    * Q16 log-ratio diagnostic, the exact integer term, and the
+    * per-axis psi_num = Σ terms (constant within an axis). */
+  def psiCard(docs: DataFrame): DataFrame = {
+    val ntok = when(col("text").isNull, lit(0L)).otherwise(
+      size(filter(split(lower(col("text")), Tok.WS), t => t =!= ""))
+        .cast("long"))
+    val rows0 = docs.select(col("doc_id"), ntok.as("n_tok"),
+      coalesce(col("lang"), lit("??")).as("lang"))
+    val len = rows0.select(lit("len").as("axis"),
+      format_string("%02d", least(expr("n_tok div 16"), lit(15L))).as("bin"),
+      col("doc_id"))
+    val lng = rows0.select(lit("lang").as("axis"), col("lang").as("bin"),
+      col("doc_id"))
+    val card0 = len.unionByName(lng)
+      .groupBy(col("axis"), col("bin"))
+      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ref_cnt"),
+        sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("new_cnt"))
+    val w = Window.partitionBy(col("axis"))
+    card0
+      .withColumn("ref_tot1", sum(col("ref_cnt")).over(w) + count(lit(1)).over(w))
+      .withColumn("new_tot1", sum(col("new_cnt")).over(w) + count(lit(1)).over(w))
+      .withColumn("xa", (col("ref_cnt") + 1L) * col("new_tot1"))
+      .withColumn("xb", (col("new_cnt") + 1L) * col("ref_tot1"))
+      .withColumn("dlog_q16",
+        Expressions.log2_fixed(col("xa"), 16) -
+          Expressions.log2_fixed(col("xb"), 16))
+      .withColumn("term_num", (col("xa") - col("xb")) * col("dlog_q16"))
+      .withColumn("psi_num", sum(col("term_num")).over(w))
+      .select(col("axis"), col("bin"), col("ref_cnt"), col("new_cnt"),
+        col("ref_tot1"), col("new_tot1"), col("dlog_q16"),
+        col("term_num"), col("psi_num"))
+  }
+}

@@ -3941,6 +3941,59 @@ object DataPipeQueries {
        |) ORDER BY bands""".stripMargin
   }
 
+  /** PSI distribution-drift card (q159): exact-integer Population
+    * Stability Index between the even-doc_id (reference) and
+    * odd-doc_id (incoming) corpus slices along token-length bins and
+    * language — see [[Drift.psiCard]] for the fixed-point form and
+    * the bins-only log discipline. */
+  def psiDrift(s: SparkSession, d: String): DataFrame =
+    Drift.psiCard(Tables.documents(s, d))
+      .orderBy(col("axis"), col("bin"))
+
+  /** Oracle: same binning, add-1 smoothing, one [[FixedLogSql]] chain
+    * over the distinct smoothed products, same window sums. */
+  def psiDriftOracle: String =
+    s"""WITH tokc AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL THEN 0
+       |      ELSE CAST(len(list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '')) AS BIGINT) END AS n_tok,
+       |    COALESCE(lang, '??') AS lang
+       |  FROM documents
+       |), card0 AS MATERIALIZED (
+       |  SELECT axis, bin,
+       |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+       |    CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS new_cnt
+       |  FROM (
+       |    SELECT doc_id, 'len' AS axis, printf('%02d', least(n_tok // 16, 15)) AS bin FROM tokc
+       |    UNION ALL
+       |    SELECT doc_id, 'lang', lang FROM tokc
+       |  ) GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT axis,
+       |    CAST(SUM(ref_cnt) + COUNT(*) AS BIGINT) AS ref_tot1,
+       |    CAST(SUM(new_cnt) + COUNT(*) AS BIGINT) AS new_tot1
+       |  FROM card0 GROUP BY 1
+       |), args AS MATERIALIZED (
+       |  SELECT c.axis, c.bin, c.ref_cnt, c.new_cnt, t.ref_tot1, t.new_tot1,
+       |    (c.ref_cnt + 1) * t.new_tot1 AS xa,
+       |    (c.new_cnt + 1) * t.ref_tot1 AS xb
+       |  FROM card0 c JOIN tot t ON t.axis = c.axis
+       |), lv AS (
+       |  SELECT DISTINCT v FROM (
+       |    SELECT xa AS v FROM args UNION SELECT xb FROM args)
+       |), ${FixedLogSql.logCtes()}, terms AS (
+       |  SELECT a.axis, a.bin, a.ref_cnt, a.new_cnt, a.ref_tot1, a.new_tot1,
+       |    la.lg - lb.lg AS dlog_q16,
+       |    (a.xa - a.xb) * (la.lg - lb.lg) AS term_num
+       |  FROM args a
+       |  JOIN llog la ON la.v = a.xa
+       |  JOIN llog lb ON lb.v = a.xb
+       |)
+       |SELECT axis, bin, ref_cnt, new_cnt, ref_tot1, new_tot1, dlog_q16,
+       |  term_num,
+       |  CAST(SUM(term_num) OVER (PARTITION BY axis) AS BIGINT) AS psi_num
+       |FROM terms ORDER BY axis, bin""".stripMargin
+
   def ppjoinOracle: String =
     s"""WITH tok AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks

@@ -1,0 +1,57 @@
+package graft.datapipe
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** [[Drift.psiCard]] (q159). */
+class DriftSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  def card(docs: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    Drift.psiCard(docs.toDF("doc_id", "text", "lang")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(7), r.getLong(8)))
+  }
+
+  test("identical slices give PSI exactly 0 on every axis") {
+    // doc 2i and 2i+1 are copies → ref and new distributions identical
+    val docs = (0L until 40L).map { i =>
+      val base = i / 2
+      (i, ("w " * (1 + (base % 5).toInt * 20)).trim,
+        if (base % 3 == 0) "en" else "de")
+    }
+    val rows = card(docs)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, rc, nc, term, psi) =>
+      assert(rc == nc); assert(term == 0L); assert(psi == 0L)
+    }
+  }
+
+  test("terms are non-negative (floored log2 is monotone) and a real shift scores higher") {
+    val rnd = new scala.util.Random(11)
+    // balanced: lengths drawn the same way for both parities
+    val balanced = (0L until 60L).map { i =>
+      (i, ("w " * (1 + rnd.nextInt(60))).trim, "en")
+    }
+    // shifted: odd docs are systematically ~4 bins longer
+    val shifted = (0L until 60L).map { i =>
+      val len = 1 + rnd.nextInt(30) + (if (i % 2 == 1) 70 else 0)
+      (i, ("w " * len).trim, "en")
+    }
+    val b = card(balanced); val s = card(shifted)
+    (b ++ s).foreach { case (_, _, _, _, term, _) => assert(term >= 0L) }
+    val psiB = b.filter(_._1 == "len").head._6
+    val psiS = s.filter(_._1 == "len").head._6
+    assert(psiS > psiB,
+      s"shifted corpus must score above balanced: $psiS vs $psiB")
+  }
+
+  test("null text and null lang bin deterministically (00 / ??)") {
+    val docs = Seq((0L, null: String, null: String), (1L, "", "en"),
+      (2L, "a b c", null: String), (3L, "a b c", "en"))
+    val rows = card(docs)
+    assert(rows.exists(r => r._1 == "len" && r._2 == "00"))
+    assert(rows.exists(r => r._1 == "lang" && r._2 == "??"))
+  }
+}
