@@ -176,6 +176,8 @@ object SparkEntry {
     "q157_ppjoin_exact" -> (DataPipeQueries.ppjoinPairs _),
     "q158_lsh_tuning" -> (DataPipeQueries.lshTuningCard _),
     "q159_psi_drift" -> (DataPipeQueries.psiDrift _),
+    "q160_unigram_encode" -> (DataPipeQueries.unigramEncode _),
+    "q161_unigram_vocab" -> (DataPipeQueries.unigramVocab _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -590,5 +592,7 @@ object SparkEntry {
     "q157_ppjoin_exact" -> DataPipeQueries.ppjoinOracle,
     "q158_lsh_tuning" -> DataPipeQueries.lshTuningCardOracle,
     "q159_psi_drift" -> DataPipeQueries.psiDriftOracle,
+    "q160_unigram_encode" -> DataPipeQueries.unigramEncodeOracle,
+    "q161_unigram_vocab" -> DataPipeQueries.unigramVocabOracle,
   )
 }

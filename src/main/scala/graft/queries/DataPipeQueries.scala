@@ -3941,6 +3941,173 @@ object DataPipeQueries {
        |) ORDER BY bands""".stripMargin
   }
 
+  /** Per-JVM memo of the trained unigram model (the [[trainedMerges]]
+    * convention: training is deterministic, q160/q161 share the
+    * artifact). */
+  private val unigramMemo = scala.collection.concurrent.TrieMap
+    .empty[String, Unigram.Model]
+
+  private def trainedUnigram(s: SparkSession, d: String): Unigram.Model =
+    unigramMemo.getOrElseUpdate(new java.io.File(d).getCanonicalPath,
+      Unigram.train(Bpe.wordHistogram(Tables.documents(s, d), "text")))
+
+  /** Unigram-LM tokenizer encode (q160): the SentencePiece-family
+    * counterpart to q90's BPE — frequency-seeded piece vocabulary,
+    * ONE deterministic Viterbi-EM round, Q16 floored-log2 unigram
+    * scores, maximum-likelihood segmentation. See [[Unigram]] for the
+    * scale shape (distinct-word dictionary passes; model-sized
+    * artifact). Output mirrors q90: (doc_id, n_words, n_pieces,
+    * seg_md5) so the two tokenizer families gate identically. */
+  def unigramEncode(s: SparkSession, d: String): DataFrame =
+    Unigram.encodeDocs(Tables.documents(s, d), "doc_id", "text",
+        trainedUnigram(s, d))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        md5(col("piece_text")).as("seg_md5"))
+      .orderBy(col("doc_id"))
+
+  /** Unigram vocabulary artifact (q161, the q104 convention): the
+    * learned model itself on the oracle surface — seed counts, both
+    * score generations, and EM usage per piece, so a seeding or
+    * EM-round drift shows as the exact divergent piece. */
+  def unigramVocab(s: SparkSession, d: String): DataFrame =
+    Unigram.vocabTable(s, trainedUnigram(s, d)).orderBy(col("piece"))
+
+  /** One DP round of the oracle's Viterbi chain: best (score, seg)
+    * per word prefix of length `j` under score CTE `sc`, branches
+    * k = 1..min(4, j), ties (score DESC, k ASC) — exactly
+    * [[Unigram.viterbi]]'s strict-improvement-ascending-k order. */
+  private def unigramDpCte(stage: Int, j: Int, scoreCte: String): String = {
+    val branches = (1 to math.min(Unigram.MaxPiece, j)).map { k =>
+      val st = j - k + 1
+      s"""SELECT d.word, d.sc + s.sc AS sc,
+         |  CASE WHEN d.seg = '' THEN substr(d.word, $st, $k)
+         |       ELSE d.seg || ' ' || substr(d.word, $st, $k) END AS seg,
+         |  $k AS k
+         |FROM d${stage}_${j - k} d
+         |JOIN $scoreCte s ON s.piece = substr(d.word, $st, $k)
+         |WHERE length(d.word) >= $j""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""d${stage}_$j AS MATERIALIZED (
+       |  SELECT word, sc, seg FROM (
+       |    SELECT word, sc, seg,
+       |      row_number() OVER (PARTITION BY word ORDER BY sc DESC, k) AS rn
+       |    FROM (
+       |$branches
+       |    )
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  private def unigramFinCte(stage: Int): String = {
+    val unions = (1 to Unigram.MaxWordLen)
+      .map(j => s"SELECT word, seg FROM d${stage}_$j WHERE length(word) = $j")
+      .mkString("\n    UNION ALL ")
+    s"""fin$stage AS MATERIALIZED (
+       |  SELECT h.word, h.cnt, d.seg FROM hist h JOIN (
+       |    $unions
+       |  ) d ON d.word = h.word
+       |)""".stripMargin
+  }
+
+  /** The full unigram training-replay chain (hist → substring seed →
+    * vocab → stage-0 scores → DP₁ → EM usage → stage-1 scores → DP₂
+    * → enc), shared by the q160 and q161 oracles. */
+  private def unigramCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""tok AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
+       |  FROM documents
+       |), w AS MATERIALIZED (
+       |  SELECT doc_id, i, toks[i] AS word
+       |  FROM tok, UNNEST(range(1, len(toks) + 1)) t(i)
+       |), hist AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM w GROUP BY word
+       |), sub AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS wt FROM (
+       |    SELECT h.cnt, substr(h.word, st.st, ln.ln) AS piece
+       |    FROM hist h,
+       |      UNNEST(range(1, length(h.word) + 1)) st(st),
+       |      UNNEST(range(1, ${Unigram.MaxPiece + 1})) ln(ln)
+       |    WHERE st.st + ln.ln - 1 <= length(h.word)
+       |  ) GROUP BY piece
+       |), topv AS (
+       |  SELECT piece FROM (
+       |    SELECT piece, row_number() OVER (ORDER BY wt DESC, piece) AS rn
+       |    FROM sub
+       |  ) WHERE rn <= ${Unigram.SeedTopV}
+       |), alpha AS (
+       |  SELECT DISTINCT substr(word, i.i, 1) AS piece
+       |  FROM hist, UNNEST(range(1, length(word) + 1)) i(i)
+       |), vocab AS MATERIALIZED (
+       |  SELECT piece FROM topv UNION SELECT piece FROM alpha
+       |), c0 AS MATERIALIZED (
+       |  SELECT v.piece, s.wt AS cnt0 FROM vocab v JOIN sub s ON s.piece = v.piece
+       |), t0 AS (
+       |  SELECT CAST(SUM(cnt0) AS BIGINT) AS t FROM c0
+       |), av AS (
+       |  SELECT DISTINCT v FROM (SELECT cnt0 AS v FROM c0 UNION SELECT t FROM t0)
+       |), ${FixedLogSql.logCtes(prefix = "a")}, s0 AS MATERIALIZED (
+       |  SELECT c.piece, la.lg - lt.lg AS sc
+       |  FROM c0 c CROSS JOIN t0
+       |  JOIN alog la ON la.v = c.cnt0
+       |  JOIN alog lt ON lt.v = t0.t
+       |), d1_0 AS (
+       |  SELECT word, CAST(0 AS BIGINT) AS sc, '' AS seg FROM hist
+       |)""".stripMargin
+    for (j <- 1 to Unigram.MaxWordLen) sb ++= s",\n${unigramDpCte(1, j, "s0")}"
+    sb ++= s",\n${unigramFinCte(1)}"
+    sb ++= s""",
+       | use1 AS (
+       |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS u FROM (
+       |    SELECT cnt, unnest(string_split(seg, ' ')) AS piece FROM fin1
+       |  ) GROUP BY piece
+       |), u1 AS MATERIALIZED (
+       |  SELECT v.piece, CAST(COALESCE(u.u, 0) + 1 AS BIGINT) AS usage1
+       |  FROM vocab v LEFT JOIN use1 u ON u.piece = v.piece
+       |), t1 AS (
+       |  SELECT CAST(SUM(usage1) AS BIGINT) AS t FROM u1
+       |), bv AS (
+       |  SELECT DISTINCT v FROM (SELECT usage1 AS v FROM u1 UNION SELECT t FROM t1)
+       |), ${FixedLogSql.logCtes(prefix = "b")}, s1 AS MATERIALIZED (
+       |  SELECT u.piece, lb.lg - lt.lg AS sc
+       |  FROM u1 u CROSS JOIN t1
+       |  JOIN blog lb ON lb.v = u.usage1
+       |  JOIN blog lt ON lt.v = t1.t
+       |), d2_0 AS (
+       |  SELECT word, CAST(0 AS BIGINT) AS sc, '' AS seg FROM hist
+       |)""".stripMargin
+    for (j <- 1 to Unigram.MaxWordLen) sb ++= s",\n${unigramDpCte(2, j, "s1")}"
+    sb ++= s",\n${unigramFinCte(2)}"
+    sb ++= s""",
+       | enc AS MATERIALIZED (
+       |  SELECT word, seg AS symstr,
+       |    CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_syms
+       |  FROM fin2
+       |)""".stripMargin
+    sb.result()
+  }
+
+  def unigramEncodeOracle: String =
+    s"""WITH $unigramCtes
+       |SELECT t.doc_id,
+       |  CAST(COUNT(w.word) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(SUM(enc.n_syms), 0) AS BIGINT) AS n_pieces,
+       |  md5(COALESCE(string_agg(enc.symstr, ' ' ORDER BY w.i), '')) AS seg_md5
+       |FROM tok t
+       |LEFT JOIN w ON w.doc_id = t.doc_id
+       |LEFT JOIN enc ON enc.word = w.word
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  def unigramVocabOracle: String =
+    s"""WITH $unigramCtes
+       |SELECT c0.piece, c0.cnt0, s0.sc AS score0_q16, u1.usage1,
+       |  s1.sc AS score1_q16
+       |FROM c0 JOIN s0 ON s0.piece = c0.piece
+       |JOIN u1 ON u1.piece = c0.piece
+       |JOIN s1 ON s1.piece = c0.piece
+       |ORDER BY 1""".stripMargin
+
   /** PSI distribution-drift card (q159): exact-integer Population
     * Stability Index between the even-doc_id (reference) and
     * odd-doc_id (incoming) corpus slices along token-length bins and
