@@ -176,6 +176,7 @@ object SparkEntry {
     "q157_ppjoin_exact" -> (DataPipeQueries.ppjoinPairs _),
     "q158_lsh_tuning" -> (DataPipeQueries.lshTuningCard _),
     "q159_psi_drift" -> (DataPipeQueries.psiDrift _),
+    "q162_ppjoin_inc" -> (DataPipeQueries.ppjoinIncrementalQ _),
     "q160_unigram_encode" -> (DataPipeQueries.unigramEncode _),
     "q161_unigram_vocab" -> (DataPipeQueries.unigramVocab _),
   )
@@ -592,6 +593,7 @@ object SparkEntry {
     "q157_ppjoin_exact" -> DataPipeQueries.ppjoinOracle,
     "q158_lsh_tuning" -> DataPipeQueries.lshTuningCardOracle,
     "q159_psi_drift" -> DataPipeQueries.psiDriftOracle,
+    "q162_ppjoin_inc" -> DataPipeQueries.ppjoinIncrementalOracle,
     "q160_unigram_encode" -> DataPipeQueries.unigramEncodeOracle,
     "q161_unigram_vocab" -> DataPipeQueries.unigramVocabOracle,
   )

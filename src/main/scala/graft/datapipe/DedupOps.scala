@@ -328,6 +328,86 @@ object DedupOps {
     res
   }
 
+  /** INCREMENTAL [[ppjoinExact]]: a new batch against an indexed
+    * corpus, plus within the batch — the steady-state shape of EXACT
+    * dedup at 100 TB (the [[minhashNearDupIncremental]] counterpart
+    * with a completeness guarantee instead of LSH recall). The corpus
+    * persists two relations ONCE: its full shingle postings
+    * (bucketed by shingle at scale) and its document-frequency table
+    * — the FROZEN global order. Each batch cuts ITS prefixes under
+    * the frozen order and joins them against corpus-prefix ∪
+    * batch-prefix postings; work is ∝ batch, the corpus is never
+    * re-shingled.
+    *
+    * Correctness under staleness, the key design fact: the prefix
+    * pigeonhole argument needs only that BOTH sides' prefixes were
+    * cut under ONE consistent total order — ANY total order. So the
+    * frozen corpus df (with unseen batch shingles ordered first,
+    * df = 0: a shingle the corpus never saw is by definition rare)
+    * keeps the join EXACT forever; df drift degrades only the
+    * candidate-set size, never completeness, and a periodic order
+    * refresh is an optimization with no correctness window. Output:
+    * every pair (id_a < id_b, n_inter, n_union) with Jaccard ≥
+    * num/den where at least one side is in the batch. */
+  def ppjoinIncremental(
+      corpus: DataFrame,
+      batch: DataFrame,
+      num: Long = 1L,
+      den: Long = 2L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"bad threshold $num/$den")
+    import org.apache.spark.sql.expressions.Window
+    def shingled(df: DataFrame): DataFrame =
+      graft.util.Par.ensure(df
+        .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0))
+        .select(col(idCol).as("id"),
+          Contamination.shingles(col(textCol), shingleN).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("id"), size(col("sh")).cast("long").as("n"),
+          explode(col("sh")).as("s"))
+    val corpusSt = shingled(corpus).persist()
+    val batchSt = shingled(batch).persist()
+    corpusSt.count(); batchSt.count()
+    // the frozen order: corpus document frequencies, persisted with
+    // the index in production; batch-only shingles order first (df 0)
+    val dfreq = corpusSt.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    def prefixOf(st: DataFrame): DataFrame = st
+      .join(dfreq, Seq("s"), "left")
+      .withColumn("dfo", coalesce(col("df"), lit(0L)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("dfo"), col("s"))).cast("long"))
+      .filter(col("rn") <=
+        col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1L)
+      .select(col("s"), col("id"), col("n"))
+    val batchPre = prefixOf(batchSt).persist()
+    batchPre.count()
+    val allPre = prefixOf(corpusSt).unionByName(batchPre)
+    val a = batchPre.select(col("s"), col("id").as("id_x"), col("n").as("nx"))
+    val b = allPre.select(col("s"), col("id").as("id_y"), col("n").as("ny"))
+    val cands = a.join(b, Seq("s"))
+      .filter(col("id_x") =!= col("id_y") &&
+        lit(den) * least(col("nx"), col("ny")) >=
+          lit(num) * greatest(col("nx"), col("ny")))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    val txt = corpus.select(col(idCol).as("jid"), col(textCol).as("jtext"))
+      .unionByName(batch.select(col(idCol).as("jid"), col(textCol).as("jtext")))
+    val out = cands
+      .join(txt, col("id_a") === col("jid")).withColumnRenamed("jtext", "text_a").drop("jid")
+      .join(txt, col("id_b") === col("jid")).withColumnRenamed("jtext", "text_b").drop("jid")
+      .withColumn("jc", jaccardCountsUdf(col("text_a"), col("text_b"), lit(shingleN)))
+      .select(col("id_a"), col("id_b"),
+        col("jc._1").as("n_inter"), col("jc._2").as("n_union"))
+      .filter(lit(den) * col("n_inter") >= lit(num) * col("n_union"))
+    val res = out.localCheckpoint(true)
+    corpusSt.unpersist(); batchSt.unpersist(); batchPre.unpersist()
+    res
+  }
+
   /** Connected-component style dedup: keep the min id of each near-dup
     * cluster (single-pass union via smallest-neighbor — documents whose
     * id equals the cluster min survive). For full transitive closure at

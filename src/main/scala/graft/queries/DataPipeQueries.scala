@@ -4161,6 +4161,50 @@ object DataPipeQueries {
        |  CAST(SUM(term_num) OVER (PARTITION BY axis) AS BIGINT) AS psi_num
        |FROM terms ORDER BY axis, bin""".stripMargin
 
+  /** Incremental exact similarity join (q162): the odd-doc_id batch
+    * against the even-doc_id indexed corpus (the q138 split
+    * convention) — see [[DedupOps.ppjoinIncremental]] for the
+    * frozen-order correctness argument. The oracle is the ONE-SHOT
+    * q157 exact chain filtered to batch-involved pairs, so the hash
+    * compare IS the proof that the incremental path (stale df order,
+    * df-0 unseen shingles, batch-sized work) finds exactly the pairs
+    * a full recompute would. */
+  def ppjoinIncrementalQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    DedupOps.ppjoinIncremental(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def ppjoinIncrementalOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
+       |  FROM documents
+       |), shl AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |      ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+       |  FROM tok WHERE len(toks) > 0
+       |), st AS MATERIALIZED (
+       |  SELECT doc_id, unnest(sh) AS s FROM shl
+       |), sz AS MATERIALIZED (
+       |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM shl
+       |), inter AS MATERIALIZED (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM st a JOIN st b ON b.s = a.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.id_a, i.id_b, i.n_inter,
+       |  sa.n + sb.n - i.n_inter AS n_union
+       |FROM inter i
+       |JOIN sz sa ON sa.doc_id = i.id_a
+       |JOIN sz sb ON sb.doc_id = i.id_b
+       |WHERE 2 * i.n_inter >= sa.n + sb.n - i.n_inter
+       |  AND (i.id_a % 2 <> 0 OR i.id_b % 2 <> 0)
+       |ORDER BY id_a, id_b""".stripMargin
+
   def ppjoinOracle: String =
     s"""WITH tok AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks

@@ -1330,6 +1330,30 @@ object StreamingPipeline {
       }
   }
 
+  /** Live k-core decomposition over the [[graphCensusStream]] edge
+    * store: the committed (base + delta) edge view through
+    * [[graft.datapipe.Graph.coreness]]'s H-index iteration. Like
+    * PageRank (and unlike the census), core numbers are NON-LOCAL —
+    * one new edge can cascade core changes across a component — so
+    * recompute-on-snapshot against the compacted base is the honest
+    * incremental shape: the stream state machine keeps edge ingest
+    * ∝ batch, the solve prices at rounds × keyed node-sized work on
+    * demand. None until the first batch commits or while empty;
+    * `CorenessSpec`'s streaming test pins the snapshot bit-equal to
+    * the batch face over the same edges. */
+  def graphCorenessSnapshot(spark: SparkSession, stateDir: String,
+      rounds: Int = 16): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    readMarker(fs, new org.apache.hadoop.fs.Path(root, "_COMMITTED"))
+      .flatMap { f =>
+        val e = graphEdgesView(spark, fs, stateDir, f)
+        if (e.isEmpty) None
+        else Some(graft.datapipe.Graph.coreness(e, rounds)
+          .orderBy(col("node")))
+      }
+  }
+
   /** Stream-stream interval join: pair each right-stream event with
     * the left-stream events of the same key that happened in the
     * window (right.ts - horizon, right.ts] — the "attribute a

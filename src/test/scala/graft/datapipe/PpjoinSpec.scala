@@ -65,6 +65,49 @@ class PpjoinSpec extends AnyFunSuite {
     }
   }
 
+  def runInc(corpus: Seq[(String, String)], batch: Seq[(String, String)]) = {
+    import spark.implicits._
+    DedupOps.ppjoinIncremental(corpus.toDF("doc_id", "text"),
+        batch.toDF("doc_id", "text")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  test("incremental equals one-shot restricted to batch-involved pairs") {
+    val rnd = new scala.util.Random(19)
+    val phrases = Vector("the quick brown fox", "jumps over the lazy dog",
+      "pack my box with five dozen", "liquor jugs now", "sphinx of black quartz")
+    val docs = (1 to 30).map { i =>
+      val k = 2 + rnd.nextInt(3)
+      f"t$i%03d" -> Seq.fill(k)(phrases(rnd.nextInt(phrases.length))).mkString(" ")
+    }
+    val (corpus, batch) = docs.partition(_._1.drop(1).toInt % 2 == 0)
+    val got = runInc(corpus, batch)
+    val batchIds = batch.map(_._1).toSet
+    val want = brute(docs, 3)
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(got == want,
+      s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("frozen-order staleness: an all-new-shingle batch (df=0 path) stays exact") {
+    // corpus and batch share NO shingles except within the batch —
+    // every batch shingle takes the unseen df=0 branch of the order
+    val corpus = Seq(
+      "c01" -> "alpha beta gamma delta epsilon zeta eta theta",
+      "c02" -> "alpha beta gamma delta epsilon zeta eta iota")
+    val batch = Seq(
+      "n01" -> "totally fresh vocabulary never seen before anywhere",
+      "n02" -> "totally fresh vocabulary never seen before anywhere",
+      "n03" -> "totally fresh vocabulary never again seen elsewhere")
+    val got = runInc(corpus, batch)
+    val batchIds = batch.map(_._1).toSet
+    val want = brute(corpus ++ batch, 3)
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(got.exists(p => p._1 == "n01" && p._2 == "n02"))
+  }
+
   test("worst case (identical corpus) is output-bound, not wrong") {
     val docs = (1 to 12).map(i => f"s$i%02d" -> "same exact text in every single document here")
     val got = run(docs)

@@ -82,6 +82,24 @@ class GraphStreamSpec extends AnyFunSuite {
     assert(StreamingPipeline.graphPageRankSnapshot(spark, freshDir()).isEmpty)
   }
 
+  test("live coreness snapshot equals the batch face") {
+    import spark.implicits._
+    val dir = freshDir()
+    allEdges.grouped(5).zipWithIndex.foreach { case (b, i) =>
+      StreamingPipeline.applyGraphCensusBatch(b.toDF("u", "v"), i, dir)
+    }
+    val snap = StreamingPipeline.graphCorenessSnapshot(spark, dir, rounds = 8)
+    assert(snap.isDefined)
+    val oneShotCore = Graph.coreness(allEdges.toDF("u", "v"), 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val got = snap.get.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == oneShotCore)
+    assert(got.values.forall(_._3), "snapshot must be converged")
+    assert(StreamingPipeline.graphCorenessSnapshot(spark, freshDir()).isEmpty)
+  }
+
   test("compaction folds deltas and bounds the file count") {
     import spark.implicits._
     val dir = freshDir()
