@@ -177,6 +177,7 @@ object SparkEntry {
     "q158_lsh_tuning" -> (DataPipeQueries.lshTuningCard _),
     "q159_psi_drift" -> (DataPipeQueries.psiDrift _),
     "q162_ppjoin_inc" -> (DataPipeQueries.ppjoinIncrementalQ _),
+    "q163_tokenizer_card" -> (DataPipeQueries.tokenizerCard _),
     "q160_unigram_encode" -> (DataPipeQueries.unigramEncode _),
     "q161_unigram_vocab" -> (DataPipeQueries.unigramVocab _),
   )
@@ -594,6 +595,7 @@ object SparkEntry {
     "q158_lsh_tuning" -> DataPipeQueries.lshTuningCardOracle,
     "q159_psi_drift" -> DataPipeQueries.psiDriftOracle,
     "q162_ppjoin_inc" -> DataPipeQueries.ppjoinIncrementalOracle,
+    "q163_tokenizer_card" -> DataPipeQueries.tokenizerCardOracle,
     "q160_unigram_encode" -> DataPipeQueries.unigramEncodeOracle,
     "q161_unigram_vocab" -> DataPipeQueries.unigramVocabOracle,
   )

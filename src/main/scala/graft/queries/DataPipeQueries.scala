@@ -4012,9 +4012,8 @@ object DataPipeQueries {
   /** The full unigram training-replay chain (hist → substring seed →
     * vocab → stage-0 scores → DP₁ → EM usage → stage-1 scores → DP₂
     * → enc), shared by the q160 and q161 oracles. */
-  private def unigramCtes: String = {
-    val sb = new StringBuilder
-    sb ++= s"""tok AS MATERIALIZED (
+  private def unigramCtes: String =
+    s"""tok AS MATERIALIZED (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '') AS toks
        |  FROM documents
        |), w AS MATERIALIZED (
@@ -4023,7 +4022,14 @@ object DataPipeQueries {
        |), hist AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
        |  FROM w GROUP BY word
-       |), sub AS MATERIALIZED (
+       |), $unigramCoreCtes""".stripMargin
+
+  /** The unigram chain DOWNSTREAM of tok/w/hist (sub → … → uenc) —
+    * splittable so the q163 comparison oracle can share one
+    * tok/w/hist prefix between the BPE and unigram replays. */
+  private def unigramCoreCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""sub AS MATERIALIZED (
        |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS wt FROM (
        |    SELECT h.cnt, substr(h.word, st.st, ln.ln) AS piece
        |    FROM hist h,
@@ -4080,7 +4086,7 @@ object DataPipeQueries {
     for (j <- 1 to Unigram.MaxWordLen) sb ++= s",\n${unigramDpCte(2, j, "s1")}"
     sb ++= s",\n${unigramFinCte(2)}"
     sb ++= s""",
-       | enc AS MATERIALIZED (
+       | uenc AS MATERIALIZED (
        |  SELECT word, seg AS symstr,
        |    CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_syms
        |  FROM fin2
@@ -4092,11 +4098,11 @@ object DataPipeQueries {
     s"""WITH $unigramCtes
        |SELECT t.doc_id,
        |  CAST(COUNT(w.word) AS BIGINT) AS n_words,
-       |  CAST(COALESCE(SUM(enc.n_syms), 0) AS BIGINT) AS n_pieces,
-       |  md5(COALESCE(string_agg(enc.symstr, ' ' ORDER BY w.i), '')) AS seg_md5
+       |  CAST(COALESCE(SUM(uenc.n_syms), 0) AS BIGINT) AS n_pieces,
+       |  md5(COALESCE(string_agg(uenc.symstr, ' ' ORDER BY w.i), '')) AS seg_md5
        |FROM tok t
        |LEFT JOIN w ON w.doc_id = t.doc_id
-       |LEFT JOIN enc ON enc.word = w.word
+       |LEFT JOIN uenc ON uenc.word = w.word
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
   def unigramVocabOracle: String =
@@ -4107,6 +4113,87 @@ object DataPipeQueries {
        |JOIN u1 ON u1.piece = c0.piece
        |JOIN s1 ON s1.piece = c0.piece
        |ORDER BY 1""".stripMargin
+
+  /** Tokenizer comparison card (q163): BPE (q90's 24-merge model)
+    * vs unigram-LM (q160's model) on the SAME corpus, per source —
+    * the tokenizer-selection card a pipeline computes before
+    * committing a vocabulary: fertility (pieces per word, ×2²⁰) and
+    * compression (chars per piece, ×2²⁰) from exact integer counts.
+    * Both encoders run their dictionary shape (distinct words encode
+    * once, counts join the positional stream), so the card costs two
+    * joins over word occurrences; the models come from the shared
+    * memos. Oracle replays BOTH trainings in one statement — the q90
+    * merge chain and the q160 Viterbi-EM chain share one tok/w/hist
+    * prefix, so the two replays can never disagree on tokenization
+    * input. */
+  def tokenizerCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val src = docs.select(col("doc_id"), col("source"))
+    val chars = docs.select(col("doc_id"),
+        explode(filter(split(lower(col("text")), Tok.WS), t => t =!= ""))
+          .as("word"))
+      .join(src, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(length(col("word"))).cast("long").as("n_chars"))
+    def face(enc: DataFrame, piecesCol: String, name: String): DataFrame =
+      enc.join(src, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col(piecesCol)).as("n_pieces"))
+        .join(chars, Seq("source"))
+        .select(lit(name).as("tokenizer"), col("source"), col("n_words"),
+          col("n_pieces"), col("n_chars"),
+          when(col("n_words") > 0,
+            expr("(n_pieces * 1048576) div n_words")).otherwise(lit(0L))
+            .as("fertility_fp"),
+          when(col("n_pieces") > 0,
+            expr("(n_chars * 1048576) div n_pieces")).otherwise(lit(0L))
+            .as("chars_per_piece_fp"))
+    val bpe = face(Bpe.encodeDocs(docs, "doc_id", "text",
+      trainedMerges(s, d)), "n_bpe_tokens", "bpe")
+    val uni = face(Unigram.encodeDocs(docs, "doc_id", "text",
+      trainedUnigram(s, d)), "n_pieces", "unigram")
+    bpe.unionByName(uni).orderBy(col("tokenizer"), col("source"))
+  }
+
+  def tokenizerCardOracle: String = {
+    // bpeCtes provides tok/w/hist (+ the merge chain ending in enc);
+    // the unigram core chain shares that prefix and ends in uenc
+    val perDoc =
+      s"""pdoc AS MATERIALIZED (
+         |  SELECT w.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(length(w.word)) AS BIGINT) AS n_chars,
+         |    CAST(SUM(enc.n_syms) AS BIGINT) AS bpe_pieces,
+         |    CAST(SUM(uenc.n_syms) AS BIGINT) AS uni_pieces
+         |  FROM w
+         |  JOIN enc ON enc.word = w.word
+         |  JOIN uenc ON uenc.word = w.word
+         |  GROUP BY 1
+         |), bysrc AS MATERIALIZED (
+         |  SELECT d.source,
+         |    CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+         |    CAST(SUM(p.n_chars) AS BIGINT) AS n_chars,
+         |    CAST(SUM(p.bpe_pieces) AS BIGINT) AS bpe_pieces,
+         |    CAST(SUM(p.uni_pieces) AS BIGINT) AS uni_pieces
+         |  FROM pdoc p JOIN documents d ON d.doc_id = p.doc_id
+         |  GROUP BY 1
+         |)""".stripMargin
+    def row(name: String, pieces: String) =
+      s"""SELECT '$name' AS tokenizer, source, n_words,
+         |  $pieces AS n_pieces, n_chars,
+         |  CASE WHEN n_words > 0 THEN ($pieces * 1048576) // n_words
+         |    ELSE 0 END AS fertility_fp,
+         |  CASE WHEN $pieces > 0 THEN (n_chars * 1048576) // $pieces
+         |    ELSE 0 END AS chars_per_piece_fp
+         |FROM bysrc""".stripMargin
+    s"""WITH $bpeCtes, $unigramCoreCtes, $perDoc
+       |SELECT * FROM (
+       |${row("bpe", "bpe_pieces")}
+       |UNION ALL
+       |${row("unigram", "uni_pieces")}
+       |) ORDER BY tokenizer, source""".stripMargin
+  }
 
   /** PSI distribution-drift card (q159): exact-integer Population
     * Stability Index between the even-doc_id (reference) and
