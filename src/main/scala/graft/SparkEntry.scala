@@ -178,6 +178,7 @@ object SparkEntry {
     "q159_psi_drift" -> (DataPipeQueries.psiDrift _),
     "q162_ppjoin_inc" -> (DataPipeQueries.ppjoinIncrementalQ _),
     "q163_tokenizer_card" -> (DataPipeQueries.tokenizerCard _),
+    "q164_ks_drift" -> (DataPipeQueries.ksDrift _),
     "q160_unigram_encode" -> (DataPipeQueries.unigramEncode _),
     "q161_unigram_vocab" -> (DataPipeQueries.unigramVocab _),
   )
@@ -596,6 +597,7 @@ object SparkEntry {
     "q159_psi_drift" -> DataPipeQueries.psiDriftOracle,
     "q162_ppjoin_inc" -> DataPipeQueries.ppjoinIncrementalOracle,
     "q163_tokenizer_card" -> DataPipeQueries.tokenizerCardOracle,
+    "q164_ks_drift" -> DataPipeQueries.ksDriftOracle,
     "q160_unigram_encode" -> DataPipeQueries.unigramEncodeOracle,
     "q161_unigram_vocab" -> DataPipeQueries.unigramVocabOracle,
   )

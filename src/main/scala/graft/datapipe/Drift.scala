@@ -44,21 +44,36 @@ object Drift {
     * Output, one row per (axis, bin): counts, smoothed totals, the
     * Q16 log-ratio diagnostic, the exact integer term, and the
     * per-axis psi_num = Σ terms (constant within an axis). */
-  def psiCard(docs: DataFrame): DataFrame = {
+  /** The per-document (n_tok, lang) projection both drift statistics
+    * bin over. */
+  def docStats(docs: DataFrame): DataFrame = {
     val ntok = when(col("text").isNull, lit(0L)).otherwise(
       size(filter(split(lower(col("text")), Tok.WS), t => t =!= ""))
         .cast("long"))
-    val rows0 = docs.select(col("doc_id"), ntok.as("n_tok"),
+    docs.select(col("doc_id"), ntok.as("n_tok"),
       coalesce(col("lang"), lit("??")).as("lang"))
-    val len = rows0.select(lit("len").as("axis"),
+  }
+
+  /** (axis, bin, ref_cnt, new_cnt) bin counts for a slice pair —
+    * `isRef` marks the reference side. The ONLY pass over row data;
+    * this is also the mergeable state the streaming face persists
+    * per batch (counts add). */
+  def binCounts(stats: DataFrame, isRef: Column): DataFrame = {
+    val len = stats.select(lit("len").as("axis"),
       format_string("%02d", least(expr("n_tok div 16"), lit(15L))).as("bin"),
-      col("doc_id"))
-    val lng = rows0.select(lit("lang").as("axis"), col("lang").as("bin"),
-      col("doc_id"))
-    val card0 = len.unionByName(lng)
+      isRef.as("is_ref"))
+    val lng = stats.select(lit("lang").as("axis"), col("lang").as("bin"),
+      isRef.as("is_ref"))
+    len.unionByName(lng)
       .groupBy(col("axis"), col("bin"))
-      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ref_cnt"),
-        sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("new_cnt"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("new_cnt"))
+  }
+
+  /** The PSI card math over (axis, bin, ref_cnt, new_cnt) — bin-sized
+    * input, shared verbatim by the batch query and the streaming
+    * snapshot so the two faces cannot diverge. */
+  def cardFromCounts(card0: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("axis"))
     card0
       .withColumn("ref_tot1", sum(col("ref_cnt")).over(w) + count(lit(1)).over(w))
@@ -73,5 +88,45 @@ object Drift {
       .select(col("axis"), col("bin"), col("ref_cnt"), col("new_cnt"),
         col("ref_tot1"), col("new_tot1"), col("dlog_q16"),
         col("term_num"), col("psi_num"))
+  }
+
+  def psiCard(docs: DataFrame): DataFrame =
+    cardFromCounts(binCounts(docStats(docs), col("doc_id") % 2 === 0))
+
+  /** Exact two-sample Kolmogorov–Smirnov distance (q164) between the
+    * same slices over the RAW token-length distribution — the
+    * bin-free companion to [[psiCard]] (PSI depends on the binning;
+    * KS is the sup-norm CDF gap, sensitive to any location shift the
+    * bins might straddle). Exact integers throughout: at each
+    * distinct observed value v,
+    *
+    *   d_num(v) = |cumref(v)·N − cumnew(v)·R|     (denominator R·N)
+    *
+    * and the statistic is ks_num = max_v d_num (D = ks_num/(R·N);
+    * the classical α=0.05 threshold 1.358·√((R+N)/(R·N)) is the
+    * consumer's float to take). One keyed count over row data; the
+    * CDF windows run on the DISTINCT-VALUE relation (bounded by the
+    * length clamp a pipeline applies upstream — aggregate-row
+    * windows only). Output per distinct value: cumulative counts,
+    * d_num, and the constant ks_num / ref_n / new_n columns. */
+  def ksCard(docs: DataFrame): DataFrame = {
+    val stats = docStats(docs)
+    val counts = stats
+      .groupBy(col("n_tok"))
+      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("r"),
+        sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("n"))
+    val wcum = Window.orderBy(col("n_tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(lit(1))
+    counts
+      .withColumn("cum_ref", sum(col("r")).over(wcum))
+      .withColumn("cum_new", sum(col("n")).over(wcum))
+      .withColumn("ref_n", sum(col("r")).over(wall))
+      .withColumn("new_n", sum(col("n")).over(wall))
+      .withColumn("d_num", abs(
+        col("cum_ref") * col("new_n") - col("cum_new") * col("ref_n")))
+      .withColumn("ks_num", max(col("d_num")).over(wall))
+      .select(col("n_tok"), col("cum_ref"), col("cum_new"),
+        col("ref_n"), col("new_n"), col("d_num"), col("ks_num"))
   }
 }

@@ -4195,6 +4195,36 @@ object DataPipeQueries {
        |) ORDER BY tokenizer, source""".stripMargin
   }
 
+  /** Exact two-sample KS drift (q164): the bin-free companion to
+    * q159 — sup-norm CDF gap over raw token lengths between the
+    * even/odd slices, exact integers (see [[Drift.ksCard]]). */
+  def ksDrift(s: SparkSession, d: String): DataFrame =
+    Drift.ksCard(Tables.documents(s, d)).orderBy(col("n_tok"))
+
+  def ksDriftOracle: String =
+    s"""WITH tokc AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL THEN 0
+       |      ELSE CAST(len(list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '')) AS BIGINT) END AS n_tok
+       |  FROM documents
+       |), counts AS MATERIALIZED (
+       |  SELECT n_tok,
+       |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r,
+       |    CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+       |  FROM tokc GROUP BY 1
+       |), cum AS (
+       |  SELECT n_tok,
+       |    CAST(SUM(r) OVER (ORDER BY n_tok ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ref,
+       |    CAST(SUM(n) OVER (ORDER BY n_tok ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_new,
+       |    CAST(SUM(r) OVER () AS BIGINT) AS ref_n,
+       |    CAST(SUM(n) OVER () AS BIGINT) AS new_n
+       |  FROM counts
+       |)
+       |SELECT n_tok, cum_ref, cum_new, ref_n, new_n,
+       |  abs(cum_ref * new_n - cum_new * ref_n) AS d_num,
+       |  CAST(MAX(abs(cum_ref * new_n - cum_new * ref_n)) OVER () AS BIGINT) AS ks_num
+       |FROM cum ORDER BY n_tok""".stripMargin
+
   /** PSI distribution-drift card (q159): exact-integer Population
     * Stability Index between the even-doc_id (reference) and
     * odd-doc_id (incoming) corpus slices along token-length bins and

@@ -1354,6 +1354,60 @@ object StreamingPipeline {
       }
   }
 
+  /** Streaming drift monitor, init: persist the REFERENCE slice's
+    * (axis, bin) counts once — the frozen yardstick every later
+    * snapshot compares against (re-running init re-freezes it). */
+  def driftStreamInit(ref: DataFrame, stateDir: String): Unit =
+    graft.datapipe.Drift.binCounts(
+        graft.datapipe.Drift.docStats(ref), lit(true))
+      .select(col("axis"), col("bin"), col("ref_cnt"))
+      .write.mode("overwrite").parquet(s"$stateDir/ref")
+
+  /** Streaming drift monitor, per micro-batch: append the batch's
+    * bin counts as one overwrite-idempotent delta partition and flip
+    * the commit marker (replay of a committed batch is a no-op) —
+    * state written per batch is BIN-sized, never corpus-sized. */
+  def applyDriftBatch(batch: DataFrame, batchId: Long,
+      stateDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(root, "_COMMITTED")
+    if (readMarker(fs, marker).exists(_ >= batchId)) return
+    graft.datapipe.Drift.binCounts(
+        graft.datapipe.Drift.docStats(batch), lit(false))
+      .select(col("axis"), col("bin"), col("new_cnt"))
+      .write.mode("overwrite")
+      .parquet(s"$stateDir/delta/batch_id=$batchId")
+    advanceMarker(fs, marker, batchId)
+  }
+
+  /** Live PSI card: frozen reference counts vs the committed union of
+    * batch deltas, through the SAME [[graft.datapipe.Drift.cardFromCounts]]
+    * math as the batch query — `DriftSpec`'s streaming test pins the
+    * snapshot bit-equal to the one-shot card over the same split.
+    * None until the first batch commits. Reading is gated on the
+    * marker (`batch_id <= committed`), so a crash between a delta
+    * write and its commit is invisible. */
+  def psiDriftSnapshot(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    readMarker(fs, new org.apache.hadoop.fs.Path(root, "_COMMITTED"))
+      .map { f =>
+        val ref = spark.read.parquet(s"$stateDir/ref")
+        val fresh = spark.read.option("basePath", s"$stateDir/delta")
+          .parquet(s"$stateDir/delta")
+          .filter(col("batch_id") <= f)
+          .groupBy(col("axis"), col("bin"))
+          .agg(sum(col("new_cnt")).as("new_cnt"))
+        val counts = ref.join(fresh, Seq("axis", "bin"), "full_outer")
+          .select(col("axis"), col("bin"),
+            coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
+            coalesce(col("new_cnt"), lit(0L)).as("new_cnt"))
+        graft.datapipe.Drift.cardFromCounts(counts)
+          .orderBy(col("axis"), col("bin"))
+      }
+  }
+
   /** Stream-stream interval join: pair each right-stream event with
     * the left-stream events of the same key that happened in the
     * window (right.ts - horizon, right.ts] — the "attribute a

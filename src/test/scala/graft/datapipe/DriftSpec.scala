@@ -47,6 +47,55 @@ class DriftSpec extends AnyFunSuite {
       s"shifted corpus must score above balanced: $psiS vs $psiB")
   }
 
+  test("KS: identical slices give 0; shift raises it; cum counts exact") {
+    import spark.implicits._
+    val same = (0L until 40L).map { i =>
+      (i, ("w " * (1 + (i / 2).toInt % 50)).trim, "en")
+    }.toDF("doc_id", "text", "lang")
+    val ksSame = Drift.ksCard(same).collect()
+    assert(ksSame.forall(_.getLong(6) == 0L)) // ks_num
+    val shifted = (0L until 40L).map { i =>
+      (i, ("w " * (1 + (i % 2).toInt * 64 + (i / 2).toInt % 8)).trim, "en")
+    }.toDF("doc_id", "text", "lang")
+    val ks = Drift.ksCard(shifted).collect()
+    // disjoint supports → at the ref side's max value the CDF gap is
+    // total: D = 1, i.e. ks_num = R·N
+    assert(ks.head.getLong(6) == 20L * 20L)
+    val last = ks.maxBy(_.getLong(0))
+    assert(last.getLong(1) == 20L && last.getLong(2) == 20L)
+  }
+
+  test("streaming PSI snapshot equals the one-shot card") {
+    import spark.implicits._
+    val docs = (0L until 60L).map { i =>
+      (i, ("w " * (1 + (i % 7).toInt * 11)).trim,
+        if (i % 3 == 0) "en" else "fr")
+    }
+    val all = docs.toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("driftstream").toFile
+    dir.deleteOnExit()
+    val sd = dir.getAbsolutePath
+    import graft.streaming.StreamingPipeline
+    assert(StreamingPipeline.psiDriftSnapshot(spark, sd).isEmpty)
+    StreamingPipeline.driftStreamInit(
+      all.filter($"doc_id" % 2 === 0), sd)
+    val odd = docs.filter(_._1 % 2 != 0)
+    odd.grouped(10).zipWithIndex.foreach { case (b, i) =>
+      StreamingPipeline.applyDriftBatch(
+        b.toDF("doc_id", "text", "lang"), i, sd)
+    }
+    // replay the last batch: must be a no-op
+    StreamingPipeline.applyDriftBatch(
+      odd.takeRight(10).toDF("doc_id", "text", "lang"),
+      odd.grouped(10).size - 1, sd)
+    val snap = StreamingPipeline.psiDriftSnapshot(spark, sd)
+    assert(snap.isDefined)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until 9).map(r.get).toList).toList
+    assert(rows(snap.get) ==
+      rows(Drift.psiCard(all).orderBy($"axis", $"bin")))
+  }
+
   test("null text and null lang bin deterministically (00 / ??)") {
     val docs = Seq((0L, null: String, null: String), (1L, "", "en"),
       (2L, "a b c", null: String), (3L, "a b c", "en"))
