@@ -129,6 +129,32 @@ object DedupOps {
       .distinct()
   }
 
+  /** Candidate pairs from a PRE-COMPUTED signature relation
+    * (id, sig: Array[Long]) for one band config — the sweep face of
+    * [[minhashCandidates]]: a band-config sweep (q158) computes the
+    * per-shingle md5 signature pass ONCE
+    * ([[graft.functions.Expressions.minhash_sig_md5]]) and calls this
+    * per config; banding is pure column regrouping of the minima
+    * (comma-joined decimal, byte-identical to the fused
+    * [[graft.datapipe.Hashing.minhashBandsMd5]] keys — the q158
+    * oracle's hash compare pins the equivalence). */
+  def minhashCandidatesFromSigs(sigs: DataFrame, numPerm: Int, bands: Int,
+      maxBucket: Int = 64): DataFrame = {
+    val rows = numPerm / bands
+    val keys = transform(sequence(lit(0), lit(bands - 1)), band =>
+      array_join(transform(
+        slice(col("sig"), band * lit(rows) + lit(1), lit(rows)),
+        x => x.cast("string")), ","))
+    sigs
+      .select(col("id"), posexplode(keys).as(Seq("band_idx", "band_key")))
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(collect_list(col("id")).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+      .select(explode(graft.functions.ArrayPairs.orderedPairs(col("members"))).as("pair"))
+      .select(col("pair._1").as("id_a"), col("pair._2").as("id_b"))
+      .distinct()
+  }
+
   /** Near-duplicate pairs: LSH candidates verified with exact n-gram
     * Jaccard ≥ `minJaccard` (this is also the "n-gram Jaccard dedup"
     * operator — candidates from LSH instead of a quadratic self-join).

@@ -174,7 +174,11 @@ object Hashing {
   private lazy val PermA128 = Array.tabulate(128)(permA)
   private lazy val PermB128 = Array.tabulate(128)(permB)
 
-  def minhashBandsMd5(text: String, numPerm: Int, shingleN: Int, bands: Int): Array[String] = {
+  /** The md5-permutation MinHash SIGNATURE alone (numPerm minima) —
+    * the config-independent half of [[minhashBandsMd5]], exposed so a
+    * band-config sweep (q158) computes the expensive per-shingle md5
+    * pass ONCE and regroups the minima per config with column ops. */
+  def minhashSigMd5(text: String, numPerm: Int, shingleN: Int): Array[Long] = {
     val sh = shingleStrings(text, shingleN)
     // hoisted coefficient arrays for the common numPerm (per-row
     // tabulate would allocate 2x128 longs for every document)
@@ -194,6 +198,16 @@ object Hashing {
       }
       si += 1
     }
+    sig
+  }
+
+  def minhashSigMd5ArrayData(text: org.apache.spark.unsafe.types.UTF8String,
+      numPerm: Int, shingleN: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      minhashSigMd5(text.toString, numPerm, shingleN))
+
+  def minhashBandsMd5(text: String, numPerm: Int, shingleN: Int, bands: Int): Array[String] = {
+    val sig = minhashSigMd5(text, numPerm, shingleN)
     val rows = numPerm / bands
     Array.tabulate(bands) { b =>
       val sb = new java.lang.StringBuilder(rows * 20)

@@ -93,6 +93,28 @@ case class MinHashBandsExpr(child: Expression, numPerm: Int, shingleN: Int,
   * permutations), emitted as comma-joined strings the DuckDB oracle
   * recomputes bit-for-bit. Same native, no-UDF call shape as the fnv
   * fast path. */
+/** The 128-minimum md5 MinHash signature alone (config-independent) —
+  * lets a band-config sweep share one shingle+md5 pass and regroup the
+  * minima per config with column ops (q158). */
+case class MinHashSigMd5Expr(child: Expression, numPerm: Int, shingleN: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_md5"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.datapipe.Hashing.minhashSigMd5ArrayData(
+      input.asInstanceOf[UTF8String], numPerm, shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.datapipe.Hashing.minhashSigMd5ArrayData($c, $numPerm, $shingleN)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigMd5Expr =
+    copy(child = newChild)
+}
+
 case class MinHashBandsMd5Expr(child: Expression, numPerm: Int, shingleN: Int,
     bands: Int) extends UnaryExpression {
   override def dataType: DataType =
@@ -357,6 +379,8 @@ object Expressions {
     Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
   def minhash_bands(c: Column, numPerm: Int, shingleN: Int, bands: Int): Column =
     Bridge.column(MinHashBandsExpr(Bridge.expression(c), numPerm, shingleN, bands))
+  def minhash_sig_md5(c: Column, numPerm: Int, shingleN: Int): Column =
+    Bridge.column(MinHashSigMd5Expr(Bridge.expression(c), numPerm, shingleN))
   def minhash_bands_md5(c: Column, numPerm: Int, shingleN: Int, bands: Int): Column =
     Bridge.column(MinHashBandsMd5Expr(Bridge.expression(c), numPerm, shingleN, bands))
   def zorder2(a: Column, b: Column): Column =

@@ -3877,15 +3877,26 @@ object DataPipeQueries {
     val truth = DedupOps.ppjoinExact(docs)
       .select(col("id_a"), col("id_b")).localCheckpoint(true)
     val nTrue = truth.count()
+    // ONE signature pass for all four configs (the shingle+md5 work
+    // dominates; banding is column regrouping of the shared minima —
+    // minhash_sig_md5 + minhashCandidatesFromSigs)
+    val sigs = docs
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id").as("id"),
+        graft.functions.Expressions.minhash_sig_md5(
+          col("text"), DedupOps.NumPerm, 3).as("sig"))
+      .persist()
+    sigs.count()
     val rows = LshSweepBands.map { b =>
-      val cands = DedupOps.minhashCandidates(docs, bands = b,
-        md5Based = true).localCheckpoint(true)
+      val cands = DedupOps.minhashCandidatesFromSigs(
+        sigs, DedupOps.NumPerm, b).localCheckpoint(true)
       val nCand = cands.count()
       val tp = cands.join(truth, Seq("id_a", "id_b"), "left_semi").count()
       (b.toLong, (DedupOps.NumPerm / b).toLong, nCand, nTrue, tp,
         if (nCand > 0) tp * LshCardFp / nCand else 0L,
         if (nTrue > 0) tp * LshCardFp / nTrue else 0L)
     }
+    sigs.unpersist()
     s.createDataFrame(rows).toDF("bands", "rows_per_band", "n_cand",
       "n_true", "tp", "precision_fp", "recall_fp").orderBy(col("bands"))
   }
