@@ -62,7 +62,8 @@ object ScaleRehearsal {
         (col("vec_id") + lit(k.toLong * nEmb)).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           x + ((i + lit(k * 31)) % 7).cast("float") * lit(0.01f) - lit(0.03f))
-          .as("embedding"))
+          .as("embedding"),
+        col("label")) // cluster mix preserved per copy (q165 needs it)
     }.reduce(_.unionByName(_))
       .repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")

@@ -179,6 +179,7 @@ object SparkEntry {
     "q162_ppjoin_inc" -> (DataPipeQueries.ppjoinIncrementalQ _),
     "q163_tokenizer_card" -> (DataPipeQueries.tokenizerCard _),
     "q164_ks_drift" -> (DataPipeQueries.ksDrift _),
+    "q165_emb_drift" -> (DataPipeQueries.embDrift _),
     "q160_unigram_encode" -> (DataPipeQueries.unigramEncode _),
     "q161_unigram_vocab" -> (DataPipeQueries.unigramVocab _),
   )
@@ -598,6 +599,7 @@ object SparkEntry {
     "q162_ppjoin_inc" -> DataPipeQueries.ppjoinIncrementalOracle,
     "q163_tokenizer_card" -> DataPipeQueries.tokenizerCardOracle,
     "q164_ks_drift" -> DataPipeQueries.ksDriftOracle,
+    "q165_emb_drift" -> DataPipeQueries.embDriftOracle,
     "q160_unigram_encode" -> DataPipeQueries.unigramEncodeOracle,
     "q161_unigram_vocab" -> DataPipeQueries.unigramVocabOracle,
   )

@@ -93,6 +93,34 @@ object Drift {
   def psiCard(docs: DataFrame): DataFrame =
     cardFromCounts(binCounts(docStats(docs), col("doc_id") % 2 === 0))
 
+  /** Embedding-space drift (q165): the PSI card over the EMBEDDING
+    * table — axis `emb_c0` bins the first component (×16, offset 8,
+    * clamped to 0..15: unit-norm components sit in ±0.4, so the grid
+    * spans the mass; the float→double×16 product is IEEE-exact, so
+    * floor is engine-portable — the q139 quantization convention) and
+    * axis `label` is the categorical cluster-proportion mix. This is
+    * the representation-drift gate ("did the embedding distribution
+    * move between corpus versions?") that catches what token-level
+    * drift (q159) can't — a new data source can keep lengths and
+    * languages stable while landing in a different region of
+    * embedding space. Same bin-sized card math ([[cardFromCounts]]),
+    * same streaming mechanism if fed embedding batches. */
+  def embPsiCard(emb: DataFrame): DataFrame = {
+    val c0 = floor(element_at(col("embedding"), 1).cast("double") * 16)
+      .cast("long") + 8L
+    val a = emb.select(lit("emb_c0").as("axis"),
+      format_string("%02d", greatest(lit(0L), least(lit(15L), c0))).as("bin"),
+      (col("vec_id") % 2 === 0).as("is_ref"))
+    val b = emb.select(lit("label").as("axis"),
+      format_string("%02d", col("label").cast("long")).as("bin"),
+      (col("vec_id") % 2 === 0).as("is_ref"))
+    val counts = a.unionByName(b)
+      .groupBy(col("axis"), col("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("new_cnt"))
+    cardFromCounts(counts)
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance (q164) between the
     * same slices over the RAW token-length distribution — the
     * bin-free companion to [[psiCard]] (PSI depends on the binning;

@@ -4245,25 +4245,13 @@ object DataPipeQueries {
     Drift.psiCard(Tables.documents(s, d))
       .orderBy(col("axis"), col("bin"))
 
-  /** Oracle: same binning, add-1 smoothing, one [[FixedLogSql]] chain
-    * over the distinct smoothed products, same window sums. */
-  def psiDriftOracle: String =
-    s"""WITH tokc AS (
-       |  SELECT doc_id,
-       |    CASE WHEN text IS NULL THEN 0
-       |      ELSE CAST(len(list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '')) AS BIGINT) END AS n_tok,
-       |    COALESCE(lang, '??') AS lang
-       |  FROM documents
-       |), card0 AS MATERIALIZED (
-       |  SELECT axis, bin,
-       |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
-       |    CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS new_cnt
-       |  FROM (
-       |    SELECT doc_id, 'len' AS axis, printf('%02d', least(n_tok // 16, 15)) AS bin FROM tokc
-       |    UNION ALL
-       |    SELECT doc_id, 'lang', lang FROM tokc
-       |  ) GROUP BY 1, 2
-       |), tot AS (
+  /** The PSI card math downstream of a `card0(axis, bin, ref_cnt,
+    * new_cnt)` CTE — add-1 smoothing, one [[FixedLogSql]] chain over
+    * the distinct smoothed products, the same window sums — shared by
+    * the q159 (token) and q165 (embedding) oracles so the two drift
+    * replays cannot diverge in the statistic itself. */
+  private def psiMathSql: String =
+    s"""tot AS (
        |  SELECT axis,
        |    CAST(SUM(ref_cnt) + COUNT(*) AS BIGINT) AS ref_tot1,
        |    CAST(SUM(new_cnt) + COUNT(*) AS BIGINT) AS new_tot1
@@ -4288,6 +4276,50 @@ object DataPipeQueries {
        |  term_num,
        |  CAST(SUM(term_num) OVER (PARTITION BY axis) AS BIGINT) AS psi_num
        |FROM terms ORDER BY axis, bin""".stripMargin
+
+  def psiDriftOracle: String =
+    s"""WITH tokc AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL THEN 0
+       |      ELSE CAST(len(list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '')) AS BIGINT) END AS n_tok,
+       |    COALESCE(lang, '??') AS lang
+       |  FROM documents
+       |), card0 AS MATERIALIZED (
+       |  SELECT axis, bin,
+       |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+       |    CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS new_cnt
+       |  FROM (
+       |    SELECT doc_id, 'len' AS axis, printf('%02d', least(n_tok // 16, 15)) AS bin FROM tokc
+       |    UNION ALL
+       |    SELECT doc_id, 'lang', lang FROM tokc
+       |  ) GROUP BY 1, 2
+       |), $psiMathSql""".stripMargin
+
+  /** Embedding-space drift (q165): the PSI card over the embeddings
+    * table (first-component grid + label mix) — see
+    * [[Drift.embPsiCard]]; the representation-drift gate token-level
+    * q159 can't provide. */
+  def embDrift(s: SparkSession, d: String): DataFrame =
+    Drift.embPsiCard(Tables.embeddings(s, d))
+      .orderBy(col("axis"), col("bin"))
+
+  def embDriftOracle: String =
+    s"""WITH es AS (
+       |  SELECT vec_id,
+       |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 16) AS BIGINT) + 8 AS raw,
+       |    CAST(label AS BIGINT) AS lab
+       |  FROM embeddings
+       |), card0 AS MATERIALIZED (
+       |  SELECT axis, bin,
+       |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+       |    CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS new_cnt
+       |  FROM (
+       |    SELECT vec_id, 'emb_c0' AS axis,
+       |      printf('%02d', greatest(0, least(15, raw))) AS bin FROM es
+       |    UNION ALL
+       |    SELECT vec_id, 'label', printf('%02d', lab) FROM es
+       |  ) GROUP BY 1, 2
+       |), $psiMathSql""".stripMargin
 
   /** Incremental exact similarity join (q162): the odd-doc_id batch
     * against the even-doc_id indexed corpus (the q138 split
