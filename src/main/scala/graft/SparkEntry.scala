@@ -180,6 +180,7 @@ object SparkEntry {
     "q163_tokenizer_card" -> (DataPipeQueries.tokenizerCard _),
     "q164_ks_drift" -> (DataPipeQueries.ksDrift _),
     "q165_emb_drift" -> (DataPipeQueries.embDrift _),
+    "q166_cluster_quality" -> (GraphSketchQueries.clusterQualityCard _),
     "q160_unigram_encode" -> (DataPipeQueries.unigramEncode _),
     "q161_unigram_vocab" -> (DataPipeQueries.unigramVocab _),
   )
@@ -600,6 +601,7 @@ object SparkEntry {
     "q163_tokenizer_card" -> DataPipeQueries.tokenizerCardOracle,
     "q164_ks_drift" -> DataPipeQueries.ksDriftOracle,
     "q165_emb_drift" -> DataPipeQueries.embDriftOracle,
+    "q166_cluster_quality" -> GraphSketchQueries.clusterQualityOracle,
     "q160_unigram_encode" -> DataPipeQueries.unigramEncodeOracle,
     "q161_unigram_vocab" -> DataPipeQueries.unigramVocabOracle,
   )

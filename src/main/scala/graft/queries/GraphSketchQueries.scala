@@ -538,6 +538,91 @@ object GraphSketchQueries {
     sb.toString
   }
 
+  /** Near-dup cluster quality card (q166): one row per connected
+    * component of the verified near-dup graph — the decision table a
+    * dedup pipeline consults before ACTING on transitive closure:
+    * density 2²⁰ (a clique) means every member is pairwise-similar —
+    * safe to auto-merge; low density on a big component is the
+    * MinHash-transitivity chain failure (borderline pairs glued
+    * end-to-end) that needs review, and the triangle count separates
+    * "sparse but braided" from "pure chain". All exact integers:
+    * (component = min doc_id, n_nodes, n_edges, triangles,
+    * density_fp = 2·e·2²⁰ div (n·(n−1)), auto_merge = density ≡ 2²⁰).
+    * Composition of the factored pieces: q13 edges → large-star/
+    * small-star components → q145 census triangles — each already
+    * oracle-pinned alone; this card is their join, so the oracle
+    * (recursive-CTE closure + shared census chain) replays the whole
+    * decision table. */
+  def clusterQualityCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val edges = graft.datapipe.DedupOps
+      .minhashNearDupPairs(docs, minJaccard = 0.5, md5Based = true)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .localCheckpoint(true) // feeds components, edge counts, census
+    clusterQuality(edges).orderBy(col("component"))
+  }
+
+  /** The card math over any unordered unique edge set — factored so
+    * `ClusterQualitySpec` drives it on synthetic chains/cliques. */
+  private[queries] def clusterQuality(edges: DataFrame): DataFrame = {
+    val comp = graft.datapipe.ConnectedComponents.components(edges)
+    val nodes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val ecnt = edges
+      .join(comp.select(col("node").as("u"), col("component")), "u")
+      .groupBy(col("component")).agg(count(lit(1)).as("n_edges"))
+    val tri = Graph.triangleCensus(edges)
+      .join(comp, Seq("node"))
+      .groupBy(col("component"))
+      .agg(expr("sum(tri) div 3").as("triangles"))
+    nodes.join(ecnt, Seq("component"), "left")
+      .join(tri, Seq("component"), "left")
+      .select(col("component"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("density_fp", when(col("n_nodes") >= 2,
+        expr(s"(2 * n_edges * ${Graph.CcFp}) div (n_nodes * (n_nodes - 1))"))
+        .otherwise(lit(0L)))
+      .withColumn("auto_merge", col("density_fp") === Graph.CcFp)
+  }
+
+  def clusterQualityOracle: String =
+    s"""WITH RECURSIVE $censusCtes, sym AS (
+       |  SELECT u AS a, v AS b FROM ned
+       |  UNION ALL SELECT v AS a, u AS b FROM ned
+       |), reach(node, label) AS (
+       |  SELECT node, node FROM deg
+       |  UNION
+       |  SELECT e.b, r.label FROM reach r JOIN sym e ON e.a = r.node
+       |), comp AS MATERIALIZED (
+       |  SELECT node, MIN(label) AS component FROM reach GROUP BY node
+       |), nodes AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM comp GROUP BY 1
+       |), ecnt AS (
+       |  SELECT c.component, CAST(count(*) AS BIGINT) AS n_edges
+       |  FROM ned e JOIN comp c ON c.node = e.u GROUP BY 1
+       |), tcomp AS (
+       |  SELECT c.component,
+       |    CAST(COALESCE(SUM(t.tri), 0) // 3 AS BIGINT) AS triangles
+       |  FROM comp c JOIN tcnt t ON t.node = c.node GROUP BY 1
+       |)
+       |SELECT n.component, n.n_nodes,
+       |  COALESCE(e.n_edges, 0) AS n_edges,
+       |  COALESCE(t.triangles, 0) AS triangles,
+       |  CASE WHEN n.n_nodes >= 2
+       |    THEN (2 * COALESCE(e.n_edges, 0) * ${Graph.CcFp})
+       |      // (n.n_nodes * (n.n_nodes - 1))
+       |    ELSE 0 END AS density_fp,
+       |  CASE WHEN n.n_nodes >= 2
+       |    THEN (2 * COALESCE(e.n_edges, 0) * ${Graph.CcFp})
+       |      // (n.n_nodes * (n.n_nodes - 1))
+       |    ELSE 0 END = ${Graph.CcFp} AS auto_merge
+       |FROM nodes n
+       |LEFT JOIN ecnt e ON e.component = n.component
+       |LEFT JOIN tcomp t ON t.component = n.component
+       |ORDER BY 1""".stripMargin
+
   /** Estimate fixed-point scale for q144: counts carry ×2¹⁰. */
   private val EstFp = 1024L
 
