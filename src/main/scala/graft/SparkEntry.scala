@@ -181,6 +181,7 @@ object SparkEntry {
     "q164_ks_drift" -> (DataPipeQueries.ksDrift _),
     "q165_emb_drift" -> (DataPipeQueries.embDrift _),
     "q166_cluster_quality" -> (GraphSketchQueries.clusterQualityCard _),
+    "q167_ann_tuning" -> (DataPipeQueries.annTuningCard _),
     "q160_unigram_encode" -> (DataPipeQueries.unigramEncode _),
     "q161_unigram_vocab" -> (DataPipeQueries.unigramVocab _),
   )
@@ -602,6 +603,7 @@ object SparkEntry {
     "q164_ks_drift" -> DataPipeQueries.ksDriftOracle,
     "q165_emb_drift" -> DataPipeQueries.embDriftOracle,
     "q166_cluster_quality" -> GraphSketchQueries.clusterQualityOracle,
+    "q167_ann_tuning" -> DataPipeQueries.annTuningCardOracle,
     "q160_unigram_encode" -> DataPipeQueries.unigramEncodeOracle,
     "q161_unigram_vocab" -> DataPipeQueries.unigramVocabOracle,
   )

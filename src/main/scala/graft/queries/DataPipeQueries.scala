@@ -3776,6 +3776,97 @@ object DataPipeQueries {
     * quantizer training on the even half (the shared q95 CTE chain),
     * whole-corpus assignment, probe-cell selection, candidate
     * distances, final ranks — bit-for-bit. */
+  /** q167 probe sweep (nProbe values; KmK = probe-everything =
+    * exact). */
+  private val AnnSweepProbes = Seq(1, 2, 4, KmK)
+
+  /** ANN tuning card (q167): MEASURED recall@5 of the q139 IVF index
+    * per nProbe against the EXACT integer-L2 top-5 — the q158 pattern
+    * applied to similarity search (pick the probe budget from a
+    * measured curve, not the uniform-cells assumption). One trained
+    * model + one index; probing all KmK cells IS brute force
+    * (`AnnIndexSpec` pins that identity), so the ground truth is free
+    * and the whole card — centroids, assignments, every probe, the
+    * rank cut, the hit join — is exact integers the oracle replays.
+    * Output per config: (n_probe, hits, n_true, recall_fp ×2²⁰). */
+  def annTuningCard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val centroids = Clustering.kmeansCentroids(emb, k = KmK, iters = KmIters)
+    val idx = Clustering.ivfIndex(emb, centroids).localCheckpoint(true)
+    val qs: Seq[(Long, Array[Long])] = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toIndexedSeq.map { case (id, v) =>
+        id -> v.map(x =>
+          math.floor(x.toDouble * Clustering.Fp).toLong).toArray
+      }
+    val truth = Clustering.ivfProbe(idx, centroids, qs, nProbe = KmK, k = 5)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+    val nTrue = truth.count()
+    val rows = AnnSweepProbes.map { p =>
+      val hits = Clustering.ivfProbe(idx, centroids, qs, nProbe = p, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+      (p.toLong, hits, nTrue,
+        if (nTrue > 0) hits * LshCardFp / nTrue else 0L)
+    }
+    s.createDataFrame(rows)
+      .toDF("n_probe", "hits", "n_true", "recall_fp")
+      .orderBy(col("n_probe"))
+  }
+
+  def annTuningCardOracle: String = {
+    val probes = AnnSweepProbes.map { p =>
+      s"""probe_$p AS (
+         |  SELECT vec_id AS query_id, cl FROM (
+         |    SELECT vec_id, cl,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+         |    FROM adist WHERE vec_id < 5) WHERE rn <= $p
+         |), top_$p AS MATERIALIZED (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT c.query_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY c.dist, c.vec_id) AS rank
+         |    FROM (
+         |      SELECT p.query_id, i.vec_id,
+         |        CAST(SUM((a.comp - b.comp)*(a.comp - b.comp)) AS BIGINT) AS dist
+         |      FROM probe_$p p JOIN idx i ON i.cl = p.cl AND i.vec_id <> p.query_id
+         |      JOIN qe2 a ON a.vec_id = p.query_id
+         |      JOIN qe2 b ON b.vec_id = i.vec_id AND b.pos = a.pos
+         |      GROUP BY 1, 2
+         |    ) c
+         |  ) WHERE rank <= 5
+         |), hit_$p AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n
+         |  FROM top_$p t JOIN top_$KmK e
+         |    ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+         |)""".stripMargin
+    }.mkString(",\n")
+    val rows = AnnSweepProbes.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS n_probe, h.n AS hits, nt.n AS n_true,
+         |  CASE WHEN nt.n > 0 THEN h.n * $LshCardFp // nt.n ELSE 0 END AS recall_fp
+         |FROM hit_$p h, nt""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${kmeansCtesFrom("embeddings")},
+       |qe2 AS MATERIALIZED (
+       |  SELECT vec_id, comp, pos FROM qe
+       |), adist AS MATERIALIZED (
+       |  SELECT qe2.vec_id, c.cl,
+       |    SUM((qe2.comp - c.comp)*(qe2.comp - c.comp)) AS dist
+       |  FROM qe2 JOIN c$KmIters c ON c.pos = qe2.pos GROUP BY 1, 2
+       |), idx AS MATERIALIZED (
+       |  SELECT vec_id, cl FROM (
+       |    SELECT vec_id, cl,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+       |    FROM adist) WHERE rn = 1
+       |),
+       |$probes,
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM top_$KmK)
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY n_probe""".stripMargin
+  }
+
   def annIndexInc(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
