@@ -182,6 +182,7 @@ object SparkEntry {
     "q165_emb_drift" -> (DataPipeQueries.embDrift _),
     "q166_cluster_quality" -> (GraphSketchQueries.clusterQualityCard _),
     "q167_ann_tuning" -> (DataPipeQueries.annTuningCard _),
+    "q168_unigram_pruned" -> (DataPipeQueries.unigramPrunedVocab _),
     "q160_unigram_encode" -> (DataPipeQueries.unigramEncode _),
     "q161_unigram_vocab" -> (DataPipeQueries.unigramVocab _),
   )
@@ -604,6 +605,7 @@ object SparkEntry {
     "q165_emb_drift" -> DataPipeQueries.embDriftOracle,
     "q166_cluster_quality" -> GraphSketchQueries.clusterQualityOracle,
     "q167_ann_tuning" -> DataPipeQueries.annTuningCardOracle,
+    "q168_unigram_pruned" -> DataPipeQueries.unigramPrunedVocabOracle,
     "q160_unigram_encode" -> DataPipeQueries.unigramEncodeOracle,
     "q161_unigram_vocab" -> DataPipeQueries.unigramVocabOracle,
   )

@@ -125,6 +125,38 @@ object Unigram {
       vocab.toSeq.map(p => (p, cnt0(p), score0(p), usage1(p), score1(p))))
   }
 
+  /** Pruned vocabulary size (before the mandatory alphabet union) —
+    * the SentencePiece prune stage: keep the pieces the EM round
+    * actually USED, re-segment, re-score. */
+  val PrunedTopV = 24
+
+  /** Prune a trained model to its top-[[PrunedTopV]] pieces by EM
+    * usage (alphabet always kept — coverage), segment the corpus
+    * under the restricted scores, and re-score from the new usage:
+    * the third leg of the SentencePiece loop (seed → EM → prune).
+    * Dropping a piece forces its words to re-split, so usage mass
+    * REDISTRIBUTES — the pruned artifact is not a row-filter of the
+    * unpruned one, which is exactly what the oracle's third DP replay
+    * certifies. Returns (scores, rows (piece, usage2, score2_q16)).
+    * Same work shape as [[train]]: one distinct-word segmentation
+    * pass + vocab-sized driver math. */
+  def trainPruned(hist: DataFrame, full: Model): (Map[String, Long],
+      Seq[(String, Long, Long)]) = {
+    val byUsage = full.vocabRows.sortBy { case (p, _, _, u1, _) => (-u1, p) }
+    val kept = (byUsage.take(PrunedTopV).map(_._1) ++
+      full.vocabRows.map(_._1).filter(_.length == 1)).distinct.sorted
+    val s1k = full.scores.filter { case (p, _) => kept.contains(p) }
+    val seg = hist.select(col("cnt"),
+      explode(segUdf(s1k)(col("word"))).as("piece"))
+    val usage = seg.groupBy(col("piece")).agg(sum(col("cnt")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val usage2 = kept.map(p => p -> (usage.getOrElse(p, 0L) + 1L)).toMap
+    val total2 = usage2.values.sum
+    def lg(x: Long) = Log2FixedExpr.log2Fixed(x, FracBits)
+    val score2 = kept.map(p => p -> (lg(usage2(p)) - lg(total2))).toMap
+    (score2, kept.map(p => (p, usage2(p), score2(p))))
+  }
+
   /** Per-document encode under a trained model — the q90 dictionary
     * shape: distinct words segment once (Viterbi under the broadcast
     * scores), counts and the reassembled piece text join back onto

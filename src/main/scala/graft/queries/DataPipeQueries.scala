@@ -4216,6 +4216,55 @@ object DataPipeQueries {
        |JOIN s1 ON s1.piece = c0.piece
        |ORDER BY 1""".stripMargin
 
+  /** Pruned unigram vocabulary (q168): the third SentencePiece leg —
+    * prune the q160 model to its top-${Unigram.PrunedTopV} pieces by
+    * EM usage (alphabet kept), re-segment, re-score. Dropped pieces
+    * force re-splits, so usage REDISTRIBUTES — the artifact is not a
+    * row-filter of q161, which is exactly what the oracle's third
+    * Viterbi replay certifies. */
+  def unigramPrunedVocab(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (_, rows) = Unigram.trainPruned(
+      Bpe.wordHistogram(Tables.documents(s, d), "text"), trainedUnigram(s, d))
+    rows.toDF("piece", "usage2", "score2_q16").orderBy(col("piece"))
+  }
+
+  def unigramPrunedVocabOracle: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH $unigramCtes, keep AS MATERIALIZED (
+       |  SELECT piece FROM (
+       |    SELECT piece, row_number() OVER (ORDER BY usage1 DESC, piece) AS rn
+       |    FROM u1
+       |  ) WHERE rn <= ${Unigram.PrunedTopV}
+       |  UNION SELECT piece FROM alpha
+       |), s1k AS MATERIALIZED (
+       |  SELECT s1.piece, s1.sc FROM s1 JOIN keep k ON k.piece = s1.piece
+       |), d3_0 AS (
+       |  SELECT word, CAST(0 AS BIGINT) AS sc, '' AS seg FROM hist
+       |)""".stripMargin
+    for (j <- 1 to Unigram.MaxWordLen) sb ++= s",\n${unigramDpCte(3, j, "s1k")}"
+    sb ++= s",\n${unigramFinCte(3)}"
+    sb ++= s""",
+       | use2 AS (
+       |  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS u FROM (
+       |    SELECT cnt, unnest(string_split(seg, ' ')) AS piece FROM fin3
+       |  ) GROUP BY piece
+       |), u2 AS MATERIALIZED (
+       |  SELECT k.piece, CAST(COALESCE(u.u, 0) + 1 AS BIGINT) AS usage2
+       |  FROM keep k LEFT JOIN use2 u ON u.piece = k.piece
+       |), t2 AS (
+       |  SELECT CAST(SUM(usage2) AS BIGINT) AS t FROM u2
+       |), cv AS (
+       |  SELECT DISTINCT v FROM (SELECT usage2 AS v FROM u2 UNION SELECT t FROM t2)
+       |), ${FixedLogSql.logCtes(prefix = "c")}
+       |SELECT u2.piece, u2.usage2, lc.lg - lt.lg AS score2_q16
+       |FROM u2 CROSS JOIN t2
+       |JOIN clog lc ON lc.v = u2.usage2
+       |JOIN clog lt ON lt.v = t2.t
+       |ORDER BY 1""".stripMargin
+    sb.result()
+  }
+
   /** Tokenizer comparison card (q163): BPE (q90's 24-merge model)
     * vs unigram-LM (q160's model) on the SAME corpus, per source —
     * the tokenizer-selection card a pipeline computes before

@@ -31,6 +31,30 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("prune: alphabet kept, usage redistributes, artifact self-consistent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "banana bandana ban and anna banana and bandana"),
+      (2L, "banana and anna and ban ban ban"),
+      (3L, "qzj")).toDF("doc_id", "text")
+    val hist = Bpe.wordHistogram(docs, "text")
+    val full = Unigram.train(hist)
+    val (sc2, rows) = Unigram.trainPruned(hist, full)
+    val pieces = rows.map(_._1).toSet
+    // alphabet survives pruning (coverage), incl. the rare qzj chars
+    full.vocabRows.map(_._1).filter(_.length == 1)
+      .foreach(c => assert(pieces(c), s"alphabet char $c dropped"))
+    assert(rows.size <= Unigram.PrunedTopV +
+      full.vocabRows.count(_._1.length == 1))
+    // self-consistency: score2 = lg(usage2) − lg(Σ usage2)
+    val total2 = rows.map(_._2).sum
+    def lg(x: Long) = Log2FixedExpr.log2Fixed(x, Unigram.FracBits)
+    rows.foreach { case (p, u2, s2) => assert(s2 == lg(u2) - lg(total2), p) }
+    // every word still segments under the pruned scores
+    hist.select("word").collect().map(_.getString(0))
+      .foreach(w => assert(Unigram.viterbi(w, sc2).mkString("") == w))
+  }
+
   test("train: alphabet coverage, artifact self-consistency, encode round-trip") {
     import spark.implicits._
     val docs = Seq(
