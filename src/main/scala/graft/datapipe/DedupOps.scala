@@ -375,32 +375,26 @@ object DedupOps {
     * refresh is an optimization with no correctness window. Output:
     * every pair (id_a < id_b, n_inter, n_union) with Jaccard ≥
     * num/den where at least one side is in the batch. */
-  def ppjoinIncremental(
-      corpus: DataFrame,
-      batch: DataFrame,
-      num: Long = 1L,
-      den: Long = 2L,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      shingleN: Int = 3): DataFrame = {
-    require(num > 0 && den > 0 && num <= den, s"bad threshold $num/$den")
+  /** (id, n, s) shingle postings of non-empty docs — the relation
+    * both ppjoin faces and the streaming index build from. */
+  private[graft] def shingledPostings(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame =
+    graft.util.Par.ensure(df
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0))
+      .select(col(idCol).as("id"),
+        Contamination.shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).cast("long").as("n"),
+        explode(col("sh")).as("s"))
+
+  /** Prefix postings of `st` under the (frozen) `dfreq` order —
+    * unseen shingles order FIRST (df 0: corpus-unseen ⇒ rare). A
+    * doc's prefix under a frozen order never changes, which is what
+    * makes the streaming index append-only. */
+  private[graft] def prefixPostings(st: DataFrame, dfreq: DataFrame,
+      num: Long, den: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def shingled(df: DataFrame): DataFrame =
-      graft.util.Par.ensure(df
-        .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0))
-        .select(col(idCol).as("id"),
-          Contamination.shingles(col(textCol), shingleN).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .select(col("id"), size(col("sh")).cast("long").as("n"),
-          explode(col("sh")).as("s"))
-    val corpusSt = shingled(corpus).persist()
-    val batchSt = shingled(batch).persist()
-    corpusSt.count(); batchSt.count()
-    // the frozen order: corpus document frequencies, persisted with
-    // the index in production; batch-only shingles order first (df 0)
-    val dfreq = corpusSt.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    def prefixOf(st: DataFrame): DataFrame = st
-      .join(dfreq, Seq("s"), "left")
+    st.join(dfreq, Seq("s"), "left")
       .withColumn("dfo", coalesce(col("df"), lit(0L)))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id"))
@@ -408,9 +402,32 @@ object DedupOps {
       .filter(col("rn") <=
         col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1L)
       .select(col("s"), col("id"), col("n"))
-    val batchPre = prefixOf(batchSt).persist()
+  }
+
+  /** The indexed incremental core: batch prefix postings joined
+    * against (PERSISTED corpus prefix postings) ∪ themselves, exact
+    * verify against the (corpus ∪ batch) text store — every input
+    * except the batch is a stored relation, so per-batch compute is
+    * ∝ batch + candidate output (the corpus is never re-shingled;
+    * the verify join touches only candidate partners). This is the
+    * face the streaming state machine calls; [[ppjoinIncremental]]
+    * builds the index relations inline for the one-shot q162 form. */
+  def ppjoinIncrementalIndexed(
+      corpusPre: DataFrame,
+      allTexts: DataFrame,
+      batch: DataFrame,
+      dfreq: DataFrame,
+      num: Long = 1L,
+      den: Long = 2L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"bad threshold $num/$den")
+    val batchSt = shingledPostings(batch, idCol, textCol, shingleN).persist()
+    batchSt.count()
+    val batchPre = prefixPostings(batchSt, dfreq, num, den).persist()
     batchPre.count()
-    val allPre = prefixOf(corpusSt).unionByName(batchPre)
+    val allPre = corpusPre.unionByName(batchPre)
     val a = batchPre.select(col("s"), col("id").as("id_x"), col("n").as("nx"))
     val b = allPre.select(col("s"), col("id").as("id_y"), col("n").as("ny"))
     val cands = a.join(b, Seq("s"))
@@ -420,8 +437,7 @@ object DedupOps {
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
       .distinct()
-    val txt = corpus.select(col(idCol).as("jid"), col(textCol).as("jtext"))
-      .unionByName(batch.select(col(idCol).as("jid"), col(textCol).as("jtext")))
+    val txt = allTexts.select(col(idCol).as("jid"), col(textCol).as("jtext"))
     val out = cands
       .join(txt, col("id_a") === col("jid")).withColumnRenamed("jtext", "text_a").drop("jid")
       .join(txt, col("id_b") === col("jid")).withColumnRenamed("jtext", "text_b").drop("jid")
@@ -430,7 +446,31 @@ object DedupOps {
         col("jc._1").as("n_inter"), col("jc._2").as("n_union"))
       .filter(lit(den) * col("n_inter") >= lit(num) * col("n_union"))
     val res = out.localCheckpoint(true)
-    corpusSt.unpersist(); batchSt.unpersist(); batchPre.unpersist()
+    batchSt.unpersist(); batchPre.unpersist()
+    res
+  }
+
+  def ppjoinIncremental(
+      corpus: DataFrame,
+      batch: DataFrame,
+      num: Long = 1L,
+      den: Long = 2L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"bad threshold $num/$den")
+    val corpusSt = shingledPostings(corpus, idCol, textCol, shingleN).persist()
+    corpusSt.count()
+    // the frozen order: corpus document frequencies, persisted with
+    // the index in production; batch-only shingles order first (df 0)
+    val dfreq = corpusSt.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    val corpusPre = prefixPostings(corpusSt, dfreq, num, den)
+    val txt = corpus.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    val res = ppjoinIncrementalIndexed(corpusPre, txt, batch, dfreq,
+      num, den, idCol, textCol, shingleN)
+    corpusSt.unpersist()
     res
   }
 

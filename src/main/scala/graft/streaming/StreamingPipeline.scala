@@ -1408,6 +1408,86 @@ object StreamingPipeline {
       }
   }
 
+  /** Streaming EXACT dedup (the q162 join as a state machine), init:
+    * freeze the prefix ORDER from a reference corpus (may be empty —
+    * all shingles then order as df 0) and seed the index: prefix
+    * postings + text store. The frozen order keeps every later batch
+    * EXACT (the q162 pigeonhole argument needs one consistent total
+    * order, any order), so the index is append-only forever: a doc's
+    * prefix under a frozen order never changes. */
+  def ppjoinStreamInit(ref: DataFrame, stateDir: String): Unit = {
+    import graft.datapipe.DedupOps
+    val st = DedupOps.shingledPostings(ref, "doc_id", "text", 3)
+      .localCheckpoint(true)
+    val dfreq = st.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    dfreq.write.mode("overwrite").parquet(s"$stateDir/dfreq")
+    val spark = ref.sparkSession
+    val frozen = spark.read.parquet(s"$stateDir/dfreq")
+    DedupOps.prefixPostings(st, frozen, 1L, 2L)
+      .write.mode("overwrite").parquet(s"$stateDir/prefix/batch_id=-1")
+    ref.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$stateDir/docs/batch_id=-1")
+  }
+
+  /** Streaming exact dedup, per micro-batch: emit every pair with
+    * Jaccard ≥ 1/2 between the batch and the committed corpus (plus
+    * within the batch) via the indexed core — per-batch work ∝ batch
+    * + output, the corpus is never re-shingled — then append the
+    * batch's prefix postings and texts. All writes are
+    * overwrite-idempotent partitions behind the commit marker. Each
+    * qualifying pair is discovered exactly once (when its LATER
+    * member arrives), so the pair store needs no dedup. */
+  def applyPpjoinBatch(batch: DataFrame, batchId: Long,
+      stateDir: String): Unit = {
+    import graft.datapipe.DedupOps
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(root, "_COMMITTED")
+    if (readMarker(fs, marker).exists(_ >= batchId)) return
+    val committed = readMarker(fs, marker).getOrElse(-1L)
+    val dfreq = spark.read.parquet(s"$stateDir/dfreq")
+    val corpusPre = spark.read.option("basePath", s"$stateDir/prefix")
+      .parquet(s"$stateDir/prefix")
+      .filter(col("batch_id") <= committed)
+      .select(col("s"), col("id"), col("n"))
+    val corpusDocs = spark.read.option("basePath", s"$stateDir/docs")
+      .parquet(s"$stateDir/docs")
+      .filter(col("batch_id") <= committed)
+      .select(col("doc_id"), col("text"))
+    val allTexts = corpusDocs.unionByName(
+      batch.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text")))
+    val pairs = DedupOps.ppjoinIncrementalIndexed(
+      corpusPre, allTexts, batch, dfreq)
+    pairs.write.mode("overwrite").parquet(s"$stateDir/pairs/batch_id=$batchId")
+    val st = DedupOps.shingledPostings(batch, "doc_id", "text", 3)
+    DedupOps.prefixPostings(st, dfreq, 1L, 2L)
+      .write.mode("overwrite").parquet(s"$stateDir/prefix/batch_id=$batchId")
+    batch.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$stateDir/docs/batch_id=$batchId")
+    advanceMarker(fs, marker, batchId)
+  }
+
+  /** All exact near-dup pairs discovered so far (committed batches
+    * only). `PpjoinSpec` pins: streaming an entire corpus from an
+    * empty init equals the ONE-SHOT complete threshold join. None
+    * until the first batch commits. */
+  def ppjoinPairsSnapshot(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    readMarker(fs, new org.apache.hadoop.fs.Path(root, "_COMMITTED"))
+      .map { f =>
+        spark.read.option("basePath", s"$stateDir/pairs")
+          .parquet(s"$stateDir/pairs")
+          .filter(col("batch_id") <= f)
+          .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"))
+      }
+  }
+
   /** Stream-stream interval join: pair each right-stream event with
     * the left-stream events of the same key that happened in the
     * window (right.ts - horizon, right.ts] — the "attribute a

@@ -108,6 +108,41 @@ class PpjoinSpec extends AnyFunSuite {
     assert(got.exists(p => p._1 == "n01" && p._2 == "n02"))
   }
 
+  test("streaming from an empty init equals the one-shot complete join") {
+    import spark.implicits._
+    import graft.streaming.StreamingPipeline
+    val rnd = new scala.util.Random(23)
+    val phrases = Vector("the quick brown fox", "jumps over the lazy dog",
+      "pack my box with five dozen", "liquor jugs now", "sphinx of black quartz")
+    val docs = (1 to 24).map { i =>
+      val k = 2 + rnd.nextInt(3)
+      f"t$i%03d" -> Seq.fill(k)(phrases(rnd.nextInt(phrases.length))).mkString(" ")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ppjoinstream").toFile
+    dir.deleteOnExit()
+    val sd = dir.getAbsolutePath
+    // empty init: every shingle takes the df-0 order branch — the
+    // frozen-order theorem says the result is still the exact join
+    StreamingPipeline.ppjoinStreamInit(
+      Seq.empty[(String, String)].toDF("doc_id", "text"), sd)
+    assert(StreamingPipeline.ppjoinPairsSnapshot(spark, sd).isEmpty)
+    val batches = docs.grouped(8).toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingPipeline.applyPpjoinBatch(b.toDF("doc_id", "text"), i, sd)
+    }
+    // replay of a committed batch is a no-op
+    StreamingPipeline.applyPpjoinBatch(
+      batches.last.toDF("doc_id", "text"), batches.size - 1, sd)
+    val snap = StreamingPipeline.ppjoinPairsSnapshot(spark, sd)
+    assert(snap.isDefined)
+    val got = snap.get.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == run(docs), s"streaming vs one-shot: ${got.size} pairs")
+    // no pair discovered twice across batches
+    assert(snap.get.count() == snap.get.distinct().count())
+  }
+
   test("worst case (identical corpus) is output-bound, not wrong") {
     val docs = (1 to 12).map(i => f"s$i%02d" -> "same exact text in every single document here")
     val got = run(docs)
