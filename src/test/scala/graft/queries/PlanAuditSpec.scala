@@ -591,4 +591,30 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoop"), p.take(2000))
     assert(!p.contains("BatchEvalPython"), p.take(2000))
   }
+
+  test("q162 incremental ppjoin: keyed joins only") {
+    val p = plan("q162_ppjoin_inc")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(2000))
+  }
+
+  test("q159/q164/q165 drift: one keyed agg over rows; windows on card relations only") {
+    for (q <- Seq("q159_psi_drift", "q164_ks_drift", "q165_emb_drift")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"), s"$q\n" + p.take(2000))
+      assert(!p.contains("BatchEvalPython"), s"$q\n" + p.take(2000))
+      // the row-data pass is a partial (map-side) aggregation
+      assert(p.contains("partial_"), s"$q\n" + p.take(3000))
+    }
+  }
+
+  test("q160 unigram encode: dictionary shape — distinct words, no cartesian") {
+    val p = plan("q160_unigram_encode")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(2000))
+    // per-doc reassembly groups by the doc key
+    assert("hashpartitioning\\(__d".r.findAllIn(p).nonEmpty ||
+      "hashpartitioning\\(doc_id".r.findAllIn(p).nonEmpty, p.take(3000))
+  }
 }
