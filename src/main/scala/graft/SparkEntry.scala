@@ -183,6 +183,7 @@ object SparkEntry {
     "q166_cluster_quality" -> (GraphSketchQueries.clusterQualityCard _),
     "q167_ann_tuning" -> (DataPipeQueries.annTuningCard _),
     "q168_unigram_pruned" -> (DataPipeQueries.unigramPrunedVocab _),
+    "q169_funnel_steps" -> (DataPipeQueries.funnelSteps _),
     "q160_unigram_encode" -> (DataPipeQueries.unigramEncode _),
     "q161_unigram_vocab" -> (DataPipeQueries.unigramVocab _),
   )
@@ -606,6 +607,7 @@ object SparkEntry {
     "q166_cluster_quality" -> GraphSketchQueries.clusterQualityOracle,
     "q167_ann_tuning" -> DataPipeQueries.annTuningCardOracle,
     "q168_unigram_pruned" -> DataPipeQueries.unigramPrunedVocabOracle,
+    "q169_funnel_steps" -> DataPipeQueries.funnelStepsOracle,
     "q160_unigram_encode" -> DataPipeQueries.unigramEncodeOracle,
     "q161_unigram_vocab" -> DataPipeQueries.unigramVocabOracle,
   )

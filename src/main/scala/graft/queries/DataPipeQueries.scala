@@ -4346,6 +4346,99 @@ object DataPipeQueries {
        |) ORDER BY tokenizer, source""".stripMargin
   }
 
+  /** Conversion funnel (q169): view → click → purchase per user, each
+    * step's first occurrence strictly AFTER the previous step's (the
+    * ordered-funnel semantics — a purchase before the click doesn't
+    * count). Emits per step: users reaching it, conversion from the
+    * previous step (×2²⁰), and the exact LOWER-MEDIAN microseconds
+    * from the previous step (deterministic: the ⌈n/2⌉-th smallest
+    * delta under a (delta, user) total order — the q85 exact-quantile
+    * convention, no interpolation). Plan: three keyed min-aggregations
+    * + user-keyed joins; medians are windows over the converter-sized
+    * relation. The events-analytics face of the engine (sessionize
+    * q45, retention q152, as-of q37 are siblings). */
+  def funnelSteps(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def firstAfter(tpe: String, prev: DataFrame, prevCol: String,
+        outCol: String): DataFrame =
+      ev.filter(col("event_type") === tpe)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") > col(prevCol))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(outCol))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      .localCheckpoint(true)
+    val t2 = firstAfter("click", t1, "t1", "t2").localCheckpoint(true)
+    val t3 = firstAfter("purchase", t2, "t2", "t3").localCheckpoint(true)
+    def medianUs(pairs: DataFrame, a: String, b: String): Long = {
+      val deltas = pairs.select(col("user_id"),
+        expr(s"timestampdiff(MICROSECOND, $a, $b)").as("dus"))
+      val n = deltas.count()
+      if (n == 0) 0L
+      else deltas.orderBy(col("dus"), col("user_id"))
+        .limit(((n + 1) / 2).toInt).orderBy(col("dus").desc, col("user_id"))
+        .limit(1).head().getLong(1)
+    }
+    val (n1, n2, n3) = (t1.count(), t2.count(), t3.count())
+    val m12 = medianUs(t2.join(t1, "user_id"), "t1", "t2")
+    val m23 = medianUs(t3.join(t2, "user_id"), "t2", "t3")
+    val fp = LshCardFp
+    val rows = Seq(
+      ("1_view", n1, fp, 0L),
+      ("2_click", n2, if (n1 > 0) n2 * fp / n1 else 0L, m12),
+      ("3_purchase", n3, if (n2 > 0) n3 * fp / n2 else 0L, m23))
+    s.createDataFrame(rows)
+      .toDF("step", "n_users", "conv_fp", "median_us_from_prev")
+      .orderBy(col("step"))
+  }
+
+  def funnelStepsOracle: String =
+    s"""WITH t1 AS MATERIALIZED (
+       |  SELECT user_id, MIN(ts) AS t1 FROM events
+       |  WHERE event_type = 'view' GROUP BY 1
+       |), t2 AS MATERIALIZED (
+       |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       |  JOIN t1 ON t1.user_id = e.user_id
+       |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1
+       |), t3 AS MATERIALIZED (
+       |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       |  JOIN t2 ON t2.user_id = e.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1
+       |), d12 AS (
+       |  SELECT CAST(date_diff('microsecond', t1.t1, t2.t2) AS BIGINT) AS dus,
+       |    t2.user_id,
+       |    row_number() OVER (ORDER BY date_diff('microsecond', t1.t1, t2.t2), t2.user_id) AS rn,
+       |    count(*) OVER () AS n
+       |  FROM t2 JOIN t1 ON t1.user_id = t2.user_id
+       |), d23 AS (
+       |  SELECT CAST(date_diff('microsecond', t2.t2, t3.t3) AS BIGINT) AS dus,
+       |    t3.user_id,
+       |    row_number() OVER (ORDER BY date_diff('microsecond', t2.t2, t3.t3), t3.user_id) AS rn,
+       |    count(*) OVER () AS n
+       |  FROM t3 JOIN t2 ON t2.user_id = t3.user_id
+       |), counts AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n1,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM t2) AS n2,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM t3) AS n3
+       |), m12 AS (
+       |  SELECT COALESCE((SELECT dus FROM d12 WHERE rn = (n + 1) // 2), 0) AS m
+       |), m23 AS (
+       |  SELECT COALESCE((SELECT dus FROM d23 WHERE rn = (n + 1) // 2), 0) AS m
+       |)
+       |SELECT step, n_users, conv_fp, median_us_from_prev FROM (
+       |  SELECT '1_view' AS step, n1 AS n_users,
+       |    CAST($LshCardFp AS BIGINT) AS conv_fp,
+       |    CAST(0 AS BIGINT) AS median_us_from_prev FROM counts
+       |  UNION ALL
+       |  SELECT '2_click', n2,
+       |    CASE WHEN n1 > 0 THEN n2 * $LshCardFp // n1 ELSE 0 END,
+       |    (SELECT m FROM m12) FROM counts
+       |  UNION ALL
+       |  SELECT '3_purchase', n3,
+       |    CASE WHEN n2 > 0 THEN n3 * $LshCardFp // n2 ELSE 0 END,
+       |    (SELECT m FROM m23) FROM counts
+       |) ORDER BY step""".stripMargin
+
   /** Exact two-sample KS drift (q164): the bin-free companion to
     * q159 — sup-norm CDF gap over raw token lengths between the
     * even/odd slices, exact integers (see [[Drift.ksCard]]). */
