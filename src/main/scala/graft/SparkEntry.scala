@@ -184,6 +184,7 @@ object SparkEntry {
     "q167_ann_tuning" -> (DataPipeQueries.annTuningCard _),
     "q168_unigram_pruned" -> (DataPipeQueries.unigramPrunedVocab _),
     "q169_funnel_steps" -> (DataPipeQueries.funnelSteps _),
+    "q170_session_paths" -> (DataPipeQueries.sessionPaths _),
     "q160_unigram_encode" -> (DataPipeQueries.unigramEncode _),
     "q161_unigram_vocab" -> (DataPipeQueries.unigramVocab _),
   )
@@ -608,6 +609,7 @@ object SparkEntry {
     "q167_ann_tuning" -> DataPipeQueries.annTuningCardOracle,
     "q168_unigram_pruned" -> DataPipeQueries.unigramPrunedVocabOracle,
     "q169_funnel_steps" -> DataPipeQueries.funnelStepsOracle,
+    "q170_session_paths" -> DataPipeQueries.sessionPathsOracle,
     "q160_unigram_encode" -> DataPipeQueries.unigramEncodeOracle,
     "q161_unigram_vocab" -> DataPipeQueries.unigramVocabOracle,
   )

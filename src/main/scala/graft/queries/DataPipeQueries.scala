@@ -4439,6 +4439,62 @@ object DataPipeQueries {
        |    (SELECT m FROM m23) FROM counts
        |) ORDER BY step""".stripMargin
 
+  /** Session path analysis (q170): event-type TRANSITION counts
+    * within the q45 sessions (gap 1800 s) — "after a view, what
+    * happens next?", the next-step matrix product analytics builds on
+    * sessionized streams. A transition is a consecutive event pair
+    * inside one (user, session) under the (ts, event_id) total order;
+    * emits every (from_type, to_type) with its count and the share of
+    * the from-type's outgoing transitions (×2²⁰). One user-keyed
+    * window (same partitioning the sessionizer already uses) + one
+    * pair-keyed count; the share window runs on the 25-row type-pair
+    * relation. */
+  def sessionPaths(s: SparkSession, d: String): DataFrame = {
+    val ev = Sessionize.sessionize(Tables.events(s, d), "user_id", "ts",
+      "event_id", gapSeconds = 1800L)
+    val w = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = ev
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("from_total", sum(col("n")).over(wf))
+      .withColumn("share_fp",
+        expr(s"(n * $LshCardFp) div from_total"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        col("from_total"), col("share_fp"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  def sessionPathsOracle: String =
+    s"""WITH se AS MATERIALIZED (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |  FROM (
+       |    SELECT user_id, ts, event_id, event_type,
+       |      CASE WHEN lag(ts) OVER w IS NULL
+       |        OR date_diff('second', lag(ts) OVER w, ts) > 1800
+       |        THEN 1 ELSE 0 END AS is_new
+       |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |  )
+       |), pr AS (
+       |  SELECT event_type AS from_type,
+       |    lead(event_type) OVER (PARTITION BY user_id, session_id
+       |      ORDER BY ts, event_id) AS to_type
+       |  FROM se
+       |), pc AS (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2
+       |)
+       |SELECT from_type, to_type, n,
+       |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+       |  (n * $LshCardFp) // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS share_fp
+       |FROM pc ORDER BY from_type, to_type""".stripMargin
+
   /** Exact two-sample KS drift (q164): the bin-free companion to
     * q159 — sup-norm CDF gap over raw token lengths between the
     * even/odd slices, exact integers (see [[Drift.ksCard]]). */
