@@ -185,6 +185,7 @@ object SparkEntry {
     "q168_unigram_pruned" -> (DataPipeQueries.unigramPrunedVocab _),
     "q169_funnel_steps" -> (DataPipeQueries.funnelSteps _),
     "q170_session_paths" -> (DataPipeQueries.sessionPaths _),
+    "q171_source_dup_matrix" -> (GraphSketchQueries.sourceDupMatrix _),
     "q160_unigram_encode" -> (DataPipeQueries.unigramEncode _),
     "q161_unigram_vocab" -> (DataPipeQueries.unigramVocab _),
   )
@@ -610,6 +611,7 @@ object SparkEntry {
     "q168_unigram_pruned" -> DataPipeQueries.unigramPrunedVocabOracle,
     "q169_funnel_steps" -> DataPipeQueries.funnelStepsOracle,
     "q170_session_paths" -> DataPipeQueries.sessionPathsOracle,
+    "q171_source_dup_matrix" -> GraphSketchQueries.sourceDupMatrixOracle,
     "q160_unigram_encode" -> DataPipeQueries.unigramEncodeOracle,
     "q161_unigram_vocab" -> DataPipeQueries.unigramVocabOracle,
   )

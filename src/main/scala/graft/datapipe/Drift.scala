@@ -137,12 +137,21 @@ object Drift {
     * length clamp a pipeline applies upstream — aggregate-row
     * windows only). Output per distinct value: cumulative counts,
     * d_num, and the constant ks_num / ref_n / new_n columns. */
-  def ksCard(docs: DataFrame): DataFrame = {
-    val stats = docStats(docs)
-    val counts = stats
-      .groupBy(col("n_tok"))
-      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("r"),
-        sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("n"))
+  def ksCard(docs: DataFrame): DataFrame =
+    ksFromCounts(valueCounts(docStats(docs), col("doc_id") % 2 === 0))
+
+  /** (n_tok, r, n) value-level counts for a slice pair — the
+    * mergeable state the streaming KS face persists per batch
+    * (bounded by the distinct token-length support, which a length
+    * clamp bounds upstream). */
+  def valueCounts(stats: DataFrame, isRef: Column): DataFrame =
+    stats.groupBy(col("n_tok"))
+      .agg(sum(when(isRef, 1L).otherwise(0L)).as("r"),
+        sum(when(!isRef, 1L).otherwise(0L)).as("n"))
+
+  /** The KS math over (n_tok, r, n) — value-sized input, shared by
+    * the batch query and the streaming snapshot. */
+  def ksFromCounts(counts: DataFrame): DataFrame = {
     val wcum = Window.orderBy(col("n_tok"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wall = Window.partitionBy(lit(1))

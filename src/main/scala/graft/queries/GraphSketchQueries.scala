@@ -623,6 +623,70 @@ object GraphSketchQueries {
        |LEFT JOIN tcomp t ON t.component = n.component
        |ORDER BY 1""".stripMargin
 
+  /** Exact cross-source duplication matrix (q171): near-dup edge
+    * counts per unordered source pair — the EXACT counterpart of
+    * q154's KMV shingle-overlap ESTIMATES, answering the same
+    * provenance question ("is src7 re-crawling src3?") from the
+    * verified pair graph instead of sketches: an entry (a, b, n)
+    * means n document pairs with Jaccard ≥ 0.5 straddle the two
+    * sources (diagonal = within-source duplication). Also emits each
+    * source's dup_rate: distinct docs of the source appearing in any
+    * near-dup pair ×2²⁰ over the source's doc count — the per-feed
+    * health number a crawler dashboard tracks. Two broadcast-sized
+    * source joins on the edge relation; the rate is one distinct
+    * count. Output: matrix rows (kind='pair', src_a ≤ src_b, n) ∪
+    * rate rows (kind='rate', src, src, rate_fp). */
+  def sourceDupMatrix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val edges = graft.datapipe.DedupOps
+      .minhashNearDupPairs(docs, minJaccard = 0.5, md5Based = true)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val src = docs.select(col("doc_id"), col("source"))
+    val lab = edges
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n"))
+      .select(lit("pair").as("kind"), col("src_a"), col("src_b"), col("n"))
+    val dupDocs = edges.select(col("id_a").as("doc_id"))
+      .unionByName(edges.select(col("id_b").as("doc_id"))).distinct()
+      .join(src, "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup"))
+    val rates = src.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(dupDocs, Seq("source"), "left")
+      .select(lit("rate").as("kind"), col("source").as("src_a"),
+        col("source").as("src_b"),
+        expr(s"(coalesce(n_dup, 0) * ${Graph.CcFp}) div n_docs").as("n"))
+    lab.unionByName(rates).orderBy(col("kind"), col("src_a"), col("src_b"))
+  }
+
+  def sourceDupMatrixOracle: String =
+    s"""WITH $nedDegCtes, lab AS (
+       |  SELECT 'pair' AS kind,
+       |    least(da.source, db.source) AS src_a,
+       |    greatest(da.source, db.source) AS src_b
+       |  FROM ned e
+       |  JOIN documents da ON da.doc_id = e.u
+       |  JOIN documents db ON db.doc_id = e.v
+       |), pairs_m AS (
+       |  SELECT kind, src_a, src_b, CAST(count(*) AS BIGINT) AS n
+       |  FROM lab GROUP BY 1, 2, 3
+       |), dup_docs AS (
+       |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_dup FROM (
+       |    SELECT u AS doc_id FROM ned UNION SELECT v FROM ned
+       |  ) x JOIN documents d ON d.doc_id = x.doc_id GROUP BY 1
+       |), rates AS (
+       |  SELECT 'rate' AS kind, d.source AS src_a, d.source AS src_b,
+       |    (COALESCE(dd.n_dup, 0) * ${Graph.CcFp})
+       |      // CAST(count(*) AS BIGINT) AS n
+       |  FROM documents d LEFT JOIN dup_docs dd ON dd.source = d.source
+       |  GROUP BY 1, 2, 3, dd.n_dup
+       |)
+       |SELECT kind, src_a, src_b, n FROM (
+       |  SELECT * FROM pairs_m UNION ALL SELECT * FROM rates
+       |) ORDER BY kind, src_a, src_b""".stripMargin
+
   /** Estimate fixed-point scale for q144: counts carry ×2¹⁰. */
   private val EstFp = 1024L
 

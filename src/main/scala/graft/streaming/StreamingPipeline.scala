@@ -1357,11 +1357,17 @@ object StreamingPipeline {
   /** Streaming drift monitor, init: persist the REFERENCE slice's
     * (axis, bin) counts once — the frozen yardstick every later
     * snapshot compares against (re-running init re-freezes it). */
-  def driftStreamInit(ref: DataFrame, stateDir: String): Unit =
-    graft.datapipe.Drift.binCounts(
-        graft.datapipe.Drift.docStats(ref), lit(true))
+  def driftStreamInit(ref: DataFrame, stateDir: String): Unit = {
+    val stats = graft.datapipe.Drift.docStats(ref).localCheckpoint(true)
+    graft.datapipe.Drift.binCounts(stats, lit(true))
       .select(col("axis"), col("bin"), col("ref_cnt"))
       .write.mode("overwrite").parquet(s"$stateDir/ref")
+    // value-level reference counts for the KS face (same yardstick
+    // freeze, bounded by the token-length support)
+    graft.datapipe.Drift.valueCounts(stats, lit(true))
+      .select(col("n_tok"), col("r"))
+      .write.mode("overwrite").parquet(s"$stateDir/ref_vals")
+  }
 
   /** Streaming drift monitor, per micro-batch: append the batch's
     * bin counts as one overwrite-idempotent delta partition and flip
@@ -1373,12 +1379,37 @@ object StreamingPipeline {
     val fs = root.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
     val marker = new org.apache.hadoop.fs.Path(root, "_COMMITTED")
     if (readMarker(fs, marker).exists(_ >= batchId)) return
-    graft.datapipe.Drift.binCounts(
-        graft.datapipe.Drift.docStats(batch), lit(false))
+    val stats = graft.datapipe.Drift.docStats(batch).localCheckpoint(true)
+    graft.datapipe.Drift.binCounts(stats, lit(false))
       .select(col("axis"), col("bin"), col("new_cnt"))
       .write.mode("overwrite")
       .parquet(s"$stateDir/delta/batch_id=$batchId")
+    graft.datapipe.Drift.valueCounts(stats, lit(false))
+      .select(col("n_tok"), col("n"))
+      .write.mode("overwrite")
+      .parquet(s"$stateDir/delta_vals/batch_id=$batchId")
     advanceMarker(fs, marker, batchId)
+  }
+
+  /** Live KS card: frozen reference value counts vs the committed
+    * union of batch deltas, through [[graft.datapipe.Drift.ksFromCounts]]
+    * — the bin-free drift monitor beside [[psiDriftSnapshot]], same
+    * marker gate, spec-pinned ≡ the one-shot card. */
+  def ksDriftSnapshot(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    readMarker(fs, new org.apache.hadoop.fs.Path(root, "_COMMITTED"))
+      .map { f =>
+        val ref = spark.read.parquet(s"$stateDir/ref_vals")
+        val fresh = spark.read.option("basePath", s"$stateDir/delta_vals")
+          .parquet(s"$stateDir/delta_vals")
+          .filter(col("batch_id") <= f)
+          .groupBy(col("n_tok")).agg(sum(col("n")).as("n"))
+        val counts = ref.join(fresh, Seq("n_tok"), "full_outer")
+          .select(col("n_tok"), coalesce(col("r"), lit(0L)).as("r"),
+            coalesce(col("n"), lit(0L)).as("n"))
+        graft.datapipe.Drift.ksFromCounts(counts).orderBy(col("n_tok"))
+      }
   }
 
   /** Live PSI card: frozen reference counts vs the committed union of

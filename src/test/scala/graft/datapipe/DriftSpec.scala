@@ -94,6 +94,12 @@ class DriftSpec extends AnyFunSuite {
       df.collect().map(r => (0 until 9).map(r.get).toList).toList
     assert(rows(snap.get) ==
       rows(Drift.psiCard(all).orderBy($"axis", $"bin")))
+    // the KS face shares the state machine: snapshot ≡ one-shot card
+    val ksSnap = StreamingPipeline.ksDriftSnapshot(spark, sd)
+    assert(ksSnap.isDefined)
+    def krows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until 7).map(r.get).toList).toList
+    assert(krows(ksSnap.get) == krows(Drift.ksCard(all).orderBy($"n_tok")))
   }
 
   test("null text and null lang bin deterministically (00 / ??)") {
