@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DataPipeQueries, GraphSketchQueries, RelationalQueries, Round4Queries}
+import graft.queries.{AnalyticsQueries, DataPipeQueries, GraphSketchQueries, RelationalQueries, Round4Queries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -188,6 +188,21 @@ object SparkEntry {
     "q171_source_dup_matrix" -> (GraphSketchQueries.sourceDupMatrix _),
     "q160_unigram_encode" -> (DataPipeQueries.unigramEncode _),
     "q161_unigram_vocab" -> (DataPipeQueries.unigramVocab _),
+    "q172_itemsets" -> ((s, d) => AnalyticsQueries.itemsetRules(s, d)),
+    "q173_mad_anomaly" -> ((s, d) => AnalyticsQueries.madAnomaly(s, d)),
+    "q174_hits" -> (GraphSketchQueries.hitsQ _),
+    "q175_bfs_dist" -> (GraphSketchQueries.bfsDistQ _),
+    "q176_copurchase" -> (GraphSketchQueries.coPurchaseTopK _),
+    "q177_pareto" -> (AnalyticsQueries.paretoFrontier _),
+    "q178_decay" -> (AnalyticsQueries.decayedEngagement _),
+    "q179_attribution" -> (AnalyticsQueries.attribution _),
+    "q180_centroid_matrix" -> (AnalyticsQueries.labelCentroidMatrix _),
+    "q181_dq_card" -> (AnalyticsQueries.dqCard _),
+    "q182_trend" -> (AnalyticsQueries.typeTrend _),
+    "q183_source_quartiles" -> (AnalyticsQueries.sourceQuartiles _),
+    "q184_stickiness" -> (AnalyticsQueries.stickiness _),
+    "q185_source_gini" -> (AnalyticsQueries.sourceGini _),
+    "q186_gap_spectrum" -> (AnalyticsQueries.gapSpectrum _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -614,5 +629,20 @@ object SparkEntry {
     "q171_source_dup_matrix" -> GraphSketchQueries.sourceDupMatrixOracle,
     "q160_unigram_encode" -> DataPipeQueries.unigramEncodeOracle,
     "q161_unigram_vocab" -> DataPipeQueries.unigramVocabOracle,
+    "q172_itemsets" -> AnalyticsQueries.itemsetRulesOracle,
+    "q173_mad_anomaly" -> AnalyticsQueries.madAnomalyOracle(),
+    "q174_hits" -> GraphSketchQueries.hitsOracle,
+    "q175_bfs_dist" -> GraphSketchQueries.bfsDistOracle,
+    "q176_copurchase" -> GraphSketchQueries.coPurchaseOracle,
+    "q177_pareto" -> AnalyticsQueries.paretoFrontierOracle,
+    "q178_decay" -> AnalyticsQueries.decayedEngagementOracle,
+    "q179_attribution" -> AnalyticsQueries.attributionOracle,
+    "q180_centroid_matrix" -> AnalyticsQueries.labelCentroidMatrixOracle,
+    "q181_dq_card" -> AnalyticsQueries.dqCardOracle,
+    "q182_trend" -> AnalyticsQueries.typeTrendOracle,
+    "q183_source_quartiles" -> AnalyticsQueries.sourceQuartilesOracle,
+    "q184_stickiness" -> AnalyticsQueries.stickinessOracle,
+    "q185_source_gini" -> AnalyticsQueries.sourceGiniOracle,
+    "q186_gap_spectrum" -> AnalyticsQueries.gapSpectrumOracle,
   )
 }

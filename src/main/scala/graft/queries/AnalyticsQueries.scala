@@ -1,0 +1,797 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables
+
+/** Round-14 extension family: dataset-analytics operators a curation
+  * team runs BESIDE the pipeline — market-basket association rules,
+  * robust anomaly detection, attribution — all exact-integer /
+  * fixed-point so every row is DuckDB-oracle hash-checkable.
+  */
+object AnalyticsQueries {
+
+  /** ×2²⁰ fixed point, the house convention for unit-interval stats. */
+  private val Fp = 1L << 20
+
+  // ───────────────────────────────────────────────────────── q172 ──
+
+  /** Frequent-itemset mining / association rules (q172): every part
+    * PAIR co-ordered in ≥ `minSup` orders, with exact support,
+    * per-item supports, directed confidences and lift — the Apriori
+    * k=2 pass (Agrawal & Srikant, VLDB'94) that seeds basket
+    * analysis.
+    *
+    * Shape at scale: baskets (distinct (order, part)) shuffle once on
+    * the order key; the self-join is co-partitioned on that key so
+    * pair expansion is local and bounded by C(basket,2) (TPC-H
+    * baskets ≤ ~13 — no quadratic blowup; a power-law catalog would
+    * cap basket size upstream). Pair counts shuffle on the 16-byte
+    * pair key with map-side partial aggregation; `minSup` prunes
+    * before the two broadcast-sized item-support joins. Nothing ever
+    * materializes the unfiltered cross product of items.
+    *
+    * Exactness: confidence is `sup_ab·2²⁰ div sup_x` (truncating);
+    * lift is `conf_a_fp·N div sup_b` — the same truncating two-step
+    * the oracle replays, with the `N < 2⁴²` headroom bound ENFORCED
+    * (conf_fp ≤ 2²⁰ so conf_fp·N < 2⁶² — the MomentsAgg discipline:
+    * scaladoc'd bounds are raised, not assumed). */
+  def itemsetRules(s: SparkSession, d: String, minSup: Long = 2L): DataFrame = {
+    val b = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint(true)
+    val nOrders = b.select(col("o")).distinct().count()
+    require(nOrders < (1L << 42),
+      s"itemsetRules lift headroom: nOrders=$nOrders >= 2^42 would " +
+        "overflow conf_fp*N - shard the basket relation")
+    val itemSup = b.groupBy(col("p")).agg(count(lit(1)).as("sup"))
+    val pairs = b.as("a")
+      .join(b.as("c"),
+        col("a.o") === col("c.o") && col("a.p") < col("c.p"))
+      .groupBy(col("a.p").as("item_a"), col("c.p").as("item_b"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .filter(col("sup_ab") >= minSup)
+    pairs
+      .join(itemSup.select(col("p").as("item_a"), col("sup").as("sup_a")),
+        Seq("item_a"))
+      .join(itemSup.select(col("p").as("item_b"), col("sup").as("sup_b")),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("sup_ab"),
+        col("sup_a"), col("sup_b"),
+        expr(s"(sup_ab * $Fp) div sup_a").as("conf_a_fp"),
+        expr(s"(sup_ab * $Fp) div sup_b").as("conf_b_fp"),
+        expr(s"((sup_ab * $Fp) div sup_a) * ${nOrders}L div sup_b")
+          .as("lift_fp"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
+  def itemsetRulesOracle: String =
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+       |), n AS (
+       |  SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM b
+       |), isup AS MATERIALIZED (
+       |  SELECT p, CAST(count(*) AS BIGINT) AS sup FROM b GROUP BY 1
+       |), pairs AS (
+       |  SELECT a.p AS item_a, c.p AS item_b,
+       |    CAST(count(*) AS BIGINT) AS sup_ab
+       |  FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+       |  GROUP BY 1, 2 HAVING count(*) >= 2
+       |)
+       |SELECT item_a, item_b, sup_ab, sa.sup AS sup_a, sb.sup AS sup_b,
+       |  (sup_ab * $Fp) // sa.sup AS conf_a_fp,
+       |  (sup_ab * $Fp) // sb.sup AS conf_b_fp,
+       |  ((sup_ab * $Fp) // sa.sup) * n.n // sb.sup AS lift_fp
+       |FROM pairs
+       |JOIN isup sa ON sa.p = item_a
+       |JOIN isup sb ON sb.p = item_b
+       |CROSS JOIN n
+       |ORDER BY item_a, item_b""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q173 ──
+
+  /** Robust anomaly detection (q173): per-event-type hourly volumes
+    * scored by MAD deviation — the median-based outlier rule
+    * (Hampel) that, unlike z-scores, a single spike cannot mask by
+    * inflating its own baseline. Emits EVERY (type, hour) with the
+    * exact per-type median, MAD, deviation score ×2²⁰ and the
+    * anomaly flag at `threshold` MADs.
+    *
+    * Exactness: medians are the house LOWER-median convention
+    * (rank (n+1)/2 under the (value, hour) total order — q169's
+    * no-interpolation pick, so every value that appears is a value
+    * some hour actually had). `score_fp = dev·2²⁰ div max(MAD,1)`:
+    * total (a constant series has MAD 0; the max(·,1) floor keeps
+    * the score defined and the oracle replays the same floor).
+    *
+    * Shape at scale: one map-side-combined count over raw events;
+    * everything after runs on the (type × hour) aggregate relation —
+    * windows are keyed by event_type, never unpartitioned. */
+  def madAnomaly(s: SparkSession, d: String, threshold: Long = 4L): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type"))
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = byType.orderBy(col(v), col("hour"))
+      df.withColumn("__rn", row_number().over(w))
+        .withColumn("__cnt", count(lit(1)).over(byType))
+        .withColumn(out,
+          max(when(expr("__rn = (__cnt + 1) div 2"), col(v)))
+            .over(byType))
+        .drop("__rn", "__cnt")
+    }
+    val withMed = lowerMedian(hourly, "n", "med")
+      .withColumn("dev", abs(col("n") - col("med")))
+    val withMad = lowerMedian(withMed, "dev", "mad")
+    withMad
+      .withColumn("score_fp",
+        expr(s"(dev * $Fp) div greatest(mad, 1L)"))
+      .withColumn("is_anomaly", col("score_fp") >= threshold * Fp)
+      .select(col("event_type"), col("hour"), col("n"), col("med"),
+        col("mad"), col("score_fp"), col("is_anomaly"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  def madAnomalyOracle(threshold: Long = 4L): String =
+    s"""WITH hourly AS MATERIALIZED (
+       |  SELECT event_type, date_trunc('hour', ts) AS hour,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2
+       |), med AS MATERIALIZED (
+       |  SELECT *, max(CASE WHEN rn = (cnt + 1) // 2 THEN n END)
+       |      OVER (PARTITION BY event_type) AS med
+       |  FROM (
+       |    SELECT *,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY n, hour) AS rn,
+       |      count(*) OVER (PARTITION BY event_type) AS cnt
+       |    FROM hourly
+       |  )
+       |), dev AS MATERIALIZED (
+       |  SELECT event_type, hour, n, med, abs(n - med) AS dev FROM med
+       |), mad AS (
+       |  SELECT *, max(CASE WHEN rn2 = (cnt2 + 1) // 2 THEN dev END)
+       |      OVER (PARTITION BY event_type) AS mad
+       |  FROM (
+       |    SELECT *,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY dev, hour) AS rn2,
+       |      count(*) OVER (PARTITION BY event_type) AS cnt2
+       |    FROM dev
+       |  )
+       |)
+       |SELECT event_type, hour, n, med, mad,
+       |  (dev * $Fp) // greatest(mad, 1) AS score_fp,
+       |  (dev * $Fp) // greatest(mad, 1) >= ${threshold * Fp} AS is_anomaly
+       |FROM mad ORDER BY event_type, hour""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q177 ──
+
+  /** Pareto frontier / skyline (q177, Börzsönyi et al. ICDE'01) over
+    * documents on (length, lexical diversity): the docs NOT strictly
+    * dominated on (n_tokens, distinct-token ratio ×2²⁰) — the
+    * curation shortlist "longest documents at every diversity level",
+    * where a max() per axis or a weighted score would each hide the
+    * trade-off curve. Dominance is strict: a beats b iff ≥ on both
+    * dims and > on one; ties on both dims co-survive.
+    *
+    * Shape at scale: the 2-D skyline needs NO pairwise pass — group
+    * by d1 → max d2 (map-side combined), then a running max over the
+    * DISTINCT-d1 relation (the only window, aggregate-row-sized —
+    * bounded by distinct document lengths), then one join back.
+    * A doc survives iff d2 equals its length-group max AND strictly
+    * exceeds every longer group's max. The naive NOT EXISTS self-join
+    * is O(n²); this is two shuffles of doc-sized data.
+    *
+    * Tokens are the q33 convention (split on single space, drop
+    * empties — identical semantics both engines); all-whitespace docs
+    * have no defined diversity and are excluded by both. */
+  def paretoFrontier(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> length(x) > 0)").as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("d1"),
+        size(array_distinct(col("arr"))).cast("long").as("nd"))
+      .filter(col("d1") > 0)
+      .withColumn("d2", expr(s"(nd * $Fp) div d1"))
+    val m = g.groupBy(col("d1")).agg(max(col("d2")).as("m2"))
+    val w = Window.orderBy(col("d1").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val mw = m.withColumn("prevmax", max(col("m2")).over(w))
+    g.join(mw, Seq("d1"))
+      .filter(col("d2") === col("m2") &&
+        (col("prevmax").isNull || col("prevmax") < col("d2")))
+      .select(col("doc_id"), col("d1").as("n_tokens"), col("nd").as("n_distinct"),
+        col("d2").as("distinct_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  def paretoFrontierOracle: String =
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS d1,
+       |    CAST(count(DISTINCT tok) AS BIGINT) AS nd,
+       |    (CAST(count(DISTINCT tok) AS BIGINT) * $Fp)
+       |      // CAST(count(*) AS BIGINT) AS d2
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  WHERE length(tok) > 0 GROUP BY doc_id
+       |), m AS MATERIALIZED (
+       |  SELECT d1, max(d2) AS m2,
+       |    max(max(d2)) OVER (ORDER BY d1 DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+       |  FROM g GROUP BY d1
+       |)
+       |SELECT doc_id, g.d1 AS n_tokens, nd AS n_distinct, d2 AS distinct_fp
+       |FROM g JOIN m ON m.d1 = g.d1
+       |WHERE d2 = m2 AND (prevmax IS NULL OR prevmax < d2)
+       |ORDER BY doc_id""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q178 ──
+
+  /** Exponential time-decayed engagement (q178): per-user activity
+    * score Σ 2^(−age_weeks), the recency weighting feeds ranking /
+    * churn features — entirely in integers: the decay factor is a
+    * RIGHT SHIFT of the ×2²⁰ unit weight by whole weeks of age
+    * (microsecond-exact age arithmetic, the q169 convention; shift
+    * capped at 40 where the weight is long since zero — both engines
+    * agree on every capped value, avoiding the JVM's shift-count
+    * wraparound at ≥ 64).
+    *
+    * Shape at scale: one broadcast of the 1-row max-ts relation, then
+    * a single map-side-combined groupBy(user). Nothing else. */
+  def decayedEngagement(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+    val mx = ev.agg(max(col("ts")).as("mx"))
+    ev.crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        expr(s"shiftright(${Fp}L, cast(least(" +
+          s"timestampdiff(MICROSECOND, ts, mx) div ${7L * 86400000000L}L," +
+          s" 40L) as int))").as("dec"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("dec")).as("decayed_fp"))
+      .orderBy(col("user_id"))
+  }
+
+  def decayedEngagementOracle: String =
+    s"""WITH mx AS (SELECT max(ts) AS mx FROM events)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CAST($Fp AS BIGINT) >> LEAST(
+       |    date_diff('microsecond', ts, mx.mx) // ${7L * 86400000000L},
+       |    40)) AS BIGINT) AS decayed_fp
+       |FROM events, mx GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q179 ──
+
+  /** Linear multi-touch attribution (q179): every purchase's unit of
+    * credit (×2²⁰) split EXACTLY across the user's view/click touches
+    * in the preceding 7 days — equal integer shares, with the
+    * division remainder assigned to the EARLIEST touch (the q118
+    * largest-remainder discipline: credit per purchase sums to
+    * exactly 2²⁰, so total credit ≡ n_purchases·2²⁰ — an invariant
+    * the spec asserts, and float attribution can never hold).
+    * Touchless purchases credit the 'direct' channel in full.
+    *
+    * Shape at scale: one user-keyed join (events per user are
+    * session-bounded), then purchase-keyed windows for the share
+    * count/rank — the q45/q170 partitioning reused. Channel rollup is
+    * a 3-row aggregate. */
+  def attribution(s: SparkSession, d: String): DataFrame = {
+    val lookbackUs = 7L * 86400000000L
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val t = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+        col("event_type").as("channel"), col("ts").as("t_ts"))
+    val j = p.join(t,
+      col("user_id") === col("t_user") && col("t_ts") < col("p_ts") &&
+        expr(s"timestampdiff(MICROSECOND, t_ts, p_ts) <= ${lookbackUs}L"),
+      "left")
+    val byP = Window.partitionBy(col("p_id"))
+    val w = j
+      .withColumn("cnt", count(col("t_id")).over(byP))
+      .withColumn("rn",
+        row_number().over(byP.orderBy(col("t_ts"), col("t_id"))))
+    val c = w.select(
+      coalesce(col("channel"), lit("direct")).as("channel"),
+      col("t_id"), col("p_id"),
+      when(col("t_id").isNull, lit(Fp))
+        .otherwise(expr(s"$Fp div cnt") +
+          when(col("rn") === 1, expr(s"$Fp % cnt")).otherwise(lit(0L)))
+        .as("credit"))
+    c.groupBy(col("channel"))
+      .agg(count(col("t_id")).as("n_touches"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        sum(col("credit")).as("credit_fp"))
+      .orderBy(col("channel"))
+  }
+
+  def attributionOracle: String =
+    s"""WITH p AS (
+       |  SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+       |  WHERE event_type = 'purchase'
+       |), t AS (
+       |  SELECT event_id AS t_id, user_id, event_type AS channel,
+       |    ts AS t_ts
+       |  FROM events WHERE event_type IN ('view', 'click')
+       |), j AS MATERIALIZED (
+       |  SELECT p.p_id, t.t_id, t.channel, t.t_ts FROM p
+       |  LEFT JOIN t ON t.user_id = p.user_id AND t.t_ts < p.p_ts
+       |    AND date_diff('microsecond', t.t_ts, p.p_ts) <= ${7L * 86400000000L}
+       |), w AS (
+       |  SELECT *, CAST(count(t_id) OVER (PARTITION BY p_id) AS BIGINT) AS cnt,
+       |    row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rn
+       |  FROM j
+       |), c AS (
+       |  SELECT COALESCE(channel, 'direct') AS channel, t_id, p_id,
+       |    CASE WHEN t_id IS NULL THEN CAST($Fp AS BIGINT)
+       |         ELSE $Fp // cnt +
+       |           CASE WHEN rn = 1 THEN $Fp % cnt ELSE 0 END
+       |    END AS credit
+       |  FROM w
+       |)
+       |SELECT channel, CAST(count(t_id) AS BIGINT) AS n_touches,
+       |  CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+       |  CAST(SUM(credit) AS BIGINT) AS credit_fp
+       |FROM c GROUP BY channel ORDER BY channel""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q180 ──
+
+  /** Label-centroid similarity matrix (q180): pairwise signed cos²
+    * (×2²⁰) between per-label embedding centroids — the cluster-level
+    * semantic map ("which labels encode the same thing?") that guides
+    * stratified sampling and merge decisions, where q165 only detects
+    * that a distribution MOVED.
+    *
+    * Exactness: components quantize by the house floor(x·2²⁰+0.5)
+    * convention; the centroid is the truncating per-component integer
+    * mean (sum div n — both engines truncate toward zero); dot and
+    * norms are exact BIGINTs; cos² (sign carried separately, since
+    * squaring drops it) is computed in arbitrary precision — BigInt
+    * on the driver, HUGEINT in the oracle — because dot² reaches
+    * ~2⁸⁸. Diagonal rows are exactly 2²⁰ (a spec invariant).
+    *
+    * Shape at scale: ONE map-side-combined groupBy(label, pos) over
+    * the exploded vectors is the only pass that touches all data; the
+    * collect is the labels×dim sum matrix (model-sized, the q137
+    * discipline), and the L² pair work runs on L centroids on the
+    * driver. */
+  def labelCentroidMatrix(s: SparkSession, d: String): DataFrame = {
+    val qf = graft.datapipe.Embeddings.Fp
+    val emb = Tables.embeddings(s, d)
+    val sums = emb
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        expr(s"CAST(floor(CAST(x AS DOUBLE) * $qf + 0.5) AS BIGINT)").as("xq"))
+      .groupBy(col("label"), col("pos")).agg(sum(col("xq")).as("sx"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val ns = emb.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = ns.keys.toSeq.sorted
+    val dim = sums.keys.map(_._2).max + 1
+    val mean: Map[Long, Array[Long]] = labels.map { l =>
+      l -> Array.tabulate(dim)(p => sums.getOrElse((l, p), 0L) / ns(l))
+    }.toMap
+    val rows = for {
+      la <- labels; lb <- labels if la <= lb
+    } yield {
+      val (ma, mb) = (mean(la), mean(lb))
+      val dot = (0 until dim).map(p => BigInt(ma(p)) * mb(p)).sum
+      val n2a = (0 until dim).map(p => BigInt(ma(p)) * ma(p)).sum
+      val n2b = (0 until dim).map(p => BigInt(mb(p)) * mb(p)).sum
+      val cos2s =
+        if (n2a == 0 || n2b == 0) BigInt(0)
+        else dot.sign * ((dot * dot * Fp) / (n2a * n2b))
+      (la, lb, dot.toLong, n2a.toLong, n2b.toLong, cos2s.toLong)
+    }
+    s.createDataFrame(rows)
+      .toDF("label_a", "label_b", "dot", "n2_a", "n2_b", "cos2s_fp")
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  // ───────────────────────────────────────────────────────── q181 ──
+
+  /** Data-quality audit card (q181): the referential-integrity /
+    * validity checks a 100 TB ingestion runs BEFORE anything else
+    * trusts the tables — orphaned facts, childless parents, duplicate
+    * line keys, domain violations — each as an exact count with a
+    * ×2²⁰ bad-rate. One row per check, so the card is diffable
+    * across ingest runs and a single threshold gate can fail the
+    * pipeline.
+    *
+    * Shape at scale: each FK check is one key-projected anti-join
+    * (null-safe left join on the already-compact key columns);
+    * duplicate detection is a map-side-combined count; domain checks
+    * are pure scans. Nothing touches non-key columns it doesn't
+    * need. */
+  def dqCard(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val nLi = li.count()
+    val nOrd = ord.count()
+    def row(name: String, bad: Long, total: Long) =
+      (name, bad, total, if (total > 0) bad * Fp / total else 0L)
+    val orphans = li.select(col("l_orderkey"))
+      .join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+    val childless = ord.select(col("o_orderkey"))
+      .join(li.select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left_anti").count()
+    val dupLines = nLi - li.select(col("l_orderkey"), col("l_linenumber"))
+      .distinct().count()
+    val qtyBad = li.filter(col("l_quantity").isNull ||
+      col("l_quantity") <= 0).count()
+    val dateBad = li.filter(col("l_shipdate").isNull).count()
+    val rows = Seq(
+      row("lineitem_orphans", orphans, nLi),
+      row("lineitem_dup_linekey", dupLines, nLi),
+      row("lineitem_qty_nonpos", qtyBad, nLi),
+      row("lineitem_null_shipdate", dateBad, nLi),
+      row("orders_childless", childless, nOrd))
+    s.createDataFrame(rows).toDF("check", "n_bad", "n_total", "bad_fp")
+      .orderBy(col("check"))
+  }
+
+  def dqCardOracle: String =
+    s"""WITH tot AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nli,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM orders) AS nord
+       |), checks AS (
+       |  SELECT 'lineitem_orphans' AS "check",
+       |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+       |     LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+       |     WHERE o.o_orderkey IS NULL) AS n_bad, nli AS n_total FROM tot
+       |  UNION ALL
+       |  SELECT 'lineitem_dup_linekey',
+       |    nli - (SELECT CAST(count(*) AS BIGINT) FROM
+       |      (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+       |    nli FROM tot
+       |  UNION ALL
+       |  SELECT 'lineitem_qty_nonpos',
+       |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+       |     WHERE l_quantity IS NULL OR l_quantity <= 0), nli FROM tot
+       |  UNION ALL
+       |  SELECT 'lineitem_null_shipdate',
+       |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+       |     WHERE l_shipdate IS NULL), nli FROM tot
+       |  UNION ALL
+       |  SELECT 'orders_childless',
+       |    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+       |     LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+       |       ON l.l_orderkey = o.o_orderkey
+       |     WHERE l.l_orderkey IS NULL), nord FROM tot
+       |)
+       |SELECT "check", n_bad, n_total,
+       |  CASE WHEN n_total > 0 THEN (n_bad * $Fp) // n_total ELSE 0 END AS bad_fp
+       |FROM checks ORDER BY "check"""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q182 ──
+
+  /** Per-type traffic trend (q182): the exact least-squares slope of
+    * hourly event counts over the hour index — the "is this feed
+    * growing or dying?" signal next to q173's spike detector. All
+    * sums are exact integers over the (type × hour) aggregate
+    * relation; the slope is the exact rational
+    * (n·Σxy − Σx·Σy)·2²⁰ div (n·Σx² − (Σx)²), with x the hour index
+    * from the GLOBAL min hour (microsecond-exact, the q169
+    * convention). A type with a single active hour has zero variance
+    * and reports slope 0 (both engines take the same guarded
+    * branch).
+    *
+    * Headroom: x < 2¹⁸ hours (30 years) and counts < 2²⁴ per hour
+    * keep n·Σxy under 2⁶² at a month of 2²⁰-events/hour scale; the
+    * oracle computes the same BIGINTs and DuckDB would raise on
+    * overflow rather than wrap (its sums are HUGEINT then cast). */
+  def typeTrend(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val mn = ev.agg(date_trunc("hour", min(col("ts"))).as("mn"))
+    val hourly = ev.crossJoin(broadcast(mn))
+      .select(col("event_type"),
+        expr("timestampdiff(MICROSECOND, mn, date_trunc('hour', ts))" +
+          " div 3600000000").as("x"))
+      .groupBy(col("event_type"), col("x")).agg(count(lit(1)).as("y"))
+    hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_fp",
+        expr(s"CASE WHEN n * sxx - sx * sx = 0 THEN 0L ELSE " +
+          s"((n * sxy - sx * sy) * $Fp) div (n * sxx - sx * sx) END"))
+      .select(col("event_type"), col("n"), col("sy").as("total"),
+        col("slope_fp"))
+      .orderBy(col("event_type"))
+  }
+
+  def typeTrendOracle: String =
+    s"""WITH mn AS (
+       |  SELECT date_trunc('hour', min(ts)) AS mn FROM events
+       |), hourly AS MATERIALIZED (
+       |  SELECT event_type,
+       |    date_diff('microsecond', mn.mn, date_trunc('hour', ts))
+       |      // 3600000000 AS x,
+       |    CAST(count(*) AS BIGINT) AS y
+       |  FROM events, mn GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx
+       |  FROM hourly GROUP BY 1
+       |)
+       |SELECT event_type, n, sy AS total,
+       |  CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE ((n * sxy - sx * sy) * $Fp) // (n * sxx - sx * sx)
+       |  END AS slope_fp
+       |FROM agg ORDER BY event_type""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q183 ──
+
+  /** Per-source exact token-length quartiles (q183): p25/p50/p75 of
+    * the q33-convention token count, per document source — the
+    * group-wise companion to q85's global radix-walk quantiles. The
+    * order statistic is the ceil-rank convention: k = ⌈q·n⌉, value =
+    * the smallest length whose cumulative count reaches k (exact, no
+    * interpolation — every reported value is a length some document
+    * has).
+    *
+    * Shape at scale: one map-side-combined count to the (source ×
+    * distinct length) relation; the cumulative windows and rank
+    * picks run ONLY on that aggregate relation (bounded by distinct
+    * doc lengths — the q164 discipline), never on row data. */
+  def sourceQuartiles(s: SparkSession, d: String): DataFrame = {
+    val lens = Tables.documents(s, d)
+      .select(col("source"),
+        expr("size(filter(split(text, ' '), x -> length(x) > 0))")
+          .cast("long").as("len"))
+      .groupBy(col("source"), col("len")).agg(count(lit(1)).as("c"))
+    val bySrc = Window.partitionBy(col("source"))
+    val cum = lens
+      .withColumn("cum", sum(col("c")).over(bySrc.orderBy(col("len"))))
+      .withColumn("n", sum(col("c")).over(bySrc))
+    val qs = Seq("p25" -> 1L, "p50" -> 2L, "p75" -> 3L)
+    qs.map { case (qn, num) =>
+      cum.withColumn("k", expr(s"(n * $num + 3) div 4"))
+        .filter(col("cum") >= col("k"))
+        .withColumn("rn",
+          row_number().over(bySrc.orderBy(col("len"))))
+        .filter(col("rn") === 1)
+        .select(col("source"), lit(qn).as("q"), col("k"), col("len"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("source"), col("q"))
+  }
+
+  def sourceQuartilesOracle: String =
+    s"""WITH lens AS MATERIALIZED (
+       |  SELECT source, len, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id, any_value(source) AS source,
+       |      CAST(count(*) FILTER (length(tok) > 0) AS BIGINT) AS len
+       |    FROM (SELECT doc_id, source,
+       |            unnest(string_split(text, ' ')) AS tok FROM documents)
+       |    GROUP BY doc_id
+       |  ) GROUP BY 1, 2
+       |), cum AS MATERIALIZED (
+       |  SELECT source, len, c,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY len
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(c) OVER (PARTITION BY source) AS n
+       |  FROM lens
+       |), pick AS (
+       |  SELECT source, q, (n * num + 3) // 4 AS k, len,
+       |    row_number() OVER (PARTITION BY source, q ORDER BY len) AS rn
+       |  FROM cum
+       |  CROSS JOIN (VALUES ('p25', 1), ('p50', 2), ('p75', 3)) AS qq(q, num)
+       |  WHERE cum >= (n * num + 3) // 4
+       |)
+       |SELECT source, q, CAST(k AS BIGINT) AS k, len
+       |FROM pick WHERE rn = 1 ORDER BY source, q""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q184 ──
+
+  /** Engagement stickiness (q184): per UTC day, exact distinct active
+    * users (DAU), exact trailing-7-day distinct users (WAU), and the
+    * DAU/WAU ratio ×2²⁰ — the classic product-health curve, computed
+    * EXACTLY (a HLL-based WAU can't be hash-gated; the sketch path
+    * for when exactness is waived is q144).
+    *
+    * Shape at scale: the row data collapses to the distinct
+    * (user, day) relation first (one map-side-combined distinct);
+    * each (user, day) then contributes to ≤ 7 trailing windows via a
+    * bounded 7-way explode — work ∝ 7·|user-days|, never a
+    * self-join of row data. Day arithmetic is integer epoch-days
+    * (microsecond-exact), immune to engine date-diff conventions. */
+  def stickiness(s: SparkSession, d: String): DataFrame = {
+    val userDays = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00'," +
+          " ts) div 86400000000").as("day"))
+      .distinct()
+    val dau = userDays.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .select(col("user_id"), explode(expr("sequence(day, day + 6L)")).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr(s"(dau * $Fp) div wau").as("stick_fp"))
+      .orderBy(col("day"))
+  }
+
+  def stickinessOracle: String =
+    s"""WITH ud AS MATERIALIZED (
+       |  SELECT DISTINCT user_id,
+       |    date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+       |      // 86400000000 AS day
+       |  FROM events
+       |), dau AS (
+       |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+       |), wau AS (
+       |  SELECT day, CAST(count(*) AS BIGINT) AS wau FROM (
+       |    SELECT DISTINCT user_id, day + off AS day
+       |    FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS off)
+       |  ) GROUP BY 1
+       |)
+       |SELECT dau.day AS day, dau, wau, (dau * $Fp) // wau AS stick_fp
+       |FROM dau JOIN wau ON wau.day = dau.day
+       |ORDER BY dau.day""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q185 ──
+
+  /** Per-source Gini coefficient (q185) of document token mass — the
+    * inequality card for corpus balance: Gini ≈ 0 means a source's
+    * token budget is spread evenly over its documents; → 1 means a
+    * few giant documents carry the source (and a doc-level sampler
+    * badly misrepresents a token-level mixture like q118's). Exact
+    * integer form over ascending-sorted per-doc counts x₍ᵢ₎:
+    *
+    *   gini_fp = (Σᵢ (2i − n − 1)·x₍ᵢ₎) · 2²⁰ div (n · Σx)
+    *
+    * with the (len, doc_id) total tie order. Headroom is ENFORCED:
+    * n < 2²⁰ docs and Σx < 2⁴⁰ tokens per source keep the
+    * denominator under 2⁶⁰ (beyond that, shard sources into
+    * sub-sources and merge the Σ(2i−n−1)x partials — the formula is
+    * offset-composable once global ranks are assigned).
+    *
+    * Shape at scale: per-doc counts are one map-side-combined pass;
+    * the rank window is keyed by source (the q79 discipline); the
+    * final card is one row per source. */
+  def sourceGini(s: SparkSession, d: String): DataFrame = {
+    val lens = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("size(filter(split(text, ' '), x -> length(x) > 0))")
+          .cast("long").as("len"))
+    val bySrc = Window.partitionBy(col("source"))
+    val ranked = lens.withColumn("i",
+      row_number().over(bySrc.orderBy(col("len"), col("doc_id"))).cast("long"))
+    val agg = ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("len")).as("total"),
+        sum(expr("(2 * i - 1) * len")).as("wsum"))
+    val guard = agg.agg(max(col("n")).as("mn"), max(col("total")).as("mt"))
+      .head()
+    require(guard.getLong(0) < (1L << 20) && guard.getLong(1) < (1L << 40),
+      s"sourceGini headroom: n=${guard.getLong(0)} total=${guard.getLong(1)}" +
+        " exceed 2^20/2^40 - shard sources and merge rank partials")
+    agg.select(col("source"), col("n"), col("total"),
+      expr(s"CASE WHEN total = 0 THEN 0L ELSE " +
+        s"((wsum - n * total) * $Fp) div (n * total) END").as("gini_fp"))
+      .orderBy(col("source"))
+  }
+
+  def sourceGiniOracle: String =
+    s"""WITH lens AS MATERIALIZED (
+       |  SELECT doc_id, any_value(source) AS source,
+       |    CAST(count(*) FILTER (length(tok) > 0) AS BIGINT) AS len
+       |  FROM (SELECT doc_id, source,
+       |          unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY doc_id
+       |), ranked AS (
+       |  SELECT source, len,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY len, doc_id) AS BIGINT) AS i
+       |  FROM lens
+       |), agg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(SUM(len) AS BIGINT) AS total,
+       |    CAST(SUM((2 * i - 1) * len) AS BIGINT) AS wsum
+       |  FROM ranked GROUP BY 1
+       |)
+       |SELECT source, n, total,
+       |  CASE WHEN total = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE ((wsum - n * total) * $Fp) // (n * total)
+       |  END AS gini_fp
+       |FROM agg ORDER BY source""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q186 ──
+
+  /** Inter-event gap spectrum (q186): per event type, the histogram
+    * of log₂-bucketed microsecond gaps between a user's consecutive
+    * events of that type — the burstiness / periodicity card (bot
+    * traffic shows a needle at its polling period; organic use is a
+    * broad hump). The bucket is EXACT integer log₂: both engines
+    * compute `length(bin(gap)) − 1`, the binary bit-length, so no
+    * float log ever enters the hash.
+    *
+    * Shape at scale: one window keyed by (user, type) — the q45/q170
+    * partitioning — then a map-side-combined count to the ≤ 63·|types|
+    * histogram relation; the share window runs on that aggregate. */
+  def gapSpectrum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, d)
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        expr("timestampdiff(MICROSECOND, prev, ts)").as("gap"))
+      .filter(col("gap") >= 1L)
+      .select(col("event_type"),
+        (length(expr("bin(gap)")) - 1).cast("long").as("bucket"))
+    val counts = gaps.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type"))
+    counts.withColumn("total", sum(col("n")).over(byType))
+      .withColumn("share_fp", expr(s"(n * $Fp) div total"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  def gapSpectrumOracle: String =
+    s"""WITH gaps AS MATERIALIZED (
+       |  SELECT event_type,
+       |    date_diff('microsecond', prev, ts) AS gap
+       |  FROM (
+       |    SELECT event_type, ts, lag(ts) OVER (
+       |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+       |    FROM events
+       |  ) WHERE prev IS NOT NULL
+       |    AND date_diff('microsecond', prev, ts) >= 1
+       |), counts AS (
+       |  SELECT event_type,
+       |    CAST(length(bin(gap)) - 1 AS BIGINT) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM gaps GROUP BY 1, 2
+       |)
+       |SELECT event_type, bucket, n,
+       |  CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+       |  (n * $Fp) // CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+       |    AS share_fp
+       |FROM counts ORDER BY event_type, bucket""".stripMargin
+
+  def labelCentroidMatrixOracle: String = {
+    val qf = graft.datapipe.Embeddings.Fp
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT CAST(label AS BIGINT) AS label,
+       |    generate_subscripts(embedding, 1) - 1 AS pos,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $qf + 0.5) AS BIGINT) AS xq
+       |  FROM embeddings
+       |), sm AS MATERIALIZED (
+       |  SELECT label, pos, CAST(SUM(xq) AS BIGINT) AS sx FROM c GROUP BY 1, 2
+       |), nn AS (
+       |  SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n
+       |  FROM embeddings GROUP BY 1
+       |), m AS MATERIALIZED (
+       |  SELECT sm.label, pos, sx // nn.n AS mv
+       |  FROM sm JOIN nn ON nn.label = sm.label
+       |), dt AS (
+       |  SELECT a.label AS la, b.label AS lb,
+       |    CAST(SUM(a.mv * b.mv) AS BIGINT) AS dot
+       |  FROM m a JOIN m b ON b.pos = a.pos AND a.label <= b.label
+       |  GROUP BY 1, 2
+       |), n2 AS (
+       |  SELECT label, CAST(SUM(mv * mv) AS BIGINT) AS n2 FROM m GROUP BY 1
+       |)
+       |SELECT la AS label_a, lb AS label_b, dot, na.n2 AS n2_a, nb.n2 AS n2_b,
+       |  CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST((CASE WHEN dot < 0 THEN -1 ELSE 1 END) *
+       |      ((CAST(dot AS HUGEINT) * dot * $Fp)
+       |        // (CAST(na.n2 AS HUGEINT) * nb.n2)) AS BIGINT)
+       |  END AS cos2s_fp
+       |FROM dt
+       |JOIN n2 na ON na.label = la
+       |JOIN n2 nb ON nb.label = lb
+       |ORDER BY label_a, label_b""".stripMargin
+  }
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.datapipe.{Cooccurrence, Graph, PageRank, Sketches}
@@ -255,6 +256,257 @@ object GraphSketchQueries {
        |    UNION ALL SELECT c FROM tri
        |  ) GROUP BY node
        |)""".stripMargin
+
+  /** q174 iteration count: HITS converges geometrically in the gap of
+    * AᵀA's spectrum; 4 double-steps rank TPC-H's near-uniform graph
+    * stably, and exactness never depends on convergence — the oracle
+    * replays the same 4 truncating-integer double-steps. */
+  private val HitsIters = 4
+
+  /** HITS hubs & authorities (q174, Kleinberg JACM'99) on the DIRECTED
+    * customer→supplier purchase graph — the asymmetric companion to
+    * q143's PageRank: hubs (customers whose purchases concentrate on
+    * authoritative suppliers) and authorities (suppliers bought by
+    * strong hubs) get SEPARATE scores, which symmetrized PageRank
+    * structurally cannot give.
+    *
+    * Exact-integer scheme: scores carry ×2²⁰; each half-step is
+    * `score' = (Σ counterpart) · 2²⁰ div max(Σ counterpart)` — MAX
+    * normalization instead of the classical L2 (no integer sqrt
+    * needed, same fixed point of the iteration up to scale). Max
+    * intermediate is 2⁴⁰·maxdeg, so maxdeg < 2²³ is ENFORCED (8M
+    * distinct counterparties per node — far beyond any real
+    * purchase graph; raised, not assumed).
+    *
+    * Shape at scale: the graph build is the 100 TB part (orders ⋈
+    * lineitem + distinct); each half-step is one broadcast-sized
+    * score join against the once-persisted edge relation + one
+    * map-side-combined sum — node-sized shuffles only, the q143
+    * shape. The max() per half-step is a driver scalar over an
+    * already-aggregated node relation. */
+  def hitsQ(s: SparkSession, d: String): DataFrame = {
+    val fp = 1L << 20
+    val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct()
+      .persist()
+    val maxDeg = math.max(
+      e.groupBy(col("c")).count().agg(max("count")).head().getLong(0),
+      e.groupBy(col("sp")).count().agg(max("count")).head().getLong(0))
+    require(maxDeg < (1L << 23),
+      s"hitsQ headroom: max degree $maxDeg >= 2^23 would overflow " +
+        "score*fp - dictionary-compress the hot side first")
+    var h = e.select(col("c")).distinct()
+      .select(col("c").as("node"), lit(fp).as("sc")).localCheckpoint(true)
+    var a: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      val araw = e.join(h, col("c") === col("node"))
+        .groupBy(col("sp")).agg(sum(col("sc")).as("sc"))
+        .localCheckpoint(true)
+      val amax = araw.agg(max("sc")).head().getLong(0)
+      a = araw.select(col("sp").as("node"),
+        expr(s"(sc * $fp) div ${amax}L").as("sc")).localCheckpoint(true)
+      val hraw = e.join(a, col("sp") === col("node"))
+        .groupBy(col("c")).agg(sum(col("sc")).as("sc"))
+        .localCheckpoint(true)
+      val hmax = hraw.agg(max("sc")).head().getLong(0)
+      h = hraw.select(col("c").as("node"),
+        expr(s"(sc * $fp) div ${hmax}L").as("sc")).localCheckpoint(true)
+    }
+    e.unpersist()
+    h.select(concat(lit("c:"), col("node").cast("string")).as("node"),
+        lit("hub").as("score_type"), col("sc").as("score_fp"))
+      .unionByName(
+        a.select(concat(lit("s:"), col("node").cast("string")).as("node"),
+          lit("auth").as("score_type"), col("sc").as("score_fp")))
+      .orderBy(col("node"))
+  }
+
+  /** The whole 4-double-step HITS solve replayed in DuckDB: same edge
+    * relation, same truncating `//` max-normalization per half-step. */
+  def hitsOracle: String = {
+    val fp = 1L << 20
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |), h0 AS MATERIALIZED (
+         |  SELECT DISTINCT c AS node, CAST($fp AS BIGINT) AS sc FROM e
+         |)""".stripMargin
+    for (t <- 1 to HitsIters) sb ++=
+      s""",
+         | a${t}r AS MATERIALIZED (
+         |  SELECT e.sp AS node, CAST(SUM(h.sc) AS BIGINT) AS sc
+         |  FROM e JOIN h${t - 1} h ON h.node = e.c GROUP BY e.sp
+         |), a$t AS MATERIALIZED (
+         |  SELECT node, (sc * $fp) // (SELECT max(sc) FROM a${t}r) AS sc FROM a${t}r
+         |), h${t}r AS MATERIALIZED (
+         |  SELECT e.c AS node, CAST(SUM(a.sc) AS BIGINT) AS sc
+         |  FROM e JOIN a$t a ON a.node = e.sp GROUP BY e.c
+         |), h$t AS MATERIALIZED (
+         |  SELECT node, (sc * $fp) // (SELECT max(sc) FROM h${t}r) AS sc FROM h${t}r
+         |)""".stripMargin
+    sb ++=
+      s"""
+         |SELECT node, score_type, score_fp FROM (
+         |  SELECT 'c:' || CAST(node AS VARCHAR) AS node, 'hub' AS score_type,
+         |    sc AS score_fp FROM h$HitsIters
+         |  UNION ALL
+         |  SELECT 's:' || CAST(node AS VARCHAR), 'auth', sc FROM a$HitsIters
+         |) ORDER BY node""".stripMargin
+    sb.toString
+  }
+
+  /** q175 relaxation rounds: distances beyond 8 hops in a near-dup
+    * graph mean the transitive chain is already broken for curation
+    * purposes; unreached nodes are simply absent (both engines drop
+    * them identically). */
+  private val BfsRounds = 8
+
+  /** Multi-source BFS distance (q175) over the verified near-dup
+    * graph: hop distance from the audited seed set (every 7th doc id)
+    * to every reachable node — "how far is this document from an
+    * already-reviewed duplicate?", the triage radius a manual-review
+    * queue is ordered by. 8 synchronous min-relaxation rounds
+    * (Bellman-Ford restricted to unit weights), every value an exact
+    * integer; the oracle replays all 8 rounds.
+    *
+    * Shape at scale: the edge build is exactly q13's (bucketed LSH,
+    * never all-pairs); each round is frontier ⋈ edges + a
+    * map-side-combined min — node-sized shuffles against the
+    * once-persisted symmetric edge relation, the q143 iteration
+    * shape. */
+  def bfsDistQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ned = graft.datapipe.DedupOps
+      .minhashNearDupPairs(docs, minJaccard = 0.5, md5Based = true)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+    val sym = ned
+      .unionByName(ned.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    var dist = sym.select(col("u").as("node")).distinct()
+      .filter(col("node") % 7 === 0)
+      .select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
+    for (_ <- 1 to BfsRounds) {
+      dist = dist.unionByName(
+          sym.join(dist, col("u") === col("node"))
+            .select(col("v").as("node"), (col("dist") + 1L).as("dist")))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    sym.unpersist()
+    dist.select(col("node").as("doc_id"), col("dist"))
+      .orderBy(col("doc_id"))
+  }
+
+  def bfsDistOracle: String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH $nedDegCtes, sym AS MATERIALIZED (
+         |  SELECT u, v FROM ned UNION ALL SELECT v AS u, u AS v FROM ned
+         |), d0 AS MATERIALIZED (
+         |  SELECT node, CAST(0 AS BIGINT) AS dist FROM deg WHERE node % 7 = 0
+         |)""".stripMargin
+    for (t <- 1 to BfsRounds) sb ++=
+      s""",
+         | d$t AS MATERIALIZED (
+         |  SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+         |    SELECT node, dist FROM d${t - 1}
+         |    UNION ALL
+         |    SELECT e.v AS node, d.dist + 1 AS dist
+         |    FROM sym e JOIN d${t - 1} d ON d.node = e.u
+         |  ) GROUP BY node
+         |)""".stripMargin
+    sb ++=
+      s"""
+         |SELECT node AS doc_id, dist FROM d$BfsRounds ORDER BY doc_id""".stripMargin
+    sb.toString
+  }
+
+  /** Top-K partners per supplier (q176). */
+  private val CoPurchaseK = 5
+
+  /** Item-item collaborative filtering (q176, Linden et al. IEEE IC'03
+    * — the Amazon "customers who bought X also bought Y" shape) on
+    * the customer→supplier bipartite graph: for every supplier, the
+    * top-5 co-purchased partner suppliers by exact customer-set
+    * Jaccard ×2²⁰, with the co-purchase count and both distinct
+    * customer degrees. (A near-dup doc graph has no such structure —
+    * its Jaccard is bimodal, dup or not; the purchase graph is where
+    * neighborhood similarity means something.)
+    *
+    * Shape at scale: co-occurrence pairs come from the wedge join
+    * through customers — Σ_c C(deg_c, 2) with customer fan-out
+    * bounded by purchase activity, the standard CF co-occurrence
+    * bound (production systems cap the hot-user degree upstream; TPC-H
+    * maxes at ~30). The top-K window is keyed by supplier, never
+    * global, and the output is K·|suppliers| rows, not the pair
+    * matrix. Tie order is total: (jac_fp, cn) DESC, partner ASC. */
+  def coPurchaseTopK(s: SparkSession, d: String): DataFrame = {
+    val fp = 1L << 20
+    val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct()
+      .persist()
+    val deg = e.groupBy(col("sp").as("node")).agg(count(lit(1)).as("deg"))
+    val pairs = e.select(col("c"), col("sp").as("sa"))
+      .join(e.select(col("c").as("c2"), col("sp").as("sb")),
+        col("c") === col("c2") && col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("cn"))
+    val both = pairs.select(col("sa").as("supplier"),
+        col("sb").as("partner"), col("cn"))
+      .unionByName(pairs.select(col("sb").as("supplier"),
+        col("sa").as("partner"), col("cn")))
+    val scored = both
+      .join(deg.select(col("node").as("supplier"), col("deg").as("deg_s")),
+        Seq("supplier"))
+      .join(deg.select(col("node").as("partner"), col("deg").as("deg_p")),
+        Seq("partner"))
+      .withColumn("jac_fp", expr(s"(cn * $fp) div (deg_s + deg_p - cn)"))
+    val w = Window.partitionBy(col("supplier"))
+      .orderBy(col("jac_fp").desc, col("cn").desc, col("partner"))
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= CoPurchaseK)
+      .select(col("supplier"), col("rank").cast("long").as("rank"),
+        col("partner"), col("cn"), col("deg_s"), col("deg_p"), col("jac_fp"))
+      .orderBy(col("supplier"), col("rank"))
+      .localCheckpoint(true) // materialize before unpersisting the shared scan
+    e.unpersist()
+    out
+  }
+
+  def coPurchaseOracle: String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |), deg AS MATERIALIZED (
+       |  SELECT sp AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+       |), pairs AS MATERIALIZED (
+       |  SELECT a.sp AS sa, b.sp AS sb, CAST(count(*) AS BIGINT) AS cn
+       |  FROM e a JOIN e b ON b.c = a.c AND a.sp < b.sp GROUP BY 1, 2
+       |), bi AS (
+       |  SELECT sa AS supplier, sb AS partner, cn FROM pairs
+       |  UNION ALL SELECT sb AS supplier, sa AS partner, cn FROM pairs
+       |), scored AS (
+       |  SELECT supplier, partner, cn, ds.deg AS deg_s, dp.deg AS deg_p,
+       |    (cn * ${1L << 20}) // (ds.deg + dp.deg - cn) AS jac_fp
+       |  FROM bi
+       |  JOIN deg ds ON ds.node = supplier
+       |  JOIN deg dp ON dp.node = partner
+       |)
+       |SELECT supplier, CAST(rank AS BIGINT) AS rank, partner, cn,
+       |  deg_s, deg_p, jac_fp
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY supplier
+       |    ORDER BY jac_fp DESC, cn DESC, partner) AS rank
+       |  FROM scored
+       |) WHERE rank <= $CoPurchaseK
+       |ORDER BY supplier, rank""".stripMargin
 
   /** q149 walk length. */
   private val WalkSteps = 8

@@ -1,0 +1,312 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** q172 itemset rules + q173 MAD anomaly: the DuckDB oracle gate
+  * proves cross-engine agreement on the full chain; this spec drives
+  * the semantic corners the bench corpus can't guarantee to contain —
+  * hand-built baskets with a known rule, a spike a mean-based score
+  * would mask, and the MAD=0 constant series.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+  private val Fp = 1L << 20
+
+  test("q172: hand-built baskets yield exact support/confidence/lift") {
+    import spark.implicits._
+    // 6 orders; {1,2} co-occur 3x, item 1 in 4, item 2 in 3, item 3 in 2.
+    val b = Seq(
+      (10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (30L, 1L), (30L, 2L),
+      (40L, 1L), (40L, 3L), (50L, 3L), (60L, 4L)
+    ).toDF("l_orderkey", "l_partkey")
+      .withColumn("pad", org.apache.spark.sql.functions.lit(0))
+    val dir = java.nio.file.Files.createTempDirectory("itemsets").toString
+    b.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rules = AnalyticsQueries.itemsetRules(spark, dir, minSup = 2L)
+      .collect()
+    assert(rules.length == 1, "only {1,2} reaches support 2")
+    val r = rules.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getLong(2) == 3L && r.getLong(3) == 4L && r.getLong(4) == 3L)
+    assert(r.getLong(5) == 3L * Fp / 4L, "conf(1->2) = 3/4")
+    assert(r.getLong(6) == 3L * Fp / 3L, "conf(2->1) = 3/3")
+    // lift = conf_a_fp * nOrders / sup_b = (3fp/4)*6/3 = 1.5fp
+    assert(r.getLong(7) == (3L * Fp / 4L) * 6L / 3L)
+    assert(r.getLong(7) > Fp, "positively-correlated pair has lift > 1")
+  }
+
+  test("q172: duplicate lineitem rows collapse to one basket membership") {
+    import spark.implicits._
+    val b = Seq((10L, 1L), (10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("itemsets2").toString
+    b.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = AnalyticsQueries.itemsetRules(spark, dir, minSup = 2L).collect()
+    assert(r.length == 1 && r.head.getLong(2) == 2L,
+      "support counts orders, not lineitem rows")
+    assert(r.head.getLong(3) == 2L, "item support deduped per order")
+  }
+
+  test("q173: a spike is flagged; the constant series (MAD=0) is not") {
+    import spark.implicits._
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    def at(h: Int, i: Int) =
+      base.plusHours(h.toLong).plusSeconds(i.toLong)
+    // "steady": hourly counts 2,2,2,2,2,2,2,2 -> MAD 0, never anomalous.
+    // "spiky":  counts 1,1,1,1,2,2,2,40 -> med 1, MAD (devs 0,0,0,0,1,1,1,39
+    //           sorted -> lower median rank 4 = 0 ... careful) use 9 hours.
+    val rows = (0 until 8).flatMap { h =>
+      (0 until 2).map(i => (h.toLong * 2 + i, at(h, i), 1L, "steady", 0.0, "{}"))
+    } ++ {
+      val counts = Seq(1, 1, 1, 2, 2, 2, 3, 3, 40)
+      counts.zipWithIndex.flatMap { case (c, h) =>
+        (0 until c).map(i => (1000L + h * 100 + i, at(h, i), 2L, "spiky", 0.0, "{}"))
+      }
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("mad").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsQueries.madAnomaly(spark, dir, threshold = 4L)
+      .collect()
+    val steady = out.filter(_.getString(0) == "steady")
+    assert(steady.forall(!_.getBoolean(6)), "constant series never anomalous")
+    assert(steady.forall(r => r.getLong(4) == 0L), "steady MAD is 0")
+    val spiky = out.filter(_.getString(0) == "spiky")
+    // counts sorted: 1,1,1,2,2,2,3,3,40 -> lower median rank 5 = 2
+    assert(spiky.forall(_.getLong(3) == 2L), "spiky median is 2")
+    // devs: 1,1,1,0,0,0,1,1,38 sorted 0,0,0,1,1,1,1,1,38 -> rank 5 = 1
+    assert(spiky.forall(_.getLong(4) == 1L), "spiky MAD is 1")
+    val flagged = spiky.filter(_.getBoolean(6))
+    assert(flagged.length == 1 && flagged.head.getLong(2) == 40L,
+      "exactly the 40-count hour is >= 4 MADs out")
+    assert(flagged.head.getLong(5) == 38L * Fp, "score = dev*fp/MAD exactly")
+  }
+
+  test("q177: frontier equals the brute-force dominance check at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val g = graft.util.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> length(x) > 0)").as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("d1"),
+        size(array_distinct(col("arr"))).cast("long").as("nd"))
+      .filter(col("d1") > 0)
+      .withColumn("d2", expr(s"(nd * $Fp) div d1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val brute = g.filter { case (_, d1, d2) =>
+      !g.exists { case (_, e1, e2) =>
+        e1 >= d1 && e2 >= d2 && (e1 > d1 || e2 > d2)
+      }
+    }.map(_._1).toSet
+    val got = AnalyticsQueries.paretoFrontier(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == brute, "window-based skyline == O(n^2) dominance filter")
+    assert(got.nonEmpty)
+  }
+
+  test("q178: decay boundaries — same week, exactly 7 days, deep past") {
+    import spark.implicits._
+    val mx = java.time.LocalDateTime.of(2024, 6, 1, 0, 0, 0)
+    val rows = Seq(
+      (1L, mx, 10L, "view", 0.0, "{}"),                         // age 0 -> Fp
+      (2L, mx.minusDays(7), 10L, "view", 0.0, "{}"),            // 1 week -> Fp/2
+      (3L, mx.minusDays(7).plusNanos(1000), 11L, "view", 0.0, "{}"), // just under -> Fp
+      (4L, mx.minusWeeks(45), 12L, "view", 0.0, "{}"))          // cap -> 0
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("decay").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsQueries.decayedEngagement(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(10L) == ((2L, Fp + Fp / 2)), "age 0 + exactly-one-week")
+    assert(out(11L) == ((1L, Fp)), "1us inside the week boundary")
+    assert(out(12L) == ((1L, 0L)), "45 weeks decays to exact zero")
+  }
+
+  test("q179: exact credit split, remainder to earliest, direct fallback") {
+    import spark.implicits._
+    val t0 = java.time.LocalDateTime.of(2024, 3, 10, 12, 0, 0)
+    val rows = Seq(
+      // user 1: 3 touches then a purchase -> Fp split 3 ways, rem to earliest
+      (1L, t0.minusHours(3), 1L, "view", 0.0, "{}"),
+      (2L, t0.minusHours(2), 1L, "click", 0.0, "{}"),
+      (3L, t0.minusHours(1), 1L, "view", 0.0, "{}"),
+      (4L, t0, 1L, "purchase", 0.0, "{}"),
+      // user 2: touch exactly 7 days before (included) + one 1us too old
+      (5L, t0.minusDays(7), 2L, "click", 0.0, "{}"),
+      (6L, t0.minusDays(7).minusNanos(1000), 2L, "view", 0.0, "{}"),
+      (7L, t0, 2L, "purchase", 0.0, "{}"),
+      // user 3: no touches -> direct
+      (8L, t0, 3L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("attr").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsQueries.attribution(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val third = Fp / 3
+    // user1: view gets earliest (rem) + one more view; click one share.
+    assert(out("click") == ((2L, 2L, third + Fp)),
+      "user1 click share + user2's exactly-7-day click (full credit)")
+    assert(out("view") == ((2L, 1L, third + (Fp % 3) + third)))
+    assert(out("direct") == ((0L, 1L, Fp)))
+    assert(out.values.map(_._3).sum == 3L * Fp,
+      "total credit == n_purchases * Fp exactly")
+  }
+
+  test("q180: diagonal is exactly Fp; matrix covers all label pairs") {
+    val out = AnalyticsQueries.labelCentroidMatrix(spark, sfDir).collect()
+    val labels = out.map(_.getLong(0)).toSet ++ out.map(_.getLong(1)).toSet
+    assert(out.length == labels.size * (labels.size + 1) / 2)
+    out.filter(r => r.getLong(0) == r.getLong(1)).foreach { r =>
+      assert(r.getLong(5) == Fp, s"diagonal cos2 must be 2^20: $r")
+      assert(r.getLong(2) == r.getLong(3) && r.getLong(3) == r.getLong(4))
+    }
+    out.foreach(r => assert(math.abs(r.getLong(5)) <= Fp))
+  }
+
+  test("q181: planted violations are each counted by exactly one check") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dq").toString
+    // orders 1..3; order 3 childless. lineitem: orphan okey 99,
+    // duplicate (1,1) linekey, one non-positive qty, one null-ish? (no
+    // null shipdate in fixture -> that check reads 0).
+    Seq((1L, 10L), (2L, 11L), (3L, 12L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val ts = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    Seq(
+      (1L, 1, 5.0, ts), (1L, 1, 5.0, ts), // dup linekey
+      (2L, 1, -2.0, ts),                  // non-positive qty
+      (99L, 1, 1.0, ts))                  // orphan
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = AnalyticsQueries.dqCard(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("lineitem_orphans") == ((1L, 4L, Fp / 4)))
+    assert(out("lineitem_dup_linekey") == ((1L, 4L, Fp / 4)))
+    assert(out("lineitem_qty_nonpos") == ((1L, 4L, Fp / 4)))
+    assert(out("lineitem_null_shipdate") == ((0L, 4L, 0L)))
+    assert(out("orders_childless") == ((1L, 3L, Fp / 3)))
+  }
+
+  test("q182: exact slope on a planted linear series; degenerate guards") {
+    import spark.implicits._
+    val base = java.time.LocalDateTime.of(2024, 2, 1, 0, 0)
+    def mk(tpe: String, hour: Int, n: Int, idBase: Long) =
+      (0 until n).map(i =>
+        (idBase + hour * 100 + i, base.plusHours(hour.toLong), 1L, tpe, 0.0, "{}"))
+    val rows =
+      (0 until 4).flatMap(h => mk("lin", h, h + 1, 0L)) ++      // y = x+1
+      (0 until 3).flatMap(h => mk("flat", h, 5, 10000L)) ++     // slope 0
+      mk("once", 2, 7, 20000L)                                  // one hour
+    val dir = java.nio.file.Files.createTempDirectory("trend").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsQueries.typeTrend(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("lin") == ((4L, 10L, Fp)), "unit slope is exactly 2^20")
+    assert(out("flat") == ((3L, 15L, 0L)))
+    assert(out("once") == ((1L, 7L, 0L)), "zero-variance guard")
+  }
+
+  test("q183: quartiles hit the ceil-rank order statistics exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("quart").toString
+    // source A: lengths 1,2,3,4 -> p25@k1=1, p50@k2=2, p75@k3=3
+    // source B: lengths 5,5,9   -> p25@k1=5, p50@k2=5, p75@k3=9 (ties)
+    def doc(id: Long, src: String, len: Int) =
+      (id, (1 to len).map(i => s"t$i").mkString(" "), "en", src, 1L)
+    val rows = Seq(doc(1, "A", 1), doc(2, "A", 2), doc(3, "A", 3),
+      doc(4, "A", 4), doc(5, "B", 5), doc(6, "B", 5), doc(7, "B", 9))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = AnalyticsQueries.sourceQuartiles(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(("A", "p25")) == ((1L, 1L)))
+    assert(out(("A", "p50")) == ((2L, 2L)))
+    assert(out(("A", "p75")) == ((3L, 3L)))
+    assert(out(("B", "p25")) == ((1L, 5L)))
+    assert(out(("B", "p50")) == ((2L, 5L)))
+    assert(out(("B", "p75")) == ((3L, 9L)))
+  }
+
+  test("q184: trailing-7-day WAU window; DAU/WAU hits 2^20 on overlap") {
+    import spark.implicits._
+    val d0 = java.time.LocalDateTime.of(2024, 5, 1, 12, 0)
+    val rows = Seq(
+      (1L, d0, 1L, "view", 0.0, "{}"),                 // u1 day0
+      (2L, d0.plusDays(3), 1L, "view", 0.0, "{}"),     // u1 day3
+      (3L, d0.plusDays(3), 2L, "view", 0.0, "{}"),     // u2 day3
+      (4L, d0.plusDays(11), 2L, "view", 0.0, "{}"))    // u2 day11 (window reset)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("stick").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsQueries.stickiness(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 3, "one row per ACTIVE day only")
+    assert(out(0) == ((1L, 1L, Fp)), "day0: u1 only, window has u1 only")
+    assert(out(1) == ((2L, 2L, Fp)), "day3: both active, both in window")
+    assert(out(2) == ((1L, 1L, Fp)), "day11: day3 activity aged out")
+  }
+
+  test("q185: Gini is 0 for equal mass, 2/3 for a planted extreme") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gini").toString
+    def doc(id: Long, src: String, len: Int) =
+      (id, if (len == 0) "" else (1 to len).map(i => s"t$i").mkString(" "),
+        "en", src, 1L)
+    // EQ: [5,5,5] -> 0; EX: [0,0,9] -> (45-27)/27 = 2/3; ONE: [7] -> 0
+    val rows = Seq(doc(1, "EQ", 5), doc(2, "EQ", 5), doc(3, "EQ", 5),
+      doc(4, "EX", 0), doc(5, "EX", 0), doc(6, "EX", 9), doc(7, "ONE", 7))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = AnalyticsQueries.sourceGini(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("EQ") == ((3L, 15L, 0L)))
+    assert(out("EX") == ((3L, 9L, 18L * Fp / 27L)))
+    assert(out("ONE") == ((1L, 7L, 0L)))
+  }
+
+  test("q186: exact log2 buckets; zero gaps excluded; shares partition") {
+    import spark.implicits._
+    val t0 = java.time.LocalDateTime.of(2024, 4, 1, 0, 0)
+    val rows = Seq(
+      (1L, t0, 1L, "a", 0.0, "{}"),
+      (2L, t0.plusNanos(1000), 1L, "a", 0.0, "{}"),      // gap 1us  -> b0
+      (3L, t0.plusNanos(3000), 1L, "a", 0.0, "{}"),      // gap 2us  -> b1
+      (4L, t0.plusNanos(3000), 1L, "a", 0.0, "{}"),      // gap 0 -> dropped
+      (5L, t0.plusSeconds(1), 1L, "b", 0.0, "{}"),
+      (6L, t0.plusSeconds(2), 1L, "b", 0.0, "{}"))       // gap 1s -> b19
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("gap").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsQueries.gapSpectrum(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(4)))
+      .toMap
+    assert(out(("a", 0L)) == ((1L, Fp / 2)))
+    assert(out(("a", 1L)) == ((1L, Fp / 2)))
+    assert(out(("b", 19L)) == ((1L, Fp)), "10^6 us has bit length 20")
+    assert(out.size == 3, "the zero gap produced no bucket")
+  }
+
+  test("q180: orthogonal and identical hand centroids") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cent").toString
+    // label 0: e1; label 1: e2 (orthogonal); label 2: e1 scaled (parallel)
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(0.5f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    rows.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = AnalyticsQueries.labelCentroidMatrix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(out((0L, 1L)) == 0L, "orthogonal labels -> cos2 0")
+    assert(out((0L, 2L)) == Fp, "parallel labels -> cos2 2^20")
+    assert(out((1L, 2L)) == 0L)
+  }
+}
