@@ -203,6 +203,12 @@ object SparkEntry {
     "q184_stickiness" -> (AnalyticsQueries.stickiness _),
     "q185_source_gini" -> (AnalyticsQueries.sourceGini _),
     "q186_gap_spectrum" -> (AnalyticsQueries.gapSpectrum _),
+    "q187_rfm_segments" -> (AnalyticsQueries.rfmSegments _),
+    "q188_session_trigrams" -> (AnalyticsQueries.sessionTrigrams _),
+    "q189_supplier_hhi" -> (AnalyticsQueries.supplierHhi _),
+    "q190_ship_latency" -> (AnalyticsQueries.shipLatencyQuartiles _),
+    "q191_hourweek_entropy" -> (AnalyticsQueries.hourOfWeekEntropy _),
+    "q192_benford" -> (AnalyticsQueries.benfordAudit _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -644,5 +650,11 @@ object SparkEntry {
     "q184_stickiness" -> AnalyticsQueries.stickinessOracle,
     "q185_source_gini" -> AnalyticsQueries.sourceGiniOracle,
     "q186_gap_spectrum" -> AnalyticsQueries.gapSpectrumOracle,
+    "q187_rfm_segments" -> AnalyticsQueries.rfmSegmentsOracle,
+    "q188_session_trigrams" -> AnalyticsQueries.sessionTrigramsOracle,
+    "q189_supplier_hhi" -> AnalyticsQueries.supplierHhiOracle,
+    "q190_ship_latency" -> AnalyticsQueries.shipLatencyQuartilesOracle,
+    "q191_hourweek_entropy" -> AnalyticsQueries.hourOfWeekEntropyOracle,
+    "q192_benford" -> AnalyticsQueries.benfordAuditOracle,
   )
 }

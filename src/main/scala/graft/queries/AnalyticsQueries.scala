@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.datapipe.Sessionize
 import graft.util.Tables
 
 /** Round-14 extension family: dataset-analytics operators a curation
@@ -277,17 +278,39 @@ object AnalyticsQueries {
     * count/rank — the q45/q170 partitioning reused. Channel rollup is
     * a 3-row aggregate. */
   def attribution(s: SparkSession, d: String): DataFrame = {
-    val lookbackUs = 7L * 86400000000L
     val ev = Tables.events(s, d)
-    val p = ev.filter(col("event_type") === "purchase")
+    attributionCore(purchasesOf(ev), touchesOf(ev))
+      .orderBy(col("channel"))
+  }
+
+  /** The purchase / touch projections of an events relation — shared
+    * by the batch face and [[graft.streaming.StreamingPipeline]]'s
+    * incremental attribution (so both faces split on the SAME
+    * predicates by construction). */
+  private[graft] def purchasesOf(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id"),
         col("ts").as("p_ts"))
-    val t = ev.filter(col("event_type").isin("view", "click"))
+
+  private[graft] def touchesOf(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type").isin("view", "click"))
       .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
         col("event_type").as("channel"), col("ts").as("t_ts"))
+
+  /** q179's lookback window. */
+  private[graft] val AttributionLookbackUs = 7L * 86400000000L
+
+  /** The attribution chain on explicit purchase/touch relations —
+    * UNordered per-channel rollup (callers order or re-aggregate).
+    * Because each purchase's window count/rank/credit depend only on
+    * ITS OWN touch set, running this per purchase-batch against the
+    * full touch history and summing the per-channel partials is
+    * bit-identical to the one-shot run — the property the streaming
+    * face's spec pins. */
+  private[graft] def attributionCore(p: DataFrame, t: DataFrame): DataFrame = {
     val j = p.join(t,
       col("user_id") === col("t_user") && col("t_ts") < col("p_ts") &&
-        expr(s"timestampdiff(MICROSECOND, t_ts, p_ts) <= ${lookbackUs}L"),
+        expr(s"timestampdiff(MICROSECOND, t_ts, p_ts) <= ${AttributionLookbackUs}L"),
       "left")
     val byP = Window.partitionBy(col("p_id"))
     val w = j
@@ -305,7 +328,6 @@ object AnalyticsQueries {
       .agg(count(col("t_id")).as("n_touches"),
         countDistinct(col("p_id")).as("n_purchases"),
         sum(col("credit")).as("credit_fp"))
-      .orderBy(col("channel"))
   }
 
   def attributionOracle: String =
@@ -759,6 +781,386 @@ object AnalyticsQueries {
        |  (n * $Fp) // CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
        |    AS share_fp
        |FROM counts ORDER BY event_type, bucket""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q187 ──
+
+  /** RFM segmentation (q187, Hughes' classic direct-marketing model):
+    * per user, Recency (days since last event vs the corpus max ts,
+    * microsecond-exact), Frequency (event count) and Monetary
+    * (purchase value in exact cents, the q85 round(·100) convention),
+    * each scored 1–5 against the population's ceil-rank quintile
+    * thresholds, plus the concatenated segment code ("555" = best).
+    *
+    * Scoring is THRESHOLD-based, not rank-based, so it needs no
+    * global sort of the user relation: the 4 quintile cut values per
+    * metric come from [[graft.datapipe.Quantiles.kthSmallestBatch]]'s
+    * radix selection (8 histogram passes, 256·Q counts of driver
+    * state — the q85 machinery), and scoring is a codegen'd
+    * comparison against 12 driver constants. Ties share a score by
+    * construction. F and M score ascending (more = better); R scores
+    * by `v ≤ t_k` so the most RECENT user gets 5. */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val mx = ev.agg(max(col("ts")).as("mx"))
+    val base = ev.crossJoin(broadcast(mx))
+      .groupBy(col("user_id"))
+      .agg(
+        expr("min(timestampdiff(MICROSECOND, ts, mx)) div 86400000000")
+          .as("r_days"),
+        count(lit(1)).as("f"),
+        sum(when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(lit(0L)))
+          .as("m_cents"))
+      .localCheckpoint(true) // 3 radix walks + the final scoring read it
+    val n = base.count()
+    val ranks = (1L to 4L).map(k => (n * k + 4) / 5)
+    def cuts(colName: String): Seq[Long] = {
+      val m = graft.datapipe.Quantiles.kthSmallestBatch(base, colName, ranks)
+      ranks.map(m)
+    }
+    val (rc, fc, mc) = (cuts("r_days"), cuts("f"), cuts("m_cents"))
+    def scoreGe(c: String, ts: Seq[Long]) =
+      ts.map(t => when(col(c) >= t, 1L).otherwise(0L)).reduce(_ + _) + 1L
+    def scoreLe(c: String, ts: Seq[Long]) =
+      ts.map(t => when(col(c) <= t, 1L).otherwise(0L)).reduce(_ + _) + 1L
+    base.select(col("user_id"), col("r_days"), col("f"), col("m_cents"),
+        scoreLe("r_days", rc).as("r_score"),
+        scoreGe("f", fc).as("f_score"),
+        scoreGe("m_cents", mc).as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
+      .orderBy(col("user_id"))
+  }
+
+  def rfmSegmentsOracle: String = {
+    val rankedCuts = Seq("r" -> "r_days", "f" -> "f", "m" -> "m_cents")
+      .map { case (metric, c) =>
+        s"""  SELECT '$metric' AS metric, k.k,
+           |    (SELECT v FROM rk_$metric WHERE rn =
+           |      (SELECT (n * k.k + 4) // 5 FROM nn)) AS t
+           |  FROM (VALUES (1), (2), (3), (4)) k(k)""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+    val rankedRels = Seq("r" -> "r_days", "f" -> "f", "m" -> "m_cents")
+      .map { case (metric, c) =>
+        s"""rk_$metric AS MATERIALIZED (
+           |  SELECT $c AS v, row_number() OVER (ORDER BY $c) AS rn FROM base
+           |)""".stripMargin
+      }.mkString(", ")
+    s"""WITH mx AS (SELECT max(ts) AS mx FROM events),
+       |base AS MATERIALIZED (
+       |  SELECT user_id,
+       |    min(date_diff('microsecond', ts, mx.mx)) // 86400000000 AS r_days,
+       |    CAST(count(*) AS BIGINT) AS f,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |      AS m_cents
+       |  FROM events, mx GROUP BY user_id
+       |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+       |$rankedRels,
+       |cuts AS MATERIALIZED (
+       |$rankedCuts
+       |)
+       |SELECT user_id, r_days, f, m_cents, r_score, f_score, m_score,
+       |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+       |    || CAST(m_score AS VARCHAR) AS segment
+       |FROM (
+       |  SELECT b.user_id, b.r_days, b.f, b.m_cents,
+       |    1 + (SELECT CAST(count(*) AS BIGINT) FROM cuts
+       |         WHERE metric = 'r' AND b.r_days <= t) AS r_score,
+       |    1 + (SELECT CAST(count(*) AS BIGINT) FROM cuts
+       |         WHERE metric = 'f' AND b.f >= t) AS f_score,
+       |    1 + (SELECT CAST(count(*) AS BIGINT) FROM cuts
+       |         WHERE metric = 'm' AND b.m_cents >= t) AS m_score
+       |  FROM base b
+       |) ORDER BY user_id""".stripMargin
+  }
+
+  // ───────────────────────────────────────────────────────── q188 ──
+
+  /** Session path trigrams (q188): every CONTIGUOUS three-step
+    * event-type path inside a q45 session (gap 1800 s), with counts
+    * and the share ×2²⁰ of all trigrams starting at the same type —
+    * the next-two-steps table that q170's bigram matrix can't give
+    * (a Markov-1 model predicts the famous view→click→purchase and
+    * view→click→error identically; the trigram table separates
+    * them).
+    *
+    * Shape at scale: the two leads ride the sessionizer's own
+    * (user, session) partitioning — no extra shuffle; counts are
+    * map-side combined to the ≤ |types|³ relation and the share
+    * window runs there. */
+  def sessionTrigrams(s: SparkSession, d: String): DataFrame = {
+    val ev = Sessionize.sessionize(Tables.events(s, d), "user_id", "ts",
+      "event_id", gapSeconds = 1800L)
+    val w = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tri = ev
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+    val w1 = Window.partitionBy(col("t1"))
+    tri.withColumn("t1_total", sum(col("n")).over(w1))
+      .withColumn("share_fp", expr(s"(n * $Fp) div t1_total"))
+      .orderBy(col("t1"), col("t2"), col("t3"))
+  }
+
+  def sessionTrigramsOracle: String =
+    s"""WITH se AS MATERIALIZED (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      AS session_id
+       |  FROM (
+       |    SELECT user_id, ts, event_id, event_type,
+       |      CASE WHEN lag(ts) OVER w IS NULL
+       |        OR date_diff('second', lag(ts) OVER w, ts) > 1800
+       |        THEN 1 ELSE 0 END AS is_new
+       |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |  )
+       |), tri AS (
+       |  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT event_type AS t1,
+       |      lead(event_type, 1) OVER w2 AS t2,
+       |      lead(event_type, 2) OVER w2 AS t3
+       |    FROM se WINDOW w2 AS (PARTITION BY user_id, session_id
+       |      ORDER BY ts, event_id)
+       |  ) WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT t1, t2, t3, n,
+       |  CAST(SUM(n) OVER (PARTITION BY t1) AS BIGINT) AS t1_total,
+       |  (n * $Fp) // CAST(SUM(n) OVER (PARTITION BY t1) AS BIGINT)
+       |    AS share_fp
+       |FROM tri ORDER BY t1, t2, t3""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q189 ──
+
+  /** Supplier concentration per part (q189): the Herfindahl–Hirschman
+    * index of each part's quantity share across suppliers, ×2²⁰ —
+    * the supply-chain-risk card (HHI = 2²⁰ means single-sourced; low
+    * means diversified). Exact: TPC-H quantities are integral
+    * doubles, cast to BIGINT losslessly;
+    * hhi_fp = (Σ qtyᵢ²)·2²⁰ div (Σ qty)², all integer. The per-part
+    * total < 2²¹ headroom bound is ENFORCED (beyond it, rescale
+    * quantities by a power of two upstream — HHI is scale-invariant
+    * up to truncation).
+    *
+    * Shape at scale: one map-side-combined (part, supplier) sum, one
+    * (part) rollup. No windows, no joins. */
+  def supplierHhi(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("q")).as("qty"))
+    val agg = ps.groupBy(col("l_partkey").as("partkey"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("qty")).as("total"),
+        sum(col("qty") * col("qty")).as("sq"))
+      .localCheckpoint(true)
+    val mt = agg.agg(max(col("total"))).head().getLong(0)
+    require(mt < (1L << 21),
+      s"supplierHhi headroom: max per-part quantity $mt >= 2^21 would " +
+        "overflow sq*fp - rescale quantities upstream")
+    agg.select(col("partkey"), col("n_suppliers"), col("total"),
+        expr(s"(sq * $Fp) div (total * total)").as("hhi_fp"))
+      .orderBy(col("partkey"))
+  }
+
+  def supplierHhiOracle: String =
+    s"""WITH ps AS MATERIALIZED (
+       |  SELECT l_partkey, l_suppkey,
+       |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+       |  FROM lineitem GROUP BY 1, 2
+       |)
+       |SELECT l_partkey AS partkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+       |  CAST(SUM(qty) AS BIGINT) AS total,
+       |  (CAST(SUM(qty * qty) AS BIGINT) * $Fp)
+       |    // (CAST(SUM(qty) AS BIGINT) * CAST(SUM(qty) AS BIGINT)) AS hhi_fp
+       |FROM ps GROUP BY 1 ORDER BY partkey""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q190 ──
+
+  /** Ship-latency quartiles per order priority (q190): exact
+    * ceil-rank p25/p50/p75 of whole-day order→ship latency — the SLA
+    * card ("does URGENT actually ship faster?"). Latency is
+    * microsecond-exact integer days; quartiles reuse the q183
+    * convention (k = ⌈q·n⌉, value = smallest latency whose cumulative
+    * count reaches k).
+    *
+    * Shape at scale: the orders⋈lineitem join is the 100 TB part
+    * (key-projected both sides); everything after runs on the
+    * (priority × distinct latency) aggregate relation. */
+  def shipLatencyQuartiles(s: SparkSession, d: String): DataFrame = {
+    val lat = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        expr("timestampdiff(MICROSECOND, o_orderdate, l_shipdate)" +
+          " div 86400000000").as("lat"))
+      .groupBy(col("priority"), col("lat")).agg(count(lit(1)).as("c"))
+    val byP = Window.partitionBy(col("priority"))
+    val cum = lat
+      .withColumn("cum", sum(col("c")).over(byP.orderBy(col("lat"))))
+      .withColumn("n", sum(col("c")).over(byP))
+    Seq("p25" -> 1L, "p50" -> 2L, "p75" -> 3L).map { case (qn, num) =>
+      cum.withColumn("k", expr(s"(n * $num + 3) div 4"))
+        .filter(col("cum") >= col("k"))
+        .withColumn("rn", row_number().over(byP.orderBy(col("lat"))))
+        .filter(col("rn") === 1)
+        .select(col("priority"), lit(qn).as("q"), col("k"),
+          col("lat").as("latency_days"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("priority"), col("q"))
+  }
+
+  def shipLatencyQuartilesOracle: String =
+    s"""WITH lat AS MATERIALIZED (
+       |  SELECT o_orderpriority AS priority,
+       |    date_diff('microsecond', o_orderdate, l_shipdate)
+       |      // 86400000000 AS lat,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2
+       |), cum AS MATERIALIZED (
+       |  SELECT priority, lat, c,
+       |    SUM(c) OVER (PARTITION BY priority ORDER BY lat
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(c) OVER (PARTITION BY priority) AS n
+       |  FROM lat
+       |), pick AS (
+       |  SELECT priority, q, (n * num + 3) // 4 AS k, lat,
+       |    row_number() OVER (PARTITION BY priority, q ORDER BY lat) AS rn
+       |  FROM cum
+       |  CROSS JOIN (VALUES ('p25', 1), ('p50', 2), ('p75', 3)) AS qq(q, num)
+       |  WHERE cum >= (n * num + 3) // 4
+       |)
+       |SELECT priority, q, CAST(k AS BIGINT) AS k, lat AS latency_days
+       |FROM pick WHERE rn = 1 ORDER BY priority, q""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q191 ──
+
+  /** Hour-of-week traffic entropy (q191): per event type, the exact
+    * Q16 Shannon entropy of its hour-of-week histogram plus the peak
+    * hour's share ×2²⁰ — the bot-vs-organic periodicity card (a
+    * cron-driven feed concentrates mass in a few of the 168 slots →
+    * low entropy, high peak share; organic traffic spreads). Entropy
+    * uses the HOUSE fixed-point log ([[graft.functions.Expressions.log2_fixed]],
+    * Q16; oracle = the same square-and-shift chain via
+    * [[FixedLogSql]]):
+    *
+    *   H_q16 = (Σᵢ nᵢ·(lg N − lg nᵢ)) div N
+    *
+    * — all integers, and the log chain prices at the DISTINCT-count
+    * relation, never row data. Hour-of-week is epoch-hour mod 168
+    * (alignment constant across engines by construction). */
+  def hourOfWeekEntropy(s: SparkSession, d: String): DataFrame = {
+    val hist = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("(timestampdiff(MICROSECOND," +
+          " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)" +
+          " div 3600000000) % 168").as("how"))
+      .groupBy(col("event_type"), col("how")).agg(count(lit(1)).as("n"))
+    def lg(c: org.apache.spark.sql.Column) =
+      graft.functions.Expressions.log2_fixed(c, 16)
+    val byType = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("total", sum(col("n")).over(byType))
+      .withColumn("term", col("n") * (lg(col("total")) - lg(col("n"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_slots"), max(col("total")).as("total"),
+        expr(s"(max(n) * $Fp) div max(total)").as("peak_share_fp"),
+        expr("sum(term) div max(total)").as("entropy_q16"))
+      .orderBy(col("event_type"))
+  }
+
+  def hourOfWeekEntropyOracle: String =
+    s"""WITH hist AS MATERIALIZED (
+       |  SELECT event_type,
+       |    (date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+       |      // 3600000000) % 168 AS how,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2
+       |), tot AS MATERIALIZED (
+       |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+       |  FROM hist GROUP BY 1
+       |), lv AS (
+       |  SELECT DISTINCT n AS v FROM hist
+       |  UNION SELECT DISTINCT total FROM tot
+       |), ${FixedLogSql.logCtes(16)}
+       |SELECT h.event_type, CAST(count(*) AS BIGINT) AS n_slots,
+       |  t.total,
+       |  (max(h.n) * $Fp) // t.total AS peak_share_fp,
+       |  CAST(SUM(h.n * (lt.lg - ln.lg)) AS BIGINT) // t.total AS entropy_q16
+       |FROM hist h
+       |JOIN tot t ON t.event_type = h.event_type
+       |JOIN llog ln ON ln.v = h.n
+       |JOIN llog lt ON lt.v = t.total
+       |GROUP BY h.event_type, t.total
+       |ORDER BY h.event_type""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q192 ──
+
+  /** Benford's-law constants: floor(log10(1 + 1/d)·2²⁰ + 0.5),
+    * computed ONCE here and embedded as literals in both engines —
+    * the constants are part of the operator's contract, not
+    * runtime float math. */
+  private[queries] val BenfordFp: Seq[(Int, Long)] = (1 to 9).map { dg =>
+    dg -> math.floor(math.log10(1.0 + 1.0 / dg) * Fp + 0.5).toLong
+  }
+
+  /** Benford first-digit audit (q192): the distribution of leading
+    * digits of order totals (exact cents) against Benford's law —
+    * the classic fraud / synthetic-data screen (TPC-H prices are
+    * uniform-ish, so they FAIL Benford loudly; organic financial
+    * data passes). The first digit comes from the BIGINT's decimal
+    * string — no float log anywhere near the hash — and the Benford
+    * reference shares are fixed ×2²⁰ literals in both engines.
+    * Emits per digit: count, observed share, expected share, and
+    * |deviation|. */
+  def benfordAudit(s: SparkSession, d: String): DataFrame = {
+    val digits = Tables.orders(s, d)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0)
+      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val bref = s.createDataFrame(BenfordFp.map(x => (x._1.toLong, x._2)))
+      .toDF("digit", "benford_fp")
+    val w = Window.partitionBy()
+    digits.join(broadcast(bref), Seq("digit"))
+      .withColumn("total", sum(col("n")).over(w))
+      .withColumn("share_fp", expr(s"(n * $Fp) div total"))
+      .withColumn("dev_fp", abs(col("share_fp") - col("benford_fp")))
+      .select(col("digit"), col("n"), col("total"), col("share_fp"),
+        col("benford_fp"), col("dev_fp"))
+      .orderBy(col("digit"))
+  }
+
+  def benfordAuditOracle: String = {
+    val refRows = BenfordFp
+      .map { case (dg, b) => s"($dg, ${b})" }.mkString(", ")
+    s"""WITH digits AS MATERIALIZED (
+       |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |        FROM orders)
+       |  WHERE cents > 0 GROUP BY 1
+       |), bref(digit, benford_fp) AS (VALUES $refRows),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM digits)
+       |SELECT d.digit, d.n, tot.total,
+       |  (d.n * $Fp) // tot.total AS share_fp,
+       |  CAST(b.benford_fp AS BIGINT) AS benford_fp,
+       |  abs((d.n * $Fp) // tot.total - b.benford_fp) AS dev_fp
+       |FROM digits d
+       |JOIN bref b ON b.digit = d.digit
+       |CROSS JOIN tot
+       |ORDER BY d.digit""".stripMargin
+  }
 
   def labelCentroidMatrixOracle: String = {
     val qf = graft.datapipe.Embeddings.Fp

@@ -1540,4 +1540,126 @@ object StreamingPipeline {
         col("ts") <= col("rts"),
       "inner").drop("__rkey")
   }
+
+  /** STREAMING multi-touch attribution (the q179 chain as a state
+    * machine): per micro-batch of raw events, attribute the batch's
+    * PURCHASES against the committed touch history ∪ the batch's own
+    * touches through the SAME factored
+    * [[graft.queries.AnalyticsQueries.attributionCore]] the batch
+    * query runs, and persist two batch-sized relations — the batch's
+    * touches under `touch/batch_id=N` and its per-channel credit
+    * partial under `credit/batch_id=N` (both pure functions of the
+    * batch + committed state, so crash-replay overwrites identical
+    * bytes) — then flip `_COMMITTED`.
+    *
+    * Why partials sum exactly: a purchase's window count, rank and
+    * credit depend ONLY on its own touch set, and each purchase is
+    * attributed exactly once (in its arrival batch), so the
+    * per-channel sums over committed credit partials are bit-equal to
+    * the one-shot q179 rollup — the hash-grade invariant
+    * `AttributionStreamSpec` pins by streaming a whole corpus from an
+    * empty init.
+    *
+    * CONTRACT: batches are event-time ordered (a purchase never
+    * arrives before a touch it should credit). Under that contract
+    * the touch store is append-only, and compaction (every
+    * `compactEvery` batches) both bounds the file count and PRUNES
+    * touches older than `lookback` behind the newest committed touch
+    * — no future purchase can credit them, so per-batch join work
+    * stays ∝ batch × the bounded in-window touch history, and state
+    * size is ∝ the lookback window, not the stream's lifetime. */
+  def attributionStream(events: DataFrame, stateDir: String,
+      compactEvery: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyAttributionBatch(batch, batchId, stateDir, compactEvery)
+    }
+
+  private[streaming] def applyAttributionBatch(batch: DataFrame,
+      batchId: Long, stateDir: String, compactEvery: Int = 8): Unit = {
+    import graft.queries.AnalyticsQueries
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(root, "_COMMITTED")
+    if (readMarker(fs, marker).exists(_ >= batchId)) return
+    val committed = readMarker(fs, marker).getOrElse(-1L)
+    val batchTouches = AnalyticsQueries.touchesOf(batch)
+      .localCheckpoint(true) // consumed twice: attribution + delta write
+    val touchView = touchStoreView(spark, fs, stateDir, committed)
+      .unionByName(batchTouches)
+    val credit = AnalyticsQueries
+      .attributionCore(AnalyticsQueries.purchasesOf(batch), touchView)
+    batchTouches.write.mode("overwrite")
+      .parquet(s"$stateDir/touch/batch_id=$batchId")
+    credit.write.mode("overwrite")
+      .parquet(s"$stateDir/credit/batch_id=$batchId")
+    advanceMarker(fs, marker, batchId)
+    // compaction: fold touch deltas into a pruned base (file-count
+    // bound + lookback-horizon retention)
+    val baseRoot = new org.apache.hadoop.fs.Path(root, "touch_base")
+    val baseId = currentSnapshotPath(fs, baseRoot)
+      .map(_.getName.drop(1).toLong)
+    if (baseId.forall(b => batchId - b >= compactEvery)) {
+      val full = touchStoreView(spark, fs, stateDir, batchId)
+        .localCheckpoint(true)
+      val pruned = full
+        .crossJoin(broadcast(full.agg(max(col("t_ts")).as("mx"))))
+        .filter(col("mx").isNull ||
+          expr("timestampdiff(MICROSECOND, t_ts, mx)" +
+            s" <= ${AnalyticsQueries.AttributionLookbackUs}L"))
+        .drop("mx")
+      graft.ops.Compaction.writeCompacted(pruned,
+        new org.apache.hadoop.fs.Path(baseRoot, s"v$batchId").toString,
+        targetRows = 1L << 22)
+      commitSnapshot(fs, baseRoot, batchId)
+      deleteDeltasUpTo(fs, new org.apache.hadoop.fs.Path(root, "touch"),
+        batchId)
+    }
+  }
+
+  /** Committed touch history: compacted base ∪ gated deltas (the
+    * census-store read shape). */
+  private def touchStoreView(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
+      committed: Long): DataFrame = {
+    val base = currentSnapshotPath(fs,
+      new org.apache.hadoop.fs.Path(stateDir, "touch_base"))
+    val baseId = base.map(_.getName.drop(1).toLong).getOrElse(-1L)
+    val deltaRoot = new org.apache.hadoop.fs.Path(stateDir, "touch")
+    val parts =
+      base.map(p => spark.read.parquet(p.toString)).toSeq ++
+      (if (fs.exists(deltaRoot) && fs.listStatus(deltaRoot).nonEmpty)
+        Seq(spark.read.option("basePath", deltaRoot.toString)
+          .parquet(deltaRoot.toString)
+          .filter(col("batch_id") > baseId && col("batch_id") <= committed)
+          .select(col("t_user"), col("t_id"), col("channel"), col("t_ts")))
+      else Nil)
+    parts.reduceOption(_ unionByName _).getOrElse {
+      import spark.implicits._
+      Seq.empty[(Long, Long, String, java.time.LocalDateTime)]
+        .toDF("t_user", "t_id", "channel", "t_ts")
+    }
+  }
+
+  /** Live per-channel attribution totals over everything ingested —
+    * bit-equal to the one-shot q179 rollup on the same events (the
+    * credit partials sum exactly; see [[applyAttributionBatch]]).
+    * None until the first batch commits. */
+  def attributionSnapshot(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    readMarker(fs, new org.apache.hadoop.fs.Path(root, "_COMMITTED"))
+      .map { f =>
+        spark.read.option("basePath", s"$stateDir/credit")
+          .parquet(s"$stateDir/credit")
+          .filter(col("batch_id") <= f)
+          .groupBy(col("channel"))
+          .agg(sum(col("n_touches")).as("n_touches"),
+            sum(col("n_purchases")).as("n_purchases"),
+            sum(col("credit_fp")).as("credit_fp"))
+          .orderBy(col("channel"))
+      }
+  }
 }

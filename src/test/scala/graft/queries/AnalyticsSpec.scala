@@ -293,6 +293,101 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.size == 3, "the zero gap produced no bucket")
   }
 
+  test("q187: scores are monotone in their metric and ties share scores") {
+    val out = AnalyticsQueries.rfmSegments(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, _, rs, fs, ms, seg) =>
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+      assert(seg == s"$rs$fs$ms")
+    }
+    // monotone: lower recency-days never scores lower; ties tie
+    val byR = out.sortBy(_._1)
+    byR.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 >= b._4, "r_score must be non-increasing in r_days")
+      if (a._1 == b._1) assert(a._4 == b._4, "equal r_days -> equal score")
+    }
+    val byF = out.sortBy(_._2)
+    byF.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 <= b._5)
+      if (a._2 == b._2) assert(a._5 == b._5)
+    }
+    val byM = out.sortBy(_._3)
+    byM.sliding(2).foreach { case Array(a, b) =>
+      assert(a._6 <= b._6)
+      if (a._3 == b._3) assert(a._6 == b._6)
+    }
+  }
+
+  test("q188: trigrams never cross a session boundary") {
+    import spark.implicits._
+    val t0 = java.time.LocalDateTime.of(2024, 7, 1, 0, 0)
+    val rows = Seq(
+      (1L, t0, 1L, "a", 0.0, "{}"),
+      (2L, t0.plusSeconds(10), 1L, "b", 0.0, "{}"),
+      (3L, t0.plusSeconds(20), 1L, "c", 0.0, "{}"),
+      (4L, t0.plusSeconds(30), 1L, "d", 0.0, "{}"),
+      // > 1800s gap: new session; the (c,d,e)/(d,e,f) trigrams must NOT appear
+      (5L, t0.plusSeconds(3000), 1L, "e", 0.0, "{}"),
+      (6L, t0.plusSeconds(3010), 1L, "f", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("tri").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsQueries.sessionTrigrams(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSet == Set(("a", "b", "c", 1L), ("b", "c", "d", 1L)),
+      "only the first session has length >= 3")
+  }
+
+  test("q189: single-sourced part scores exactly 2^20; equal split halves") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hhi").toString
+    Seq((1L, 100L, 10.0), (1L, 100L, 5.0),      // part 1: one supplier
+      (2L, 200L, 7.0), (2L, 201L, 7.0),         // part 2: 50/50
+      (3L, 300L, 9.0), (3L, 301L, 3.0))         // part 3: 3/4 vs 1/4
+      .toDF("l_partkey", "l_suppkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = AnalyticsQueries.supplierHhi(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == ((1L, 15L, Fp)))
+    assert(out(2L) == ((2L, 14L, Fp / 2)))
+    // (81+9)/144 = 5/8
+    assert(out(3L) == ((2L, 12L, 5L * Fp / 8L)))
+  }
+
+  test("q191: uniform slots hit exact log2; a needle scores entropy 0") {
+    import spark.implicits._
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0) // epoch-aligned hour
+    // "uni": 1 event in each of 4 distinct hour-of-week slots -> H = lg(4) = 2.0
+    // "needle": all 5 events in one slot -> H = 0, peak share = Fp
+    val rows =
+      (0 until 4).map(h => (h.toLong, t0.plusHours(h.toLong), 1L, "uni", 0.0, "{}")) ++
+      (0 until 5).map(i => (100L + i, t0.plusMinutes(i.toLong), 1L, "needle", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("how").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsQueries.hourOfWeekEntropy(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out("uni") == ((4L, 4L, Fp / 4, 2L << 16)),
+      "4 equal slots: peak 1/4, entropy exactly 2.0 in Q16")
+    assert(out("needle") == ((1L, 5L, Fp, 0L)))
+  }
+
+  test("q192: Benford constants sum to ~Fp and a known digit set scores") {
+    assert(AnalyticsQueries.BenfordFp.map(_._2).sum == (1L << 20) + 1,
+      "the nine rounded shares telescope to log10(10) = 1 (+1 rounding)")
+    val out = AnalyticsQueries.benfordAudit(spark, sfDir).collect()
+    assert(out.nonEmpty && out.map(_.getLong(1)).sum == out.head.getLong(2),
+      "digit counts partition the positive totals")
+    out.foreach { r =>
+      assert(r.getLong(0) >= 1 && r.getLong(0) <= 9)
+      assert(r.getLong(5) == math.abs(r.getLong(3) - r.getLong(4)))
+    }
+  }
+
   test("q180: orthogonal and identical hand centroids") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cent").toString
