@@ -209,6 +209,11 @@ object SparkEntry {
     "q190_ship_latency" -> (AnalyticsQueries.shipLatencyQuartiles _),
     "q191_hourweek_entropy" -> (AnalyticsQueries.hourOfWeekEntropy _),
     "q192_benford" -> (AnalyticsQueries.benfordAudit _),
+    "q193_cusum" -> (AnalyticsQueries.cusumShift _),
+    "q194_join_estimate" -> (AnalyticsQueries.joinSizeEstimate _),
+    "q195_markov_stationary" -> (AnalyticsQueries.markovStationary _),
+    "q196_cohort_ltv" -> (AnalyticsQueries.cohortLtv _),
+    "q197_session_lengths" -> (AnalyticsQueries.sessionLengthCard _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -656,5 +661,10 @@ object SparkEntry {
     "q190_ship_latency" -> AnalyticsQueries.shipLatencyQuartilesOracle,
     "q191_hourweek_entropy" -> AnalyticsQueries.hourOfWeekEntropyOracle,
     "q192_benford" -> AnalyticsQueries.benfordAuditOracle,
+    "q193_cusum" -> AnalyticsQueries.cusumShiftOracle,
+    "q194_join_estimate" -> AnalyticsQueries.joinSizeEstimateOracle,
+    "q195_markov_stationary" -> AnalyticsQueries.markovStationaryOracle,
+    "q196_cohort_ltv" -> AnalyticsQueries.cohortLtvOracle,
+    "q197_session_lengths" -> AnalyticsQueries.sessionLengthCardOracle,
   )
 }

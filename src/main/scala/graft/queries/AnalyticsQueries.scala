@@ -626,12 +626,21 @@ object AnalyticsQueries {
     * bounded 7-way explode — work ∝ 7·|user-days|, never a
     * self-join of row data. Day arithmetic is integer epoch-days
     * (microsecond-exact), immune to engine date-diff conventions. */
-  def stickiness(s: SparkSession, d: String): DataFrame = {
-    val userDays = Tables.events(s, d)
-      .select(col("user_id"),
+  def stickiness(s: SparkSession, d: String): DataFrame =
+    stickinessCore(userDaysOf(Tables.events(s, d))).orderBy(col("day"))
+
+  /** The distinct (user, epoch-day) projection — shared with the
+    * streaming face so both compute day identity identically. */
+  private[graft] def userDaysOf(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"),
         expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00'," +
           " ts) div 86400000000").as("day"))
       .distinct()
+
+  /** q184's DAU/WAU math on an explicit distinct (user_id, day)
+    * relation — the streaming snapshot runs THIS on its committed
+    * store, so batch ≡ streaming is by construction. */
+  private[graft] def stickinessCore(userDays: DataFrame): DataFrame = {
     val dau = userDays.groupBy(col("day"))
       .agg(count(lit(1)).as("dau"))
     val wau = userDays
@@ -641,7 +650,6 @@ object AnalyticsQueries {
     dau.join(wau, Seq("day"))
       .select(col("day"), col("dau"), col("wau"),
         expr(s"(dau * $Fp) div wau").as("stick_fp"))
-      .orderBy(col("day"))
   }
 
   def stickinessOracle: String =
@@ -1161,6 +1169,413 @@ object AnalyticsQueries {
        |CROSS JOIN tot
        |ORDER BY d.digit""".stripMargin
   }
+
+  // ───────────────────────────────────────────────────────── q193 ──
+
+  /** CUSUM change-point detection (q193, Page 1954) over per-type
+    * hourly volumes: the sequential drift detector that fires on a
+    * SUSTAINED level shift q173's point-anomaly MAD score sleeps
+    * through (ten hours at median+2·MAD never cross a 4-MAD point
+    * gate, but their cumulative sum climbs). Entirely
+    * window-expressible — the classical recursion
+    * s_i = max(0, s_{i-1} + dev_i) has the closed form
+    *
+    *   s_i = P_i − min(0, min_{j≤i} P_j),   P_i = Σ_{j≤i} dev_j
+    *
+    * so one cumulative sum + one running min per type compute it
+    * exactly (no recursion, no UDF). dev = n − median, alarm at
+    * s ≥ 8·max(MAD, 1) — null level and scale are the q173
+    * medians, so the two detectors share a yardstick. Gaps in the
+    * hour grid are absent-not-zero (the monitor scores observed
+    * traffic; densification is an upstream choice).
+    *
+    * Shape at scale: every window is keyed by event_type and runs on
+    * the (type × hour) aggregate relation. */
+  def cusumShift(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type"))
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = byType.orderBy(col(v), col("hour"))
+      df.withColumn("__rn", row_number().over(w))
+        .withColumn("__cnt", count(lit(1)).over(byType))
+        .withColumn(out,
+          max(when(expr("__rn = (__cnt + 1) div 2"), col(v))).over(byType))
+        .drop("__rn", "__cnt")
+    }
+    val withMed = lowerMedian(hourly, "n", "med")
+      .withColumn("dev", abs(col("n") - col("med")))
+    val withMad = lowerMedian(withMed, "dev", "mad")
+    val ordered = byType.orderBy(col("hour"))
+    withMad
+      .withColumn("p", sum(col("n") - col("med")).over(ordered))
+      .withColumn("runmin", least(lit(0L), min(col("p")).over(ordered)))
+      .withColumn("s", col("p") - col("runmin"))
+      .withColumn("alarm", col("s") >= lit(8L) * greatest(col("mad"), lit(1L)))
+      .select(col("event_type"), col("hour"), col("n"), col("med"),
+        col("mad"), col("s").as("cusum"), col("alarm"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  def cusumShiftOracle: String =
+    s"""WITH hourly AS MATERIALIZED (
+       |  SELECT event_type, date_trunc('hour', ts) AS hour,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2
+       |), med AS MATERIALIZED (
+       |  SELECT *, max(CASE WHEN rn = (cnt + 1) // 2 THEN n END)
+       |      OVER (PARTITION BY event_type) AS med
+       |  FROM (
+       |    SELECT *,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY n, hour) AS rn,
+       |      count(*) OVER (PARTITION BY event_type) AS cnt
+       |    FROM hourly
+       |  )
+       |), mad AS MATERIALIZED (
+       |  SELECT *, max(CASE WHEN rn2 = (cnt2 + 1) // 2 THEN dev END)
+       |      OVER (PARTITION BY event_type) AS mad
+       |  FROM (
+       |    SELECT *, abs(n - med) AS dev,
+       |      row_number() OVER (PARTITION BY event_type
+       |        ORDER BY abs(n - med), hour) AS rn2,
+       |      count(*) OVER (PARTITION BY event_type) AS cnt2
+       |    FROM med
+       |  )
+       |), cus1 AS MATERIALIZED (
+       |  SELECT event_type, hour, n, med, mad,
+       |    SUM(n - med) OVER (PARTITION BY event_type ORDER BY hour
+       |      ROWS UNBOUNDED PRECEDING) AS p
+       |  FROM mad
+       |), cus AS (
+       |  SELECT *, LEAST(0, MIN(p) OVER (PARTITION BY event_type
+       |    ORDER BY hour ROWS UNBOUNDED PRECEDING)) AS runmin
+       |  FROM cus1
+       |)
+       |SELECT event_type, hour, n, med, mad,
+       |  CAST(p - runmin AS BIGINT) AS cusum,
+       |  p - runmin >= 8 * greatest(mad, 1) AS alarm
+       |FROM cus ORDER BY event_type, hour""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q194 ──
+
+  /** q194 CMS geometry (width deliberately small so the estimate has
+    * visible-but-bounded collision error at bench scale). */
+  private val JoinCmsDepth = 4
+  private val JoinCmsWidth = 256
+
+  /** Sketch-based join-size estimation (q194): |A ⋈_user B| for the
+    * even/odd event split, estimated by the Count-Min inner product
+    * (Cormode & Muthukrishnan '05: Σ_b cmsA[j][b]·cmsB[j][b],
+    * minimized over depth rows — an upper bound that collisions only
+    * inflate) next to the EXACT join size — the optimizer-diagnostics
+    * card pattern (q158/q167): report the estimate AND its measured
+    * truth so the consumer can calibrate before trusting the sketch
+    * at 100 TB, where the exact join is the thing being avoided.
+    * Buckets are the house md5 convention; everything is integer.
+    * Emits one row per depth row plus the 'min'/'exact' summary rows
+    * (est ≥ exact always — a spec invariant).
+    *
+    * Shape at scale: each side collapses to (depth × width) counts
+    * with map-side combine; the inner product is a join of two
+    * sketch-sized relations. The exact side is one keyed count-join
+    * — priced here for the card, skipped by a real consumer. */
+  def joinSizeEstimate(s: SparkSession, d: String): DataFrame = {
+    val (depth, width) = (JoinCmsDepth, JoinCmsWidth)
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"))
+    def side(even: Boolean) =
+      ev.filter((col("event_id") % 2 === 0) === even)
+        .select(col("user_id").cast("string").as("term"))
+    def sketch(df: DataFrame) =
+      graft.datapipe.Sketches.cmsSketch(df, "term", depth, width)
+    val (a, b) = (side(true), side(false))
+    val prods = sketch(a).as("sa")
+      .join(sketch(b).as("sb"),
+        col("sa.row_idx") === col("sb.row_idx") &&
+          col("sa.bucket") === col("sb.bucket"))
+      .groupBy(col("sa.row_idx").as("j"))
+      .agg(sum(col("sa.cnt") * col("sb.cnt")).as("v"))
+      .localCheckpoint(true)
+    val est = prods.agg(min(col("v"))).head().getLong(0)
+    val exact = a.groupBy(col("term")).agg(count(lit(1)).as("ca"))
+      .join(b.groupBy(col("term")).agg(count(lit(1)).as("cb")), Seq("term"))
+      .agg(sum(col("ca") * col("cb"))).head().getLong(0)
+    import s.implicits._
+    prods.select(concat(lit("row_"), col("j").cast("string")).as("k"), col("v"))
+      .unionByName(Seq(("est_min", est), ("exact", exact)).toDF("k", "v"))
+      .orderBy(col("k"))
+  }
+
+  def joinSizeEstimateOracle: String = {
+    val (depth, width) = (JoinCmsDepth, JoinCmsWidth)
+    s"""WITH a AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS term FROM events
+       |  WHERE event_id % 2 = 0
+       |), b AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS term FROM events
+       |  WHERE event_id % 2 <> 0
+       |), ska AS MATERIALIZED (
+       |  SELECT j, CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term),
+       |      1, 15) AS BIGINT) % $width AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM a, UNNEST(range($depth)) r(j) GROUP BY 1, 2
+       |), skb AS MATERIALIZED (
+       |  SELECT j, CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || term),
+       |      1, 15) AS BIGINT) % $width AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM b, UNNEST(range($depth)) r(j) GROUP BY 1, 2
+       |), prods AS MATERIALIZED (
+       |  SELECT ska.j, CAST(SUM(ska.cnt * skb.cnt) AS BIGINT) AS v
+       |  FROM ska JOIN skb ON skb.j = ska.j AND skb.bucket = ska.bucket
+       |  GROUP BY 1
+       |), exact AS (
+       |  SELECT CAST(SUM(ca.n * cb.n) AS BIGINT) AS v FROM
+       |    (SELECT term, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY 1) ca
+       |    JOIN (SELECT term, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1) cb
+       |    USING (term)
+       |)
+       |SELECT k, v FROM (
+       |  SELECT 'row_' || CAST(j AS VARCHAR) AS k, v FROM prods
+       |  UNION ALL SELECT 'est_min', CAST(MIN(v) AS BIGINT) FROM prods
+       |  UNION ALL SELECT 'exact', v FROM exact
+       |) ORDER BY k""".stripMargin
+  }
+
+  // ───────────────────────────────────────────────────────── q195 ──
+
+  /** q195 power-iteration count: |λ₂| of a 5-state lazy-ish session
+    * chain is small; 16 steps settle the ×2²⁰ iterate, and exactness
+    * never depends on convergence — the oracle replays all 16
+    * truncating steps. */
+  private val MarkovIters = 16
+
+  /** Markov stationary distribution (q195) of the q170 session
+    * transition chain: the long-run share of time a session walk
+    * spends in each event type — the one-number-per-state summary a
+    * session simulator or synthetic-traffic generator is seeded with,
+    * where q170 gives the raw next-step table. π is computed by 16
+    * exact-integer power-iteration steps in ×2²⁰ fixed point:
+    *
+    *   π'_j = Σ_i (π_i · n_ij) div rowsum_i     (truncating)
+    *
+    * from the uniform start. The transition-count matrix is
+    * MODEL-sized (|types|² — the q137 discipline), so the iteration
+    * runs on the driver in plain Long arithmetic while the single
+    * corpus-scale pass is the q170 count; the oracle replays the
+    * same 16 steps as unrolled CTEs over the mirrored count matrix.
+    * Truncation leaks ≤ |types| units of 2⁻²⁰ mass per step —
+    * deterministic in both engines, so hashes match exactly. */
+  def markovStationary(s: SparkSession, d: String): DataFrame = {
+    val ev = Sessionize.sessionize(Tables.events(s, d), "user_id", "ts",
+      "event_id", gapSeconds = 1800L)
+    val w = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = ev
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("ft"), col("to_type").as("tt"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val states = (counts.keys.map(_._1) ++ counts.keys.map(_._2))
+      .toSeq.distinct.sorted
+    val rowSum = states.map(f =>
+      f -> states.map(t => counts.getOrElse((f, t), 0L)).sum).toMap
+    var pi = states.map(_ => Fp / states.length).toArray
+    for (_ <- 1 to MarkovIters) {
+      val next = Array.fill(states.length)(0L)
+      for (i <- states.indices; j <- states.indices) {
+        val n = counts.getOrElse((states(i), states(j)), 0L)
+        if (n > 0) next(j) += pi(i) * n / rowSum(states(i))
+      }
+      pi = next
+    }
+    s.createDataFrame(states.zip(pi).map { case (st, p) => (st, p) })
+      .toDF("event_type", "pi_fp")
+      .orderBy(col("event_type"))
+  }
+
+  def markovStationaryOracle: String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH se AS MATERIALIZED (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS session_id
+         |  FROM (
+         |    SELECT user_id, ts, event_id, event_type,
+         |      CASE WHEN lag(ts) OVER w IS NULL
+         |        OR date_diff('second', lag(ts) OVER w, ts) > 1800
+         |        THEN 1 ELSE 0 END AS is_new
+         |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |  )
+         |), cnt AS MATERIALIZED (
+         |  SELECT ft, tt, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT event_type AS ft,
+         |      lead(event_type) OVER (PARTITION BY user_id, session_id
+         |        ORDER BY ts, event_id) AS tt
+         |    FROM se
+         |  ) WHERE tt IS NOT NULL GROUP BY 1, 2
+         |), st AS MATERIALIZED (
+         |  SELECT ft AS s FROM cnt UNION SELECT tt FROM cnt
+         |), ns AS (SELECT CAST(count(*) AS BIGINT) AS k FROM st),
+         |rs AS MATERIALIZED (
+         |  SELECT ft, CAST(SUM(n) AS BIGINT) AS rowsum FROM cnt GROUP BY 1
+         |), p0 AS MATERIALIZED (
+         |  SELECT s, CAST($Fp AS BIGINT) // (SELECT k FROM ns) AS pi FROM st
+         |)""".stripMargin
+    for (t <- 1 to MarkovIters) sb ++=
+      s""",
+         | p$t AS MATERIALIZED (
+         |  SELECT st.s, CAST(COALESCE(SUM((p.pi * c.n) // r.rowsum), 0)
+         |    AS BIGINT) AS pi
+         |  FROM st
+         |  LEFT JOIN cnt c ON c.tt = st.s
+         |  LEFT JOIN p${t - 1} p ON p.s = c.ft
+         |  LEFT JOIN rs r ON r.ft = c.ft
+         |  GROUP BY st.s
+         |)""".stripMargin
+    sb ++=
+      s"""
+         |SELECT s AS event_type, pi AS pi_fp FROM p$MarkovIters
+         |ORDER BY event_type""".stripMargin
+    sb.toString
+  }
+
+  // ───────────────────────────────────────────────────────── q196 ──
+
+  /** Cohort LTV curve (q196): users grouped by FIRST-ACTIVITY epoch
+    * week; for each cohort and week-of-life, the cohort's exact
+    * purchase cents that week, the running cumulative, and the
+    * cumulative per cohort member ×2²⁰-free (exact cents per user
+    * would truncate; the card reports cum cents and cohort size, the
+    * division is the consumer's) — the "does week-3 monetization
+    * improve across cohorts" curve next to q152's retention matrix.
+    *
+    * Shape at scale: first-activity is one map-side-combined min per
+    * user; the cohort rollup runs on the (cohort × age) aggregate
+    * relation, where the cumulative window lives. */
+  def cohortLtv(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00'," +
+          " ts) div 604800000000").as("week"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sized = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val weekly = ev.filter(col("event_type") === "purchase")
+      .join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("age_week"))
+      .agg(sum(col("cents")).as("cents"))
+    val byCohort = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("age_week"))
+    weekly
+      .join(sized, Seq("cohort_week"))
+      .withColumn("cum_cents", sum(col("cents")).over(byCohort))
+      .select(col("cohort_week"), col("age_week"), col("cohort_users"),
+        col("cents"), col("cum_cents"))
+      .orderBy(col("cohort_week"), col("age_week"))
+  }
+
+  def cohortLtvOracle: String =
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT user_id, event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+       |      // 604800000000 AS week
+       |  FROM events
+       |), cohort AS MATERIALIZED (
+       |  SELECT user_id, CAST(MIN(week) AS BIGINT) AS cohort_week
+       |  FROM ev GROUP BY 1
+       |), sized AS (
+       |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+       |  FROM cohort GROUP BY 1
+       |), weekly AS (
+       |  SELECT c.cohort_week, e.week - c.cohort_week AS age_week,
+       |    CAST(SUM(e.cents) AS BIGINT) AS cents
+       |  FROM ev e JOIN cohort c ON c.user_id = e.user_id
+       |  WHERE e.event_type = 'purchase' GROUP BY 1, 2
+       |)
+       |SELECT w.cohort_week AS cohort_week, w.age_week, s.cohort_users, w.cents,
+       |  CAST(SUM(w.cents) OVER (PARTITION BY w.cohort_week
+       |    ORDER BY w.age_week ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    AS cum_cents
+       |FROM weekly w JOIN sized s ON s.cohort_week = w.cohort_week
+       |ORDER BY w.cohort_week, age_week""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q197 ──
+
+  /** Session-length card (q197): the distribution of q45 session
+    * lengths — per length: session count, share ×2²⁰ (the len-1 row
+    * IS the bounce rate), and the exact lower-median session duration
+    * in microseconds at that length (the q169 median convention,
+    * (dur, user, session) total order). The card a UX/engagement
+    * review reads first.
+    *
+    * Shape at scale: sessionization is the one row-data window (its
+    * own user keying); everything after runs on the session-level
+    * relation (one row per session), then the length-level one. */
+  def sessionLengthCard(s: SparkSession, d: String): DataFrame = {
+    val se = Sessionize.sessionize(Tables.events(s, d), "user_id", "ts",
+      "event_id", gapSeconds = 1800L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("len"),
+        expr("timestampdiff(MICROSECOND, min(ts), max(ts))").as("dur"))
+    val byLen = Window.partitionBy(col("len"))
+    val withMed = se
+      .withColumn("__rn", row_number().over(
+        byLen.orderBy(col("dur"), col("user_id"), col("session_id"))))
+      .withColumn("__cnt", count(lit(1)).over(byLen))
+      .withColumn("med",
+        max(when(expr("__rn = (__cnt + 1) div 2"), col("dur"))).over(byLen))
+    val card = withMed.groupBy(col("len"))
+      .agg(count(lit(1)).as("n_sessions"), max(col("med")).as("median_dur_us"))
+    val w = Window.partitionBy()
+    card.withColumn("total", sum(col("n_sessions")).over(w))
+      .withColumn("share_fp", expr(s"(n_sessions * $Fp) div total"))
+      .select(col("len"), col("n_sessions"), col("share_fp"),
+        col("median_dur_us"))
+      .orderBy(col("len"))
+  }
+
+  def sessionLengthCardOracle: String =
+    s"""WITH se AS MATERIALIZED (
+       |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS len,
+       |    date_diff('microsecond', min(ts), max(ts)) AS dur
+       |  FROM (
+       |    SELECT user_id, ts, event_id,
+       |      CAST(SUM(is_new) OVER (PARTITION BY user_id
+       |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |        AS session_id
+       |    FROM (
+       |      SELECT user_id, ts, event_id,
+       |        CASE WHEN lag(ts) OVER w IS NULL
+       |          OR date_diff('second', lag(ts) OVER w, ts) > 1800
+       |          THEN 1 ELSE 0 END AS is_new
+       |      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |    )
+       |  ) GROUP BY 1, 2
+       |), med AS MATERIALIZED (
+       |  SELECT len, max(CASE WHEN rn = (cnt + 1) // 2 THEN dur END) AS med
+       |  FROM (
+       |    SELECT len, dur,
+       |      row_number() OVER (PARTITION BY len
+       |        ORDER BY dur, user_id, session_id) AS rn,
+       |      count(*) OVER (PARTITION BY len) AS cnt
+       |    FROM se
+       |  ) GROUP BY len
+       |), card AS (
+       |  SELECT se.len, CAST(count(*) AS BIGINT) AS n_sessions,
+       |    CAST(max(med.med) AS BIGINT) AS median_dur_us
+       |  FROM se JOIN med ON med.len = se.len GROUP BY 1
+       |), tot AS (SELECT CAST(SUM(n_sessions) AS BIGINT) AS total FROM card)
+       |SELECT len, n_sessions,
+       |  (n_sessions * $Fp) // tot.total AS share_fp, median_dur_us
+       |FROM card CROSS JOIN tot ORDER BY len""".stripMargin
 
   def labelCentroidMatrixOracle: String = {
     val qf = graft.datapipe.Embeddings.Fp

@@ -1642,6 +1642,53 @@ object StreamingPipeline {
     }
   }
 
+  /** STREAMING DAU/WAU (the q184 card as a state machine): each
+    * micro-batch writes only its own distinct (user_id, day) rows
+    * under `ud/batch_id=N` (a pure function of the batch —
+    * crash-replay overwrites identical bytes) behind the commit
+    * marker; the snapshot runs the SAME factored
+    * [[graft.queries.AnalyticsQueries.stickinessCore]] over the
+    * committed distinct union, so streaming ≡ batch is by
+    * construction (`AttributionStreamSpec`'s sibling test pins it).
+    * State is the distinct user-day relation — bounded by
+    * users × days, not event volume. */
+  def stickinessStream(events: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyStickinessBatch(batch, batchId, stateDir)
+    }
+
+  private[streaming] def applyStickinessBatch(batch: DataFrame,
+      batchId: Long, stateDir: String): Unit = {
+    import graft.queries.AnalyticsQueries
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(root, "_COMMITTED")
+    if (readMarker(fs, marker).exists(_ >= batchId)) return
+    AnalyticsQueries.userDaysOf(batch)
+      .write.mode("overwrite").parquet(s"$stateDir/ud/batch_id=$batchId")
+    advanceMarker(fs, marker, batchId)
+  }
+
+  /** Live DAU/WAU/stickiness over everything ingested. None until the
+    * first batch commits. The cross-batch `distinct()` re-dedups
+    * user-days seen in several batches — per-day state stays bounded
+    * by active users. */
+  def stickinessSnapshot(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    import graft.queries.AnalyticsQueries
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    readMarker(fs, new org.apache.hadoop.fs.Path(root, "_COMMITTED"))
+      .map { f =>
+        val ud = spark.read.option("basePath", s"$stateDir/ud")
+          .parquet(s"$stateDir/ud")
+          .filter(col("batch_id") <= f)
+          .select(col("user_id"), col("day")).distinct()
+        AnalyticsQueries.stickinessCore(ud).orderBy(col("day"))
+      }
+  }
+
   /** Live per-channel attribution totals over everything ingested —
     * bit-equal to the one-shot q179 rollup on the same events (the
     * credit partials sum exactly; see [[applyAttributionBatch]]).

@@ -388,6 +388,90 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q193: a sustained small shift alarms CUSUM but never the MAD gate") {
+    import spark.implicits._
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    def at(h: Int, i: Int) =
+      base.plusHours(h.toLong).plusSeconds(i.toLong)
+    // 12 hours at 10, then 12 hours at 13: +3/hour drift. med=11 (lower),
+    // dev<=2 everywhere -> q173's 4-MAD point gate never fires, but the
+    // cumulative sum climbs by 2/hour for 12 hours.
+    val counts = Seq.fill(12)(10) ++ Seq.fill(12)(13)
+    val rows = counts.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(i => (h.toLong * 1000 + i, at(h, i), 1L, "drift", 0.0, "{}"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("cusum").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val mad = AnalyticsQueries.madAnomaly(spark, dir, threshold = 4L).collect()
+    assert(mad.forall(!_.getBoolean(6)), "point detector stays silent")
+    // single type: the query's (event_type, hour) order IS hour order
+    val cus = AnalyticsQueries.cusumShift(spark, dir).collect()
+    assert(cus.exists(_.getBoolean(6)), "CUSUM fires on the sustained shift")
+    // closed form == classical recursion replayed in Scala
+    var sRef = 0L
+    cus.foreach { r =>
+      sRef = math.max(0L, sRef + (r.getLong(2) - r.getLong(3)))
+      assert(r.getLong(5) == sRef,
+        s"window closed form diverges from the recursion at ${r.get(1)}")
+    }
+  }
+
+  test("q194: CMS inner-product estimate upper-bounds the exact join size") {
+    val out = AnalyticsQueries.joinSizeEstimate(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (est, exact) = (out("est_min"), out("exact"))
+    assert(est >= exact, "collisions only inflate the inner product")
+    assert(exact > 0)
+    (0 until 4).foreach(j => assert(out(s"row_$j") >= est, "min over rows"))
+  }
+
+  test("q195: a two-state deterministic cycle settles near 50/50") {
+    import spark.implicits._
+    val t0 = java.time.LocalDateTime.of(2024, 8, 1, 0, 0)
+    // one session alternating a,b,a,b,... -> P(a->b)=P(b->a)=1
+    val rows = (0 until 20).map(i =>
+      (i.toLong, t0.plusSeconds(i.toLong), 1L,
+        if (i % 2 == 0) "a" else "b", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("markov").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsQueries.markovStationary(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // even iteration count of the period-2 chain returns the start
+    // vector (uniform), minus deterministic truncation leak
+    assert(out.keySet == Set("a", "b"))
+    assert(math.abs(out("a") - Fp / 2) <= MarkovLeak)
+    assert(math.abs(out("b") - Fp / 2) <= MarkovLeak)
+  }
+  private val MarkovLeak = 32L // 16 iters x <=2 units truncation
+
+  test("q196: cumulative cents telescope and age 0 starts at cohort week") {
+    val out = AnalyticsQueries.cohortLtv(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._2 >= 0, "age is never negative")
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r._4
+        assert(r._5 == cum, s"cum_cents must telescope: $r")
+      }
+      assert(rows.map(_._3).distinct.size == 1, "cohort size is constant")
+    }
+  }
+
+  test("q197: shares partition 2^20-ish; len-1 median duration is 0") {
+    val out = AnalyticsQueries.sessionLengthCard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.find(_._1 == 1L).foreach(r => assert(r._4 == 0L))
+    val total = out.map(_._2).sum
+    out.foreach { r => assert(r._3 == r._2 * Fp / total) }
+  }
+
   test("q180: orthogonal and identical hand centroids") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cent").toString

@@ -32,6 +32,52 @@ class PlanAuditSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, d).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
+  test("q172 itemsets: no cartesian; pair counts partially aggregate") {
+    needsTpch()
+    val p = plan("q172_itemsets")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("partial_count"), "pair counts must map-side combine")
+  }
+
+  test("q176 CF: top-K window is keyed by supplier, never global") {
+    needsTpch()
+    val p = plan("q176_copurchase")
+    // every Window operator must carry a non-empty partition spec
+    "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r.findAllMatchIn(p).foreach { m =>
+      assert(m.group(1).nonEmpty, s"unpartitioned window in q176: $p")
+    }
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q187 RFM: threshold scoring needs no window and no extra sort") {
+    needsTpch()
+    val p = plan("q187_rfm_segments")
+    assert(!p.contains("Window"), "quintile thresholds are literals, " +
+      "scoring must be a projection: " + p.take(1500))
+  }
+
+  test("q193 CUSUM: all windows keyed by event_type (aggregate-row data)") {
+    needsTpch()
+    val p = plan("q193_cusum")
+    "Window \\[[^\\]]*\\], \\[([^\\]]*)\\]".r.findAllMatchIn(p).foreach { m =>
+      assert(m.group(1).contains("event_type"),
+        s"q193 window not keyed by event_type: ${m.group(1)}")
+    }
+  }
+
+  test("q192 Benford: the 9-row reference joins as a broadcast") {
+    needsTpch()
+    assert(plan("q192_benford").contains("BroadcastHashJoin"))
+  }
+
+  test("q184 stickiness: the 7-way expand is a Generate, not a join") {
+    needsTpch()
+    val p = plan("q184_stickiness")
+    assert(p.contains("Generate explode"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q2 joins the nation dim with a broadcast, not a shuffle join") {
     needsTpch()
     val p = plan("q2_revenue_by_nation")

@@ -62,6 +62,28 @@ class AttributionStreamSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("streaming stickiness snapshot == one-shot q184") {
+    val sd = java.nio.file.Files.createTempDirectory("stickstream").toString
+    assert(StreamingPipeline.stickinessSnapshot(spark, sd).isEmpty)
+    val ev = graft.util.Tables.events(spark, sfDir)
+      .orderBy(col("ts"), col("event_id")).collect()
+    val schema = graft.util.Tables.events(spark, sfDir).schema
+    // overlapping batches on purpose: the same user-day lands twice
+    // and the cross-batch distinct must absorb it
+    val per = math.ceil(ev.length / 3.0).toInt
+    Seq(ev.slice(0, per + 20), ev.slice(per, 2 * per + 20),
+      ev.slice(2 * per, ev.length)).zipWithIndex.foreach { case (rows, i) =>
+      StreamingPipeline.applyStickinessBatch(
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema),
+        i.toLong, sd)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    assert(rows(StreamingPipeline.stickinessSnapshot(spark, sd).get) ==
+      rows(graft.queries.AnalyticsQueries.stickiness(spark, sfDir)))
+  }
+
   test("per-batch compaction + horizon pruning preserves the rollup") {
     val sd = java.nio.file.Files.createTempDirectory("attrcompact").toString
     streamAll(sd, nBatches = 5, compactEvery = 1)
