@@ -214,6 +214,12 @@ object SparkEntry {
     "q195_markov_stationary" -> (AnalyticsQueries.markovStationary _),
     "q196_cohort_ltv" -> (AnalyticsQueries.cohortLtv _),
     "q197_session_lengths" -> (AnalyticsQueries.sessionLengthCard _),
+    "q198_abc_classes" -> (AnalyticsQueries.abcClassification _),
+    "q199_new_returning" -> (AnalyticsQueries.newVsReturning _),
+    "q200_monitoring_card" -> (AnalyticsQueries.monitoringCard _),
+    "q201_privacy_audit" -> (AnalyticsQueries.privacyAudit _),
+    "q202_whales" -> (AnalyticsQueries.whaleConcentration _),
+    "q203_source_term_cos" -> (AnalyticsQueries.sourceTermCosine _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -666,5 +672,11 @@ object SparkEntry {
     "q195_markov_stationary" -> AnalyticsQueries.markovStationaryOracle,
     "q196_cohort_ltv" -> AnalyticsQueries.cohortLtvOracle,
     "q197_session_lengths" -> AnalyticsQueries.sessionLengthCardOracle,
+    "q198_abc_classes" -> AnalyticsQueries.abcClassificationOracle,
+    "q199_new_returning" -> AnalyticsQueries.newVsReturningOracle,
+    "q200_monitoring_card" -> AnalyticsQueries.monitoringCardOracle,
+    "q201_privacy_audit" -> AnalyticsQueries.privacyAuditOracle,
+    "q202_whales" -> AnalyticsQueries.whaleConcentrationOracle,
+    "q203_source_term_cos" -> AnalyticsQueries.sourceTermCosineOracle,
   )
 }

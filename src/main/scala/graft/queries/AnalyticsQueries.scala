@@ -1191,10 +1191,19 @@ object AnalyticsQueries {
     *
     * Shape at scale: every window is keyed by event_type and runs on
     * the (type × hour) aggregate relation. */
-  def cusumShift(s: SparkSession, d: String): DataFrame = {
-    val hourly = Tables.events(s, d)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+  def cusumShift(s: SparkSession, d: String): DataFrame =
+    cusumFromHourly(hourlyCountsOf(Tables.events(s, d)))
+
+  /** The (type × hour) count relation — shared with the streaming
+    * monitor so both faces bucket identically. */
+  private[graft] def hourlyCountsOf(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"))
+
+  /** q193's detector math on an explicit hourly-count relation — the
+    * streaming snapshot runs THIS over its committed counts, so
+    * streaming ≡ batch is by construction. */
+  private[graft] def cusumFromHourly(hourly: DataFrame): DataFrame = {
     val byType = Window.partitionBy(col("event_type"))
     def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
       val w = byType.orderBy(col(v), col("hour"))
@@ -1576,6 +1585,378 @@ object AnalyticsQueries {
        |SELECT len, n_sessions,
        |  (n_sessions * $Fp) // tot.total AS share_fp, median_dur_us
        |FROM card CROSS JOIN tot ORDER BY len""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q198 ──
+
+  /** ABC / Pareto classification (q198): parts ranked by exact
+    * revenue cents; class A = parts covering the first 80% of
+    * cumulative revenue, B to 95%, C the tail — the inventory-policy
+    * classic. Thresholds compare integers only: class A iff
+    * cum·100 ≤ total·80 OR the part is the one that CROSSES 80%
+    * (the crossing part belongs to A by the standard convention —
+    * equivalently, the previous cumulative is still below the line:
+    * (cum − cents)·100 < total·80). Tie order (revenue DESC, partkey)
+    * is total.
+    *
+    * Shape at scale: revenue is one map-side-combined sum per part;
+    * the rank/cumsum window runs on the parts relation (dimension-
+    * sized — parts grow far slower than lineitems). Emits per part:
+    * revenue cents, cumulative share ×2²⁰, class. */
+  def abcClassification(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        expr("CAST(round(l_extendedprice * (1.0d - l_discount) * 100)" +
+          " AS BIGINT)").as("cents"))
+      .groupBy(col("l_partkey")).agg(sum(col("cents")).as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+    val tot = Window.partitionBy()
+    rev
+      .withColumn("cum", sum(col("cents")).over(w))
+      .withColumn("total", sum(col("cents")).over(tot))
+      .withColumn("cum_share_fp", expr(s"(cum * $Fp) div total"))
+      .withColumn("cls",
+        expr("""CASE WHEN (cum - cents) * 100 < total * 80 THEN 'A'
+               |     WHEN (cum - cents) * 100 < total * 95 THEN 'B'
+               |     ELSE 'C' END""".stripMargin))
+      .select(col("l_partkey").as("partkey"), col("cents"),
+        col("cum_share_fp"), col("cls"))
+      .orderBy(col("partkey"))
+  }
+
+  def abcClassificationOracle: String =
+    s"""WITH rev AS MATERIALIZED (
+       |  SELECT l_partkey,
+       |    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+       |      AS BIGINT)) AS BIGINT) AS cents
+       |  FROM lineitem GROUP BY 1
+       |), cum AS (
+       |  SELECT l_partkey, cents,
+       |    SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(cents) OVER () AS total
+       |  FROM rev
+       |)
+       |SELECT l_partkey AS partkey, cents,
+       |  CAST((cum * $Fp) // total AS BIGINT) AS cum_share_fp,
+       |  CASE WHEN (cum - cents) * 100 < total * 80 THEN 'A'
+       |       WHEN (cum - cents) * 100 < total * 95 THEN 'B'
+       |       ELSE 'C' END AS cls
+       |FROM cum ORDER BY partkey""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q199 ──
+
+  /** New-vs-returning decomposition (q199): per UTC day, how many
+    * active users are brand new (first-ever activity that day) vs
+    * returning, with the new share ×2²⁰ — the growth-accounting
+    * split on top of q184's DAU. First-activity is one
+    * map-side-combined min per user; everything else runs on the
+    * distinct user-day relation. */
+  def newVsReturning(s: SparkSession, d: String): DataFrame = {
+    val ud = userDaysOf(Tables.events(s, d))
+    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+    ud.join(first, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("day") === col("d0"), 1L).otherwise(0L)).as("new_users"))
+      .withColumn("returning", col("dau") - col("new_users"))
+      .withColumn("new_share_fp", expr(s"(new_users * $Fp) div dau"))
+      .orderBy(col("day"))
+  }
+
+  def newVsReturningOracle: String =
+    s"""WITH ud AS MATERIALIZED (
+       |  SELECT DISTINCT user_id,
+       |    date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+       |      // 86400000000 AS day
+       |  FROM events
+       |), first AS MATERIALIZED (
+       |  SELECT user_id, CAST(MIN(day) AS BIGINT) AS d0 FROM ud GROUP BY 1
+       |)
+       |SELECT ud.day AS day, CAST(count(*) AS BIGINT) AS dau,
+       |  CAST(SUM(CASE WHEN ud.day = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS new_users,
+       |  CAST(count(*) - SUM(CASE WHEN ud.day = f.d0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS returning,
+       |  (CAST(SUM(CASE WHEN ud.day = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    * $Fp) // CAST(count(*) AS BIGINT) AS new_share_fp
+       |FROM ud JOIN first f ON f.user_id = ud.user_id
+       |GROUP BY ud.day ORDER BY day""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q200 ──
+
+  /** Monitoring capstone (q200): ONE row per event type joining the
+    * whole detector family this round built — hours observed, q173
+    * MAD-anomaly hours, q193 CUSUM alarm hours and peak CUSUM, the
+    * q182 trend slope, and the q191 hour-of-week entropy — the
+    * feed-health dashboard a 100 TB ingestion pages on. Pure
+    * composition: every column is the oracle-pinned operator's own
+    * chain (same constants), so the oracle is the composition of
+    * those chains and the hash compare proves the operators compose
+    * without engine-specific semantics leaking between them (the
+    * q86/q124 capstone convention). */
+  def monitoringCard(s: SparkSession, d: String): DataFrame = {
+    val madAgg = madAnomaly(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("anomaly_hours"))
+    val cusAgg = cusumShift(s, d)
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("alarm"), 1L).otherwise(0L)).as("alarm_hours"),
+        max(col("cusum")).as("peak_cusum"))
+    val trend = typeTrend(s, d)
+      .select(col("event_type"), col("total"), col("slope_fp"))
+    val ent = hourOfWeekEntropy(s, d)
+      .select(col("event_type"), col("entropy_q16"), col("peak_share_fp"))
+    madAgg.join(cusAgg, Seq("event_type"))
+      .join(trend, Seq("event_type"))
+      .join(ent, Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
+  def monitoringCardOracle: String = {
+    def sub(q: String, alias: String) = s"($q) $alias"
+    // compose the operator oracles verbatim as subqueries; DuckDB CTE
+    // name scoping is per-subquery so the shared names don't collide
+    s"""SELECT m.event_type, m.n_hours, m.anomaly_hours,
+       |  c.alarm_hours, c.peak_cusum, t.total, t.slope_fp,
+       |  e.entropy_q16, e.peak_share_fp
+       |FROM ${sub(
+          s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+             |CAST(SUM(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS BIGINT)
+             |  AS anomaly_hours
+             |FROM (${madAnomalyOracle()}) GROUP BY 1""".stripMargin, "m")}
+       |JOIN ${sub(
+          s"""SELECT event_type,
+             |CAST(SUM(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT)
+             |  AS alarm_hours,
+             |CAST(MAX(cusum) AS BIGINT) AS peak_cusum
+             |FROM (${cusumShiftOracle}) GROUP BY 1""".stripMargin, "c")}
+       |  ON c.event_type = m.event_type
+       |JOIN ${sub(
+          s"SELECT event_type, total, slope_fp FROM ($typeTrendOracle)",
+          "t")} ON t.event_type = m.event_type
+       |JOIN ${sub(
+          s"""SELECT event_type, entropy_q16, peak_share_fp
+             |FROM ($hourOfWeekEntropyOracle)""".stripMargin, "e")}
+       |  ON e.event_type = m.event_type
+       |ORDER BY m.event_type""".stripMargin
+  }
+
+  // ───────────────────────────────────────────────────────── q201 ──
+
+  /** k-anonymity / l-diversity audit (q201, Sweeney '02 / Machanavajjhala
+    * '07): treat the events table as a data release with
+    * quasi-identifiers (event_type, day, hour-of-day) and user_id as
+    * the sensitive attribute. Emits the privacy card every release
+    * gate needs: the k-anonymity number (smallest QI equivalence
+    * class), the l-diversity number (fewest distinct users in any
+    * class), class count, and the count + share ×2²⁰ of rows in
+    * classes smaller than k=5 (the re-identifiable mass).
+    *
+    * Shape at scale: one map-side-combined groupBy over the QI
+    * columns; every metric after runs on the class-level relation. */
+  def privacyAudit(s: SparkSession, d: String): DataFrame = {
+    val classes = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00'," +
+          " ts) div 86400000000").as("day"),
+        hour(col("ts")).as("hod"), col("user_id"))
+      .groupBy(col("event_type"), col("day"), col("hod"))
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(col("user_id")).as("l"))
+      .localCheckpoint(true)
+    val st = classes.agg(
+      min(col("sz")).as("k_anonymity"),
+      min(col("l")).as("l_diversity"),
+      count(lit(1)).as("n_classes"),
+      sum(col("sz")).as("n_rows"),
+      sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("rows_at_risk"))
+      .head()
+    val rows = Seq(
+      ("k_anonymity", st.getLong(0)),
+      ("l_diversity", st.getLong(1)),
+      ("n_classes", st.getLong(2)),
+      ("n_rows", st.getLong(3)),
+      ("rows_at_risk_k5", st.getLong(4)),
+      ("risk_share_fp",
+        if (st.getLong(3) > 0) st.getLong(4) * Fp / st.getLong(3) else 0L))
+    s.createDataFrame(rows).toDF("metric", "value").orderBy(col("metric"))
+  }
+
+  def privacyAuditOracle: String =
+    s"""WITH cls AS MATERIALIZED (
+       |  SELECT event_type,
+       |    date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+       |      // 86400000000 AS day,
+       |    EXTRACT(hour FROM ts) AS hod,
+       |    CAST(count(*) AS BIGINT) AS sz,
+       |    CAST(count(DISTINCT user_id) AS BIGINT) AS l
+       |  FROM events GROUP BY 1, 2, 3
+       |), st AS (
+       |  SELECT CAST(MIN(sz) AS BIGINT) AS k_anonymity,
+       |    CAST(MIN(l) AS BIGINT) AS l_diversity,
+       |    CAST(count(*) AS BIGINT) AS n_classes,
+       |    CAST(SUM(sz) AS BIGINT) AS n_rows,
+       |    CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+       |      AS rows_at_risk
+       |  FROM cls
+       |)
+       |SELECT metric, value FROM (
+       |  SELECT 'k_anonymity' AS metric, k_anonymity AS value FROM st
+       |  UNION ALL SELECT 'l_diversity', l_diversity FROM st
+       |  UNION ALL SELECT 'n_classes', n_classes FROM st
+       |  UNION ALL SELECT 'n_rows', n_rows FROM st
+       |  UNION ALL SELECT 'rows_at_risk_k5', rows_at_risk FROM st
+       |  UNION ALL SELECT 'risk_share_fp',
+       |    CASE WHEN n_rows > 0 THEN (rows_at_risk * $Fp) // n_rows
+       |         ELSE 0 END FROM st
+       |) ORDER BY metric""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q202 ──
+
+  /** Whale concentration (q202): the share of total event volume
+    * carried by the top 1% and top 10% most-active users — the
+    * engagement-concentration card (a feed where 1% of accounts
+    * generate half the rows is a bot signal AND a sampling-bias trap
+    * for q48-style user sampling). Exact: the top set is the first
+    * ⌈n·p⌉ users under the (count DESC, user_id) total order, its
+    * event mass an integer sum, the share ×2²⁰.
+    *
+    * Shape at scale: per-user counts map-side combine; the rank
+    * window runs on the user-level relation (one row per user — the
+    * q185 discipline, with the same "shard + offset ranks" note if
+    * the user dimension itself outgrows a sort). */
+  def whaleConcentration(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("user_id"))
+    val tot = Window.partitionBy()
+    val ranked = per
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_users", count(lit(1)).over(tot))
+      .withColumn("total", sum(col("c")).over(tot))
+    Seq("p1" -> 100L, "p10" -> 10L).map { case (nm, den) =>
+      ranked.filter(expr(s"rn <= (n_users + ${den - 1}) div $den"))
+        .groupBy()
+        .agg(max(col("n_users")).as("n_users"),
+          count(lit(1)).as("top_users"),
+          sum(col("c")).as("whale_events"),
+          max(col("total")).as("total_events"))
+        .select(lit(nm).as("tier"), col("n_users"), col("top_users"),
+          col("whale_events"), col("total_events"),
+          expr(s"(whale_events * $Fp) div total_events").as("share_fp"))
+    }.reduce(_ unionByName _).orderBy(col("tier"))
+  }
+
+  def whaleConcentrationOracle: String =
+    s"""WITH per AS MATERIALIZED (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1
+       |), ranked AS MATERIALIZED (
+       |  SELECT c,
+       |    CAST(row_number() OVER (ORDER BY c DESC, user_id) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER () AS BIGINT) AS n_users,
+       |    CAST(SUM(c) OVER () AS BIGINT) AS total
+       |  FROM per
+       |), tiers(tier, den) AS (VALUES ('p1', 100), ('p10', 10))
+       |SELECT tier, CAST(max(n_users) AS BIGINT) AS n_users,
+       |  CAST(count(*) AS BIGINT) AS top_users,
+       |  CAST(SUM(c) AS BIGINT) AS whale_events,
+       |  CAST(max(total) AS BIGINT) AS total_events,
+       |  (CAST(SUM(c) AS BIGINT) * $Fp) // CAST(max(total) AS BIGINT)
+       |    AS share_fp
+       |FROM ranked JOIN tiers ON rn <= (n_users + den - 1) // den
+       |GROUP BY tier ORDER BY tier""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q203 ──
+
+  /** q203 vocabulary width: the global top-K terms define the profile
+    * space (deterministic tie order: count DESC, term ASC). */
+  private val SourceCosTopK = 64
+
+  /** Source term-profile similarity (q203): pairwise signed cos²
+    * (×2²⁰) between per-source term-count vectors over the global
+    * top-64 vocabulary — "which sources write about the same things",
+    * the lexical companion to q165's embedding drift and q84's
+    * shingle overlap. Same exact-arithmetic shape as q180: the one
+    * corpus-scale pass is a map-side-combined (source, term) count;
+    * the profile matrix is MODEL-sized (sources × 64) and collects to
+    * the driver where BigInt computes cos² exactly (counts < 2²⁸
+    * per cell keep dot < 2⁶² — the oracle's HUGEINT replay never
+    * wraps either way). Diagonal = 2²⁰ exactly. */
+  def sourceTermCosine(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), x -> length(x) > 0)"))
+          .as("term"))
+    val top = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(SourceCosTopK)
+      .select(col("term"))
+    val cells = toks.join(broadcast(top), Seq("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val sources = cells.keys.map(_._1).toSeq.distinct.sorted
+    val terms = cells.keys.map(_._2).toSeq.distinct.sorted
+    val vec: Map[String, Array[Long]] = sources.map { src =>
+      src -> terms.map(t => cells.getOrElse((src, t), 0L)).toArray
+    }.toMap
+    val rows = for {
+      a <- sources; b <- sources if a <= b
+    } yield {
+      val (va, vb) = (vec(a), vec(b))
+      val dot = va.indices.map(i => BigInt(va(i)) * vb(i)).sum
+      val (n2a, n2b) = (va.map(x => BigInt(x) * x).sum,
+        vb.map(x => BigInt(x) * x).sum)
+      val cos2s =
+        if (n2a == 0 || n2b == 0) BigInt(0)
+        else dot.sign * ((dot * dot * Fp) / (n2a * n2b))
+      (a, b, dot.toLong, cos2s.toLong)
+    }
+    s.createDataFrame(rows)
+      .toDF("source_a", "source_b", "dot", "cos2s_fp")
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  def sourceTermCosineOracle: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT source, tok AS term FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents
+       |  ) WHERE length(tok) > 0
+       |), top AS MATERIALIZED (
+       |  SELECT term FROM (
+       |    SELECT term, count(*) AS n,
+       |      row_number() OVER (ORDER BY count(*) DESC, term) AS rn
+       |    FROM toks GROUP BY term
+       |  ) WHERE rn <= $SourceCosTopK
+       |), cells AS MATERIALIZED (
+       |  SELECT source, t.term, CAST(count(*) AS BIGINT) AS c
+       |  FROM toks t JOIN top ON top.term = t.term
+       |  GROUP BY 1, 2
+       |), srcs AS (SELECT DISTINCT source FROM cells),
+       |grid AS MATERIALIZED (
+       |  SELECT s.source, top.term, COALESCE(c.c, 0) AS c
+       |  FROM srcs s CROSS JOIN top
+       |  LEFT JOIN cells c ON c.source = s.source AND c.term = top.term
+       |), dots AS (
+       |  SELECT a.source AS sa, b.source AS sb,
+       |    CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+       |  FROM grid a JOIN grid b ON b.term = a.term AND a.source <= b.source
+       |  GROUP BY 1, 2
+       |), n2 AS (
+       |  SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2 FROM grid GROUP BY 1
+       |)
+       |SELECT sa AS source_a, sb AS source_b, dot,
+       |  CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST((CASE WHEN dot < 0 THEN -1 ELSE 1 END) *
+       |      ((CAST(dot AS HUGEINT) * dot * $Fp)
+       |        // (CAST(na.n2 AS HUGEINT) * nb.n2)) AS BIGINT)
+       |  END AS cos2s_fp
+       |FROM dots
+       |JOIN n2 na ON na.source = sa
+       |JOIN n2 nb ON nb.source = sb
+       |ORDER BY source_a, source_b""".stripMargin
 
   def labelCentroidMatrixOracle: String = {
     val qf = graft.datapipe.Embeddings.Fp

@@ -1689,6 +1689,58 @@ object StreamingPipeline {
       }
   }
 
+  /** STREAMING CUSUM/MAD feed monitor (the q193 detector as a state
+    * machine): each micro-batch appends its own (event_type, hour)
+    * counts under `hc/batch_id=N` (pure function of the batch,
+    * overwrite-idempotent) behind the commit marker; the snapshot
+    * sums committed deltas to the hourly relation — counts from the
+    * same hour split across batches MERGE by summation — and runs the
+    * SAME factored [[graft.queries.AnalyticsQueries.cusumFromHourly]]
+    * the batch query runs, so streaming ≡ batch is by construction.
+    * State is the (type × hour) count relation — bounded by the time
+    * horizon, not event volume. Note the detector's medians are
+    * corpus-level, so the snapshot RE-SCORES history as the baseline
+    * sharpens — that is the q193 semantics applied to a growing
+    * window (an online-median variant would be a different, weaker
+    * detector). */
+  def cusumStream(events: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyCusumBatch(batch, batchId, stateDir)
+    }
+
+  private[streaming] def applyCusumBatch(batch: DataFrame,
+      batchId: Long, stateDir: String): Unit = {
+    import graft.queries.AnalyticsQueries
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(root, "_COMMITTED")
+    if (readMarker(fs, marker).exists(_ >= batchId)) return
+    AnalyticsQueries.hourlyCountsOf(batch)
+      .write.mode("overwrite").parquet(s"$stateDir/hc/batch_id=$batchId")
+    advanceMarker(fs, marker, batchId)
+  }
+
+  /** Live CUSUM card over everything ingested — bit-equal to the
+    * one-shot q193 on the same events. None until the first batch
+    * commits. */
+  def cusumSnapshot(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    import graft.queries.AnalyticsQueries
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    readMarker(fs, new org.apache.hadoop.fs.Path(root, "_COMMITTED"))
+      .map { f =>
+        val hourly = spark.read.option("basePath", s"$stateDir/hc")
+          .parquet(s"$stateDir/hc")
+          .filter(col("batch_id") <= f)
+          .groupBy(col("event_type"), col("hour"))
+          .agg(sum(col("n")).as("n"))
+        AnalyticsQueries.cusumFromHourly(hourly)
+          .orderBy(col("event_type"), col("hour"))
+      }
+  }
+
   /** Live per-channel attribution totals over everything ingested —
     * bit-equal to the one-shot q179 rollup on the same events (the
     * credit partials sum exactly; see [[applyAttributionBatch]]).

@@ -472,6 +472,109 @@ class AnalyticsSpec extends AnyFunSuite {
     out.foreach { r => assert(r._3 == r._2 * Fp / total) }
   }
 
+  test("q198: the crossing part belongs to the class it crosses into") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("abc").toString
+    // revenues 80/15/5 put the boundaries EXACTLY on 80% and 95%
+    Seq((1L, 80.0, 0.0), (2L, 15.0, 0.0), (3L, 5.0, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = AnalyticsQueries.abcClassification(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((Fp * 80 / 100, "A")))
+    assert(out(2L) == ((Fp * 95 / 100, "B")), "exact 80% boundary -> B")
+    assert(out(3L) == ((Fp, "C")), "exact 95% boundary -> C")
+  }
+
+  test("q199: day-0 users are new; day-1 mixes new and returning") {
+    import spark.implicits._
+    val d0 = java.time.LocalDateTime.of(2024, 9, 1, 8, 0)
+    val rows = Seq(
+      (1L, d0, 1L, "view", 0.0, "{}"),
+      (2L, d0.plusDays(1), 1L, "view", 0.0, "{}"),
+      (3L, d0.plusDays(1), 2L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("nvr").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsQueries.newVsReturning(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out(0) == ((1L, 1L, 0L, Fp)))
+    assert(out(1) == ((2L, 1L, 1L, Fp / 2)))
+  }
+
+  test("q200: the capstone row agrees with each standalone detector") {
+    val card = AnalyticsQueries.monitoringCard(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(card.nonEmpty)
+    val mad = AnalyticsQueries.madAnomaly(spark, sfDir).collect()
+      .groupBy(_.getString(0))
+    val cus = AnalyticsQueries.cusumShift(spark, sfDir).collect()
+      .groupBy(_.getString(0))
+    card.foreach { case (tpe, r) =>
+      assert(r.getLong(1) == mad(tpe).length.toLong, "n_hours")
+      assert(r.getLong(2) == mad(tpe).count(_.getBoolean(6)).toLong)
+      assert(r.getLong(3) == cus(tpe).count(_.getBoolean(6)).toLong)
+      assert(r.getLong(4) == cus(tpe).map(_.getLong(5)).max)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+
+  test("q201: a planted singleton class drives k-anonymity to 1") {
+    import spark.implicits._
+    val t0 = java.time.LocalDateTime.of(2024, 10, 1, 9, 0)
+    val rows = Seq(
+      // class (a, day0, 9h): 5 rows, 2 users
+      (1L, t0, 1L, "a", 0.0, "{}"), (2L, t0, 1L, "a", 0.0, "{}"),
+      (3L, t0, 2L, "a", 0.0, "{}"), (4L, t0, 2L, "a", 0.0, "{}"),
+      (5L, t0, 2L, "a", 0.0, "{}"),
+      // singleton class (b, day0, 10h): 1 row, 1 user
+      (6L, t0.plusHours(1), 3L, "b", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("priv").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsQueries.privacyAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("k_anonymity") == 1L && out("l_diversity") == 1L)
+    assert(out("n_classes") == 2L && out("n_rows") == 6L)
+    assert(out("rows_at_risk_k5") == 1L)
+    assert(out("risk_share_fp") == Fp / 6)
+  }
+
+  test("q202: a planted whale carries its exact share; ceil-rank tiers") {
+    import spark.implicits._
+    val t0 = java.time.LocalDateTime.of(2024, 10, 2, 0, 0)
+    // 10 users: user 0 has 91 events, users 1..9 have 1 each
+    val rows = (0 until 91).map(i => (i.toLong, t0.plusSeconds(i.toLong), 0L,
+      "view", 0.0, "{}")) ++
+      (1 to 9).map(u => (1000L + u, t0, u.toLong, "view", 0.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("whale").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsQueries.whaleConcentration(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(5)))
+      .toMap
+    // ceil(10/100)=1 top user -> 91 of 100 events
+    assert(out("p1") == ((1L, 91L, 91L * Fp / 100L)))
+    // ceil(10/10)=1 as well at this n
+    assert(out("p10") == ((1L, 91L, 91L * Fp / 100L)))
+  }
+
+  test("q203: identical sources score Fp; disjoint vocabularies score 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stc").toString
+    val rows = Seq(
+      (1L, "alpha beta alpha", "en", "S1", 1L),
+      (2L, "alpha beta alpha", "en", "S2", 1L),
+      (3L, "gamma delta gamma delta", "en", "S3", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = AnalyticsQueries.sourceTermCosine(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(out(("S1", "S2")) == Fp, "identical term profiles")
+    assert(out(("S1", "S3")) == 0L && out(("S2", "S3")) == 0L)
+    assert(out(("S1", "S1")) == Fp && out(("S3", "S3")) == Fp)
+  }
+
   test("q180: orthogonal and identical hand centroids") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cent").toString

@@ -84,6 +84,26 @@ class AttributionStreamSpec extends AnyFunSuite {
       rows(graft.queries.AnalyticsQueries.stickiness(spark, sfDir)))
   }
 
+  test("streaming CUSUM snapshot == one-shot q193 (hour-splitting batches)") {
+    val sd = java.nio.file.Files.createTempDirectory("cusumstream").toString
+    assert(StreamingPipeline.cusumSnapshot(spark, sd).isEmpty)
+    val ev = graft.util.Tables.events(spark, sfDir)
+      .orderBy(col("ts"), col("event_id")).collect()
+    val schema = graft.util.Tables.events(spark, sfDir).schema
+    // batch boundaries NOT hour-aligned: the snapshot's delta-sum must
+    // merge the split hours back together
+    val per = ev.length / 4 + 3
+    ev.grouped(per).zipWithIndex.foreach { case (rows, i) =>
+      StreamingPipeline.applyCusumBatch(
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema),
+        i.toLong, sd)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until 7).map(r.get).toList).toList
+    assert(rows(StreamingPipeline.cusumSnapshot(spark, sd).get) ==
+      rows(graft.queries.AnalyticsQueries.cusumShift(spark, sfDir)))
+  }
+
   test("per-batch compaction + horizon pruning preserves the rollup") {
     val sd = java.nio.file.Files.createTempDirectory("attrcompact").toString
     streamAll(sd, nBatches = 5, compactEvery = 1)
