@@ -220,6 +220,9 @@ object SparkEntry {
     "q201_privacy_audit" -> (AnalyticsQueries.privacyAudit _),
     "q202_whales" -> (AnalyticsQueries.whaleConcentration _),
     "q203_source_term_cos" -> (AnalyticsQueries.sourceTermCosine _),
+    "q204_ab_test" -> (AnalyticsQueries.abTestCard _),
+    "q205_length_calibration" -> (AnalyticsQueries.lengthDiversityCalibration _),
+    "q206_trending_terms" -> (AnalyticsQueries.trendingTerms _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -678,5 +681,8 @@ object SparkEntry {
     "q201_privacy_audit" -> AnalyticsQueries.privacyAuditOracle,
     "q202_whales" -> AnalyticsQueries.whaleConcentrationOracle,
     "q203_source_term_cos" -> AnalyticsQueries.sourceTermCosineOracle,
+    "q204_ab_test" -> AnalyticsQueries.abTestCardOracle,
+    "q205_length_calibration" -> AnalyticsQueries.lengthDiversityCalibrationOracle,
+    "q206_trending_terms" -> AnalyticsQueries.trendingTermsOracle,
   )
 }

@@ -1958,6 +1958,261 @@ object AnalyticsQueries {
        |JOIN n2 nb ON nb.source = sb
        |ORDER BY source_a, source_b""".stripMargin
 
+  // ───────────────────────────────────────────────────────── q204 ──
+
+  /** A/B experiment card (q204): users split into two arms by id
+    * parity (the deterministic assignment a real experiment framework
+    * would hash), per-arm purchase-conversion rates ×2²⁰, the signed
+    * rate lift, and the exact Pearson χ² statistic of the 2×2
+    * contingency table ×2²⁰:
+    *
+    *   χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * computed in arbitrary precision on the COLLECTED 2×2 table
+    * (4 driver longs — the q137/q180 discipline; (ad−bc)² alone
+    * reaches ~2¹²⁰ at scale, so BigInt here ≡ HUGEINT in the oracle,
+    * and the emitted statistic is an exact BIGINT). The classical
+    * α=0.05 threshold (3.84) is the consumer's constant.
+    *
+    * Shape at scale: one map-side-combined per-user conversion
+    * aggregate, one 2-row arm rollup. */
+  def abTestCard(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .groupBy((col("user_id") % 2).as("arm"))
+      .agg(count(lit(1)).as("users"), sum(col("conv")).as("convs"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val (ua, ca) = per.getOrElse(0L, (0L, 0L))
+    val (ub, cb) = per.getOrElse(1L, (0L, 0L))
+    val (a, b2, c, d2) = (BigInt(ca), BigInt(ua - ca), BigInt(cb),
+      BigInt(ub - cb))
+    val n = a + b2 + c + d2
+    val den = (a + b2) * (c + d2) * (a + c) * (b2 + d2)
+    val diff = a * d2 - b2 * c
+    val chi2 = if (den == 0) BigInt(0) else n * diff * diff * Fp / den
+    val rateA = if (ua > 0) ca * Fp / ua else 0L
+    val rateB = if (ub > 0) cb * Fp / ub else 0L
+    val rows = Seq(
+      ("arm_a_users", ua), ("arm_a_convs", ca), ("arm_a_rate_fp", rateA),
+      ("arm_b_users", ub), ("arm_b_convs", cb), ("arm_b_rate_fp", rateB),
+      ("lift_fp", rateB - rateA), ("chi2_fp", chi2.toLong))
+    s.createDataFrame(rows).toDF("metric", "value").orderBy(col("metric"))
+  }
+
+  def abTestCardOracle: String =
+    s"""WITH per AS MATERIALIZED (
+       |  SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS users,
+       |    CAST(SUM(conv) AS BIGINT) AS convs
+       |  FROM (
+       |    SELECT user_id,
+       |      MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |    FROM events GROUP BY user_id
+       |  ) GROUP BY 1
+       |), t AS (
+       |  SELECT
+       |    COALESCE(MAX(CASE WHEN arm = 0 THEN users END), 0) AS ua,
+       |    COALESCE(MAX(CASE WHEN arm = 0 THEN convs END), 0) AS ca,
+       |    COALESCE(MAX(CASE WHEN arm = 1 THEN users END), 0) AS ub,
+       |    COALESCE(MAX(CASE WHEN arm = 1 THEN convs END), 0) AS cb
+       |  FROM per
+       |), h AS (
+       |  SELECT CAST(ca AS HUGEINT) AS a, CAST(ua - ca AS HUGEINT) AS b,
+       |    CAST(cb AS HUGEINT) AS c, CAST(ub - cb AS HUGEINT) AS d,
+       |    ua, ca, ub, cb
+       |  FROM t
+       |)
+       |SELECT metric, value FROM (
+       |  SELECT 'arm_a_users' AS metric, CAST(ua AS BIGINT) AS value FROM h
+       |  UNION ALL SELECT 'arm_a_convs', CAST(ca AS BIGINT) FROM h
+       |  UNION ALL SELECT 'arm_a_rate_fp',
+       |    CASE WHEN ua > 0 THEN CAST(ca * $Fp AS BIGINT) // ua ELSE 0 END FROM h
+       |  UNION ALL SELECT 'arm_b_users', CAST(ub AS BIGINT) FROM h
+       |  UNION ALL SELECT 'arm_b_convs', CAST(cb AS BIGINT) FROM h
+       |  UNION ALL SELECT 'arm_b_rate_fp',
+       |    CASE WHEN ub > 0 THEN CAST(cb * $Fp AS BIGINT) // ub ELSE 0 END FROM h
+       |  UNION ALL SELECT 'lift_fp',
+       |    (CASE WHEN ub > 0 THEN CAST(cb * $Fp AS BIGINT) // ub ELSE 0 END) -
+       |    (CASE WHEN ua > 0 THEN CAST(ca * $Fp AS BIGINT) // ua ELSE 0 END)
+       |    FROM h
+       |  UNION ALL SELECT 'chi2_fp',
+       |    CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST((a+b+c+d) * (a*d - b*c) * (a*d - b*c) * $Fp
+       |        // ((a+b)*(c+d)*(a+c)*(b+d)) AS BIGINT)
+       |    END FROM h
+       |) ORDER BY metric""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q205 ──
+
+  /** Length-decile diversity calibration (q205): documents bucketed
+    * into ten token-length deciles (thresholds from the q85 radix
+    * walk — the q187 threshold discipline, ties to the low bucket),
+    * each decile reporting its exact mean length and mean
+    * distinct-token ratio ×2²⁰ — the BIAS CARD for any quality
+    * filter: lexical-diversity scores fall mechanically with length,
+    * so thresholding diversity without this curve silently deletes
+    * long documents.
+    *
+    * Shape at scale: one tokenize pass to (len, distinct) per doc,
+    * one radix walk for 9 thresholds, one bucket rollup. No windows
+    * over row data. */
+  def lengthDiversityCalibration(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> length(x) > 0)").as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("len"),
+        size(array_distinct(col("arr"))).cast("long").as("nd"))
+      .filter(col("len") > 0)
+      .withColumn("d2", expr(s"(nd * $Fp) div len"))
+      .localCheckpoint(true) // radix walk + rollup both read it
+    val n = g.count()
+    val ranks = (1L to 9L).map(k => (n * k + 9) / 10)
+    val cutsMap = graft.datapipe.Quantiles.kthSmallestBatch(g, "len", ranks)
+    val cuts = ranks.map(cutsMap)
+    val bucket = cuts.map(t => when(col("len") > t, 1L).otherwise(0L))
+      .reduce(_ + _) + 1L
+    g.groupBy(bucket.as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(len) div count(1)").as("mean_len"),
+        expr("sum(d2) div count(1)").as("mean_distinct_fp"))
+      .orderBy(col("decile"))
+  }
+
+  def lengthDiversityCalibrationOracle: String =
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT doc_id, len, (nd * $Fp) // len AS d2 FROM (
+       |    SELECT doc_id, CAST(count(*) AS BIGINT) AS len,
+       |      CAST(count(DISTINCT tok) AS BIGINT) AS nd
+       |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |          FROM documents)
+       |    WHERE length(tok) > 0 GROUP BY doc_id
+       |  ) WHERE len > 0
+       |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+       |rk AS MATERIALIZED (
+       |  SELECT len AS v, row_number() OVER (ORDER BY len) AS rn FROM g
+       |), cuts AS MATERIALIZED (
+       |  SELECT k.k, (SELECT v FROM rk
+       |    WHERE rn = (SELECT (n * k.k + 9) // 10 FROM nn)) AS t
+       |  FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9)) k(k)
+       |)
+       |SELECT
+       |  1 + (SELECT CAST(count(*) AS BIGINT) FROM cuts WHERE g.len > t)
+       |    AS decile,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_len,
+       |  CAST(SUM(d2) AS BIGINT) // CAST(count(*) AS BIGINT)
+       |    AS mean_distinct_fp
+       |FROM g GROUP BY 1 ORDER BY decile""".stripMargin
+
+  // ───────────────────────────────────────────────────────── q206 ──
+
+  /** q206 knobs: minimum daily mentions (kills one-off noise) and the
+    * per-day leaderboard width. */
+  private val TrendMinCount = 3L
+  private val TrendTopK = 5
+
+  /** Trending terms (q206): per day, the top-5 event-props tokens
+    * whose share of that day's mentions most exceeds their share over
+    * the TRAILING 7 days — the burst detector behind every "trending
+    * now" surface, exact end to end:
+    *
+    *   burst_fp = (share_today ×2²⁰) ·2²⁰ div max(share_trailing ×2²⁰, 1)
+    *
+    * (a never-before-seen term divides by the 1 floor — maximal burst,
+    * deterministically). "Terms" here are the integer `k` values in
+    * the events `props` JSON (the only text the events table carries);
+    * the operator is schema-generic.
+    *
+    * Shape at scale: (term, day) counts map-side combine; the
+    * trailing baseline reuses the q184 bounded 7-way expand ON THE
+    * AGGREGATE relation (each (term, day) count feeds ≤ 7 later
+    * days); shares and the top-K window run day-keyed. Leaderboard
+    * tie order is total: (burst DESC, n DESC, term ASC). */
+  def trendingTerms(s: SparkSession, d: String): DataFrame = {
+    val td = Tables.events(s, d)
+      .select(expr("get_json_object(props, '$.k')").as("term"),
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00'," +
+          " ts) div 86400000000").as("day"))
+      .filter(col("term").isNotNull)
+      .groupBy(col("term"), col("day")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds today, the trailing expand, and totals
+    val byDay = Window.partitionBy(col("day"))
+    val today = td
+      .withColumn("day_total", sum(col("n")).over(byDay))
+      .withColumn("share_fp", expr(s"(n * $Fp) div day_total"))
+    // (term, day) contributes to the trailing window of days day+1..day+7
+    val trail = td
+      .select(col("term"),
+        explode(expr("sequence(day + 1L, day + 7L)")).as("day"),
+        col("n"))
+      .groupBy(col("term"), col("day")).agg(sum(col("n")).as("tn"))
+    val trailTotal = td
+      .select(explode(expr("sequence(day + 1L, day + 7L)")).as("day"), col("n"))
+      .groupBy(col("day")).agg(sum(col("n")).as("t_total"))
+    val scored = today.filter(col("n") >= TrendMinCount)
+      .join(trail, Seq("term", "day"), "left")
+      .join(trailTotal, Seq("day"), "left")
+      .withColumn("tshare_fp",
+        expr(s"CASE WHEN t_total IS NULL OR t_total = 0 THEN 0L " +
+          s"ELSE (coalesce(tn, 0L) * $Fp) div t_total END"))
+      .withColumn("burst_fp",
+        expr(s"(share_fp * $Fp) div greatest(tshare_fp, 1L)"))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("burst_fp").desc, col("n").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TrendTopK)
+      .select(col("day"), col("rank"), col("term"), col("n"),
+        col("share_fp"), col("tshare_fp"), col("burst_fp"))
+      .orderBy(col("day"), col("rank"))
+  }
+
+  def trendingTermsOracle: String =
+    s"""WITH td AS MATERIALIZED (
+       |  SELECT json_extract_string(props, '$$.k') AS term,
+       |    date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts)
+       |      // 86400000000 AS day,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |  GROUP BY 1, 2
+       |), today AS MATERIALIZED (
+       |  SELECT term, day, n,
+       |    CAST(SUM(n) OVER (PARTITION BY day) AS BIGINT) AS day_total
+       |  FROM td
+       |), trail AS MATERIALIZED (
+       |  SELECT term, day + off AS day, CAST(SUM(n) AS BIGINT) AS tn
+       |  FROM td CROSS JOIN (SELECT unnest(range(1, 8)) AS off)
+       |  GROUP BY 1, 2
+       |), ttot AS MATERIALIZED (
+       |  SELECT day + off AS day, CAST(SUM(n) AS BIGINT) AS t_total
+       |  FROM td CROSS JOIN (SELECT unnest(range(1, 8)) AS off)
+       |  GROUP BY 1
+       |), scored AS MATERIALIZED (
+       |  SELECT t.day, t.term, t.n,
+       |    (t.n * $Fp) // t.day_total AS share_fp,
+       |    CASE WHEN tt.t_total IS NULL OR tt.t_total = 0 THEN 0
+       |      ELSE (COALESCE(tr.tn, 0) * $Fp) // tt.t_total
+       |    END AS tshare_fp
+       |  FROM today t
+       |  LEFT JOIN trail tr ON tr.term = t.term AND tr.day = t.day
+       |  LEFT JOIN ttot tt ON tt.day = t.day
+       |  WHERE t.n >= $TrendMinCount
+       |)
+       |SELECT day, rank, term, n, share_fp,
+       |  CAST(tshare_fp AS BIGINT) AS tshare_fp,
+       |  CAST(burst_fp AS BIGINT) AS burst_fp
+       |FROM (
+       |  SELECT *,
+       |    (share_fp * $Fp) // greatest(tshare_fp, 1) AS burst_fp,
+       |    CAST(row_number() OVER (PARTITION BY day ORDER BY
+       |      (share_fp * $Fp) // greatest(tshare_fp, 1) DESC, n DESC, term)
+       |      AS BIGINT) AS rank
+       |  FROM scored
+       |) WHERE rank <= $TrendTopK
+       |ORDER BY day, rank""".stripMargin
+
   def labelCentroidMatrixOracle: String = {
     val qf = graft.datapipe.Embeddings.Fp
     s"""WITH c AS MATERIALIZED (

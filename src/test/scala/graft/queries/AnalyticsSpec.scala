@@ -575,6 +575,68 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(("S1", "S1")) == Fp && out(("S3", "S3")) == Fp)
   }
 
+  test("q204: a planted 2x2 table yields the textbook chi-square") {
+    import spark.implicits._
+    val t0 = java.time.LocalDateTime.of(2024, 11, 1, 0, 0)
+    // arm A (even ids): 4 users, 3 convert; arm B (odd): 4 users, 1 converts
+    // table a=3 b=1 c=1 d=3, N=8: chi2 = 8*(9-1)^2/(4*4*4*4) = 2.0
+    def u(uid: Long, buys: Boolean, base: Long) =
+      Seq((base, t0, uid, "view", 0.0, "{}")) ++
+        (if (buys) Seq((base + 1, t0.plusMinutes(1), uid, "purchase", 0.0, "{}"))
+         else Nil)
+    val rows = u(2, true, 10) ++ u(4, true, 20) ++ u(6, true, 30) ++
+      u(8, false, 40) ++ u(1, true, 50) ++ u(3, false, 60) ++
+      u(5, false, 70) ++ u(7, false, 80)
+    val dir = java.nio.file.Files.createTempDirectory("ab").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsQueries.abTestCard(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("arm_a_users") == 4L && out("arm_a_convs") == 3L)
+    assert(out("arm_b_users") == 4L && out("arm_b_convs") == 1L)
+    assert(out("chi2_fp") == 2L * Fp, "chi2 = 2.0 exactly")
+    assert(out("lift_fp") == Fp / 4 - 3L * Fp / 4)
+  }
+
+  test("q205: deciles partition the corpus and diversity falls with length") {
+    val out = AnalyticsQueries.lengthDiversityCalibration(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSet.subsetOf((1L to 10L).toSet))
+    val nDocs = out.map(_._2).sum
+    assert(nDocs > 0)
+    // mean length strictly increases across deciles (distinct thresholds)
+    out.sliding(2).foreach { case Array(a, b) => assert(a._3 <= b._3) }
+  }
+
+  test("q206: a planted spike tops the day; steady terms do not burst") {
+    import spark.implicits._
+    val d0 = java.time.LocalDateTime.of(2024, 12, 1, 12, 0)
+    def ev(id: Long, day: Int, term: Int) =
+      (id, d0.plusDays(day.toLong), 1L, "view", 0.0, s"""{"k": $term}""")
+    // days 0..6: steady background of term 1 (5/day) and term 2 (5/day).
+    // day 7: term 1 keeps 5, term 9 (never seen) spikes with 15.
+    val rows =
+      (0 until 7).flatMap(day =>
+        (0 until 5).map(i => ev(day * 100L + i, day, 1)) ++
+        (0 until 5).map(i => ev(day * 100L + 50 + i, day, 2))) ++
+      (0 until 5).map(i => ev(1000L + i, 7, 1)) ++
+      (0 until 15).map(i => ev(2000L + i, 7, 9))
+    val dir = java.nio.file.Files.createTempDirectory("trend2").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = AnalyticsQueries.trendingTerms(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(6)))
+    val lastDay = out.map(_._1).max
+    val top = out.filter(r => r._1 == lastDay && r._2 == 1L).head
+    assert(top._3 == "9", "the never-seen spike must lead the day")
+    // tshare floor 1 -> burst = share_fp * Fp = (15*Fp/20) * Fp
+    assert(top._4 == (15L * Fp / 20L) * Fp)
+    val steady = out.find(r => r._1 == lastDay && r._3 == "1").get
+    // term 1: today 5/20 (diluted by the spike); trailing 35/70
+    // -> burst = (Fp/4)*Fp / (Fp/2) = Fp/2 exactly
+    assert(steady._4 == Fp / 2, "the spike halves the steady term's burst")
+  }
+
   test("q180: orthogonal and identical hand centroids") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cent").toString
