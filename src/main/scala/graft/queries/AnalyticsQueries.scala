@@ -2130,13 +2130,23 @@ object AnalyticsQueries {
     * AGGREGATE relation (each (term, day) count feeds ≤ 7 later
     * days); shares and the top-K window run day-keyed. Leaderboard
     * tie order is total: (burst DESC, n DESC, term ASC). */
-  def trendingTerms(s: SparkSession, d: String): DataFrame = {
-    val td = Tables.events(s, d)
-      .select(expr("get_json_object(props, '$.k')").as("term"),
+  def trendingTerms(s: SparkSession, d: String): DataFrame =
+    trendingFromCounts(termDayCountsOf(Tables.events(s, d)))
+
+  /** The (term, day) count relation — shared with the streaming face
+    * so both extract/bucket identically. */
+  private[graft] def termDayCountsOf(ev: DataFrame): DataFrame =
+    ev.select(expr("get_json_object(props, '$.k')").as("term"),
         expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00'," +
           " ts) div 86400000000").as("day"))
       .filter(col("term").isNotNull)
       .groupBy(col("term"), col("day")).agg(count(lit(1)).as("n"))
+
+  /** q206's burst math on an explicit (term, day, n) relation — the
+    * streaming snapshot runs THIS over its committed summed deltas,
+    * so streaming ≡ batch is by construction. */
+  private[graft] def trendingFromCounts(td0: DataFrame): DataFrame = {
+    val td = td0
       .localCheckpoint(true) // feeds today, the trailing expand, and totals
     val byDay = Window.partitionBy(col("day"))
     val today = td

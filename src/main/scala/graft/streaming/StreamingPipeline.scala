@@ -1741,6 +1741,54 @@ object StreamingPipeline {
       }
   }
 
+  /** STREAMING trending terms (the q206 burst detector as a state
+    * machine): each micro-batch appends its own (term, day) counts
+    * under `td/batch_id=N` (pure function of the batch,
+    * overwrite-idempotent) behind the commit marker; the snapshot
+    * sums committed deltas — day-splitting batches merge by
+    * summation — and runs the SAME factored
+    * [[graft.queries.AnalyticsQueries.trendingFromCounts]] as the
+    * batch query, so streaming ≡ batch is by construction. State is
+    * the (term × day) count relation, bounded by vocabulary × time
+    * horizon, never event volume. */
+  def trendingStream(events: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyTrendingBatch(batch, batchId, stateDir)
+    }
+
+  private[streaming] def applyTrendingBatch(batch: DataFrame,
+      batchId: Long, stateDir: String): Unit = {
+    import graft.queries.AnalyticsQueries
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(root, "_COMMITTED")
+    if (readMarker(fs, marker).exists(_ >= batchId)) return
+    AnalyticsQueries.termDayCountsOf(batch)
+      .write.mode("overwrite").parquet(s"$stateDir/td/batch_id=$batchId")
+    advanceMarker(fs, marker, batchId)
+  }
+
+  /** Live trending leaderboard over everything ingested — bit-equal
+    * to the one-shot q206 on the same events. None until the first
+    * batch commits. */
+  def trendingSnapshot(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    import graft.queries.AnalyticsQueries
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    readMarker(fs, new org.apache.hadoop.fs.Path(root, "_COMMITTED"))
+      .map { f =>
+        val td = spark.read.option("basePath", s"$stateDir/td")
+          .parquet(s"$stateDir/td")
+          .filter(col("batch_id") <= f)
+          .groupBy(col("term"), col("day"))
+          .agg(sum(col("n")).as("n"))
+        AnalyticsQueries.trendingFromCounts(td)
+          .orderBy(col("day"), col("rank"))
+      }
+  }
+
   /** Live per-channel attribution totals over everything ingested —
     * bit-equal to the one-shot q179 rollup on the same events (the
     * credit partials sum exactly; see [[applyAttributionBatch]]).

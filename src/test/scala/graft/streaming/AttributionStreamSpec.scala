@@ -104,6 +104,24 @@ class AttributionStreamSpec extends AnyFunSuite {
       rows(graft.queries.AnalyticsQueries.cusumShift(spark, sfDir)))
   }
 
+  test("streaming trending snapshot == one-shot q206 (day-splitting batches)") {
+    val sd = java.nio.file.Files.createTempDirectory("trendstream").toString
+    assert(StreamingPipeline.trendingSnapshot(spark, sd).isEmpty)
+    val ev = graft.util.Tables.events(spark, sfDir)
+      .orderBy(col("ts"), col("event_id")).collect()
+    val schema = graft.util.Tables.events(spark, sfDir).schema
+    val per = ev.length / 3 + 7 // boundaries not day-aligned
+    ev.grouped(per).zipWithIndex.foreach { case (rows, i) =>
+      StreamingPipeline.applyTrendingBatch(
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema),
+        i.toLong, sd)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (0 until 7).map(r.get).toList).toList
+    assert(rows(StreamingPipeline.trendingSnapshot(spark, sd).get) ==
+      rows(graft.queries.AnalyticsQueries.trendingTerms(spark, sfDir)))
+  }
+
   test("per-batch compaction + horizon pruning preserves the rollup") {
     val sd = java.nio.file.Files.createTempDirectory("attrcompact").toString
     streamAll(sd, nBatches = 5, compactEvery = 1)
