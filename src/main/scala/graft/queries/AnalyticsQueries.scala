@@ -681,11 +681,14 @@ object AnalyticsQueries {
     *
     *   gini_fp = (Σᵢ (2i − n − 1)·x₍ᵢ₎) · 2²⁰ div (n · Σx)
     *
-    * with the (len, doc_id) total tie order. Headroom is ENFORCED:
-    * n < 2²⁰ docs and Σx < 2⁴⁰ tokens per source keep the
-    * denominator under 2⁶⁰ (beyond that, shard sources into
-    * sub-sources and merge the Σ(2i−n−1)x partials — the formula is
-    * offset-composable once global ranks are assigned).
+    * with the (len, doc_id) total tie order. Headroom is ENFORCED on
+    * the PRODUCT: |Σ(2i−1)x − n·Σx| ≤ n·Σx, so the ×2²⁰ numerator
+    * needs n·Σx < 2⁴³ per source (two independent n/Σx bounds admit
+    * products up to 2⁶⁰ — 2⁸⁰ after the multiply — and would wrap
+    * silently with ANSI off while the oracle stays exact). Beyond the
+    * bound, shard sources into sub-sources and merge the Σ(2i−n−1)x
+    * partials — the formula is offset-composable once global ranks
+    * are assigned.
     *
     * Shape at scale: per-doc counts are one map-side-combined pass;
     * the rank window is keyed by source (the q79 discipline); the
@@ -701,11 +704,21 @@ object AnalyticsQueries {
     val agg = ranked.groupBy(col("source"))
       .agg(count(lit(1)).as("n"), sum(col("len")).as("total"),
         sum(expr("(2 * i - 1) * len")).as("wsum"))
-    val guard = agg.agg(max(col("n")).as("mn"), max(col("total")).as("mt"))
-      .head()
-    require(guard.getLong(0) < (1L << 20) && guard.getLong(1) < (1L << 40),
-      s"sourceGini headroom: n=${guard.getLong(0)} total=${guard.getLong(1)}" +
-        " exceed 2^20/2^40 - shard sources and merge rank partials")
+    // Two-step guard: the n/total bounds make n*total itself wrap-free
+    // (2^20 * 2^43 = 2^63 exclusive), THEN the product bound protects
+    // the *2^20 numerator.
+    val guard = agg.agg(max(col("n")).as("mn"), max(col("total")).as("mt"),
+      max(col("n") * col("total")).as("mp")).head()
+    val (mn, mt) = (if (guard.isNullAt(0)) 0L else guard.getLong(0),
+      if (guard.isNullAt(1)) 0L else guard.getLong(1))
+    require(mn < (1L << 20) && mt < (1L << 43),
+      s"sourceGini headroom: n=$mn total=$mt exceed 2^20/2^43 - shard " +
+        "sources and merge rank partials")
+    val maxProd = if (guard.isNullAt(2)) 0L else guard.getLong(2)
+    require(maxProd < (1L << 43),
+      s"sourceGini headroom: max per-source n*total $maxProd >= 2^43 " +
+        "would wrap the *2^20 numerator - shard sources and merge rank " +
+        "partials")
     agg.select(col("source"), col("n"), col("total"),
       expr(s"CASE WHEN total = 0 THEN 0L ELSE " +
         s"((wsum - n * total) * $Fp) div (n * total) END").as("gini_fp"))
@@ -822,10 +835,15 @@ object AnalyticsQueries {
       .localCheckpoint(true) // 3 radix walks + the final scoring read it
     val n = base.count()
     val ranks = (1L to 4L).map(k => (n * k + 4) / 5)
-    def cuts(colName: String): Seq[Long] = {
-      val m = graft.datapipe.Quantiles.kthSmallestBatch(base, colName, ranks)
-      ranks.map(m)
-    }
+    // n == 0: base is empty so the projection below emits zero rows
+    // regardless of the thresholds — skip the radix walks (rank 0 is
+    // undefined) instead of erroring, matching the oracle's zero rows.
+    def cuts(colName: String): Seq[Long] =
+      if (n == 0L) Seq(0L, 0L, 0L, 0L)
+      else {
+        val m = graft.datapipe.Quantiles.kthSmallestBatch(base, colName, ranks)
+        ranks.map(m)
+      }
     val (rc, fc, mc) = (cuts("r_days"), cuts("f"), cuts("m_cents"))
     def scoreGe(c: String, ts: Seq[Long]) =
       ts.map(t => when(col(c) >= t, 1L).otherwise(0L)).reduce(_ + _) + 1L
@@ -1305,10 +1323,14 @@ object AnalyticsQueries {
       .groupBy(col("sa.row_idx").as("j"))
       .agg(sum(col("sa.cnt") * col("sb.cnt")).as("v"))
       .localCheckpoint(true)
-    val est = prods.agg(min(col("v"))).head().getLong(0)
-    val exact = a.groupBy(col("term")).agg(count(lit(1)).as("ca"))
+    // boxed so empty input yields NULL scalars (the oracle's empty-CTE
+    // aggregates emit one NULL row each) instead of an NPE
+    def scalarOf(r: org.apache.spark.sql.Row): java.lang.Long =
+      if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+    val est = scalarOf(prods.agg(min(col("v"))).head())
+    val exact = scalarOf(a.groupBy(col("term")).agg(count(lit(1)).as("ca"))
       .join(b.groupBy(col("term")).agg(count(lit(1)).as("cb")), Seq("term"))
-      .agg(sum(col("ca") * col("cb"))).head().getLong(0)
+      .agg(sum(col("ca") * col("cb"))).head())
     import s.implicits._
     prods.select(concat(lit("row_"), col("j").cast("string")).as("k"), col("v"))
       .unionByName(Seq(("est_min", est), ("exact", exact)).toDF("k", "v"))
@@ -1601,13 +1623,23 @@ object AnalyticsQueries {
     * Shape at scale: revenue is one map-side-combined sum per part;
     * the rank/cumsum window runs on the parts relation (dimension-
     * sized — parts grow far slower than lineitems). Emits per part:
-    * revenue cents, cumulative share ×2²⁰, class. */
+    * revenue cents, cumulative share ×2²⁰, class. Headroom is
+    * ENFORCED (the house discipline): total cents < 2⁴³ keeps
+    * cum·2²⁰ ≤ total·2²⁰ < 2⁶³ — beyond that (~$88B, TPC-H SF≈0.5),
+    * rescale cents to a coarser unit before ranking (the share and
+    * class cuts are scale-invariant). */
   def abcClassification(s: SparkSession, d: String): DataFrame = {
     val rev = Tables.lineitem(s, d)
       .select(col("l_partkey"),
         expr("CAST(round(l_extendedprice * (1.0d - l_discount) * 100)" +
           " AS BIGINT)").as("cents"))
       .groupBy(col("l_partkey")).agg(sum(col("cents")).as("cents"))
+      .localCheckpoint(true) // guard action + the window read it once
+    val totRow = rev.agg(sum(col("cents"))).head()
+    val totalCents = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+    require(totalCents < (1L << 43),
+      s"abcClassification headroom: total cents $totalCents >= 2^43 would " +
+        "wrap cum*2^20 - rescale cents to a coarser currency unit first")
     val w = Window.orderBy(col("cents").desc, col("l_partkey"))
     val tot = Window.partitionBy()
     rev
@@ -1845,7 +1877,11 @@ object AnalyticsQueries {
         .select(lit(nm).as("tier"), col("n_users"), col("top_users"),
           col("whale_events"), col("total_events"),
           expr(s"(whale_events * $Fp) div total_events").as("share_fp"))
-    }.reduce(_ unionByName _).orderBy(col("tier"))
+    }.reduce(_ unionByName _)
+      // empty input: the global agg emits one all-null row per tier
+      // where the oracle's JOIN+GROUP BY emits zero rows — drop them
+      .filter(col("total_events").isNotNull)
+      .orderBy(col("tier"))
   }
 
   def whaleConcentrationOracle: String =
