@@ -442,11 +442,23 @@ object GraphSketchQueries {
     * through customers — Σ_c C(deg_c, 2) with customer fan-out
     * bounded by purchase activity, the standard CF co-occurrence
     * bound (production systems cap the hot-user degree upstream; TPC-H
-    * maxes at ~30). The top-K window is keyed by supplier, never
-    * global, and the output is K·|suppliers| rows, not the pair
-    * matrix. Tie order is total: (jac_fp, cn) DESC, partner ASC. */
+    * maxes at ~30). The top-K runs as the BOUNDED-BUFFER
+    * [[graft.datapipe.TopK.topKPerGroup]] aggregator (the q79
+    * machinery), NOT a supplier-keyed row_number window: the window
+    * form sorts the ENTIRE directed pair relation just to keep 5 rows
+    * per supplier — the measured 2×-over-linear constant at the 100×
+    * rehearsal — while the aggregator's map-side partials carry at
+    * most K pairs per supplier per partition to one exchange. The
+    * (jac_fp DESC, cn DESC, partner ASC) total tie order is PRESERVED
+    * bit-for-bit by packing score = jac_fp·2⁴² + cn into the
+    * aggregator's single Long (jac_fp ≤ 2²⁰ keeps the pack < 2⁶³;
+    * cn < 2⁴² is ENFORCED via max distinct-customer degree — beyond
+    * 4×10¹² customers per supplier, widen the pack). Degrees re-join
+    * AFTER the top-K on the K·|suppliers| output, and cn decodes from
+    * the score, so the pair relation itself is never sorted. */
   def coPurchaseTopK(s: SparkSession, d: String): DataFrame = {
     val fp = 1L << 20
+    val packShift = 1L << 42
     val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -454,6 +466,12 @@ object GraphSketchQueries {
       .distinct()
       .persist()
     val deg = e.groupBy(col("sp").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true) // guard action + two re-joins read it
+    val mdRow = deg.agg(max(col("deg"))).head()
+    val maxDeg = if (mdRow.isNullAt(0)) 0L else mdRow.getLong(0)
+    require(maxDeg < (1L << 42),
+      s"coPurchaseTopK pack headroom: max supplier degree $maxDeg >= 2^42 " +
+        "would collide cn with jac_fp in the packed score - widen the pack")
     val pairs = e.select(col("c"), col("sp").as("sa"))
       .join(e.select(col("c").as("c2"), col("sp").as("sb")),
         col("c") === col("c2") && col("sa") < col("sb"))
@@ -468,11 +486,20 @@ object GraphSketchQueries {
       .join(deg.select(col("node").as("partner"), col("deg").as("deg_p")),
         Seq("partner"))
       .withColumn("jac_fp", expr(s"(cn * $fp) div (deg_s + deg_p - cn)"))
-    val w = Window.partitionBy(col("supplier"))
-      .orderBy(col("jac_fp").desc, col("cn").desc, col("partner"))
-    val out = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= CoPurchaseK)
-      .select(col("supplier"), col("rank").cast("long").as("rank"),
+      .withColumn("score", expr(s"jac_fp * $packShift + cn"))
+    val top = graft.datapipe.TopK.topKPerGroup(
+        scored.select(col("supplier"), col("score"), col("partner")),
+        "supplier", "score", "partner", CoPurchaseK)
+      .select(col("supplier").cast("long").as("supplier"), col("rank"),
+        col("partner"),
+        expr(s"score % $packShift").as("cn"),
+        expr(s"score div $packShift").as("jac_fp"))
+    val out = top
+      .join(deg.select(col("node").as("supplier"), col("deg").as("deg_s")),
+        Seq("supplier"))
+      .join(deg.select(col("node").as("partner"), col("deg").as("deg_p")),
+        Seq("partner"))
+      .select(col("supplier"), col("rank"),
         col("partner"), col("cn"), col("deg_s"), col("deg_p"), col("jac_fp"))
       .orderBy(col("supplier"), col("rank"))
       .localCheckpoint(true) // materialize before unpersisting the shared scan
