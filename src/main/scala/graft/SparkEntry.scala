@@ -223,6 +223,9 @@ object SparkEntry {
     "q204_ab_test" -> (AnalyticsQueries.abTestCard _),
     "q205_length_calibration" -> (AnalyticsQueries.lengthDiversityCalibration _),
     "q206_trending_terms" -> (AnalyticsQueries.trendingTerms _),
+    "q207_pca_basis" -> (DataPipeQueries.pcaBasis _),
+    "q208_quantile_summary" -> (DataPipeQueries.quantileSummary _),
+    "q209_drift_gate" -> (DataPipeQueries.driftGate _),
   )
 
   /** Shared by q15 (brute force) and q16 (IVF with nProbe == nCells —
@@ -684,5 +687,8 @@ object SparkEntry {
     "q204_ab_test" -> AnalyticsQueries.abTestCardOracle,
     "q205_length_calibration" -> AnalyticsQueries.lengthDiversityCalibrationOracle,
     "q206_trending_terms" -> AnalyticsQueries.trendingTermsOracle,
+    "q207_pca_basis" -> DataPipeQueries.pcaBasisOracle,
+    "q208_quantile_summary" -> DataPipeQueries.quantileSummaryOracle,
+    "q209_drift_gate" -> DataPipeQueries.driftGateOracle,
   )
 }

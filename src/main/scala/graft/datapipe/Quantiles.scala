@@ -93,6 +93,85 @@ object Quantiles {
   def kthSmallest(df: DataFrame, valueCol: String, k: Long): Long =
     kthSmallestBatch(df, valueCol, Seq(k))(k)
 
+  /** [[kthSmallestBatch]] over a WEIGHTED value-count relation
+    * (`valueCol`, `cntCol`): the k-th smallest of the expanded
+    * multiset, without expanding it — each radix round aggregates
+    * `sum(cnt)` per (prefix, byte) instead of `count(*)`. This is the
+    * read path of the streaming quantile state (value-count deltas
+    * merge by addition, so the summary is mergeable and
+    * order-insensitive by construction) and of any pre-aggregated
+    * histogram: the walk touches the counts relation — dictionary-
+    * sized, ∝ distinct values — never the corpus. Rows with
+    * non-positive counts are rejected (a merged summary can never go
+    * negative; catching it here fails loudly at the read). */
+  def kthSmallestCounts(counts: DataFrame, valueCol: String,
+                        cntCol: String, ks: Seq[Long]): Map[Long, Long] = {
+    require(ks.nonEmpty, "at least one rank required")
+    val vals = counts
+      .select(col(valueCol).cast("long").as("v"),
+        col(cntCol).cast("long").as("c"))
+      .filter(col("v").isNotNull)
+      .withColumn("f", col("v").bitwiseXOR(lit(Long.MinValue)))
+      .cache()
+    try {
+      require(vals.filter(col("c") <= 0L).isEmpty,
+        "kthSmallestCounts: non-positive count in the summary")
+      var state = ks.distinct.map(k => k -> ((0L, k))).toMap
+      var b = 7
+      while (b >= 0) {
+        val shift = 8 * b
+        val prefixes = state.values.map(_._1).toSeq.distinct
+        val scoped =
+          if (b == 7) vals
+          else vals.filter(shiftrightunsigned(col("f"), shift + 8)
+            .isin(prefixes: _*))
+        val prefixKey =
+          if (b == 7) lit(0L)
+          else shiftrightunsigned(col("f"), shift + 8)
+        val hist = scoped
+          .groupBy(prefixKey.as("p"),
+            shiftrightunsigned(col("f"), shift)
+              .bitwiseAND(lit(255L)).as("b"))
+          .agg(sum(col("c")).as("n")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        state = state.map { case (k, (hi, rem)) =>
+          val p = if (b == 7) 0L else hi
+          var bucket = 0L
+          var cum = 0L
+          var r2 = rem
+          var found = false
+          while (!found && bucket <= 255L) {
+            val n = hist.getOrElse((p, bucket), 0L)
+            if (cum + n >= r2) { r2 -= cum; found = true }
+            else { cum += n; bucket += 1 }
+          }
+          require(found, s"k=$k exceeds the summary mass")
+          k -> (((hi << 8) | bucket, r2))
+        }
+        b -= 1
+      }
+      state.map { case (k, (hi, _)) => k -> (hi ^ Long.MinValue) }
+    } finally vals.unpersist()
+  }
+
+  /** Exact quantiles from a WEIGHTED value-count summary at ranks
+    * k = max(1, ceil(q·n)) with n = Σcnt — one row per (label, q):
+    * (q, k, value), the q85 output shape served from dictionary-sized
+    * state. */
+  def quantilesFromCounts(counts: DataFrame, valueCol: String,
+                          cntCol: String,
+                          qs: Seq[(String, Double)]): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val nRow = counts.agg(sum(col(cntCol))).head()
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    require(n > 0L, "quantilesFromCounts: empty summary")
+    val ks = qs.map { case (_, q) => math.max(1L, math.ceil(q * n).toLong) }
+    val byK = kthSmallestCounts(counts, valueCol, cntCol, ks)
+    qs.zip(ks).map { case ((label, _), k) => (label, k, byK(k)) }
+      .toDF("q", "k", valueCol)
+  }
+
   /** Exact quantiles of `valueCol` at ranks k = ceil(q·n), one row
     * per (label, q): (q, k, value) — all ranks resolved by the one
     * shared walk. */

@@ -871,6 +871,47 @@ object DataPipeQueries {
       |  WHERE rn = GREATEST(1, CAST(ceil(0.99 * n) AS BIGINT))
       |) ORDER BY q""".stripMargin
 
+  /** The q208 quantile grid — wider than q85's three points: the
+    * latency-dashboard ladder a monitoring stack actually serves. */
+  private val SummaryQs = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75,
+    "p90" -> 0.9, "p95" -> 0.95, "p99" -> 0.99)
+
+  /** Quantiles from the mergeable value-count SUMMARY (q208): the
+    * same exact order statistics as q85, served from the
+    * dictionary-sized (value, cnt) relation the STREAMING quantile
+    * state persists ([[graft.streaming.StreamingPipeline.quantileStream]])
+    * — one map-side-combined count pass over the corpus, then the
+    * weighted radix walk ([[Quantiles.kthSmallestCounts]]: 8
+    * byte-histogram rounds whose scans touch only the summary). This
+    * oracles the summary read path itself: value counts merge by
+    * addition, so the summary is order/batching-insensitive by
+    * construction and the streamed snapshot is spec-tied bit-equal to
+    * this query. Six-point ladder (p25..p99); emits (q, k, cents). */
+  def quantileSummary(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(s, d)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+    Quantiles.quantilesFromCounts(counts, "cents", "cnt", SummaryQs)
+      .orderBy(col("q"))
+  }
+
+  def quantileSummaryOracle: String = {
+    val branches = SummaryQs.map { case (label, q) =>
+      s"""SELECT '$label' AS q, rn AS k, c AS cents FROM o
+         |  WHERE rn = GREATEST(1, CAST(ceil($q * n) AS BIGINT))""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH v AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+       |), o AS (
+       |  SELECT c, row_number() OVER (ORDER BY c) AS rn,
+       |    count(*) OVER () AS n
+       |  FROM v
+       |)
+       |SELECT q, k, cents FROM (
+       |  $branches
+       |) ORDER BY q""".stripMargin
+  }
+
   /** Composed training-data funnel (q86): the round-9 ops chained on
     * top of the q54 curation — curate (lang → quality → near-dup
     * survivors → 50% sample) → assign train/val/test bands → trim the
@@ -1961,6 +2002,159 @@ object DataPipeQueries {
       |SELECT CAST(i AS INTEGER) AS slot, CAST(v AS BIGINT) AS val FROM jt$PowerIters
       |UNION ALL SELECT $EmbDim, CAST(lam AS BIGINT) FROM ray2
       |ORDER BY slot""".stripMargin
+  }
+
+  /** q207 component count: the full projection basis width (q109
+    * projects onto 8 components — this pins ALL of them). */
+  private val BasisK = 8
+
+  /** FULL 8-component integer eigenbasis (q207): retires the LAST
+    * float seam in the PCA chain. q137 pinned component #1, q141
+    * component #2; this loops [[Embeddings.deflatedBasisFixed]] to
+    * k = 8 — the exact width q109's projection basis uses — and the
+    * oracle replays ALL EIGHT solve+deflate rounds in HUGEINT (8×64
+    * unrolled truncating power-iteration steps plus the seven
+    * deflation/renormalization rounds between them). With this green,
+    * every component of the q109 basis has a bit-for-bit second-
+    * engine integer witness (`PowerIterSpec` ties the float Jacobi
+    * columns to these witnesses by cosine), and the driver-side float
+    * eigensolve is no longer load-bearing for correctness anywhere.
+    *
+    * Shape at scale: UNCHANGED from q137/q141 — the only distributed
+    * work is the one sharded-moments pass over the corpus (one
+    * map-side-combined shuffle, payload ≤ shards·(2+d+d(d+1)/2)
+    * longs); all eight solves run on the driver's d×d BigInt matrix.
+    * The between-rounds max-entry renormalization caps every deflated
+    * matrix at ~2²¹, so chain depth never grows operand width — the
+    * k=2 headroom argument covers k=8 (scaladoc on
+    * [[Embeddings.deflatedBasisFixed]]).
+    *
+    * Emits (comp, slot, val): comp 0..7 the component, slots 0..d−1
+    * its iterate (×2²⁰), slot d its Rayleigh eigenvalue against the
+    * ORIGINAL covariance (×2⁴⁰) — so the comp-major sequence is the
+    * λ₁ ≥ … ≥ λ₈ spectrum head. */
+  def pcaBasis(s: SparkSession, d: String): DataFrame = {
+    val m = Embeddings.shardedMoments(
+      Tables.embeddings(s, d), "vec_id", "embedding", EmbDim, shards = 8)
+    val basis = Embeddings.deflatedBasisFixed(m, EmbDim, PowerIters, BasisK)
+    val rows = basis.zipWithIndex.flatMap { case ((v, lam), c) =>
+      v.zipWithIndex.map { case (x, i) => (c, i, x.toLong) } :+
+        ((c, EmbDim, lam.toLong))
+    }
+    s.createDataFrame(rows.toIndexedSeq).toDF("comp", "slot", "val")
+      .select(col("comp").cast("int").as("comp"),
+        col("slot").cast("int").as("slot"), col("val"))
+      .orderBy(col("comp"), col("slot"))
+  }
+
+  /** One unrolled truncating power-iteration step PER CTE (vs
+    * [[powerLoopSql]]'s two): the max-|w| normalizer comes from a
+    * window `MAX(ABS(w)) OVER ()` instead of a second scalar CTE.
+    * Same arithmetic, half the CTE-chain depth — q207's 8×64 steps
+    * would blow DuckDB's 1000-deep binder recursion with the
+    * two-CTE template (8 rounds ≈ 1100 chained CTEs); this form
+    * stays ≈ 580 deep. */
+  private def powerLoopSqlCompact(mat: String, p: String,
+      iters: Int): String = {
+    val fp = Embeddings.Fp
+    val sb = new StringBuilder
+    for (t <- 1 to iters) sb ++=
+      s""",
+      | $p$t AS MATERIALIZED (
+      |  SELECT i, CASE WHEN m = 0 THEN CAST(0 AS HUGEINT)
+      |    ELSE (w * $fp) // m END AS v
+      |  FROM (SELECT i, w, MAX(ABS(w)) OVER () AS m
+      |        FROM (SELECT c.i AS i, SUM(c.a * v.v) AS w
+      |              FROM $mat c JOIN $p${t - 1} v ON c.j = v.i
+      |              GROUP BY c.i))
+      |)""".stripMargin
+    sb.toString
+  }
+
+  /** The q141 oracle generalized to `k` rounds: the shared
+    * f/nn/sums/pu/cov front, then per round r: the 64-step unrolled
+    * solve on the CURRENT matrix, the original-covariance matvec +
+    * Rayleigh (reported eigenvalue), and — between rounds — the
+    * exact-integer Hotelling deflation `A′ = A·(vᵀv) − ⌊vᵀAv/vᵀv⌋·vvᵀ`
+    * with the one truncating max-entry renormalization, exactly the
+    * [[Embeddings.deflatedBasisFixed]] arithmetic. Generated, not
+    * hand-written — the per-round block is one template. */
+  def pcaBasisOracle: String = {
+    val fp = Embeddings.Fp
+    val sb = new StringBuilder
+    sb ++= s"""WITH f AS MATERIALIZED (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * $fp + 0.5) AS BIGINT) AS f
+      |  FROM embeddings
+      |), nn AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings
+      |), sums AS MATERIALIZED (
+      |  SELECT i, CAST(SUM(f) AS HUGEINT) AS s FROM f GROUP BY i
+      |), pu AS MATERIALIZED (
+      |  SELECT a.i AS i, b.i AS j, SUM(CAST(a.f AS HUGEINT) * b.f) AS p
+      |  FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY a.i, b.i
+      |), cov1 AS MATERIALIZED (
+      |  SELECT pf.i, pf.j, (SELECT n FROM nn) * pf.p - sa.s * sb2.s AS a
+      |  FROM (SELECT i, j, p FROM pu
+      |        UNION ALL SELECT j AS i, i AS j, p FROM pu WHERE i < j) pf
+      |  JOIN sums sa ON sa.i = pf.i JOIN sums sb2 ON sb2.i = pf.j
+      |)""".stripMargin
+    for (r <- 1 to BasisK) {
+      val mat = s"cov$r"
+      val it = s"b${r}i"   // iterates b{r}i0..b{r}i64
+      sb ++= s""",
+        | ${it}0 AS (SELECT i, CAST($fp AS HUGEINT) AS v FROM sums)"""
+        .stripMargin
+      sb ++= powerLoopSqlCompact(mat, it, PowerIters)
+      val vf = s"$it$PowerIters"
+      // Rayleigh against the ORIGINAL covariance cov1
+      sb ++= s""",
+        | b${r}wf AS MATERIALIZED (
+        |  SELECT c.i AS i, SUM(c.a * v.v) AS w
+        |  FROM cov1 c JOIN $vf v ON c.j = v.i GROUP BY c.i
+        |), b${r}ray AS (
+        |  SELECT CASE WHEN SUM(v.v * v.v) = 0 THEN CAST(0 AS HUGEINT)
+        |    ELSE SUM(v.v * wf.w)
+        |      // (SUM(v.v * v.v) * (SELECT n * n FROM nn)) END AS lam
+        |  FROM $vf v JOIN b${r}wf wf ON wf.i = v.i
+        |)""".stripMargin
+      if (r < BasisK) {
+        // deflation: lam-hat against the CURRENT matrix, then
+        // A' = A*den - lamhat*v*vT, renormalized to max-entry ~2^21
+        sb ++= s""",
+          | b${r}wc AS MATERIALIZED (
+          |  SELECT c.i AS i, SUM(c.a * v.v) AS w
+          |  FROM $mat c JOIN $vf v ON c.j = v.i GROUP BY c.i
+          |), b${r}den AS (SELECT SUM(v.v * v.v) AS d2 FROM $vf v),
+          | b${r}lam AS (
+          |  SELECT CASE WHEN (SELECT d2 FROM b${r}den) = 0
+          |    THEN CAST(0 AS HUGEINT)
+          |    ELSE (SELECT SUM(v.v * wc.w) FROM $vf v
+          |          JOIN b${r}wc wc ON wc.i = v.i)
+          |      // (SELECT d2 FROM b${r}den) END AS l),
+          | b${r}defl AS MATERIALIZED (
+          |  SELECT c.i AS i, c.j AS j,
+          |    c.a * (SELECT d2 FROM b${r}den)
+          |      - (SELECT l FROM b${r}lam) * va.v * vb.v AS a
+          |  FROM $mat c JOIN $vf va ON va.i = c.i
+          |  JOIN $vf vb ON vb.i = c.j),
+          | b${r}sc AS (SELECT GREATEST(CAST(1 AS HUGEINT),
+          |    (SELECT MAX(ABS(a)) FROM b${r}defl) // $fp) AS s),
+          | cov${r + 1} AS MATERIALIZED (
+          |  SELECT i, j, a // (SELECT s FROM b${r}sc) AS a FROM b${r}defl)"""
+          .stripMargin
+      }
+    }
+    val parts = (1 to BasisK).map { r =>
+      s"""SELECT ${r - 1} AS comp, CAST(i AS INTEGER) AS slot,
+         |  CAST(v AS BIGINT) AS val FROM b${r}i$PowerIters
+         |UNION ALL SELECT ${r - 1}, $EmbDim, CAST(lam AS BIGINT)
+         |  FROM b${r}ray""".stripMargin
+    }
+    sb ++= "\nSELECT comp, slot, val FROM (\n" +
+      parts.mkString("\nUNION ALL\n") + "\n) ORDER BY comp, slot"
+    sb.toString
   }
 
   /** Per-source rank normalization (q100): each document's n_chars
@@ -4653,6 +4847,231 @@ object DataPipeQueries {
        |WHERE 2 * i.n_inter >= sa.n + sb.n - i.n_inter
        |  AND (i.id_a % 2 <> 0 OR i.id_b % 2 <> 0)
        |ORDER BY id_a, id_b""".stripMargin
+
+  // ─────────────────────────────────────────────────────────── q209 ──
+
+  /** q209 gate thresholds: 0.1 nats PSI in Q16 log2 units
+    * (0.1/ln2·2¹⁶ ≈ 9455.5 — the shared INTEGER constant, so both
+    * engines decide identically even on the knife edge) and KS
+    * D ≥ 0.1 as the cross-multiplied 10·ks_num ≥ R·N. */
+  private val DriftPsiTq16 = 9455L
+
+  /** Drift gate → mix re-apportionment (q209): the capstone that
+    * WIRES the drift cards to an ingestion ACTION — the q200 pattern
+    * applied to the training-data funnel. All three drift statistics
+    * run over the standard even/odd slice pair: token PSI (q159,
+    * axes len/lang), exact KS on raw token lengths (q164), and
+    * embedding-space PSI (q165, axes emb_c0/label). Each gate is an
+    * EXACT integer comparison (psi_num ≥ 9455·R1·N1; 10·ks_num ≥
+    * R·N — no float ever decides), and if ANY fires the q86 curated
+    * mix re-apportions: the per-source train token budget halves
+    * (2000 → 1000 chars), quarantining volume until the drift is
+    * triaged — the conservative production response (never silently
+    * train MORE on a shifted distribution). Emits a (k, v) card:
+    * per-metric num/den/fired rows, the any-fired verdict, the
+    * chosen budget, and the resulting per-source train mix
+    * (docs + chars actually admitted under the gated budget).
+    *
+    * Headroom ENFORCED: slice totals < 2²⁴ (PSI) and < 2²⁹ (KS)
+    * keep every cross-product comparison inside a Long/BIGINT —
+    * beyond that, compute the cards on a bounded sample per slice
+    * (both statistics are scale-free; the [[Drift]] scaladoc's
+    * planet-scale note).
+    *
+    * Shape at scale: the three cards are the q159/q164/q165 passes
+    * (bin-keyed partial aggregations; logs on bin-sized relations
+    * only); the gate reads MODEL-sized collects (≤ axes rows); the
+    * mix is the q86 chain with the budget as a driver constant. */
+  def driftGateCard(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    def psiGates(card: DataFrame): Seq[(String, Long)] = {
+      val rows = card.groupBy(col("axis"))
+        .agg(max(col("psi_num")).as("p"), max(col("ref_tot1")).as("r"),
+          max(col("new_tot1")).as("n"))
+        .collect()
+      rows.toSeq.flatMap { r =>
+        val axis = r.getString(0)
+        val (p, rt, nt) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        require(rt < (1L << 24) && nt < (1L << 24),
+          s"driftGate PSI headroom: slice totals $rt/$nt >= 2^24 would " +
+            "wrap the threshold product - sample the slices (PSI is " +
+            "scale-free)")
+        val den = rt * nt
+        Seq(s"gate_psi_${axis}_num" -> p, s"gate_psi_${axis}_den" -> den,
+          s"gate_psi_${axis}_fired" ->
+            (if (p >= DriftPsiTq16 * den) 1L else 0L))
+      }
+    }
+    val ksRow = Drift.ksCard(docs)
+      .agg(max(col("ks_num")), max(col("ref_n")), max(col("new_n"))).head()
+    val (ksN, ksR, ksM) = (ksRow.getLong(0), ksRow.getLong(1), ksRow.getLong(2))
+    require(ksR < (1L << 29) && ksM < (1L << 29),
+      s"driftGate KS headroom: slice sizes $ksR/$ksM >= 2^29 would wrap " +
+        "the cross-multiply - sample the slices")
+    val gates = psiGates(Drift.psiCard(docs)) ++
+      psiGates(Drift.embPsiCard(emb)) ++
+      Seq("gate_ks_len_num" -> ksN, "gate_ks_len_den" -> (ksR * ksM),
+        "gate_ks_len_fired" -> (if (10L * ksN >= ksR * ksM) 1L else 0L))
+    val anyFired = gates.exists { case (k, v) =>
+      k.endsWith("_fired") && v == 1L
+    }
+    val budget = if (anyFired) 1000L else 2000L
+    val gateRows = gates ++ Seq(
+      "gate_any_fired" -> (if (anyFired) 1L else 0L),
+      "mix_budget" -> budget)
+    val curated = Curation.curate(docs, md5Based = true)
+    val withSplit = Sampling.assignSplit(curated, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0), salt = "split")
+    val train = Packing.tokenBudgetSample(
+      withSplit.filter(col("split") === "train"), "source", "doc_id",
+      "n_chars", Map.empty, defaultBudget = budget, salt = "tb")
+    val perSrc = train.groupBy(col("source"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_chars")).as("nc"))
+      .localCheckpoint(true) // two projections read it
+    val mix = perSrc
+      .select(concat(lit("mix_train_docs_"), col("source")).as("k"),
+        col("nd").as("v"))
+      .unionByName(perSrc
+        .select(concat(lit("mix_train_chars_"), col("source")).as("k"),
+          col("nc").as("v")))
+    gateRows.toDF("k", "v").unionByName(mix).orderBy(col("k"))
+  }
+
+  def driftGate(s: SparkSession, d: String): DataFrame =
+    driftGateCard(Tables.documents(s, d), Tables.embeddings(s, d))
+
+  /** Per-axis PSI sums for the q209 oracle: (axis, psi_num, ref_tot1,
+    * new_tot1) from a `card0` named `$card`, CTE names prefixed `$p`
+    * so the token and embedding chains coexist in one query (the
+    * [[FixedLogSql.logCtes]] prefix convention). */
+  private def psiGateSql(card: String, p: String): String =
+    s"""${p}tot AS (
+       |  SELECT axis,
+       |    CAST(SUM(ref_cnt) + COUNT(*) AS BIGINT) AS ref_tot1,
+       |    CAST(SUM(new_cnt) + COUNT(*) AS BIGINT) AS new_tot1
+       |  FROM $card GROUP BY 1
+       |), ${p}args AS MATERIALIZED (
+       |  SELECT c.axis, t.ref_tot1, t.new_tot1,
+       |    (c.ref_cnt + 1) * t.new_tot1 AS xa,
+       |    (c.new_cnt + 1) * t.ref_tot1 AS xb
+       |  FROM $card c JOIN ${p}tot t ON t.axis = c.axis
+       |), ${p}v AS (
+       |  SELECT DISTINCT v FROM (
+       |    SELECT xa AS v FROM ${p}args UNION SELECT xb FROM ${p}args)
+       |), ${FixedLogSql.logCtes(16, p)}, ${p}psi AS (
+       |  SELECT a.axis,
+       |    CAST(SUM((a.xa - a.xb) * (la.lg - lb.lg)) AS BIGINT) AS psi_num,
+       |    CAST(MAX(a.ref_tot1) AS BIGINT) AS ref_tot1,
+       |    CAST(MAX(a.new_tot1) AS BIGINT) AS new_tot1
+       |  FROM ${p}args a
+       |  JOIN ${p}log la ON la.v = a.xa
+       |  JOIN ${p}log lb ON lb.v = a.xb
+       |  GROUP BY 1
+       |)""".stripMargin
+
+  def driftGateOracle: String =
+    s"""WITH tokc AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL THEN 0
+       |      ELSE CAST(len(list_filter(string_split_regex(lower(text), '${Tok.WS}'), t -> t <> '')) AS BIGINT) END AS n_tok,
+       |    COALESCE(lang, '??') AS lang
+       |  FROM documents
+       |), pcard AS MATERIALIZED (
+       |  SELECT axis, bin,
+       |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+       |    CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS new_cnt
+       |  FROM (
+       |    SELECT doc_id, 'len' AS axis, printf('%02d', least(n_tok // 16, 15)) AS bin FROM tokc
+       |    UNION ALL
+       |    SELECT doc_id, 'lang', lang FROM tokc
+       |  ) GROUP BY 1, 2
+       |), ${psiGateSql("pcard", "p")}, es AS (
+       |  SELECT vec_id,
+       |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 16) AS BIGINT) + 8 AS raw,
+       |    CAST(label AS BIGINT) AS lab
+       |  FROM embeddings
+       |), ecard AS MATERIALIZED (
+       |  SELECT axis, bin,
+       |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+       |    CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS new_cnt
+       |  FROM (
+       |    SELECT vec_id, 'emb_c0' AS axis,
+       |      printf('%02d', greatest(0, least(15, raw))) AS bin FROM es
+       |    UNION ALL
+       |    SELECT vec_id, 'label', printf('%02d', lab) FROM es
+       |  ) GROUP BY 1, 2
+       |), ${psiGateSql("ecard", "e")}, kcnt AS MATERIALIZED (
+       |  SELECT n_tok,
+       |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r,
+       |    CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+       |  FROM tokc GROUP BY 1
+       |), ksq AS (
+       |  SELECT
+       |    CAST(MAX(abs(cum_ref * new_n - cum_new * ref_n)) AS BIGINT) AS ks_num,
+       |    CAST(MAX(ref_n) AS BIGINT) AS ref_n,
+       |    CAST(MAX(new_n) AS BIGINT) AS new_n
+       |  FROM (
+       |    SELECT
+       |      CAST(SUM(r) OVER (ORDER BY n_tok ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ref,
+       |      CAST(SUM(n) OVER (ORDER BY n_tok ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_new,
+       |      CAST(SUM(r) OVER () AS BIGINT) AS ref_n,
+       |      CAST(SUM(n) OVER () AS BIGINT) AS new_n
+       |    FROM kcnt
+       |  )
+       |), gate AS (
+       |  SELECT CASE WHEN
+       |      EXISTS (SELECT 1 FROM ppsi
+       |        WHERE psi_num >= $DriftPsiTq16 * ref_tot1 * new_tot1)
+       |      OR EXISTS (SELECT 1 FROM epsi
+       |        WHERE psi_num >= $DriftPsiTq16 * ref_tot1 * new_tot1)
+       |      OR EXISTS (SELECT 1 FROM ksq
+       |        WHERE 10 * ks_num >= ref_n * new_n)
+       |    THEN 1 ELSE 0 END AS fired
+       |), bud AS (
+       |  SELECT CASE WHEN fired = 1 THEN 1000 ELSE 2000 END AS b FROM gate
+       |), $curationCtes, sp AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)
+       |           < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+       |         WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)
+       |           < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM samp
+       |), tr AS (
+       |  SELECT doc_id, source, n_chars,
+       |    SUM(n_chars) OVER (PARTITION BY source
+       |      ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || 'tb'), 1, 8), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM sp WHERE split = 'train' AND n_chars IS NOT NULL
+       |), trk AS (
+       |  SELECT source, doc_id, n_chars FROM tr
+       |  WHERE cum <= (SELECT b FROM bud)
+       |)
+       |SELECT k, v FROM (
+       |  SELECT 'gate_psi_' || axis || '_num' AS k, psi_num AS v FROM ppsi
+       |  UNION ALL SELECT 'gate_psi_' || axis || '_den',
+       |    ref_tot1 * new_tot1 FROM ppsi
+       |  UNION ALL SELECT 'gate_psi_' || axis || '_fired',
+       |    CASE WHEN psi_num >= $DriftPsiTq16 * ref_tot1 * new_tot1
+       |      THEN 1 ELSE 0 END FROM ppsi
+       |  UNION ALL SELECT 'gate_psi_' || axis || '_num', psi_num FROM epsi
+       |  UNION ALL SELECT 'gate_psi_' || axis || '_den',
+       |    ref_tot1 * new_tot1 FROM epsi
+       |  UNION ALL SELECT 'gate_psi_' || axis || '_fired',
+       |    CASE WHEN psi_num >= $DriftPsiTq16 * ref_tot1 * new_tot1
+       |      THEN 1 ELSE 0 END FROM epsi
+       |  UNION ALL SELECT 'gate_ks_len_num', ks_num FROM ksq
+       |  UNION ALL SELECT 'gate_ks_len_den', ref_n * new_n FROM ksq
+       |  UNION ALL SELECT 'gate_ks_len_fired',
+       |    CASE WHEN 10 * ks_num >= ref_n * new_n THEN 1 ELSE 0 END FROM ksq
+       |  UNION ALL SELECT 'gate_any_fired', fired FROM gate
+       |  UNION ALL SELECT 'mix_budget', b FROM bud
+       |  UNION ALL SELECT 'mix_train_docs_' || source,
+       |    CAST(count(*) AS BIGINT) FROM trk GROUP BY source
+       |  UNION ALL SELECT 'mix_train_chars_' || source,
+       |    CAST(SUM(n_chars) AS BIGINT) FROM trk GROUP BY source
+       |) ORDER BY k""".stripMargin
 
   def ppjoinOracle: String =
     s"""WITH tok AS (

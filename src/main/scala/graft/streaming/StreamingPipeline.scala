@@ -1041,14 +1041,28 @@ object StreamingPipeline {
     * — per-batch work ∝ batch, the index is never rebuilt.
     * [[annIndexSnapshot]] probes the live index.
     *
-    * DRIFT POLICY: train-once is correct while ingestion stays
-    * in-distribution; a drifting stream erodes probe recall (never
-    * exactness — all vectors stay indexed). Monitor each batch with
-    * [[graft.datapipe.Clustering.ivfDistortion]] against the training
-    * batch's value and rebuild the state dir under a fresh model when
+    * DRIFT POLICY — AUTO-WIRED: every batch's mean quantizer
+    * distortion ([[graft.datapipe.Clustering.ivfDistortion]]) is
+    * measured against the live model's own training distortion
+    * (stored inside the model file); when
     * [[graft.datapipe.Clustering.ivfReindexDue]] fires (measured in
     * `AnnIndexSpec`: an in-distribution batch stays within ~1.5× the
-    * training distortion, a unit-shifted distribution trips 2×). */
+    * training distortion, a unit-shifted distribution trips 2×), the
+    * batch RETRAINS on the full index ∪ batch, reindexes everything
+    * under the fresh model into a new compacted base, and flips the
+    * base manifest — the rebuild replaces that batch's compaction.
+    *
+    * Model/coherence discipline: models are VERSIONED
+    * (`models/v{id}`, id = the training batchId) and the live model
+    * resolves as `max(id ≤ baseId)` (falling back to the smallest id
+    * before the first base exists), so the model can never run ahead
+    * of the assignments it explains: a crash between the new model
+    * write and the base-manifest flip leaves readers on the OLD
+    * (model, base) pair, and the structured-streaming redelivery of
+    * the uncommitted batch deterministically re-runs the identical
+    * rebuild to completion. Dead model versions GC after the flip
+    * (pure cleanup — crash leaves harmless orphans the resolution
+    * rule never selects). */
   def annIndexStream(emb: DataFrame, stateDir: String, k: Int = 8,
       iters: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding", compactEvery: Int = 8)
@@ -1058,14 +1072,47 @@ object StreamingPipeline {
         compactEvery)
     }
 
-  private def annModelPath(stateDir: String) = s"$stateDir/model"
+  private def annModelsRoot(stateDir: String) = s"$stateDir/models"
 
+  /** Sorted ids of all persisted model versions (empty if none). */
+  private[streaming] def annModelIds(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(annModelsRoot(stateDir))
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).toSeq.sorted
+  }
+
+  /** The model version the LIVE index is assigned under: the newest
+    * model at-or-before the current base snapshot — a model written
+    * by a crashed rebuild (base never flipped) is never selected —
+    * falling back to the initial model before any base exists. */
+  private[streaming] def annLiveModelId(
+      fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
+      baseId: Long): Option[Long] = {
+    val ids = annModelIds(fs, stateDir)
+    ids.filter(_ <= baseId).lastOption.orElse(ids.headOption)
+  }
+
+  /** Read model version `id`: (centroids, training distortion). */
   private[streaming] def readAnnModel(spark: SparkSession,
-      stateDir: String): Array[Array[Long]] = {
+      stateDir: String, id: Long): (Array[Array[Long]], Double) = {
     import spark.implicits._
-    spark.read.parquet(annModelPath(stateDir))
-      .orderBy(col("cl")).select(col("comps")).as[Seq[Long]]
-      .collect().map(_.toArray)
+    val rows = spark.read.parquet(s"${annModelsRoot(stateDir)}/v$id")
+      .orderBy(col("cl")).select(col("comps"), col("tdist"))
+      .as[(Seq[Long], Double)].collect()
+    (rows.map(_._1.toArray), rows.head._2)
+  }
+
+  private def writeAnnModel(spark: SparkSession, stateDir: String,
+      id: Long, centroids: Array[Array[Long]], tdist: Double): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, cl) => (cl, c.toSeq, tdist) }.toIndexedSeq
+      .toDF("cl", "comps", "tdist")
+      .write.mode("overwrite")
+      .parquet(s"${annModelsRoot(stateDir)}/v$id")
   }
 
   /** One [[annIndexStream]] micro-batch, factored out so crash-replay
@@ -1076,13 +1123,15 @@ object StreamingPipeline {
     import graft.datapipe.Clustering
     require(compactEvery >= 1, s"bad compactEvery $compactEvery")
     val spark = batch.sparkSession
-    import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val modelPath = new org.apache.hadoop.fs.Path(annModelPath(stateDir))
-    val centroids =
-      if (fs.exists(modelPath)) readAnnModel(spark, stateDir)
-      else {
+    val baseRoot = new org.apache.hadoop.fs.Path(root, "assign_base")
+    val baseId = currentSnapshotPath(fs, baseRoot)
+      .map(_.getName.drop(1).toLong)
+    val liveId = annLiveModelId(fs, stateDir, baseId.getOrElse(-1L))
+    val (centroids, trainDist) = liveId match {
+      case Some(id) => readAnnModel(spark, stateDir, id)
+      case None =>
         // first NON-EMPTY arrival trains the quantizer (deterministic
         // training makes the write replay-idempotent). An empty first
         // micro-batch — routine at stream start — must NOT train: a
@@ -1090,16 +1139,65 @@ object StreamingPipeline {
         // later vector to cluster 0. Wait for data instead.
         if (batch.isEmpty) return
         val cs = Clustering.kmeansCentroids(batch, idCol, vecCol, k, iters)
-        cs.zipWithIndex.map { case (c, cl) => (cl, c.toSeq) }.toIndexedSeq
-          .toDF("cl", "comps")
-          .write.mode("overwrite").parquet(modelPath.toString)
-        cs
-      }
+        val td = Clustering.ivfDistortion(
+          Clustering.ivfIndex(batch, cs, idCol, vecCol), cs)
+        writeAnnModel(spark, stateDir, batchId, cs, td)
+        (cs, td)
+    }
     // assignment delta: a pure function of (batch, model) —
     // overwrite-idempotent under replay (the docTokenCounts pattern)
-    Clustering.ivfIndex(batch, centroids, idCol, vecCol)
-      .write.mode("overwrite")
+    val delta = Clustering.ivfIndex(batch, centroids, idCol, vecCol)
+      .localCheckpoint(true) // delta write + distortion probe share it
+    delta.write.mode("overwrite")
       .parquet(s"$stateDir/assign/batch_id=$batchId")
+    // DRIFT GATE: the batch's mean distortion under the live model vs
+    // that model's own training distortion — one narrow batch-sized
+    // pass, work ∝ batch
+    val reindex = !delta.isEmpty && Clustering.ivfReindexDue(trainDist,
+      Clustering.ivfDistortion(delta, centroids))
+    def liveAssignments(upTo: Long): DataFrame = {
+      val deltas = spark.read.parquet(s"$stateDir/assign")
+        .filter(col("batch_id") > baseId.getOrElse(-1L) &&
+          col("batch_id") <= upTo)
+        .drop("batch_id")
+      baseId match {
+        case Some(b) => spark.read.parquet(
+          new org.apache.hadoop.fs.Path(baseRoot, s"v$b").toString)
+          .unionByName(deltas)
+        case None => deltas
+      }
+    }
+    if (reindex) {
+      // AUTO-REINDEX: retrain on everything indexed so far (stored
+      // quantized vectors round-trip exactly back to their floats —
+      // ×2⁻²⁰ is a power-of-two scale) ∪ the triggering batch, then
+      // rebuild the whole base under the fresh model. Order matters
+      // for the crash windows: model v{batchId} first (unreferenced
+      // until the flip), compacted base v{batchId} second (ditto),
+      // manifest flip third (the atomic commit point), GC last (pure
+      // cleanup). Redelivery of this batch after any crash re-runs
+      // the identical deterministic rebuild.
+      val fullVecs = liveAssignments(batchId)
+        .select(col(idCol), expr("transform(__cv, " +
+          s"c -> CAST(c AS FLOAT) / ${Clustering.Fp})").as(vecCol))
+        .localCheckpoint(true) // train + distortion + reindex read it 3x
+      val cs = Clustering.kmeansCentroids(fullVecs, idCol, vecCol, k, iters)
+      val newIdx = Clustering.ivfIndex(fullVecs, cs, idCol, vecCol)
+        .localCheckpoint(true)
+      val td = Clustering.ivfDistortion(newIdx, cs)
+      writeAnnModel(spark, stateDir, batchId, cs, td)
+      graft.ops.Compaction.writeCompacted(newIdx,
+        new org.apache.hadoop.fs.Path(baseRoot, s"v$batchId").toString,
+        targetRows = 1L << 22)
+      commitSnapshot(fs, baseRoot, batchId)
+      deleteDeltasUpTo(fs, new org.apache.hadoop.fs.Path(root, "assign"), batchId)
+      // GC model versions the resolution rule can no longer select
+      annModelIds(fs, stateDir).filter(_ < batchId).foreach { old =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${annModelsRoot(stateDir)}/v$old"), true)
+      }
+      return
+    }
     // periodic compaction: consolidate the per-batch delta partitions
     // into one compacted base (`assign_base/v{N}`, bounded file count
     // via [[graft.ops.Compaction]]) so steady-state append-only
@@ -1109,21 +1207,8 @@ object StreamingPipeline {
     // (id ≤ base) all serve the identical index; a replayed
     // compaction batch finds the manifest already at v{batchId} and
     // skips (batchId − base = 0 < compactEvery).
-    val baseRoot = new org.apache.hadoop.fs.Path(root, "assign_base")
-    val baseId = currentSnapshotPath(fs, baseRoot)
-      .map(_.getName.drop(1).toLong)
     if (baseId.forall(b => batchId - b >= compactEvery)) {
-      val deltas = spark.read.parquet(s"$stateDir/assign")
-        .filter(col("batch_id") > baseId.getOrElse(-1L) &&
-          col("batch_id") <= batchId)
-        .drop("batch_id")
-      val all = baseId match {
-        case Some(b) => spark.read.parquet(
-          new org.apache.hadoop.fs.Path(baseRoot, s"v$b").toString)
-          .unionByName(deltas)
-        case None => deltas
-      }
-      graft.ops.Compaction.writeCompacted(all,
+      graft.ops.Compaction.writeCompacted(liveAssignments(batchId),
         new org.apache.hadoop.fs.Path(baseRoot, s"v$batchId").toString,
         targetRows = 1L << 22)
       commitSnapshot(fs, baseRoot, batchId)
@@ -1141,8 +1226,6 @@ object StreamingPipeline {
     import graft.datapipe.Clustering
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(new org.apache.hadoop.fs.Path(annModelPath(stateDir))))
-      return None
     // a crash can land between the first batch's model write and its
     // assign write: the model exists but no assignment data does yet —
     // the index is still empty, not broken, so keep answering None
@@ -1150,13 +1233,17 @@ object StreamingPipeline {
     val base = currentSnapshotPath(fs,
       new org.apache.hadoop.fs.Path(s"$stateDir/assign_base"))
     val baseId = base.map(_.getName.drop(1).toLong).getOrElse(-1L)
+    // the LIVE model: newest at-or-before the base (a model written by
+    // a crashed rebuild whose base never flipped is never selected)
+    val liveId = annLiveModelId(fs, stateDir, baseId)
+    if (liveId.isEmpty) return None
     val assignRoot = new org.apache.hadoop.fs.Path(s"$stateDir/assign")
     // after compaction GC the delta dir can exist but hold no
     // partitions — a schema-less parquet read would throw
     val deltasExist =
       fs.exists(assignRoot) && fs.listStatus(assignRoot).nonEmpty
     if (base.isEmpty && !deltasExist) return None
-    val centroids = readAnnModel(spark, stateDir)
+    val (centroids, _) = readAnnModel(spark, stateDir, liveId.get)
     val parts =
       base.map(p => spark.read.parquet(p.toString)).toSeq ++
       (if (deltasExist)
@@ -1436,6 +1523,118 @@ object StreamingPipeline {
             coalesce(col("new_cnt"), lit(0L)).as("new_cnt"))
         graft.datapipe.Drift.cardFromCounts(counts)
           .orderBy(col("axis"), col("bin"))
+      }
+  }
+
+  /** Maintain MERGEABLE EXACT-QUANTILE state over a stream of long
+    * values — the streaming face of q85/q208 and the one face a
+    * monitoring stack still lacked: live latency/length percentiles
+    * with bounded per-batch work. The summary is the value-count
+    * relation (value, cnt): counts merge by ADDITION, which is
+    * associative, commutative and batching-insensitive, so the
+    * streamed state is a pure function of the ingested multiset —
+    * [[quantileSnapshot]] is bit-equal to the one-shot q85 walk over
+    * the union corpus under ANY batch split (`QuantileStreamSpec`).
+    *
+    * Per micro-batch: one map-side-combined count of the batch's
+    * values written as an overwrite-idempotent delta partition (work
+    * and write ∝ batch DISTINCT values), then the `_COMMITTED` marker
+    * flips. Every `compactEvery` batches the deltas fold (groupBy-sum)
+    * into a compacted base `counts_base/v{N}` under the
+    * [[applyTokenIndexBatch]] BASE+DELTA discipline — state size is
+    * DICTIONARY-sized (∝ distinct values of the metric, e.g. ≤ 2⁶⁴
+    * but in practice the support of a latency/length column), never
+    * corpus-sized, and steady-state file count stays bounded.
+    * Crash windows are the token-index ones: reads gate deltas on the
+    * marker and on `batch_id > base`; replay of a committed batch is
+    * detected by the marker and skipped. */
+  def quantileStream(values: DataFrame, stateDir: String,
+      valueCol: String = "v", compactEvery: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    values.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyQuantileBatch(batch, batchId, stateDir, valueCol, compactEvery)
+    }
+
+  /** One [[quantileStream]] micro-batch, factored out so crash-replay
+    * recovery is directly testable. */
+  private[streaming] def applyQuantileBatch(batch: DataFrame,
+      batchId: Long, stateDir: String, valueCol: String,
+      compactEvery: Int = 8): Unit = {
+    require(compactEvery >= 1, s"bad compactEvery $compactEvery")
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(root, "_COMMITTED")
+    if (readMarker(fs, marker).exists(_ >= batchId)) return
+    val baseRoot = new org.apache.hadoop.fs.Path(root, "counts_base")
+    val deltaRoot = new org.apache.hadoop.fs.Path(root, "delta")
+    // batch-sized relation, pure function of the batch —
+    // overwrite-idempotent under replay
+    batch.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(deltaRoot,
+        s"batch_id=$batchId").toString)
+    advanceMarker(fs, marker, batchId)
+    // periodic compaction: fold deltas into the base by groupBy-sum
+    val baseId = currentSnapshotPath(fs, baseRoot)
+      .map(_.getName.drop(1).toLong)
+    if (baseId.forall(b => batchId - b >= compactEvery)) {
+      val deltas = spark.read.parquet(deltaRoot.toString)
+        .filter(col("batch_id") > baseId.getOrElse(-1L) &&
+          col("batch_id") <= batchId)
+        .select(col("v"), col("cnt"))
+      val all = baseId match {
+        case Some(b) => spark.read.parquet(
+          new org.apache.hadoop.fs.Path(baseRoot, s"v$b").toString)
+          .unionByName(deltas)
+        case None => deltas
+      }
+      graft.ops.Compaction.writeCompacted(
+        all.groupBy(col("v")).agg(sum(col("cnt")).as("cnt")),
+        new org.apache.hadoop.fs.Path(baseRoot, s"v$batchId").toString,
+        targetRows = 1L << 22)
+      commitSnapshot(fs, baseRoot, batchId)
+      deleteDeltasUpTo(fs, deltaRoot, batchId)
+    }
+  }
+
+  /** Live exact quantiles from the [[quantileStream]] state: the
+    * q85-shaped (q, k, value) rows at the requested points over
+    * everything committed so far, via the weighted radix walk
+    * ([[graft.datapipe.Quantiles.quantilesFromCounts]]) on
+    * base ∪ gated deltas. None until the first non-empty batch
+    * commits. */
+  def quantileSnapshot(spark: SparkSession, stateDir: String,
+      qs: Seq[(String, Double)], valueCol: String = "v")
+      : Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    readMarker(fs, new org.apache.hadoop.fs.Path(root, "_COMMITTED"))
+      .flatMap { committed =>
+        val base = currentSnapshotPath(fs, new org.apache.hadoop.fs.Path(
+          root, "counts_base"))
+        val baseId = base.map(_.getName.drop(1).toLong).getOrElse(-1L)
+        val deltaRoot = new org.apache.hadoop.fs.Path(root, "delta")
+        val parts =
+          base.map(p => spark.read.parquet(p.toString)).toSeq ++
+          (if (fs.exists(deltaRoot) && fs.listStatus(deltaRoot).nonEmpty)
+            Seq(spark.read.parquet(deltaRoot.toString)
+              .filter(col("batch_id") > baseId &&
+                col("batch_id") <= committed)
+              .select(col("v"), col("cnt")))
+           else Seq.empty)
+        if (parts.isEmpty) None
+        else {
+          val counts = parts.reduce(_ unionByName _)
+            .groupBy(col("v")).agg(sum(col("cnt")).as("cnt"))
+            .localCheckpoint(true) // n-sum + 8 walk rounds read it
+          if (counts.isEmpty) None
+          else Some(graft.datapipe.Quantiles
+            .quantilesFromCounts(counts, "v", "cnt", qs)
+            .withColumnRenamed("v", valueCol))
+        }
       }
   }
 

@@ -222,6 +222,44 @@ class PowerIterSpec extends AnyFunSuite {
       basis.map(_._2).mkString(","))
   }
 
+  test("full k=8 chain: every integer component matches its Jacobi column (q207)") {
+    import spark.implicits._
+    // eight independent spiked directions with separated strengths
+    // (geometric decay 0.82^c keeps every eigengap well above the
+    // noise floor), dim 16 — all 8 Jacobi columns are well-determined
+    // so the PER-COLUMN cosine tie holds for the whole q207 basis,
+    // not just the variance sum the real-table test pins.
+    val d = 16
+    val df = (1 to 600).map { r =>
+      val fac = Array.tabulate(8) { c =>
+        (((r * (2654435761L + 48271L * c) + 977L * c) % 2001).toFloat
+          / 1000f) - 1f
+      }
+      (r.toLong, Seq.tabulate(d) { i =>
+        val noise = (((r * 48271L + i * 7919L) % 997).toFloat / 997f - 0.5f) * 0.02f
+        if (i < 8) fac(i) * math.pow(0.82, i).toFloat + noise
+        else noise
+      })
+    }.toDF("id", "vec")
+    val m = moments(df, d).map(BigInt(_))
+    val basis = Embeddings.deflatedBasisFixed(m, d, 64, k = 8)
+    val (_, cov) = Embeddings.meanCovariance(df, "vec", d)
+    val jac = Embeddings.topEigenvectors(cov, 8)
+    for (c <- 0 until 8) {
+      val vd = basis(c)._1.map(_.toDouble)
+      assert(math.abs(cosine(vd, jac(c))) > 0.999,
+        s"c=$c cos=${cosine(vd, jac(c))}")
+      val lamReal = basis(c)._2.toDouble / (Embeddings.Fp.toDouble * Embeddings.Fp)
+      val lJac = rayleigh(cov, jac(c))
+      assert(math.abs(lamReal - lJac) < 1e-3 * math.max(1.0, lJac),
+        s"c=$c lam=$lamReal jac=$lJac")
+    }
+    assert(basis.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+    for (x <- 0 until 8; y <- (x + 1) until 8)
+      assert(math.abs(cosine(basis(x)._1.map(_.toDouble),
+        basis(y)._1.map(_.toDouble))) < 2e-3, s"pair $x,$y")
+  }
+
   test("deflated solve degrades to zero on a zero-covariance corpus") {
     import spark.implicits._
     // 3 identical vectors: A = n·P − s·sᵀ = 0 exactly

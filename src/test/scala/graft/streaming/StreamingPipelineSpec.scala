@@ -824,11 +824,11 @@ class StreamingPipelineSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(snap() == expected)
     // crash-replay of batch 1: overwrite-idempotent, model untouched
-    val modelBefore = spark.read.parquet(s"$state/model")
+    val modelBefore = spark.read.parquet(s"$state/models/v0")
       .orderBy("cl").collect().map(_.toSeq).toSeq
     StreamingPipeline.applyAnnIndexBatch(odd, 1L, state, 8, 3, "vec_id", "embedding")
     assert(snap() == expected)
-    val modelAfter = spark.read.parquet(s"$state/model")
+    val modelAfter = spark.read.parquet(s"$state/models/v0")
       .orderBy("cl").collect().map(_.toSeq).toSeq
     assert(modelBefore == modelAfter)
   }
