@@ -61,6 +61,37 @@ object Bench {
     * vs 1.68 s clean — that only COVERAGE.md corrected). */
   def miniSpin(): Double = spin(100_000_000L)
 
+  /** Degree of the parallel probes: the bench's own executor shape. */
+  val ParDegree: Int =
+    math.min(32, Runtime.getRuntime.availableProcessors())
+
+  /** MULTI-CORE contention sentinel (round-15, closing the BENCH_r14
+    * blind spot): wall time of [[ParDegree]] CONCURRENT fixed spin
+    * loops — the local[32] shape. A single-thread spin only sees
+    * frequency/scheduling pressure on ITS core; a concurrent DuckDB
+    * sweep stealing 8 of 32 cores leaves one spinner untouched
+    * (BENCH_r14 passed 1.012/1.035 single-thread calibration while
+    * unchanged-code queries read ~17% over the clean record). With 32
+    * spinners on 32 cores, any core theft inflates the slowest
+    * spinner — wall time moves with exactly the resource the query
+    * loop competes for. ~0.5 s idle. */
+  def parSpinCalibration(): Double = parSpin(250_000_000L, ParDegree)
+
+  /** Parallel per-query probe: same shape at 1/10 the work (~0.05 s
+    * idle) — cheap enough to bracket every query alongside
+    * [[miniSpin]]. */
+  def parMiniSpin(): Double = parSpin(25_000_000L, ParDegree)
+
+  private def parSpin(itersPerThread: Long, threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { _ =>
+      val t = new Thread(() => { spin(itersPerThread); () })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def spin(iters: Long): Double = {
     val t0 = System.nanoTime()
     var h = 0x9e3779b97f4a7c15L
@@ -77,6 +108,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val calibStart = spinCalibration()
+    val calibParStart = parSpinCalibration()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -112,8 +144,15 @@ object Bench {
     def probe(): Double = {
       val p = miniSpin(); if (p < refMin) refMin = p; p
     }
-    (1 to 2).foreach(_ => probe()) // settle JIT + seed the reference
+    // parallel twin: its own floor (scheduling makes it noisier, so a
+    // looser factor), flags multi-core theft the single spin can't see
+    var refMinPar = calibParStart / 10.0
+    def probePar(): Double = {
+      val p = parMiniSpin(); if (p < refMinPar) refMinPar = p; p
+    }
+    (1 to 2).foreach { _ => probe(); probePar() } // settle JIT + seed
     val ContendedFactor = 1.10
+    val ContendedFactorPar = 1.25
     // Retry budget per contended query: r12 shipped 9 unclean windows
     // out of 12 flagged with a budget of 2 — the burst outlasted the
     // retries. 5 attempts with a short sleep before each lets a
@@ -126,6 +165,12 @@ object Bench {
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Boolean)]
 
     var before = probe()
+    var beforePar = probePar()
+    // a probe window is clean only if BOTH probes sit at their floors
+    def windowContended(s1: Double, s2: Double,
+        p1: Double, p2: Double): Boolean =
+      math.max(s1, s2) > ContendedFactor * refMin ||
+        math.max(p1, p2) > ContendedFactorPar * refMinPar
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // min of 2: first run pays codegen/JIT for this query's operators
       def runOnce(): Double = (1 to 2).map { _ =>
@@ -136,24 +181,29 @@ object Bench {
       }.min
       var t = runOnce()
       var after = probe()
-      if (math.max(before, after) > ContendedFactor * refMin) {
+      var afterPar = probePar()
+      if (windowContended(before, after, beforePar, afterPar)) {
         val raw = t
         var clean = false
         var tries = 0
         while (!clean && tries < RetryBudget) {
           Thread.sleep(500L * (tries + 1)) // let the burst pass
           val pb = probe()
+          val pbPar = probePar()
           val t2 = runOnce()
           val pa = probe()
-          if (math.max(pb, pa) <= ContendedFactor * refMin) { t = t2; clean = true }
+          val paPar = probePar()
+          if (!windowContended(pb, pa, pbPar, paPar)) { t = t2; clean = true }
           else t = math.min(t, t2)
           after = pa
+          afterPar = paPar
           tries += 1
         }
         contended(name) = (raw, clean)
       }
       results(name) = t
       before = after
+      beforePar = afterPar
     }
 
     // pipeline-shaped enrichment throughput: documents table → NLP
@@ -214,7 +264,8 @@ object Bench {
     val medDocsPerSec = nCitations / medSec
 
     val calibEnd = spinCalibration()
-    val calib = f""""calib_spin_sec_start":$calibStart%.3f,"calib_spin_sec_end":$calibEnd%.3f,"probe_idle_sec":$refMin%.3f"""
+    val calibParEnd = parSpinCalibration()
+    val calib = f""""calib_spin_sec_start":$calibStart%.3f,"calib_spin_sec_end":$calibEnd%.3f,"calib_par_sec_start":$calibParStart%.3f,"calib_par_sec_end":$calibParEnd%.3f,"calib_par_threads":$ParDegree,"probe_idle_sec":$refMin%.3f,"probe_par_idle_sec":$refMinPar%.3f"""
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     // Contention record: per flagged query the raw (burst-window)
