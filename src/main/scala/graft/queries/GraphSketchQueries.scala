@@ -284,6 +284,26 @@ object GraphSketchQueries {
     * map-side-combined sum — node-sized shuffles only, the q143
     * shape. The max() per half-step is a driver scalar over an
     * already-aggregated node relation. */
+  /** The (customer, supplier) distinct bipartite edge relation the
+    * HITS/CF family iterates over — exposed for `PlanAuditSpec`. */
+  private[queries] def purchaseEdgesForAudit(s: SparkSession,
+      d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct()
+
+  /** One HITS half-step — rank mass pushed across the bipartite edge
+    * relation as ONE equi-join + ONE map-side-combined sum (the
+    * node-level rank side is dimension-sized next to edges, so AQE
+    * broadcasts it at runtime). Factored out so `PlanAuditSpec` pins
+    * the step's physical shape directly. */
+  private[queries] def hitsHalfStep(e: DataFrame, ranks: DataFrame,
+      srcCol: String, dstCol: String): DataFrame =
+    e.join(ranks, col(srcCol) === col("node"))
+      .groupBy(col(dstCol)).agg(sum(col("sc")).as("sc"))
+
   def hitsQ(s: SparkSession, d: String): DataFrame = {
     val fp = 1L << 20
     val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
@@ -302,15 +322,11 @@ object GraphSketchQueries {
       .select(col("c").as("node"), lit(fp).as("sc")).localCheckpoint(true)
     var a: DataFrame = null
     for (_ <- 1 to HitsIters) {
-      val araw = e.join(h, col("c") === col("node"))
-        .groupBy(col("sp")).agg(sum(col("sc")).as("sc"))
-        .localCheckpoint(true)
+      val araw = hitsHalfStep(e, h, "c", "sp").localCheckpoint(true)
       val amax = araw.agg(max("sc")).head().getLong(0)
       a = araw.select(col("sp").as("node"),
         expr(s"(sc * $fp) div ${amax}L").as("sc")).localCheckpoint(true)
-      val hraw = e.join(a, col("sp") === col("node"))
-        .groupBy(col("c")).agg(sum(col("sc")).as("sc"))
-        .localCheckpoint(true)
+      val hraw = hitsHalfStep(e, a, "sp", "c").localCheckpoint(true)
       val hmax = hraw.agg(max("sc")).head().getLong(0)
       h = hraw.select(col("c").as("node"),
         expr(s"(sc * $fp) div ${hmax}L").as("sc")).localCheckpoint(true)
@@ -379,6 +395,16 @@ object GraphSketchQueries {
     * map-side-combined min — node-sized shuffles against the
     * once-persisted symmetric edge relation, the q143 iteration
     * shape. */
+  /** One BFS expansion round — frontier pushed along the symmetric
+    * edge relation (equi-join), then a map-side-combined min with the
+    * standing distances. Factored out so `PlanAuditSpec` pins the
+    * round's physical shape directly. */
+  private[queries] def bfsExpand(sym: DataFrame, dist: DataFrame): DataFrame =
+    dist.unionByName(
+        sym.join(dist, col("u") === col("node"))
+          .select(col("v").as("node"), (col("dist") + 1L).as("dist")))
+      .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+
   def bfsDistQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val ned = graft.datapipe.DedupOps
@@ -391,11 +417,7 @@ object GraphSketchQueries {
       .filter(col("node") % 7 === 0)
       .select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
     for (_ <- 1 to BfsRounds) {
-      dist = dist.unionByName(
-          sym.join(dist, col("u") === col("node"))
-            .select(col("v").as("node"), (col("dist") + 1L).as("dist")))
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+      dist = bfsExpand(sym, dist).localCheckpoint(true)
     }
     sym.unpersist()
     dist.select(col("node").as("doc_id"), col("dist"))

@@ -663,4 +663,76 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("hashpartitioning\\(__d".r.findAllIn(p).nonEmpty ||
       "hashpartitioning\\(doc_id".r.findAllIn(p).nonEmpty, p.take(3000))
   }
+
+  // ── round-15 pins: graph half-steps + model-sized driver frames ──
+
+  test("q174 HITS: barrier-materialized result; half-step is equi-join + partial sum") {
+    needsTpch()
+    val p = plan("q174_hits")
+    // the emitted frame reads the checkpoint barriers, never re-plans
+    // the 16 half-steps
+    assert(p.contains("Scan ExistingRDD") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    // the half-step itself (the shape every one of the 16 barriers
+    // materialized): one equi-join, one map-side-combined sum
+    import org.apache.spark.sql.functions._
+    val e = GraphSketchQueries.purchaseEdgesForAudit(spark, d)
+    val ranks = e.select(col("c").as("node")).distinct()
+      .select(col("node"), lit(1L << 20).as("sc"))
+    val hp = GraphSketchQueries.hitsHalfStep(e, ranks, "c", "sp")
+      .queryExecution.executedPlan.toString
+    assert(!hp.contains("CartesianProduct") &&
+      !hp.contains("BroadcastNestedLoop"), hp.take(2000))
+    assert(hp.contains("partial_sum"), "half-step sum must map-side combine:\n" +
+      hp.take(3000))
+  }
+
+  test("q175 BFS: barrier-materialized result; expansion round is equi-join + partial min") {
+    val p = plan("q175_bfs_dist")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val sym = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("u", "v")
+    val dist = Seq((1L, 0L)).toDF("node", "dist")
+    val bp = GraphSketchQueries.bfsExpand(sym, dist)
+      .queryExecution.executedPlan.toString
+    assert(!bp.contains("CartesianProduct") &&
+      !bp.contains("BroadcastNestedLoop"), bp.take(2000))
+    assert(bp.contains("partial_min"), "frontier min must map-side combine:\n" +
+      bp.take(3000))
+  }
+
+  test("q195/q204: the emitted frame is a model-sized local table (driver loop never re-plans the corpus)") {
+    needsTpch()
+    for (q <- Seq("q195_markov_stationary", "q204_ab_test")) {
+      val p = plan(q)
+      // the single corpus pass ran at construction (one keyed agg,
+      // collected model-sized); the emitted frame must be local rows
+      // + the output sort — no join, no aggregate, no corpus scan
+      assert(p.contains("LocalTableScan"), s"$q\n" + p.take(1500))
+      assert(!p.contains("HashAggregate") && !p.contains("Join") &&
+        !p.contains("FileScan"), s"$q re-plans corpus work:\n" + p.take(2000))
+    }
+  }
+
+  test("q207/q208: driver-solved frames — no corpus work in the emitted plan") {
+    val p207 = plan("q207_pca_basis")
+    assert(p207.contains("LocalTableScan") && !p207.contains("FileScan"),
+      p207.take(1500))
+    val p208 = plan("q208_quantile_summary")
+    assert(p208.contains("LocalTableScan") && !p208.contains("FileScan"),
+      p208.take(1500))
+    // the radix walk never sorts row data: no Window anywhere near it
+    assert(!p208.contains("Window"), p208.take(1500))
+  }
+
+  test("q209 drift gate: gate rows local, mix rows checkpoint-materialized, no cartesian") {
+    val p = plan("q209_drift_gate")
+    assert(p.contains("LocalTableScan") && p.contains("Scan ExistingRDD"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(2000))
+  }
 }
