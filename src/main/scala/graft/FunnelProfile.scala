@@ -55,7 +55,9 @@ object FunnelProfile {
       Similarity.cosineNearDupPairs(embSurv, threshold = 0.45, nCells = nCells))
     t("cosPairs.count (eval 1)")(cosPairs.count())
     t("cosPairs.count (eval 2)")(cosPairs.count())
-    t("full q103")(DataPipeQueries.llmFunnel(spark, d).collect().length)
+    // count, not collect: the profile needs the wall time + row count,
+    // never the rows on the driver
+    t("full q103")(DataPipeQueries.llmFunnel(spark, d).count())
     spark.stop()
   }
 }

@@ -66,6 +66,42 @@ class QuantilesSpec extends AnyFunSuite {
     assert(jobs <= 20, s"expected a shared walk (<=20 jobs), saw $jobs")
   }
 
+  test("weighted walk == unweighted walk on the expanded multiset (q208)") {
+    import spark.implicits._
+    // skewed weights incl. a heavy head value and extreme magnitudes
+    val pairs = Seq(Long.MinValue -> 3L, -77L -> 1L, 0L -> 500L,
+      5L -> 2L, 256L -> 40L, 65536L -> 1L, Long.MaxValue -> 2L) ++
+      (1 to 60).map(i => ((i * 2654435761L) % 10007 - 5000) -> ((i % 4) + 1L))
+    val counts = pairs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val expanded = counts.flatMap { case (v, c) => Seq.fill(c.toInt)(v) }
+    val sorted = expanded.sorted
+    val n = expanded.size.toLong
+    val ks = Seq(1L, 2L, n / 3, n / 2, n - 1, n)
+    val got = Quantiles.kthSmallestCounts(
+      counts.toDF("v", "cnt"), "v", "cnt", ks)
+    for (k <- ks)
+      assert(got(k) == sorted(k.toInt - 1), s"k=$k got=${got(k)}")
+    // and the full-quantile face agrees with the unweighted one
+    val qs = Seq("p25" -> 0.25, "p50" -> 0.5, "p99" -> 0.99)
+    val w = Quantiles.quantilesFromCounts(counts.toDF("v", "cnt"),
+      "v", "cnt", qs).orderBy("q").collect().map(_.toSeq).toSeq
+    val u = Quantiles.exactQuantiles(expanded.toDF("v"), "v", qs)
+      .orderBy("q").collect().map(_.toSeq).toSeq
+    assert(w == u)
+  }
+
+  test("weighted walk rejects non-positive counts and over-mass ranks") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Quantiles.kthSmallestCounts(
+        Seq(1L -> 2L, 5L -> 0L).toDF("v", "cnt"), "v", "cnt", Seq(1L))
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.kthSmallestCounts(
+        Seq(1L -> 2L).toDF("v", "cnt"), "v", "cnt", Seq(3L))
+    }
+  }
+
   test("exactQuantiles ranks at ceil(q*n)") {
     val vs = (1 to 100).map(_.toLong)
     val got = Quantiles.exactQuantiles(df(vs), "v",
