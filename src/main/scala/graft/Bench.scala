@@ -77,10 +77,17 @@ object Bench {
     * loop competes for. ~0.5 s idle. */
   def parSpinCalibration(): Double = parSpin(250_000_000L, ParDegree)
 
-  /** Parallel per-query probe: same shape at 1/10 the work (~0.05 s
-    * idle) — cheap enough to bracket every query alongside
-    * [[miniSpin]]. */
-  def parMiniSpin(): Double = parSpin(25_000_000L, ParDegree)
+  /** Why the parallel probe is RUN-LEVEL only (start/end
+    * calibration), never a per-query gate: measured on an idle host,
+    * a 32-thread ~60 ms mini-spin bracketing every query false-flags
+    * ~80% of windows (169/211 unclean) — the just-finished query's GC
+    * and Spark's threadpool wind-down dominate a window that short at
+    * that thread count, and no retry budget outruns noise that is
+    * intrinsic. The 0.5 s run-level spin is stable (±8% idle) and a
+    * SUSTAINED multi-core theft — the BENCH_r14 failure mode, a
+    * concurrent sweep sliding unchanged-code queries ~17% — inflates
+    * both its start and end values; transient bursts remain the
+    * single-thread mini-probe's job, as before. */
 
   private def parSpin(itersPerThread: Long, threads: Int): Double = {
     val t0 = System.nanoTime()
@@ -144,15 +151,8 @@ object Bench {
     def probe(): Double = {
       val p = miniSpin(); if (p < refMin) refMin = p; p
     }
-    // parallel twin: its own floor (scheduling makes it noisier, so a
-    // looser factor), flags multi-core theft the single spin can't see
-    var refMinPar = calibParStart / 10.0
-    def probePar(): Double = {
-      val p = parMiniSpin(); if (p < refMinPar) refMinPar = p; p
-    }
-    (1 to 2).foreach { _ => probe(); probePar() } // settle JIT + seed
+    (1 to 2).foreach(_ => probe()) // settle JIT + seed the reference
     val ContendedFactor = 1.10
-    val ContendedFactorPar = 1.25
     // Retry budget per contended query: r12 shipped 9 unclean windows
     // out of 12 flagged with a budget of 2 — the burst outlasted the
     // retries. 5 attempts with a short sleep before each lets a
@@ -160,17 +160,21 @@ object Bench {
     // host (the loop exits at the first clean window).
     val RetryBudget =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "5").toInt
+    // Global cap on time spent in retries across the WHOLE run: the
+    // parallel probe (round 15) flags contention a single-thread spin
+    // missed, so a persistently loaded host could otherwise retry all
+    // ~200 queries x 5 attempts — unbounded. Past the cap, queries
+    // record their raw number unclean (the calibration columns already
+    // mark the whole run) instead of chasing a window that never
+    // comes.
+    val RetryTimeBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_BUDGET_SEC", "600").toDouble
+    var retrySpentSec = 0.0
     // name -> (raw contended seconds, clean-window rerun obtained)
     val contended =
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Boolean)]
 
     var before = probe()
-    var beforePar = probePar()
-    // a probe window is clean only if BOTH probes sit at their floors
-    def windowContended(s1: Double, s2: Double,
-        p1: Double, p2: Double): Boolean =
-      math.max(s1, s2) > ContendedFactor * refMin ||
-        math.max(p1, p2) > ContendedFactorPar * refMinPar
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // min of 2: first run pays codegen/JIT for this query's operators
       def runOnce(): Double = (1 to 2).map { _ =>
@@ -181,29 +185,27 @@ object Bench {
       }.min
       var t = runOnce()
       var after = probe()
-      var afterPar = probePar()
-      if (windowContended(before, after, beforePar, afterPar)) {
+      if (math.max(before, after) > ContendedFactor * refMin) {
         val raw = t
         var clean = false
         var tries = 0
-        while (!clean && tries < RetryBudget) {
+        while (!clean && tries < RetryBudget &&
+            retrySpentSec < RetryTimeBudgetSec) {
+          val r0 = System.nanoTime()
           Thread.sleep(500L * (tries + 1)) // let the burst pass
           val pb = probe()
-          val pbPar = probePar()
           val t2 = runOnce()
           val pa = probe()
-          val paPar = probePar()
-          if (!windowContended(pb, pa, pbPar, paPar)) { t = t2; clean = true }
+          if (math.max(pb, pa) <= ContendedFactor * refMin) { t = t2; clean = true }
           else t = math.min(t, t2)
           after = pa
-          afterPar = paPar
           tries += 1
+          retrySpentSec += (System.nanoTime() - r0) / 1e9
         }
         contended(name) = (raw, clean)
       }
       results(name) = t
       before = after
-      beforePar = afterPar
     }
 
     // pipeline-shaped enrichment throughput: documents table → NLP
@@ -265,7 +267,7 @@ object Bench {
 
     val calibEnd = spinCalibration()
     val calibParEnd = parSpinCalibration()
-    val calib = f""""calib_spin_sec_start":$calibStart%.3f,"calib_spin_sec_end":$calibEnd%.3f,"calib_par_sec_start":$calibParStart%.3f,"calib_par_sec_end":$calibParEnd%.3f,"calib_par_threads":$ParDegree,"probe_idle_sec":$refMin%.3f,"probe_par_idle_sec":$refMinPar%.3f"""
+    val calib = f""""calib_spin_sec_start":$calibStart%.3f,"calib_spin_sec_end":$calibEnd%.3f,"calib_par_sec_start":$calibParStart%.3f,"calib_par_sec_end":$calibParEnd%.3f,"calib_par_threads":$ParDegree,"probe_idle_sec":$refMin%.3f"""
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     // Contention record: per flagged query the raw (burst-window)
