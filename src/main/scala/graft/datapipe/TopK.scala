@@ -142,6 +142,62 @@ object TopK {
         col("col._2").as(idCol), col("col._1").as(scoreCol))
   }
 
+  /** MAP-SIDE local top-K prune for LONG group keys — the combiner
+    * for a billion-row top-K-per-group. One streaming `mapPartitions`
+    * pass holds a bounded (≤ 2k longs) buffer per group key in a
+    * per-task hash map (memory ∝ distinct keys in the task's input ×
+    * k — e.g. 10⁶ keys × k=5 ≈ 10⁸ bytes — never ∝ rows), emits at
+    * most k rows per (partition, key), and never sorts anything.
+    * Any row in the GLOBAL top-k of key g is in the top-k of its own
+    * partition for g, so `globalTopK(prune(df)) == globalTopK(df)`
+    * exactly — run the exact window on the pruned (≤ k·keys·
+    * partitions row) output.
+    *
+    * Why not the typed Aggregator ([[TopKPairsAgg]]) for this:
+    * measured at the q176 100× rehearsal, `groupByKey` over ~10⁹
+    * pair rows deserializes every row to objects and falls back to
+    * sort-based OBJECT aggregation past the hash-agg group threshold
+    * — the resulting GC storm killed the driver (executor heartbeat
+    * timeout) where the plain window version merely paid a sort. The
+    * Aggregator remains right for model-sized relations (q79/q87);
+    * THIS is the corpus-scale path. */
+  def localTopKPrune(df: DataFrame, groupCol: String, scoreCol: String,
+                     idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "top-k needs k >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("long"), col(scoreCol).cast("long"),
+        col(idCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // primitive-keyed map: a boxed-key HashMap allocates a
+        // java.lang.Long PER ROW on the billion-row input
+        val m = scala.collection.mutable.LongMap.empty[Array[Long]]
+        it.foreach { case (g, s, i) =>
+          val buf = m.getOrNull(g)
+          if (buf == null) m.update(g, Array(s, i))
+          else {
+            val n = buf.length / 2
+            var p = 0
+            while (p < n && !before(s, i, buf(2 * p), buf(2 * p + 1))) p += 1
+            if (p < k) {
+              val mlen = math.min(n + 1, k)
+              val out = new Array[Long](2 * mlen)
+              System.arraycopy(buf, 0, out, 0, 2 * p)
+              out(2 * p) = s; out(2 * p + 1) = i
+              System.arraycopy(buf, 2 * p, out, 2 * p + 2, 2 * mlen - 2 * p - 2)
+              m.update(g, out)
+            }
+          }
+        }
+        m.iterator.flatMap { case (g, buf) =>
+          (0 until buf.length / 2).iterator.map(j =>
+            (g, buf(2 * j), buf(2 * j + 1)))
+        }
+      }
+      .toDF(groupCol, scoreCol, idCol)
+  }
+
   /** Top `k` rows per `groupCol` by (`scoreCol` desc, `idCol` asc) →
     * (group, rank, id, score) with rank 1-based. One keyed exchange;
     * partial aggregation below it. */

@@ -464,20 +464,23 @@ object GraphSketchQueries {
     * through customers — Σ_c C(deg_c, 2) with customer fan-out
     * bounded by purchase activity, the standard CF co-occurrence
     * bound (production systems cap the hot-user degree upstream; TPC-H
-    * maxes at ~30). The top-K runs as the BOUNDED-BUFFER
-    * [[graft.datapipe.TopK.topKPerGroup]] aggregator (the q79
-    * machinery), NOT a supplier-keyed row_number window: the window
-    * form sorts the ENTIRE directed pair relation just to keep 5 rows
-    * per supplier — the measured 2×-over-linear constant at the 100×
-    * rehearsal — while the aggregator's map-side partials carry at
-    * most K pairs per supplier per partition to one exchange. The
+    * maxes at ~30). The top-K is TWO-PHASE: a streaming map-side
+    * local prune ([[graft.datapipe.TopK.localTopKPrune]] — bounded
+    * per-supplier buffers in a per-task hash map, no sort, no object
+    * aggregation; see its scaladoc for why the typed Aggregator
+    * drowned here at 100×) cuts the pair relation to ≤ K·|suppliers|·
+    * |partitions| rows BEFORE any exchange, and only that pruned
+    * relation flows into the exact supplier-keyed row_number window —
+    * so the full pair relation is never sorted and never shuffled
+    * whole (the r14-measured 2×-over-linear sort constant). The
     * (jac_fp DESC, cn DESC, partner ASC) total tie order is PRESERVED
-    * bit-for-bit by packing score = jac_fp·2⁴² + cn into the
-    * aggregator's single Long (jac_fp ≤ 2²⁰ keeps the pack < 2⁶³;
-    * cn < 2⁴² is ENFORCED via max distinct-customer degree — beyond
-    * 4×10¹² customers per supplier, widen the pack). Degrees re-join
-    * AFTER the top-K on the K·|suppliers| output, and cn decodes from
-    * the score, so the pair relation itself is never sorted. */
+    * bit-for-bit by packing score = jac_fp·2⁴² + cn into one Long
+    * (jac_fp ≤ 2²⁰ keeps the pack < 2⁶³; cn < 2⁴² is ENFORCED via max
+    * distinct-customer degree — beyond 4×10¹² customers per supplier,
+    * widen the pack); the prune is exact by the combiner argument
+    * (every global top-K row is in its own partition's top-K).
+    * Degrees re-join AFTER the top-K on the K·|suppliers| output, and
+    * cn decodes from the score. */
   def coPurchaseTopK(s: SparkSession, d: String): DataFrame = {
     val fp = 1L << 20
     val packShift = 1L << 42
@@ -509,11 +512,15 @@ object GraphSketchQueries {
         Seq("partner"))
       .withColumn("jac_fp", expr(s"(cn * $fp) div (deg_s + deg_p - cn)"))
       .withColumn("score", expr(s"jac_fp * $packShift + cn"))
-    val top = graft.datapipe.TopK.topKPerGroup(
-        scored.select(col("supplier"), col("score"), col("partner")),
-        "supplier", "score", "partner", CoPurchaseK)
-      .select(col("supplier").cast("long").as("supplier"), col("rank"),
-        col("partner"),
+    val pruned = graft.datapipe.TopK.localTopKPrune(
+      scored.select(col("supplier"), col("score"), col("partner")),
+      "supplier", "score", "partner", CoPurchaseK)
+    val w = Window.partitionBy(col("supplier"))
+      .orderBy(col("score").desc, col("partner"))
+    val top = pruned
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= CoPurchaseK)
+      .select(col("supplier"), col("rank"), col("partner"),
         expr(s"score % $packShift").as("cn"),
         expr(s"score div $packShift").as("jac_fp"))
     val out = top
