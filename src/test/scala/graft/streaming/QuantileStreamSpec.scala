@@ -89,6 +89,44 @@ class QuantileStreamSpec extends AnyFunSuite {
     assert(snap() == oneShot(vals(0, 95)))
   }
 
+  test("storage discipline: bounded base file count, deltas GC'd, reads gated on the commit marker") {
+    val dir = java.nio.file.Files.createTempDirectory("quant_files").toString
+    val state = s"$dir/state"
+    // 10 batches at compactEvery=2: steady-state must not accumulate
+    // per-batch files
+    (0 until 10).foreach { b =>
+      StreamingPipeline.applyQuantileBatch(
+        vals(b * 40, b * 40 + 40).toDF("v"), b.toLong, state, "v",
+        compactEvery = 2)
+    }
+    def parquetFiles(p: String): Int = {
+      val f = new java.io.File(p)
+      if (!f.exists) 0
+      else f.listFiles.count(_.getName.endsWith(".parquet"))
+    }
+    val latest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$state/counts_base/_LATEST"))).trim
+    // one compacted base dir with a BOUNDED file count (writeCompacted
+    // sizes by rows; this corpus is one file's worth)
+    assert(parquetFiles(s"$state/counts_base/$latest") <= 4)
+    // absorbed deltas are GC'd: at most the post-base tail remains
+    val deltaDirs = Option(new java.io.File(s"$state/delta").listFiles)
+      .map(_.count(_.getName.startsWith("batch_id="))).getOrElse(0)
+    assert(deltaDirs <= 2, s"deltas not GC'd: $deltaDirs")
+    val before = StreamingPipeline.quantileSnapshot(spark, state, Qs).get
+      .orderBy("q").collect().map(_.toSeq).toSeq
+    assert(before == oneShot(vals(0, 400)))
+    // crash window: a delta written BEYOND the committed marker (the
+    // crash landed between delta write and marker flip) must be
+    // invisible to reads
+    vals(400, 440).toDF("v")
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$state/delta/batch_id=11")
+    assert(StreamingPipeline.quantileSnapshot(spark, state, Qs).get
+      .orderBy("q").collect().map(_.toSeq).toSeq == before,
+      "uncommitted delta leaked into the snapshot")
+  }
+
   test("bounded state: per-batch delta rows == batch distinct values; base stays dictionary-sized") {
     val dir = java.nio.file.Files.createTempDirectory("quant_bound").toString
     val state = s"$dir/state"
