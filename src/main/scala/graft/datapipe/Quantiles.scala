@@ -114,8 +114,11 @@ object Quantiles {
       .withColumn("f", col("v").bitwiseXOR(lit(Long.MinValue)))
       .cache()
     try {
-      require(vals.filter(col("c") <= 0L).isEmpty,
-        "kthSmallestCounts: non-positive count in the summary")
+      // NULL must be rejected too: a NULL cnt passes `c <= 0` (NULL
+      // comparison is not true) and sum(c) would then silently skip
+      // it — mass vanishing from the walk instead of failing loudly
+      require(vals.filter(col("c").isNull || col("c") <= 0L).isEmpty,
+        "kthSmallestCounts: null or non-positive count in the summary")
       var state = ks.distinct.map(k => k -> ((0L, k))).toMap
       var b = 7
       while (b >= 0) {

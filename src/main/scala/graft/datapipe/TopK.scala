@@ -166,7 +166,10 @@ object TopK {
     require(k >= 1, "top-k needs k >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(groupCol).cast("long"), col(scoreCol).cast("long"),
+    df.filter(col(groupCol).isNotNull && col(scoreCol).isNotNull &&
+        col(idCol).isNotNull) // siblings drop nulls; a null here would
+      // otherwise NPE deep in the primitive-tuple deserializer
+      .select(col(groupCol).cast("long"), col(scoreCol).cast("long"),
         col(idCol).cast("long"))
       .as[(Long, Long, Long)]
       .mapPartitions { it =>

@@ -2038,6 +2038,14 @@ object DataPipeQueries {
       Tables.embeddings(s, d), "vec_id", "embedding", EmbDim, shards = 8)
     val basis = Embeddings.deflatedBasisFixed(m, EmbDim, PowerIters, BasisK)
     val rows = basis.zipWithIndex.flatMap { case ((v, lam), c) =>
+      // the oracle's CAST(... AS BIGINT) errors loudly in DuckDB on
+      // overflow; BigInt.toLong wraps silently — match the loud side
+      // (iterates are ≤ 2²⁰ by normalization; λ×2⁴⁰ has wide but not
+      // infinite headroom)
+      require(lam.isValidLong,
+        s"pcaBasis headroom: eigenvalue x2^40 $lam exceeds Long")
+      v.foreach(x => require(x.isValidLong,
+        s"pcaBasis headroom: iterate slot $x exceeds Long"))
       v.zipWithIndex.map { case (x, i) => (c, i, x.toLong) } :+
         ((c, EmbDim, lam.toLong))
     }
@@ -4903,16 +4911,22 @@ object DataPipeQueries {
             (if (p >= DriftPsiTq16 * den) 1L else 0L))
       }
     }
+    // empty docs → ksCard is an empty relation → the max() row is all
+    // NULL; treat it as 0/0/not-fired (the oracle's NULL comparisons
+    // leave the gate unfired the same way) instead of NPEing
     val ksRow = Drift.ksCard(docs)
       .agg(max(col("ks_num")), max(col("ref_n")), max(col("new_n"))).head()
-    val (ksN, ksR, ksM) = (ksRow.getLong(0), ksRow.getLong(1), ksRow.getLong(2))
+    val (ksN, ksR, ksM) =
+      if (ksRow.isNullAt(0)) (0L, 0L, 0L)
+      else (ksRow.getLong(0), ksRow.getLong(1), ksRow.getLong(2))
     require(ksR < (1L << 29) && ksM < (1L << 29),
       s"driftGate KS headroom: slice sizes $ksR/$ksM >= 2^29 would wrap " +
         "the cross-multiply - sample the slices")
     val gates = psiGates(Drift.psiCard(docs)) ++
       psiGates(Drift.embPsiCard(emb)) ++
       Seq("gate_ks_len_num" -> ksN, "gate_ks_len_den" -> (ksR * ksM),
-        "gate_ks_len_fired" -> (if (10L * ksN >= ksR * ksM) 1L else 0L))
+        "gate_ks_len_fired" ->
+          (if (ksR * ksM > 0L && 10L * ksN >= ksR * ksM) 1L else 0L))
     val anyFired = gates.exists { case (k, v) =>
       k.endsWith("_fired") && v == 1L
     }

@@ -1074,6 +1074,61 @@ object StreamingPipeline {
 
   private def annModelsRoot(stateDir: String) = s"$stateDir/models"
 
+  /** Round-15 layout migration: a pre-versioning ANN state dir keeps
+    * its quantizer at `stateDir/model` (schema (cl, comps) — no
+    * stored training distortion). Without detection the versioned
+    * resolver sees "no model", silently retrains at the current
+    * batch, and mixes new-model assignments with the old deltas —
+    * probe results quietly wrong until the next compaction. Detected
+    * here, the legacy model is migrated in place to `models/v0`:
+    * centroids carry over verbatim and the training distortion is
+    * backfilled as the CURRENT index's mean distortion under the
+    * legacy model (the state at migration time defines
+    * in-distribution for the drift gate — the only honest baseline a
+    * legacy dir can offer). Deterministic and idempotent: a crash
+    * between the v0 write and the legacy delete re-runs the identical
+    * migration. A legacy model with NO assignments yet (old-code
+    * crash window between model write and first assign) is simply
+    * deleted — the next non-empty batch trains fresh, exactly the
+    * no-state path. A dir holding BOTH layouts is corrupt and
+    * refused. */
+  private[streaming] def migrateLegacyAnnModel(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, stateDir: String): Unit = {
+    import spark.implicits._
+    import graft.datapipe.Clustering
+    val legacy = new org.apache.hadoop.fs.Path(s"$stateDir/model")
+    if (!fs.exists(legacy)) return
+    // models/v0 alongside the legacy dir is THIS migration's own
+    // crash window (v0 written, legacy not yet deleted) — re-running
+    // the deterministic migration overwrites v0 identically. Any
+    // OTHER version id means genuinely mixed layouts: refuse.
+    val preIds = annModelIds(fs, stateDir)
+    require(preIds.isEmpty || preIds == Seq(0L),
+      s"ANN state dir $stateDir holds BOTH a legacy model/ and versioned " +
+        s"models/v${preIds.mkString(",v")} - mixed layouts cannot be " +
+        "auto-migrated; remove one")
+    val centroids = spark.read.parquet(legacy.toString)
+      .orderBy(col("cl")).select(col("comps"))
+      .as[Seq[Long]].collect().map(_.toArray)
+    val base = currentSnapshotPath(fs,
+      new org.apache.hadoop.fs.Path(s"$stateDir/assign_base"))
+    val baseId = base.map(_.getName.drop(1).toLong).getOrElse(-1L)
+    val assignRoot = new org.apache.hadoop.fs.Path(s"$stateDir/assign")
+    val deltasExist =
+      fs.exists(assignRoot) && fs.listStatus(assignRoot).nonEmpty
+    val parts =
+      base.map(p => spark.read.parquet(p.toString)).toSeq ++
+      (if (deltasExist)
+        Seq(spark.read.parquet(assignRoot.toString)
+          .filter(col("batch_id") > baseId).drop("batch_id"))
+       else Seq.empty)
+    val idx = parts.reduceOption(_ unionByName _)
+    if (idx.isEmpty || idx.get.isEmpty) { fs.delete(legacy, true); return }
+    writeAnnModel(spark, stateDir, 0L, centroids,
+      Clustering.ivfDistortion(idx.get, centroids))
+    fs.delete(legacy, true)
+  }
+
   /** Sorted ids of all persisted model versions (empty if none). */
   private[streaming] def annModelIds(fs: org.apache.hadoop.fs.FileSystem,
       stateDir: String): Seq[Long] = {
@@ -1125,6 +1180,7 @@ object StreamingPipeline {
     val spark = batch.sparkSession
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    migrateLegacyAnnModel(spark, fs, stateDir)
     val baseRoot = new org.apache.hadoop.fs.Path(root, "assign_base")
     val baseId = currentSnapshotPath(fs, baseRoot)
       .map(_.getName.drop(1).toLong)
@@ -1226,6 +1282,13 @@ object StreamingPipeline {
     import graft.datapipe.Clustering
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // a pre-versioning layout must not read as "no model, no data" —
+    // that silently answers None over a populated index. The batch
+    // face migrates; this read-only face refuses loudly.
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/model")),
+      s"ANN state dir $stateDir uses the legacy pre-versioning layout " +
+        "(stateDir/model) - run one annIndexStream micro-batch to " +
+        "auto-migrate it to models/v0 before probing")
     // a crash can land between the first batch's model write and its
     // assign write: the model exists but no assignment data does yet —
     // the index is still empty, not broken, so keep answering None

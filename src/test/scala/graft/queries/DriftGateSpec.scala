@@ -81,4 +81,38 @@ class DriftGateSpec extends AnyFunSuite {
     assert(hot("gate_psi_emb_c0_num") >= 9455L * hot("gate_psi_emb_c0_den"))
     assert(quiet("gate_psi_emb_c0_num") < 9455L * quiet("gate_psi_emb_c0_den"))
   }
+
+  test("planted token-length drift flips exactly the len gates; lang and embedding gates stay closed") {
+    val docs = pairedDocs(400)
+    val emb = pairedEmb(200)
+    val quiet = card(docs, emb)
+    // plant drift on the TOKEN axis only: odd doc_ids (the `new`
+    // slice of psiCard/ksCard) grow 40 → 120 tokens, so the len
+    // histogram moves bin 02 → 07 wholesale. lang stays "en",
+    // embeddings untouched — only the length statistics may move.
+    val padded = docs
+      .withColumn("text",
+        when(col("doc_id") % 2 =!= 0,
+          concat(col("text"), lit(" "),
+            array_join(transform(sequence(lit(1), lit(80)),
+              i => concat(lit("pad"), col("doc_id"), lit("y"), i)), " ")))
+          .otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val hot = card(padded, emb)
+    assert(hot("gate_psi_len_fired") == 1L,
+      s"len psi ${hot("gate_psi_len_num")} den ${hot("gate_psi_len_den")}")
+    assert(hot("gate_ks_len_fired") == 1L,
+      s"ks ${hot("gate_ks_len_num")} den ${hot("gate_ks_len_den")}")
+    assert(hot("gate_psi_lang_fired") == 0L)
+    assert(hot("gate_psi_emb_c0_fired") == 0L)
+    assert(hot("gate_psi_label_fired") == 0L)
+    assert(hot("gate_psi_emb_c0_num") == 0L && hot("gate_psi_label_num") == 0L)
+    assert(hot("gate_any_fired") == 1L)
+    assert(hot("mix_budget") == 1000L)
+    // the halved budget admits strictly less train mass per source
+    (0 until 4).map(i => s"src$i").foreach { s =>
+      assert(hot(s"mix_train_chars_$s") < quiet(s"mix_train_chars_$s"), s)
+      assert(hot(s"mix_train_chars_$s") <= 1000L, s)
+    }
+  }
 }

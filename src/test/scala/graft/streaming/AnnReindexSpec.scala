@@ -137,4 +137,76 @@ class AnnReindexSpec extends AnyFunSuite {
     assert(snap() == after, "replay after the flip changed the index")
   }
 
+  test("legacy pre-versioning layout: batch face migrates to models/v0, snapshot face refuses loudly") {
+    import spark.implicits._
+    import graft.streaming.StreamingPipeline
+    val state = java.nio.file.Files.createTempDirectory("ann_legacy").toString + "/s"
+    val control = java.nio.file.Files.createTempDirectory("ann_ctrl").toString + "/s"
+    val emb = graft.util.Tables.embeddings(spark, dir)
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val b1 = emb.filter(col("vec_id") % 4 === 1)
+    val b2 = emb.filter(col("vec_id") % 4 === 3)
+    // build a populated state with the CURRENT code…
+    StreamingPipeline.applyAnnIndexBatch(even, 0L, state, 8, 3,
+      "vec_id", "embedding")
+    StreamingPipeline.applyAnnIndexBatch(b1, 1L, state, 8, 3,
+      "vec_id", "embedding")
+    // …then rewrite it into the round-14 layout: quantizer at
+    // stateDir/model, schema (cl, comps) — no tdist — and no models/
+    spark.read.parquet(s"$state/models/v0").select("cl", "comps")
+      .write.parquet(s"$state/model")
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/models"), true)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toIndexedSeq
+    // read face: a populated legacy dir must refuse loudly — the old
+    // code path would answer as if the index were empty/untrained
+    val ex = intercept[IllegalArgumentException] {
+      StreamingPipeline.annIndexSnapshot(spark, state, qs)
+    }
+    assert(ex.getMessage.contains("legacy"))
+    // batch face: the next batch migrates in place — centroids carried
+    // verbatim, tdist backfilled from the live index, legacy dir gone
+    // — and does NOT retrain (model set is exactly {v0}, nothing at
+    // the current batch id)
+    StreamingPipeline.applyAnnIndexBatch(b2, 2L, state, 8, 3,
+      "vec_id", "embedding")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state/model")))
+    val modelIds = new java.io.File(s"$state/models").listFiles
+      .map(_.getName).toSeq.sorted
+    assert(modelIds == Seq("v0"), modelIds)
+    assert(spark.read.parquet(s"$state/models/v0")
+      .select(col("tdist")).head().getDouble(0) > 0)
+    // end state ≡ a dir that never took the legacy detour: training is
+    // deterministic, so a control run of the same three batches under
+    // the current layout must serve the identical index
+    for ((b, id) <- Seq((even, 0L), (b1, 1L), (b2, 2L)))
+      StreamingPipeline.applyAnnIndexBatch(b, id, control, 8, 3,
+        "vec_id", "embedding")
+    def probeSet(st: String) = StreamingPipeline
+      .annIndexSnapshot(spark, st, qs).get.collect().map(_.toSeq).toSet
+    assert(probeSet(state) == probeSet(control))
+    // migration crash window: v0 written but legacy not yet deleted;
+    // the stream redelivers batch 2 — the re-run re-migrates
+    // identically (overwriting v0) instead of refusing the mix
+    spark.read.parquet(s"$state/models/v0").select("cl", "comps")
+      .write.parquet(s"$state/model")
+    StreamingPipeline.applyAnnIndexBatch(b2, 2L, state, 8, 3,
+      "vec_id", "embedding")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state/model")))
+    assert(probeSet(state) == probeSet(control))
+    // a legacy model with NO assignments (old-code crash window) is
+    // deleted outright; the next batch trains fresh at its own id
+    val empty = java.nio.file.Files.createTempDirectory("ann_leg0").toString + "/s"
+    spark.read.parquet(s"$control/models/v0").select("cl", "comps")
+      .write.parquet(s"$empty/model")
+    StreamingPipeline.applyAnnIndexBatch(b1, 7L, empty, 8, 3,
+      "vec_id", "embedding")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$empty/model")))
+    assert(new java.io.File(s"$empty/models").listFiles
+      .map(_.getName).toSeq == Seq("v7"))
+  }
+
 }
