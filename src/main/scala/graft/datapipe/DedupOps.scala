@@ -308,47 +308,34 @@ object DedupOps {
       textCol: String = "text",
       shingleN: Int = 3): DataFrame = {
     require(num > 0 && den > 0 && num <= den, s"bad threshold $num/$den")
-    import org.apache.spark.sql.expressions.Window
-    val base = graft.util.Par.ensure(docs
-      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0))
-    val shg = base
-      .select(col(idCol).as("id"),
-        Contamination.shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val st = shg.select(col("id"), size(col("sh")).cast("long").as("n"),
-      explode(col("sh")).as("s")).persist()
+    val st = shingledPostings(docs, idCol, textCol, shingleN).persist()
     st.count()
     // one global document-frequency pass — the total order every
     // prefix is cut against (df ascending ⇒ prefixes carry the rarest
     // shingles ⇒ small candidate buckets)
     val dfreq = st.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // prefix postings: position within the doc under the global order;
-    // p = n − ⌈t·n⌉ + 1 with ⌈num·n/den⌉ = (num·n + den − 1) div den
-    val pos = st.join(dfreq, "s")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id"))
-          .orderBy(col("df"), col("s"))).cast("long"))
-      .filter(col("rn") <=
-        col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1L)
-      .select(col("s"), col("id"), col("n"))
-    // candidate pairs from shared prefix shingles + length filter
-    val a = pos.select(col("s"), col("id").as("id_a"), col("n").as("na"))
-    val b = pos.select(col("s"), col("id").as("id_b"), col("n").as("nb"))
+    // prefix postings with full-order positions; p = n − ⌈t·n⌉ + 1
+    val pos = prefixPostings(st, dfreq, num, den)
+    // candidate pairs from shared prefix shingles + length filter +
+    // PPJoin position filter (see prefixPostings: overlap from this
+    // generating shingle ≤ 1 + min(na − rna, nb − rnb); inter ≥
+    // ⌈num(na+nb)/(num+den)⌉ must remain possible)
+    val a = pos.select(col("s"), col("id").as("id_a"), col("n").as("na"),
+      col("rn").as("rna"))
+    val b = pos.select(col("s"), col("id").as("id_b"), col("n").as("nb"),
+      col("rn").as("rnb"))
     val cands = a.join(b, Seq("s"))
       .filter(col("id_a") < col("id_b") &&
         lit(den) * least(col("na"), col("nb")) >=
-          lit(num) * greatest(col("na"), col("nb")))
+          lit(num) * greatest(col("na"), col("nb")) &&
+        lit(num + den) * (lit(1L) +
+          least(col("na") - col("rna"), col("nb") - col("rnb"))) >=
+          lit(num) * (col("na") + col("nb")))
       .select(col("id_a"), col("id_b"))
       .distinct()
     // exact verification (same shingle semantics as the postings)
-    val txt = docs.select(col(idCol).as("jid"), col(textCol).as("jtext"))
-    val out = cands
-      .join(txt, col("id_a") === col("jid")).withColumnRenamed("jtext", "text_a").drop("jid")
-      .join(txt, col("id_b") === col("jid")).withColumnRenamed("jtext", "text_b").drop("jid")
-      .withColumn("jc", jaccardCountsUdf(col("text_a"), col("text_b"), lit(shingleN)))
-      .select(col("id_a"), col("id_b"),
-        col("jc._1").as("n_inter"), col("jc._2").as("n_union"))
-      .filter(lit(den) * col("n_inter") >= lit(num) * col("n_union"))
+    val out = verifyPairsExact(cands, docs, idCol, textCol, shingleN,
+      num, den)
     val res = out.localCheckpoint(true)
     st.unpersist()
     res
@@ -376,21 +363,49 @@ object DedupOps {
     * every pair (id_a < id_b, n_inter, n_union) with Jaccard ≥
     * num/den where at least one side is in the batch. */
   /** (id, n, s) shingle postings of non-empty docs — the relation
-    * both ppjoin faces and the streaming index build from. */
+    * both ppjoin faces and the streaming index build from.
+    *
+    * Implementation note (round-17 measurement): the previous
+    * `select(sh).filter(size(sh)>0).select(size(sh), explode(sh))`
+    * shape cost ~4 s at sf0.1 for a ~0.3 s expression because (a) the
+    * post-Generate `size(sh)` projection forced Generate to RETAIN the
+    * whole shingle array per OUTPUT row (~1.5 KB row-copy × every
+    * posting), and (b) `InferFiltersFromGenerate` pushed
+    * `size(sh)>0 AND isnotnull(sh)` below the repartition Exchange, so
+    * the full shingle expression also ran twice inside the
+    * single-split scan task. One Scala call per row producing (n, s)
+    * structs — [[Hashing.shingleStrings]] is the spec-pinned twin of
+    * [[Contamination.shingles]] — evaluates the tokenize+shingle work
+    * exactly once per doc and explodes without carrying the array. */
   private[graft] def shingledPostings(df: DataFrame, idCol: String,
-      textCol: String, shingleN: Int): DataFrame =
+      textCol: String, shingleN: Int): DataFrame = {
+    val postings = udf((t: String) => {
+      val a = Hashing.shingleStrings(if (t == null) "" else t, shingleN)
+      val m = a.length.toLong
+      a.map(s => (m, s))
+    })
     graft.util.Par.ensure(df
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0))
-      .select(col(idCol).as("id"),
-        Contamination.shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), size(col("sh")).cast("long").as("n"),
-        explode(col("sh")).as("s"))
+      .select(col(idCol).as("id"), explode(postings(col(textCol))).as("e"))
+      .select(col("id"), col("e._1").as("n"), col("e._2").as("s"))
+  }
 
   /** Prefix postings of `st` under the (frozen) `dfreq` order —
     * unseen shingles order FIRST (df 0: corpus-unseen ⇒ rare). A
     * doc's prefix under a frozen order never changes, which is what
-    * makes the streaming index append-only. */
+    * makes the streaming index append-only.
+    *
+    * Also emits `rn` — the shingle's 1-based rank within the doc's
+    * FULL frozen order — so candidate generation can apply the PPJoin
+    * POSITION filter (Xiao et al. WWW'08): for the globally-smallest
+    * shared shingle of a qualifying pair, every shared shingle ranks
+    * ≥ its positions in both docs, so overlap ≤ 1 + min(n_a − rn_a,
+    * n_b − rn_b); a pair is kept iff ANY generating shingle passes
+    * that bound, which the smallest shared shingle always does —
+    * completeness unchanged, candidate volume cut before the distinct
+    * and verify stages. Persisted-store callers that only need the
+    * pigeonhole join may project `rn` away (the streaming index does,
+    * keeping its on-disk layout). */
   private[graft] def prefixPostings(st: DataFrame, dfreq: DataFrame,
       num: Long, den: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -401,7 +416,37 @@ object DedupOps {
           .orderBy(col("dfo"), col("s"))).cast("long"))
       .filter(col("rn") <=
         col("n") - expr(s"($num * n + ${den - 1}) div $den") + 1L)
-      .select(col("s"), col("id"), col("n"))
+      .select(col("s"), col("id"), col("n"), col("rn"))
+  }
+
+  /** Exact verify of candidate pairs (id_a, id_b) against per-doc
+    * SORTED shingle-hash arrays: one [[Hashing.shingleSet]] call per
+    * DOC (not per pair), candidates join the (id, hashes) relation —
+    * dictionary-sized next to the pair volume — and the per-pair work
+    * is a codegen'd primitive merge (JaccardPackExpr). Bit-identical
+    * to the previous per-pair `jaccardCountsUdf(text_a, text_b)`,
+    * which re-tokenized and re-shingled both texts for every
+    * candidate (measured: the majority of q157's verify stage).
+    * Output: (id_a, id_b, n_inter, n_union) filtered to
+    * den·n_inter ≥ num·n_union. */
+  private def verifyPairsExact(cands: DataFrame, texts: DataFrame,
+      idCol: String, textCol: String, shingleN: Int,
+      num: Long, den: Long): DataFrame = {
+    val hashArr = udf((t: String) =>
+      Hashing.shingleSet(if (t == null) "" else t, shingleN))
+    val hashes = texts
+      .select(col(idCol).as("jid"), hashArr(col(textCol)).as("jh"))
+    cands
+      .join(hashes, col("id_a") === col("jid"))
+      .withColumnRenamed("jh", "h_a").drop("jid")
+      .join(hashes, col("id_b") === col("jid"))
+      .withColumnRenamed("jh", "h_b").drop("jid")
+      .withColumn("jc",
+        graft.functions.Expressions.jaccard_pack(col("h_a"), col("h_b")))
+      .select(col("id_a"), col("id_b"),
+        shiftrightunsigned(col("jc"), 32).as("n_inter"),
+        col("jc").bitwiseAND(lit(0xffffffffL)).as("n_union"))
+      .filter(lit(den) * col("n_inter") >= lit(num) * col("n_union"))
   }
 
   /** The indexed incremental core: batch prefix postings joined
@@ -427,24 +472,32 @@ object DedupOps {
     batchSt.count()
     val batchPre = prefixPostings(batchSt, dfreq, num, den).persist()
     batchPre.count()
-    val allPre = corpusPre.unionByName(batchPre)
-    val a = batchPre.select(col("s"), col("id").as("id_x"), col("n").as("nx"))
-    val b = allPre.select(col("s"), col("id").as("id_y"), col("n").as("ny"))
+    // a PERSISTED corpus prefix store may predate the rn column (the
+    // streaming index deliberately stores (s, id, n) only) — pairs
+    // whose corpus side lacks rn skip the position filter (coalesce
+    // keeps them), which affects candidate volume only, never the
+    // verified result
+    val corpusPreRn =
+      if (corpusPre.columns.contains("rn")) corpusPre
+      else corpusPre.withColumn("rn", lit(null).cast("long"))
+    val allPre = corpusPreRn.select(col("s"), col("id"), col("n"), col("rn"))
+      .unionByName(batchPre)
+    val a = batchPre.select(col("s"), col("id").as("id_x"),
+      col("n").as("nx"), col("rn").as("rnx"))
+    val b = allPre.select(col("s"), col("id").as("id_y"),
+      col("n").as("ny"), col("rn").as("rny"))
     val cands = a.join(b, Seq("s"))
       .filter(col("id_x") =!= col("id_y") &&
         lit(den) * least(col("nx"), col("ny")) >=
-          lit(num) * greatest(col("nx"), col("ny")))
+          lit(num) * greatest(col("nx"), col("ny")) &&
+        coalesce(lit(num + den) * (lit(1L) +
+            least(col("nx") - col("rnx"), col("ny") - col("rny"))) >=
+            lit(num) * (col("nx") + col("ny")), lit(true)))
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
       .distinct()
-    val txt = allTexts.select(col(idCol).as("jid"), col(textCol).as("jtext"))
-    val out = cands
-      .join(txt, col("id_a") === col("jid")).withColumnRenamed("jtext", "text_a").drop("jid")
-      .join(txt, col("id_b") === col("jid")).withColumnRenamed("jtext", "text_b").drop("jid")
-      .withColumn("jc", jaccardCountsUdf(col("text_a"), col("text_b"), lit(shingleN)))
-      .select(col("id_a"), col("id_b"),
-        col("jc._1").as("n_inter"), col("jc._2").as("n_union"))
-      .filter(lit(den) * col("n_inter") >= lit(num) * col("n_union"))
+    val out = verifyPairsExact(cands, allTexts, idCol, textCol, shingleN,
+      num, den)
     val res = out.localCheckpoint(true)
     batchSt.unpersist(); batchPre.unpersist()
     res

@@ -331,6 +331,25 @@ object Hashing {
     inter.toDouble / (a.length + b.length - inter)
   }
 
+  /** [[jaccardCounts]] over catalyst ArrayData of SORTED distinct
+    * hashes, packed (inter << 32) | union — one primitive merge per
+    * candidate pair with no Seq boxing (the verify stage of the
+    * ppjoin/LSH dedup family; see JaccardPackExpr). Inputs must be
+    * sorted ascending (as [[shingleSet]] emits). */
+  def jaccardPackArrayData(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    (inter.toLong << 32) | (na + nb - inter).toLong
+  }
+
   /** Intersection and union sizes of two sorted distinct hash arrays —
     * the integer-exact form of Jaccard (numerator/denominator), safe
     * for cross-engine hash comparison. */

@@ -288,6 +288,32 @@ object Log2FixedExpr {
   }
 }
 
+/** Packed exact-Jaccard counts of two SORTED long-array columns:
+  * (n_inter << 32) | n_union as one BIGINT — the verify stage of the
+  * exact-similarity-join family run as a codegen'd primitive merge
+  * over ArrayData instead of a ScalaUDF that re-shingles both texts
+  * per candidate pair. Bit-identical to
+  * Hashing.jaccardCounts(shingleSet(a), shingleSet(b)) when fed the
+  * per-doc sorted shingle-hash arrays. */
+case class JaccardPackExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "jaccard_pack"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.datapipe.Hashing.jaccardPackArrayData(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.datapipe.Hashing.jaccardPackArrayData($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardPackExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Cosine similarity of two float-array columns, codegen'd as a static
   * call over ArrayData — no ScalaUDF encoder boundary, no Seq boxing of
   * the vectors (the hot inner op of every KNN path). Bit-identical to
@@ -377,6 +403,8 @@ object Expressions {
     Bridge.column(SimHashMd5Expr(Bridge.expression(c)))
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSimExpr(Bridge.expression(a), Bridge.expression(b)))
+  def jaccard_pack(a: Column, b: Column): Column =
+    Bridge.column(JaccardPackExpr(Bridge.expression(a), Bridge.expression(b)))
   def minhash_bands(c: Column, numPerm: Int, shingleN: Int, bands: Int): Column =
     Bridge.column(MinHashBandsExpr(Bridge.expression(c), numPerm, shingleN, bands))
   def minhash_sig_md5(c: Column, numPerm: Int, shingleN: Int): Column =

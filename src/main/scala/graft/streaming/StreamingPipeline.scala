@@ -1716,7 +1716,10 @@ object StreamingPipeline {
     dfreq.write.mode("overwrite").parquet(s"$stateDir/dfreq")
     val spark = ref.sparkSession
     val frozen = spark.read.parquet(s"$stateDir/dfreq")
+    // store layout stays (s, id, n): the rn position column is a
+    // candidate-pruning hint the batch faces recompute per batch
     DedupOps.prefixPostings(st, frozen, 1L, 2L)
+      .select(col("s"), col("id"), col("n"))
       .write.mode("overwrite").parquet(s"$stateDir/prefix/batch_id=-1")
     ref.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
@@ -1757,6 +1760,7 @@ object StreamingPipeline {
     pairs.write.mode("overwrite").parquet(s"$stateDir/pairs/batch_id=$batchId")
     val st = DedupOps.shingledPostings(batch, "doc_id", "text", 3)
     DedupOps.prefixPostings(st, dfreq, 1L, 2L)
+      .select(col("s"), col("id"), col("n"))
       .write.mode("overwrite").parquet(s"$stateDir/prefix/batch_id=$batchId")
     batch.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
