@@ -208,6 +208,27 @@ object Bench {
       before = after
     }
 
+    // Self-adjudication tail (round-15 ask #4 / round-16 VERDICT #5):
+    // after the full loop, re-measure the N most expensive queries
+    // SOLO on the (by now settled) host and emit solo_sec per query.
+    // A contended-session artifact (BENCH_r15/r16 both needed
+    // out-of-band judge runs) then carries its own clean-window
+    // numbers: a large loop-vs-solo delta flags position noise or
+    // sustained contention without any cross-round narrative.
+    val SoloN = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO_N", "12").toInt
+    val solo = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    results.toSeq.sortBy(-_._2).take(SoloN).foreach { case (name, _) =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        val t = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() }
+          catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        solo(name) = t
+      }
+    }
+
     // pipeline-shaped enrichment throughput: documents table → NLP
     // enrichment (normalizer, abbreviations, tagger, chunker, SVO,
     // embedding projections) with a synthetic vocabulary drawn from the
@@ -276,10 +297,12 @@ object Bench {
     val contJson = contended.map { case (k, (raw, clean)) =>
       "\"" + k + "\":" + f"""{"raw":$raw%.3f,"clean":$clean%b}"""
     }.mkString("{", ",", "}")
+    val soloJson = solo.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
     val total = results.values.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"contended":$contJson,$calib,"enrich_docs_per_sec":$docsPerSec%.1f,"enrich_docs":$nDocs,"medline_docs_per_sec":$medDocsPerSec%.1f,"medline_docs":$nCitations,"failed":$failedJson,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"contended":$contJson,"solo":$soloJson,$calib,"enrich_docs_per_sec":$docsPerSec%.1f,"enrich_docs":$nDocs,"medline_docs_per_sec":$medDocsPerSec%.1f,"medline_docs":$nCitations,"failed":$failedJson,"sf":"$sfDir"}""")
     // The full line above grew past the collector's tail-capture window
     // (~2.2 KB) once the query count passed ~75, leaving only a
     // head-truncated (unparseable) fragment in the captured tail. Print

@@ -30,17 +30,32 @@ object Contamination {
           i => array_join(slice(toks, i, lit(n)), " "))))
   }
 
+  /** Exploded shingle postings of non-empty docs, with the leading
+    * columns `keep` carried through: one [[Hashing.shingleStrings]]
+    * call per row (the spec-pinned twin of [[shingles]]) + explode,
+    * after a parallelism guard.
+    *
+    * Round-17 measurement: the previous `explode(shingles(...))` SQL
+    * form ran the whole corpus shingling in the SINGLE-SPLIT scan task
+    * (no repartition), with `InferFiltersFromGenerate` additionally
+    * pushing two more full copies of the shingle CASE expression into
+    * that task's scan filter — 2.76 s where this shape takes ~0.3 s at
+    * sf0.1 (guide §2.5 input skew / §7.2 read the plan). */
+  private def shinglePostings(df: DataFrame, textCol: String, n: Int,
+      keep: Seq[Column]): DataFrame = {
+    val shUdf = udf((t: String) =>
+      Hashing.shingleStrings(if (t == null) "" else t, n))
+    graft.util.Par.ensure(df.filter(length(trim(col(textCol))) > 0))
+      .select(keep :+ explode(shUdf(col(textCol))).as("__sh"): _*)
+  }
+
   /** Training documents (idCol) with at least one shingle shared with
     * `eval`: (id, n_shared). `eval`'s distinct shingles broadcast. */
   def contaminated(train: DataFrame, eval_ : DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    val evalShingles = eval_
-      .filter(length(trim(col(textCol))) > 0)
-      .select(explode(shingles(col(textCol), n)).as("__sh"))
+    val evalShingles = shinglePostings(eval_, textCol, n, Nil)
       .distinct()
-    train
-      .filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol), explode(shingles(col(textCol), n)).as("__sh"))
+    shinglePostings(train, textCol, n, Seq(col(idCol)))
       .join(broadcast(evalShingles), Seq("__sh"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
@@ -69,17 +84,13 @@ object Contamination {
   def contaminatedBloomPruned(train: DataFrame, eval_ : DataFrame,
       idCol: String, textCol: String, n: Int, fpp: Double = 0.01): DataFrame = {
     val spark = train.sparkSession
-    val evalShingles = eval_
-      .filter(length(trim(col(textCol))) > 0)
-      .select(explode(shingles(col(textCol), n)).as("__sh"))
+    val evalShingles = shinglePostings(eval_, textCol, n, Nil)
       .distinct()
     val nEval = evalShingles.count()
     val bloom = evalShingles.stat.bloomFilter("__sh", math.max(nEval, 1L), fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
-    train
-      .filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol), explode(shingles(col(textCol), n)).as("__sh"))
+    shinglePostings(train, textCol, n, Seq(col(idCol)))
       .filter(mightContain(col("__sh")))
       .join(evalShingles, Seq("__sh"))
       .groupBy(col(idCol))
@@ -114,9 +125,7 @@ object Contamination {
     require(minShared >= 1L, s"minShared must be >= 1: $minShared")
     val spark = eval_.sparkSession
     import spark.implicits._
-    val evalSh = eval_
-      .filter(length(trim(col(textCol))) > 0)
-      .select(explode(shingles(col(textCol), n)).as("__sh"))
+    val evalSh = shinglePostings(eval_, textCol, n, Nil)
       .distinct().as[String].collect().toSet
     val bc = spark.sparkContext.broadcast(evalSh)
     val nShared = udf((text: String) =>

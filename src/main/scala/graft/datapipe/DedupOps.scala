@@ -117,8 +117,16 @@ object DedupOps {
           // in one call, no ScalaUDF boundary (MinHashBandsExpr)
           graft.functions.Expressions.minhash_bands(
             col(textCol), numPerm, shingleN, bands).as("bands"))
+    // posexplode_OUTER + null filter: a non-outer generate triggers
+    // InferFiltersFromGenerate, which pushes size()/isnotnull copies of
+    // the full fused signature expression below the parallelism guard
+    // into the single-split scan task (the round-17 shingle-postings
+    // pathology; band arrays are never empty here, so rows are
+    // identical either way)
     val buckets = sigs
-      .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      .select(col("id"),
+        posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
+      .filter(col("band_key").isNotNull)
       .groupBy(col("band_idx"), col("band_key"))
       .agg(collect_list(col("id")).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
@@ -146,7 +154,9 @@ object DedupOps {
         slice(col("sig"), band * lit(rows) + lit(1), lit(rows)),
         x => x.cast("string")), ","))
     sigs
-      .select(col("id"), posexplode(keys).as(Seq("band_idx", "band_key")))
+      .select(col("id"),
+        posexplode_outer(keys).as(Seq("band_idx", "band_key")))
+      .filter(col("band_key").isNotNull)
       .groupBy(col("band_idx"), col("band_key"))
       .agg(collect_list(col("id")).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
@@ -208,7 +218,8 @@ object DedupOps {
           graft.functions.Expressions.minhash_bands(
             col(textCol), numPerm, shingleN, bands).as("bands"))
       .select(col("id"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+        posexplode_outer(col("bands")).as(Seq("band_idx", "band_key")))
+      .filter(col("band_key").isNotNull)
       .select(col("band_idx"), col("band_key"), col("id"))
   }
 

@@ -28,6 +28,20 @@ object Graph {
   /** Clustering-coefficient fixed-point scale: ×2²⁰. */
   val CcFp: Long = 1L << 20
 
+  /** Both orientations of an edge relation in ONE pass:
+    * explode([struct(a,b), struct(b,a)]) instead of
+    * `df.unionByName(df.reversed)` — the union form executes the
+    * (typically unpersisted) upstream subtree TWICE, which for edge
+    * relations built from a join+distinct or a whole LSH chain doubles
+    * the expensive part of the query (measured round 17: the
+    * purchase-graph build and q156/q175's minhash chain each ran 2×).
+    * Row set and order semantics are identical to the union form. */
+  private[graft] def mirrored(df: DataFrame, a: String, b: String): DataFrame =
+    df.select(explode(array(
+      struct(col(a).as(a), col(b).as(b)),
+      struct(col(b).as(a), col(a).as(b)))).as("__e"))
+      .select(col(s"__e.$a").as(a), col(s"__e.$b").as(b))
+
   /** Incremental [[triangleCensus]]: update a prior census when a
     * batch of NEW edges arrives (corpus growth — new documents add
     * near-dup edges incident to them; existing pairs never change).
@@ -185,6 +199,12 @@ object Graph {
       .persist()
     adj.count()
     edges.unpersist()
+    // node-sized (node → out-degree) relation for the step selector:
+    // idx 0 exists for every src, so no aggregation is needed
+    val degs = adj.filter(col("idx") === 0L)
+      .select(col("src").as("__dn"), col("deg").as("__dd"))
+      .persist()
+    degs.count()
     var state = adj.select(col("src").as("walk"), col("src").as("node"))
       .distinct().localCheckpoint(true)
     val frames = scala.collection.mutable.ArrayBuffer(
@@ -192,13 +212,22 @@ object Graph {
     for (t <- 1 to steps) {
       val sel = Sketches.kmvHash(
         concat(lit("w"), col("walk").cast("string"), lit(s":$t")))
-      state = state
-        .join(adj, col("node") === col("src") &&
-          col("idx") === sel % col("deg"))
+      // resolve the selected neighbor INDEX against the node-sized
+      // degree relation first, so the adjacency join is a composite
+      // (src, idx) EQUI join: the previous single-key join with
+      // `idx === sel % deg` as a post-join predicate fanned out
+      // deg(v) rows per walk and evaluated the hash per adjacency
+      // row instead of per walk. Same selection arithmetic, same
+      // rows.
+      val tgt = state.join(degs, col("node") === col("__dn"))
+        .select(col("walk"), col("node"), (sel % col("__dd")).as("__tg"))
+      state = tgt
+        .join(adj, col("node") === col("src") && col("__tg") === col("idx"))
         .select(col("walk"), col("dst").as("node"))
         .localCheckpoint(true)
       frames += state.select(col("walk"), lit(t).as("step"), col("node"))
     }
+    degs.unpersist()
     val out = frames.reduce(_ unionByName _)
     adj.unpersist()
     out
@@ -254,8 +283,8 @@ object Graph {
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    val adj = edges.select(col("u").as("node"), col("v").as("nb"))
-      .unionByName(edges.select(col("v").as("node"), col("u").as("nb")))
+    val adj = mirrored(edges, "u", "v")
+      .select(col("u").as("node"), col("v").as("nb"))
       .persist()
     adj.count()
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))

@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // javax.imageio defaults to a DISK-backed stream cache: every
+  // ImageIO.write / createImageInputStream call creates (and deletes) a
+  // temp FILE, so per-row codec work pays two filesystem round-trips per
+  // image — measured as the dominant, host-dependent cost of q92 (9.6 s
+  // vs 1.6 s across hosts at sf0.1). All our streams are in-memory byte
+  // arrays; the memory cache is strictly faster and bit-identical.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaMeta(
       modality: String, // "image" | "audio" | "video"
       format: String,

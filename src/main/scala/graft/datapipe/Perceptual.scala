@@ -26,6 +26,10 @@ import graft.datapipe.Multimodal.{MediaMeta, MediaRow}
   */
 object Perceptual {
 
+  // memory-backed ImageIO streams (see the Multimodal note): synthPng's
+  // encode runs before any Multimodal call, so set the flag here too
+  javax.imageio.ImageIO.setUseCache(false)
+
   val W = 72 // 9 cell columns × 8 px
   val H = 64 // 8 cell rows × 8 px
 

@@ -44,10 +44,37 @@ object Quantiles {
       .withColumn("f", col("v").bitwiseXOR(lit(Long.MinValue)))
       .cache()
     try {
+      // Bound the walk: one (min, max) pass over the cached relation
+      // fixes every byte above the highest DIFFERING byte for free —
+      // all rows share that prefix, so those rounds' histograms would
+      // be single-bucket scans (for non-negative data, flipped-space
+      // bytes 7..4 are constant 0x80,0,0,0 and half the 8 rounds is
+      // pure wasted I/O; measured on q85/q208). Identical order
+      // statistics — the skipped rounds could only ever choose the
+      // shared prefix byte.
+      val mm = vals.agg(min(col("f")), max(col("f"))).head()
+      if (mm.isNullAt(0)) {
+        // no rows at all — preserve the loud per-rank failure below
+        require(ks.isEmpty, s"k=${ks.head} exceeds the non-null count")
+      }
+      val (fMin, fMax) = (mm.getLong(0), mm.getLong(1))
+      val diff = fMin ^ fMax
+      val b0 =
+        if (diff == 0L) -1 // all values equal — answer is fMin
+        else (63 - java.lang.Long.numberOfLeadingZeros(diff)) / 8
+      val sharedPrefix = if (b0 >= 7) 0L else fMin >>> (8 * (b0 + 1))
+      if (b0 < 0) {
+        // degenerate all-equal relation: the walk is skipped, so the
+        // loud out-of-range contract needs its own count check
+        val n = vals.count()
+        ks.foreach(k => require(k >= 1 && k <= n,
+          s"k=$k exceeds the non-null count"))
+      }
       // Per pending rank: (hi = flipped-space answer bytes fixed so
       // far, rem = rank within the rows matching that prefix).
-      var state = ks.distinct.map(k => k -> ((0L, k))).toMap
-      var b = 7
+      var state = ks.distinct.map(k =>
+        k -> ((if (b0 < 0) fMin else sharedPrefix, k))).toMap
+      var b = b0
       while (b >= 0) {
         val shift = 8 * b
         // One job for every pending rank: histogram keyed by
@@ -119,8 +146,27 @@ object Quantiles {
       // it — mass vanishing from the walk instead of failing loudly
       require(vals.filter(col("c").isNull || col("c") <= 0L).isEmpty,
         "kthSmallestCounts: null or non-positive count in the summary")
-      var state = ks.distinct.map(k => k -> ((0L, k))).toMap
-      var b = 7
+      // Bound the walk by the shared high-byte prefix (see
+      // kthSmallestBatch): one (min, max) agg over the cached summary
+      // replaces the constant-prefix rounds.
+      val mm = vals.agg(min(col("f")), max(col("f"))).head()
+      if (mm.isNullAt(0))
+        require(ks.isEmpty, s"k=${ks.head} exceeds the summary mass")
+      val (fMin, fMax) = (mm.getLong(0), mm.getLong(1))
+      val diff = fMin ^ fMax
+      val b0 =
+        if (diff == 0L) -1
+        else (63 - java.lang.Long.numberOfLeadingZeros(diff)) / 8
+      val sharedPrefix = if (b0 >= 7) 0L else fMin >>> (8 * (b0 + 1))
+      if (b0 < 0) {
+        val nRow = vals.agg(sum(col("c"))).head()
+        val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+        ks.foreach(k => require(k >= 1 && k <= n,
+          s"k=$k exceeds the summary mass"))
+      }
+      var state = ks.distinct.map(k =>
+        k -> ((if (b0 < 0) fMin else sharedPrefix, k))).toMap
+      var b = b0
       while (b >= 0) {
         val shift = 8 * b
         val prefixes = state.values.map(_._1).toSeq.distinct

@@ -51,8 +51,17 @@ object Spans {
       transform(sequence(lit(1), size(t) - (n - 1)),
         i => substring(md5(concat_ws(" ", slice(t, i, lit(n)))), 1, 16)))
       .otherwise(array().cast("array<string>"))
-    docs
-      .select(col(sourceCol).as("__src"), explode(spans).as("h"))
+    // explode_OUTER + null filter instead of plain explode: a non-outer
+    // Generate triggers InferFiltersFromGenerate, which pushes TWO full
+    // copies of the span-md5 expression below the exchange into the
+    // single-split scan task (measured ~3 s of q84's 4.7 s at sf0.1);
+    // outer generates are exempt, and the Par.ensure guard gives the
+    // per-span md5 work the cluster's parallelism instead of the
+    // 1-file scan's single task. Results identical: empty span arrays
+    // emit one null row the filter drops.
+    graft.util.Par.ensure(docs)
+      .select(col(sourceCol).as("__src"), explode_outer(spans).as("h"))
+      .filter(col("h").isNotNull)
       .groupBy(col("h")).agg(collect_set(col("__src")).as("ss"))
       .select(explode(expr(
         "flatten(transform(ss, a -> transform(filter(ss, b -> b > a), " +
@@ -280,8 +289,12 @@ object Spans {
       transform(sequence(lit(1), size(t) - (n - 1)),
         i => substring(md5(concat_ws(" ", slice(t, i, lit(n)))), 1, 16)))
       .otherwise(array().cast("array<string>"))
-    // explode_outer keeps span-less documents for the final per-doc agg
-    val perSpan = docs.select(col(idCol), explode_outer(spans).as("h"))
+    // explode_outer keeps span-less documents for the final per-doc agg.
+    // Par.ensure: this subtree executes twice (counts + join side) and
+    // would otherwise run the whole per-span md5 work in the 1-file
+    // scan's single task both times (measured ~3 s of q82's 3.8 s).
+    val perSpan = graft.util.Par.ensure(docs)
+      .select(col(idCol), explode_outer(spans).as("h"))
     val counts = perSpan.filter(col("h").isNotNull)
       .groupBy(col("h")).agg(count(lit(1)).as("occ"))
     perSpan.join(counts, Seq("h"), "left_outer")

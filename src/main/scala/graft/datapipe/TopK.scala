@@ -151,7 +151,10 @@ object TopK {
     * Any row in the GLOBAL top-k of key g is in the top-k of its own
     * partition for g, so `globalTopK(prune(df)) == globalTopK(df)`
     * exactly — run the exact window on the pruned (≤ k·keys·
-    * partitions row) output.
+    * partitions row) output. Rows whose group/score/id is null OR
+    * does not cast to a long are EXCLUDED (dropped on both sides of
+    * that contract — a raw window over such rows would emit a top-k
+    * for the null partition this combiner never sees).
     *
     * Why not the typed Aggregator ([[TopKPairsAgg]]) for this:
     * measured at the q176 100× rehearsal, `groupByKey` over ~10⁹
@@ -166,11 +169,14 @@ object TopK {
     require(k >= 1, "top-k needs k >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    df.filter(col(groupCol).isNotNull && col(scoreCol).isNotNull &&
-        col(idCol).isNotNull) // siblings drop nulls; a null here would
-      // otherwise NPE deep in the primitive-tuple deserializer
-      .select(col(groupCol).cast("long"), col(scoreCol).cast("long"),
-        col(idCol).cast("long"))
+    // filter on the CASTED columns (ADVICE r16): a pre-cast null check
+    // missed nulls produced by the cast itself (non-numeric input),
+    // which then NPE'd in the primitive-tuple deserializer
+    df.select(col(groupCol).cast("long").as("__g"),
+        col(scoreCol).cast("long").as("__s"),
+        col(idCol).cast("long").as("__i"))
+      .filter(col("__g").isNotNull && col("__s").isNotNull &&
+        col("__i").isNotNull)
       .as[(Long, Long, Long)]
       .mapPartitions { it =>
         // primitive-keyed map: a boxed-key HashMap allocates a

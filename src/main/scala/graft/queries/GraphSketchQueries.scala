@@ -44,7 +44,8 @@ object GraphSketchQueries {
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    // one-pass symmetrize: the union form ran the join+distinct twice
+    Graph.mirrored(e0, "src", "dst")
   }
 
   /** The even/odd integer id rendered back to its 'c:'/'s:' string. */
@@ -410,9 +411,8 @@ object GraphSketchQueries {
     val ned = graft.datapipe.DedupOps
       .minhashNearDupPairs(docs, minJaccard = 0.5, md5Based = true)
       .select(col("id_a").as("u"), col("id_b").as("v"))
-    val sym = ned
-      .unionByName(ned.select(col("v").as("u"), col("u").as("v")))
-      .persist()
+    // one-pass symmetrize: the union form ran the minhash chain twice
+    val sym = Graph.mirrored(ned, "u", "v").persist()
     var dist = sym.select(col("u").as("node")).distinct()
       .filter(col("node") % 7 === 0)
       .select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
