@@ -199,12 +199,6 @@ object Graph {
       .persist()
     adj.count()
     edges.unpersist()
-    // node-sized (node → out-degree) relation for the step selector:
-    // idx 0 exists for every src, so no aggregation is needed
-    val degs = adj.filter(col("idx") === 0L)
-      .select(col("src").as("__dn"), col("deg").as("__dd"))
-      .persist()
-    degs.count()
     var state = adj.select(col("src").as("walk"), col("src").as("node"))
       .distinct().localCheckpoint(true)
     val frames = scala.collection.mutable.ArrayBuffer(
@@ -212,22 +206,22 @@ object Graph {
     for (t <- 1 to steps) {
       val sel = Sketches.kmvHash(
         concat(lit("w"), col("walk").cast("string"), lit(s":$t")))
-      // resolve the selected neighbor INDEX against the node-sized
-      // degree relation first, so the adjacency join is a composite
-      // (src, idx) EQUI join: the previous single-key join with
-      // `idx === sel % deg` as a post-join predicate fanned out
-      // deg(v) rows per walk and evaluated the hash per adjacency
-      // row instead of per walk. Same selection arithmetic, same
-      // rows.
-      val tgt = state.join(degs, col("node") === col("__dn"))
-        .select(col("walk"), col("node"), (sel % col("__dd")).as("__tg"))
-      state = tgt
-        .join(adj, col("node") === col("src") && col("__tg") === col("idx"))
+      // evaluate the md5-based selector hash ONCE PER WALK in the
+      // state projection, not inside the join predicate: the previous
+      // form put `idx === kmvHash(...) % deg` in the join condition,
+      // where it ran per MATCHED ADJACENCY ROW — deg(v) md5 evals per
+      // walk per step (per edge at cluster scale). The join stays a
+      // single src-keyed probe with a cheap integer-mod post-filter.
+      // Same selection arithmetic, same rows.
+      val state2 = state.select(col("walk"), col("node"),
+        sel.as("__sel"))
+      state = state2
+        .join(adj, col("node") === col("src") &&
+          col("idx") === col("__sel") % col("deg"))
         .select(col("walk"), col("dst").as("node"))
         .localCheckpoint(true)
       frames += state.select(col("walk"), lit(t).as("step"), col("node"))
     }
-    degs.unpersist()
     val out = frames.reduce(_ unionByName _)
     adj.unpersist()
     out
