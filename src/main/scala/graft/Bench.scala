@@ -61,9 +61,14 @@ object Bench {
     * vs 1.68 s clean — that only COVERAGE.md corrected). */
   def miniSpin(): Double = spin(100_000_000L)
 
-  /** Degree of the parallel probes: the bench's own executor shape. */
+  /** Degree of the parallel probes: the bench's own executor shape —
+    * $SPARK_GRAFT_CPUS, i.e. exactly the local[N] the query loop runs
+    * under (round 18, r17 VERDICT #5: the old
+    * min(32, availableProcessors) printed 32 in the 8-CPU driver run,
+    * mislabeling the parallel calibration's actual shape). */
   val ParDegree: Int =
-    math.min(32, Runtime.getRuntime.availableProcessors())
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption)
+      .getOrElse(math.min(32, Runtime.getRuntime.availableProcessors()))
 
   /** MULTI-CORE contention sentinel (round-15, closing the BENCH_r14
     * blind spot): wall time of [[ParDegree]] CONCURRENT fixed spin
@@ -169,7 +174,17 @@ object Bench {
     // comes.
     val RetryTimeBudgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_BUDGET_SEC", "600").toDouble
+    // Sub-second tier keeps a reserve budget once the main one is
+    // gone (round 18, r17 VERDICT #7): under sustained contention the
+    // main budget exhausts on the expensive queries and the q177–q190
+    // analytics cluster then records 2–3× burst numbers that read as
+    // regressions — their re-runs cost almost nothing, so give them
+    // their own bounded ceiling instead of none.
+    val CheapRetrySec = 1.5
+    val CheapRetryTimeBudgetSec = sys.env
+      .getOrElse("SPARK_GRAFT_BENCH_RETRY_BUDGET_CHEAP_SEC", "240").toDouble
     var retrySpentSec = 0.0
+    var retrySpentCheapSec = 0.0
     // name -> (raw contended seconds, clean-window rerun obtained)
     val contended =
       scala.collection.mutable.LinkedHashMap.empty[String, (Double, Boolean)]
@@ -189,8 +204,10 @@ object Bench {
         val raw = t
         var clean = false
         var tries = 0
-        while (!clean && tries < RetryBudget &&
-            retrySpentSec < RetryTimeBudgetSec) {
+        def retryAllowed: Boolean =
+          retrySpentSec < RetryTimeBudgetSec ||
+            (t < CheapRetrySec && retrySpentCheapSec < CheapRetryTimeBudgetSec)
+        while (!clean && tries < RetryBudget && retryAllowed) {
           val r0 = System.nanoTime()
           Thread.sleep(500L * (tries + 1)) // let the burst pass
           val pb = probe()
@@ -200,7 +217,9 @@ object Bench {
           else t = math.min(t, t2)
           after = pa
           tries += 1
-          retrySpentSec += (System.nanoTime() - r0) / 1e9
+          val dt = (System.nanoTime() - r0) / 1e9
+          if (retrySpentSec < RetryTimeBudgetSec) retrySpentSec += dt
+          else retrySpentCheapSec += dt
         }
         contended(name) = (raw, clean)
       }
@@ -216,16 +235,27 @@ object Bench {
     // numbers: a large loop-vs-solo delta flags position noise or
     // sustained contention without any cross-round narrative.
     val SoloN = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO_N", "12").toInt
+    // Round 18 (r17 VERDICT #7): the solo set additionally covers every
+    // query whose loop window ended UNCLEAN — those are exactly the
+    // rows that read as false regressions under sustained contention
+    // (r17 recorded 17 of them). Bounded: unclean entries are mostly
+    // the sub-second analytics tier, so the extension costs seconds.
+    // A solo attempt that FAILS is omitted from the map instead of
+    // publishing its fail-fast elapsed as a clean-window number
+    // (r17 ADVICE), and only NonFatal errors are swallowed.
+    val soloNames = (results.toSeq.sortBy(-_._2).take(SoloN).map(_._1) ++
+      contended.collect { case (n, (_, false)) => n }).distinct
     val solo = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    results.toSeq.sortBy(-_._2).take(SoloN).foreach { case (name, _) =>
+    soloNames.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
+        var soloFailed = false
         val t = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() }
-          catch { case _: Throwable => () }
+          catch { case scala.util.control.NonFatal(_) => soloFailed = true }
           (System.nanoTime() - t0) / 1e9
         }.min
-        solo(name) = t
+        if (!soloFailed) solo(name) = t
       }
     }
 
@@ -304,15 +334,40 @@ object Bench {
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"contended":$contJson,"solo":$soloJson,$calib,"enrich_docs_per_sec":$docsPerSec%.1f,"enrich_docs":$nDocs,"medline_docs_per_sec":$medDocsPerSec%.1f,"medline_docs":$nCitations,"failed":$failedJson,"sf":"$sfDir"}""")
     // The full line above grew past the collector's tail-capture window
-    // (~2.2 KB) once the query count passed ~75, leaving only a
-    // head-truncated (unparseable) fragment in the captured tail. Print
-    // a second, short summary line LAST so a complete JSON object always
-    // sits inside any tail window; headline numbers only.
-    val headline = Seq("enrich_pipeline", "medline_pipeline")
+    // (2,000 chars measured from BENCH_r17.json's stored tail) once the
+    // query count passed ~75, leaving only a head-truncated
+    // (unparseable) fragment in the captured tail. Print a second,
+    // summary line LAST so a complete JSON object always sits inside
+    // the tail window. Round 18 (r17 VERDICT #6): the summary line now
+    // carries, besides the two pipeline headline entries, as many
+    // PER-QUERY entries as the window affords — names shortened to
+    // their qNNN prefix, most expensive first — so the driver's PERF
+    // tooling can compare the heavy tail round-over-round instead of
+    // only the pipelines. All 211 full-precision entries remain on the
+    // full line above; the fill stops at a 1,900-char line budget
+    // (window 2,000 minus the trailing sbt success line). Existing
+    // keys are unchanged — the two pipeline entries keep their full
+    // names and the qNNN entries are additions.
+    def shortQ(n: String): String = {
+      val i = n.indexOf('_')
+      if (n.startsWith("q") && i > 0) n.substring(0, i) else n
+    }
+    val headlineEntries = Seq("enrich_pipeline", "medline_pipeline")
       .flatMap(k => results.get(k).map(v => "\"" + k + f"\":$v%.3f"))
-      .mkString("{", ",", "}")
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$headline,"n_queries":${results.size},"n_contended":${contended.size},"n_contended_unclean":${contended.count(!_._2._2)},$calib,"enrich_docs_per_sec":$docsPerSec%.1f,"enrich_docs":$nDocs,"medline_docs_per_sec":$medDocsPerSec%.1f,"medline_docs":$nCitations,"failed":$failedJson,"sf":"$sfDir"}""")
+    val perQueryRanked = results.toSeq
+      .filterNot(kv => kv._1 == "enrich_pipeline" || kv._1 == "medline_pipeline")
+      .sortBy(-_._2)
+      .map { case (k, v) => "\"" + shortQ(k) + f"\":$v%.3f" }
+    def lineFor(qEntries: Seq[String]): String = {
+      val qsJson = (headlineEntries ++ qEntries).mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsJson,"n_queries":${results.size},"n_contended":${contended.size},"n_contended_unclean":${contended.count(!_._2._2)},$calib,"enrich_docs_per_sec":$docsPerSec%.1f,"enrich_docs":$nDocs,"medline_docs_per_sec":$medDocsPerSec%.1f,"medline_docs":$nCitations,"failed":$failedJson,"sf":"$sfDir"}"""
+    }
+    val TailLineBudget = 1900
+    // largest prefix of the ranked per-query entries that fits
+    var keep = perQueryRanked.length
+    while (keep > 0 && lineFor(perQueryRanked.take(keep)).length > TailLineBudget)
+      keep -= 1
+    println(lineFor(perQueryRanked.take(keep)))
     spark.stop()
   }
 }

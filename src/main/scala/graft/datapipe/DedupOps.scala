@@ -165,6 +165,43 @@ object DedupOps {
       .distinct()
   }
 
+  /** ALL band configs of a sweep in ONE pass (round 18, guide §2.4
+    * "do fewer shuffles over the same data"): emits (bands, id_a,
+    * id_b) — for each config `b` in `bandsList`, exactly the rows
+    * [[minhashCandidatesFromSigs]](sigs, numPerm, b, maxBucket) would
+    * emit, tagged with `b`. One explode + one bucket aggregation + one
+    * distinct instead of a per-config chain: the band keys of every
+    * config ride a single Generate (Σ bands rows per doc — the same
+    * total volume the sequential sweep shuffled in four separate
+    * exchanges), the bucket cap applies per (bands, band_idx,
+    * band_key) group, i.e. per config, and the distinct is keyed by
+    * (bands, id_a, id_b) — per-config candidate sets are untouched.
+    * Byte-equivalence to the per-config path is pinned by
+    * `LshSweepSpec`. */
+  def minhashCandidatesSweep(sigs: DataFrame, numPerm: Int,
+      bandsList: Seq[Int], maxBucket: Int = 64): DataFrame = {
+    val perConfig = bandsList.map { b =>
+      val rows = numPerm / b
+      transform(sequence(lit(0), lit(b - 1)), band =>
+        struct(lit(b).as("bands"), band.as("band_idx"),
+          array_join(transform(
+            slice(col("sig"), band * lit(rows) + lit(1), lit(rows)),
+            x => x.cast("string")), ",").as("band_key")))
+    }
+    sigs
+      .select(col("id"), explode_outer(flatten(array(perConfig: _*))).as("bk"))
+      .filter(col("bk").isNotNull)
+      .select(col("bk.bands").as("bands"), col("bk.band_idx").as("band_idx"),
+        col("bk.band_key").as("band_key"), col("id"))
+      .groupBy(col("bands"), col("band_idx"), col("band_key"))
+      .agg(collect_list(col("id")).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+      .select(col("bands"),
+        explode(graft.functions.ArrayPairs.orderedPairs(col("members"))).as("pair"))
+      .select(col("bands"), col("pair._1").as("id_a"), col("pair._2").as("id_b"))
+      .distinct()
+  }
+
   /** Near-duplicate pairs: LSH candidates verified with exact n-gram
     * Jaccard ≥ `minJaccard` (this is also the "n-gram Jaccard dedup"
     * operator — candidates from LSH instead of a quadratic self-join).

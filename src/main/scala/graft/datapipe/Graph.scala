@@ -28,6 +28,21 @@ object Graph {
   /** Clustering-coefficient fixed-point scale: ×2²⁰. */
   val CcFp: Long = 1L << 20
 
+  /** Volume-derived partition count for a persisted per-iteration
+    * relation (the [[PageRank]] nPart convention, round 18 applied
+    * family-wide): ~250k compact rows per task keeps task-scheduling
+    * overhead below the work, capped at the session's parallelism —
+    * at cluster scale the cap (total cores) governs, locally a small
+    * relation stops inheriting `shuffle.partitions = cpus` wholesale,
+    * which made every iteration pay `cpus` near-empty tasks per job
+    * (measured r18: the q149 step loop ran 0.55 s/step at 32 cores vs
+    * 0.21 s/step at 8 BECAUSE of those empty tasks; sized, both run
+    * ~0.19 s/step — the 32-core anti-scaling of the iterative family
+    * was exactly this). */
+  private[graft] def sizedParts(df: DataFrame, nRows: Long): Int =
+    math.max(1, math.min(df.sparkSession.sparkContext.defaultParallelism,
+      (nRows / 250000L).toInt + 1))
+
   /** Both orientations of an edge relation in ONE pass:
     * explode([struct(a,b), struct(b,a)]) instead of
     * `df.unionByName(df.reversed)` — the union form executes the
@@ -144,8 +159,14 @@ object Graph {
     * (node, label). */
   def labelPropagation(edges0: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val edges = edges0.select(col("src"), col("dst")).persist()
+    val raw = edges0.select(col("src"), col("dst")).persist()
+    val nEdges = raw.count()
+    // volume-sized, src-keyed layout: every iteration's join reuses it
+    // (the PageRank convention; upstream partitioning was cpus-sized)
+    val edges = raw
+      .repartition(sizedParts(raw, nEdges), col("src")).persist()
     edges.count()
+    raw.unpersist()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
@@ -153,7 +174,13 @@ object Graph {
       val votes = edges.join(labels, col("src") === col("node"))
         .select(col("dst"), col("label"))
         .unionByName(labels.select(col("node").as("dst"), col("label")))
+      // ONE dst-keyed exchange per iteration (round 18): hash(dst)
+      // satisfies the clustering of BOTH the (dst, label) count and
+      // the per-dst argmax, so the explicit repartition replaces the
+      // two chained agg exchanges ((dst,label) then dst) with one —
+      // measured 4.6 → 3.4 s at 32 cores, 4.1 → 3.6 s at 8.
       labels = votes
+        .repartition(sizedParts(edges, nEdges), col("dst"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
         .agg(max_by(col("label"),
@@ -188,9 +215,14 @@ object Graph {
     require(steps >= 1, s"steps must be >= 1: $steps")
     import org.apache.spark.sql.expressions.Window
     val edges = edges0.select(col("src"), col("dst")).persist()
-    edges.count()
-    // neighbor numbering + out-degree, one shuffle, persisted for all steps
+    val nEdges = edges.count()
+    // neighbor numbering + out-degree, one shuffle, persisted for all
+    // steps. Volume-sized src partitioning (round 18): the window
+    // establishes the src hash layout ONCE at a task count derived
+    // from the edge volume, and every step's join + state checkpoint
+    // then runs that many tasks instead of `cpus` near-empty ones.
     val adj = edges
+      .repartition(sizedParts(edges, nEdges), col("src"))
       .withColumn("idx",
         row_number().over(Window.partitionBy(col("src")).orderBy(col("dst")))
           .cast("long") - 1L)
@@ -277,10 +309,20 @@ object Graph {
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    val adj = mirrored(edges, "u", "v")
+    val adj0 = mirrored(edges, "u", "v")
       .select(col("u").as("node"), col("v").as("nb"))
       .persist()
+    val nAdj = adj0.count()
+    // volume-sized, node-keyed layout (round 18): the per-round window
+    // and H-count aggregation are both node-clustered, so hash-laying
+    // the persisted adjacency out by node at a task count derived from
+    // its volume removes every per-round exchange AND the cpus-sized
+    // empty-task floor (the join side `vals` is node-sized and
+    // broadcast by AQE, which preserves this partitioning).
+    val adj = adj0
+      .repartition(sizedParts(adj0, nAdj), col("node")).persist()
     adj.count()
+    adj0.unpersist()
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     var vals = deg.select(col("node"), col("deg").as("val"))

@@ -296,7 +296,14 @@ object Log2FixedExpr {
   * Hashing.jaccardCounts(shingleSet(a), shingleSet(b)) when fed the
   * per-doc sorted shingle-hash arrays. */
 case class JaccardPackExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  // analysis-time type pin (r17 ADVICE): the primitive merge reads
+  // longs out of ArrayData — any other element type must fail
+  // analysis, not ClassCastException (or worse, misread) at runtime
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(LongType),
+      org.apache.spark.sql.types.ArrayType(LongType))
   override def dataType: DataType = LongType
   override def prettyName: String = "jaccard_pack"
 

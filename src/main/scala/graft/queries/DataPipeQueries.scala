@@ -1097,12 +1097,22 @@ object DataPipeQueries {
         col("n_punct") < lit(0.2) * col("n_chars_measured"))
       .select(col("doc_id"))
     val qual = gated.join(okIds, Seq("doc_id"), "left_semi")
+    // decon is materialized BEFORE the dedup stage (round 18): the
+    // survivor computation consumes its input four times (candidate
+    // banding, both sides of the text re-join, and the anti-join left
+    // side), so an uncut gate→decontaminate chain executed 4× here —
+    // the funnel's largest hidden multiplier.
     val decon = Contamination.decontaminate(
       qual.filter(col("doc_id") % 97 =!= 0),
       qual.filter(col("doc_id") % 97 === 0),
       "doc_id", "text", n = 3, minShared = 2L)
+      .localCheckpoint(true)
+    // id-only survivor cut (round 18): everything downstream of the
+    // dedup stage keys on doc_id alone, so the barrier materializes
+    // ids, not document texts — same rows out, smaller blocks
     val surv = DedupOps.minhashDedupSurvivors(decon, minJaccard = 0.5,
         md5Based = true)
+      .select(col("doc_id"))
       .localCheckpoint(true)
 
     val emb = Tables.embeddings(s, d)
@@ -3716,15 +3726,28 @@ object DataPipeQueries {
     val clean = cp(Pii.redact(messyPiiDocs(docs))
       .select(col("doc_id"), col("clean_text").as("text"))
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id")))
-    val repKeep = QualityScore.repetitionCharMetrics(clean)
-      .filter(col("keep_rep") === 1).select(col("doc_id"))
-    val entKeep = QualityScore.charEntropy(clean)
-      .filter(col("milli_bits_per_char") >= EntropyFloor)
+    // Round 18: the gate stages cut ID frames, not document frames.
+    // Both per-doc gate metrics land in ONE materialized (doc_id,
+    // keep_rep, keep_ent) relation (they are computed over the full
+    // scrubbed corpus either way — per-doc gates commute); the stage
+    // frames s2/s3/s4 are then cheap broadcast-semi rebuilds over the
+    // cached `clean` blocks instead of three more text-sized eager
+    // barriers. Stage counts are unchanged: doc_id is unique in
+    // `clean`, so |clean ⋈ ids| = |ids| for every gate id set.
+    val flags = cp(QualityScore.repetitionCharMetrics(clean)
+      .select(col("doc_id"), col("keep_rep"))
+      .join(QualityScore.charEntropy(clean)
+        .select(col("doc_id"),
+          (col("milli_bits_per_char") >= EntropyFloor).as("keep_ent")),
+        Seq("doc_id")))
+    val ids2 = flags.filter(col("keep_rep") === 1).select(col("doc_id"))
+    val ids3 = flags.filter(col("keep_rep") === 1 && col("keep_ent"))
       .select(col("doc_id"))
-    val s2 = cp(clean.join(repKeep, Seq("doc_id")))
-    val s3 = cp(s2.join(entKeep, Seq("doc_id")))
-    val s4 = cp(s3.join(DedupOps.canonicalDedup(s3)
-      .select(col("canonical_id").as("doc_id")), Seq("doc_id")))
+    val s3 = clean.join(ids3, Seq("doc_id"))
+    val ids4 = cp(s3.join(DedupOps.canonicalDedup(s3)
+      .select(col("canonical_id").as("doc_id")), Seq("doc_id"))
+      .select(col("doc_id")))
+    val s4 = clean.join(ids4, Seq("doc_id"))
     val dsir = cp(Importance.importanceWeights(s4,
       s4.filter(col("source") === DsirTarget), buckets = DsirBuckets))
     val tot = dsir.agg(sum(col("weight_fp")).as("__tw"),
@@ -3735,8 +3758,8 @@ object DataPipeQueries {
     def stage(nm: String, df: DataFrame) =
       df.agg(count(lit(1)).cast("long").as("n_docs"))
         .select(lit(nm).as("stage"), col("n_docs"))
-    Seq(("0_input", docs), ("1_scrubbed", clean), ("2_repetition", s2),
-      ("3_entropy", s3), ("4_canonical", s4), ("5_dsir", s5))
+    Seq(("0_input", docs), ("1_scrubbed", clean), ("2_repetition", ids2),
+      ("3_entropy", ids3), ("4_canonical", ids4), ("5_dsir", s5))
       .map((stage _).tupled).reduce(_.unionByName(_))
       .orderBy(col("stage"))
   }
@@ -4172,19 +4195,32 @@ object DataPipeQueries {
     val nTrue = truth.count()
     // ONE signature pass for all four configs (the shingle+md5 work
     // dominates; banding is column regrouping of the shared minima —
-    // minhash_sig_md5 + minhashCandidatesFromSigs)
-    val sigs = docs
-      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+    // minhash_sig_md5 + minhashCandidatesSweep). Par.ensure: the
+    // 128-permutation signature is exactly the per-row-CPU-heavy stage
+    // the guard exists for (round 18 — this pass previously ran in the
+    // single parquet-split scan task). All four configs' candidate
+    // sets come from ONE exploded relation with `bands` as a key
+    // column (one bucket exchange + one distinct instead of four
+    // sequential explode+join passes — round-18 r17-VERDICT #3); the
+    // per-config sets are byte-identical to the per-config path
+    // (LshSweepSpec).
+    val sigs = graft.util.Par.ensure(docs
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0))
       .select(col("doc_id").as("id"),
         graft.functions.Expressions.minhash_sig_md5(
           col("text"), DedupOps.NumPerm, 3).as("sig"))
       .persist()
     sigs.count()
+    val cands = DedupOps.minhashCandidatesSweep(
+      sigs, DedupOps.NumPerm, LshSweepBands).localCheckpoint(true)
+    val nCandByB = cands.groupBy(col("bands")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val tpByB = cands.join(truth, Seq("id_a", "id_b"), "left_semi")
+      .groupBy(col("bands")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val rows = LshSweepBands.map { b =>
-      val cands = DedupOps.minhashCandidatesFromSigs(
-        sigs, DedupOps.NumPerm, b).localCheckpoint(true)
-      val nCand = cands.count()
-      val tp = cands.join(truth, Seq("id_a", "id_b"), "left_semi").count()
+      val nCand = nCandByB.getOrElse(b, 0L)
+      val tp = tpByB.getOrElse(b, 0L)
       (b.toLong, (DedupOps.NumPerm / b).toLong, nCand, nTrue, tp,
         if (nCand > 0) tp * LshCardFp / nCand else 0L,
         if (nTrue > 0) tp * LshCardFp / nTrue else 0L)

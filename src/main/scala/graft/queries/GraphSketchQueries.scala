@@ -307,12 +307,19 @@ object GraphSketchQueries {
 
   def hitsQ(s: SparkSession, d: String): DataFrame = {
     val fp = 1L << 20
-    val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val e0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
       .distinct()
       .persist()
+    val nE = e0.count()
+    // volume-sized layout for the per-half-step scans (round 18): the
+    // distinct's cpus-sized partitioning made every half-step pay cpus
+    // near-empty tasks; the rank side is broadcast either way
+    val e = e0.repartition(Graph.sizedParts(e0, nE), col("c")).persist()
+    e.count()
+    e0.unpersist()
     val maxDeg = math.max(
       e.groupBy(col("c")).count().agg(max("count")).head().getLong(0),
       e.groupBy(col("sp")).count().agg(max("count")).head().getLong(0))
@@ -323,14 +330,17 @@ object GraphSketchQueries {
       .select(col("c").as("node"), lit(fp).as("sc")).localCheckpoint(true)
     var a: DataFrame = null
     for (_ <- 1 to HitsIters) {
+      // the max-normalized projection is scalar arithmetic over the
+      // checkpointed raw sums — consumers re-read cached blocks, so a
+      // second eager barrier per half-step bought nothing (round 18)
       val araw = hitsHalfStep(e, h, "c", "sp").localCheckpoint(true)
       val amax = araw.agg(max("sc")).head().getLong(0)
       a = araw.select(col("sp").as("node"),
-        expr(s"(sc * $fp) div ${amax}L").as("sc")).localCheckpoint(true)
+        expr(s"(sc * $fp) div ${amax}L").as("sc"))
       val hraw = hitsHalfStep(e, a, "sp", "c").localCheckpoint(true)
       val hmax = hraw.agg(max("sc")).head().getLong(0)
       h = hraw.select(col("c").as("node"),
-        expr(s"(sc * $fp) div ${hmax}L").as("sc")).localCheckpoint(true)
+        expr(s"(sc * $fp) div ${hmax}L").as("sc"))
     }
     e.unpersist()
     h.select(concat(lit("c:"), col("node").cast("string")).as("node"),
@@ -411,8 +421,16 @@ object GraphSketchQueries {
     val ned = graft.datapipe.DedupOps
       .minhashNearDupPairs(docs, minJaccard = 0.5, md5Based = true)
       .select(col("id_a").as("u"), col("id_b").as("v"))
-    // one-pass symmetrize: the union form ran the minhash chain twice
-    val sym = Graph.mirrored(ned, "u", "v").persist()
+    // one-pass symmetrize: the union form ran the minhash chain twice.
+    // Volume-sized u-keyed layout (round 18): every round's frontier
+    // join probes this relation; without it the rounds inherit the
+    // minhash chain's cpus-sized partitioning (near-empty tasks).
+    val sym0 = Graph.mirrored(ned, "u", "v").persist()
+    val nSym = sym0.count()
+    val sym = sym0.repartition(Graph.sizedParts(sym0, nSym), col("u"))
+      .persist()
+    sym.count()
+    sym0.unpersist()
     var dist = sym.select(col("u").as("node")).distinct()
       .filter(col("node") % 7 === 0)
       .select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
